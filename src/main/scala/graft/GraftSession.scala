@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory encoding the engine's scale defaults.
+  *
+  * Tuned for the target deployment (many-executor cluster over ~100 TB of
+  * zstd Parquet) while remaining correct on `local[32]`:
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  *    replaces hand-tuned chunk geometry (the reference sizes its work grid
+  *    statically — /root/reference/data/params.yaml:14-29).
+  *  - shuffle.partitions matches local cores here; on a real cluster this is
+  *    overridden per-job (2-3x total cores) and AQE coalesces down.
+  *  - partition column type inference OFF: Hive partition keys stay strings
+  *    so `state='01'` keeps its leading zero (the reference pins
+  *    `hive_types_autocast = false` — data/src/create_public_files.py:79).
+  *  - session timezone pinned UTC (reference timestamps are UTC —
+  *    data/src/calculate_times.py:110).
+  */
+object GraftSession {
+  def builder(appName: String = "graft", master: String = ""): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.ui.enabled", "false")
+    if (master.nonEmpty) b.master(master) else b
+  }
+
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = builder(appName, s"local[$cpus]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

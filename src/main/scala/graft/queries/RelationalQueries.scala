@@ -1,0 +1,444 @@
+package graft.queries
+
+import graft.{QueryDef, QueryPack, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator pack — the projection/filter/join/aggregate/sort/
+  * set-op/scalar-function surface of SURVEY §2 (families P, J, A, O, U, F),
+  * expressed over the fixture tables.
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - double aggregates are rounded on both sides (accumulation order
+  *    differs between engines);
+  *  - row_number outputs are cast to long (DuckDB row_number is BIGINT);
+  *  - integer sums in DuckDB are wrapped CAST(.. AS BIGINT) (DuckDB
+  *    promotes to HUGEINT);
+  *  - no raw timestamp output columns (ns-vs-us parquet mismatch) — dates
+  *    or epoch seconds instead.
+  */
+object RelationalQueries extends QueryPack {
+
+  /** Cross-engine FP determinism: per-row scalar math is bit-identical
+    * between Spark and DuckDB (same IEEE ops on the same inputs), but
+    * multi-row accumulation order is not. So fixed-point columns (prices:
+    * 2 decimals, discounts: 2, price*(1-disc): 4) are quantized to exact
+    * integers per row before summing; integer sums are order-independent.
+    * The oracle SQL applies the same quantization.
+    */
+  private def fixpt(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    round(c * math.pow(10, scale), 0).cast("long")
+
+  private def fixptSum(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    sum(fixpt(c, scale)).cast("double") / math.pow(10, scale)
+
+  override def queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q01: scan → filter (pushed) → hash aggregate. TPC-H Q1 shape; the
+    // grouped-sum family of SURVEY §2.4 (A2) with predicate pushdown (P9
+    // analogue on a non-partitioned file). Headline bench query.
+    QueryDef(
+      "q01_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        T.lineitem(s, dir)
+          .filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            round(fixptSum($"l_extendedprice", 2), 2).as("sum_base_price"),
+            round(fixptSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4), 2).as("sum_disc_price"),
+            // ratios of exact operands are bit-identical across engines and
+            // must NOT be rounded: Spark round (BigDecimal HALF_UP on the
+            // binary value) and DuckDB round (x*10^k then round) disagree
+            // exactly when the true ratio sits on a decimal boundary.
+            (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+            (fixptSum($"l_discount", 2) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+             |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
+             |  sum(l_quantity) / count(*) AS avg_qty,
+             |  CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q02: projection + rename + conjunctive filter + prefix predicate
+    // (P1, P2, P3, P8). All three predicates and both projected columns
+    // must reach the parquet scan (PushedFilters / ReadSchema).
+    QueryDef(
+      "q02_filter_project",
+      (s, dir) => {
+        import s.implicits._
+        T.part(s, dir)
+          .filter($"p_type" === "ECONOMY" && $"p_size" < 25 && $"p_name".startsWith("b"))
+          .select($"p_partkey".as("part_id"), upper($"p_name").as("name_uc"), $"p_retailprice")
+      },
+      Some("""SELECT p_partkey AS part_id, upper(p_name) AS name_uc, p_retailprice
+             |FROM part
+             |WHERE p_type = 'ECONOMY' AND p_size < 25 AND p_name LIKE 'b%'""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q03: star-schema join chain (J3) — both dimension sides are small and
+    // must broadcast (no shuffle of the fact side on dim keys).
+    QueryDef(
+      "q03_join_dims",
+      (s, dir) => {
+        import s.implicits._
+        T.customer(s, dir)
+          .join(broadcast(T.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(T.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            round(fixptSum($"c_acctbal", 2), 2).as("total_acctbal"))
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_customers,
+             |  round(CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q04: left outer join + null-tolerant aggregate (J2 family).
+    QueryDef(
+      "q04_left_join",
+      (s, dir) => {
+        import s.implicits._
+        T.nation(s, dir)
+          .join(T.supplier(s, dir), $"n_nationkey" === $"s_nationkey", "left")
+          .groupBy($"n_name")
+          .agg(
+            count($"s_suppkey").as("n_suppliers"),
+            round(coalesce(fixptSum($"s_acctbal", 2), lit(0.0)), 2).as("total_bal"))
+      },
+      Some("""SELECT n_name, count(s_suppkey) AS n_suppliers,
+             |  round(coalesce(CAST(sum(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 0), 2) AS total_bal
+             |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q05: left-semi join (P5 membership as a semi-join — EXISTS).
+    QueryDef(
+      "q05_semi_join",
+      (s, dir) => {
+        import s.implicits._
+        val big = T.orders(s, dir).filter($"o_totalprice" > 400000.0)
+        T.customer(s, dir)
+          .join(big, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q06: left-anti join (NOT EXISTS).
+    QueryDef(
+      "q06_anti_join",
+      (s, dir) => {
+        import s.implicits._
+        T.part(s, dir)
+          .join(T.lineitem(s, dir), $"p_partkey" === $"l_partkey", "left_anti")
+          .select($"p_partkey", $"p_name")
+      },
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q07: cross join (J1) — small × small, broadcast-nested-loop.
+    QueryDef(
+      "q07_cross_join",
+      (s, dir) => {
+        import s.implicits._
+        T.region(s, dir)
+          .crossJoin(T.orders(s, dir).select($"o_orderpriority").distinct())
+          .select($"r_regionkey", $"r_name", $"o_orderpriority")
+      },
+      Some("""SELECT r_regionkey, r_name, o_orderpriority
+             |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q08: union-all of two filtered projections (U1); one scan each, both
+    // filters pushed.
+    QueryDef(
+      "q08_union_all",
+      (s, dir) => {
+        import s.implicits._
+        val o = T.orders(s, dir)
+        o.filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", lit("finished").as("bucket"))
+          .unionByName(
+            o.filter($"o_totalprice" > 450000.0)
+              .select($"o_orderkey", lit("big").as("bucket")))
+      },
+      Some("""SELECT o_orderkey, 'finished' AS bucket FROM orders WHERE o_orderstatus = 'F'
+             |UNION ALL
+             |SELECT o_orderkey, 'big' AS bucket FROM orders WHERE o_totalprice > 450000.0""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q09: distinct over a projection (A3) — partial-aggregate dedup before
+    // the shuffle.
+    QueryDef(
+      "q09_distinct",
+      (s, dir) => {
+        import s.implicits._
+        T.customer(s, dir).select($"c_mktsegment", $"c_nationkey").distinct()
+      },
+      Some("SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")),
+
+    // ------------------------------------------------------------------
+    // q10: window ranking, deterministic tiebreak (SURVEY §2.5 extension;
+    // no counterpart in the reference but required engine surface).
+    QueryDef(
+      "q10_window_topk_per_key",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+        T.orders(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter($"rn" <= 3)
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q11: global top-k (O2 sort + limit) with deterministic tiebreak —
+    // executes as TakeOrderedAndProject, no full sort.
+    QueryDef(
+      "q11_topk_global",
+      (s, dir) => {
+        import s.implicits._
+        T.orders(s, dir)
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .select($"o_orderkey", $"o_totalprice")
+          .limit(100)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q12: rollup (A5 — the reference computes its hierarchy rollup
+    // procedurally, utils/cloudflare.py:96-114; here it is one ROLLUP).
+    QueryDef(
+      "q12_rollup",
+      (s, dir) => {
+        import s.implicits._
+        T.customer(s, dir)
+          .join(broadcast(T.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .rollup($"n_name", $"c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"), round(fixptSum($"c_acctbal", 2), 2).as("bal"))
+      },
+      Some("""SELECT n_name, c_mktsegment, count(*) AS n_cust,
+             |  round(CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP(n_name, c_mktsegment)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q13: threshold binning via CASE chain — the duration color-class
+    // binning of the reference's consumer (site/assets/js/map.js:192-202).
+    QueryDef(
+      "q13_case_bins",
+      (s, dir) => {
+        import s.implicits._
+        T.orders(s, dir)
+          .select(
+            $"o_orderkey",
+            when($"o_totalprice" < 100000.0, "small")
+              .when($"o_totalprice" < 300000.0, "medium")
+              .otherwise("large").as("price_bin"))
+          .groupBy($"price_bin")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CASE WHEN o_totalprice < 100000.0 THEN 'small'
+             |            WHEN o_totalprice < 300000.0 THEN 'medium'
+             |            ELSE 'large' END AS price_bin,
+             |  count(*) AS n
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q14: string function bundle — zero-pad (F4), GEOID-style substring
+    // split (F3 — utils/census.py:110-156), regex extract (F1).
+    QueryDef(
+      "q14_string_fns",
+      (s, dir) => {
+        import s.implicits._
+        T.customer(s, dir)
+          .select(
+            $"c_custkey",
+            lpad($"c_custkey".cast("string"), 15, "0").as("geoid"),
+            regexp_extract($"c_name", "Customer#(\\d+)", 1).as("name_num"))
+          .select(
+            $"c_custkey",
+            $"geoid",
+            substring($"geoid", 1, 2).as("state"),
+            substring($"geoid", 3, 3).as("county"),
+            substring($"geoid", 6, 6).as("tract"),
+            substring($"geoid", 12, 1).as("block_group"),
+            substring($"geoid", 12, 4).as("block"),
+            $"name_num")
+      },
+      Some("""SELECT c_custkey, geoid,
+             |  substr(geoid, 1, 2) AS state,
+             |  substr(geoid, 3, 3) AS county,
+             |  substr(geoid, 6, 6) AS tract,
+             |  substr(geoid, 12, 1) AS block_group,
+             |  substr(geoid, 12, 4) AS block,
+             |  name_num
+             |FROM (SELECT c_custkey,
+             |        lpad(CAST(c_custkey AS VARCHAR), 15, '0') AS geoid,
+             |        regexp_extract(c_name, 'Customer#(\d+)', 1) AS name_num
+             |      FROM customer) t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q15: date bucketing + grouped aggregate (monthly revenue).
+    QueryDef(
+      "q15_monthly_orders",
+      (s, dir) => {
+        import s.implicits._
+        T.orders(s, dir)
+          .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n_orders"), round(fixptSum($"o_totalprice", 2), 2).as("total"))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |  count(*) AS n_orders,
+             |  round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q16: row-range chunk slice (P10 — utils/times.py:289-301): global
+    // order + row_number window + range filter. At scale the chunk id is
+    // precomputed and this becomes a partition filter (see routing ops).
+    QueryDef(
+      "q16_chunk_slice",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"o_orderkey")
+        T.orders(s, dir)
+          .select($"o_orderkey", $"o_totalprice")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter($"rn" > 1000 && $"rn" <= 2000)
+      },
+      Some("""SELECT o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_orderkey, o_totalprice,
+             |    row_number() OVER (ORDER BY o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn > 1000 AND rn <= 2000""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q17: grouped weighted mean with zero-weight fallback (A1 —
+    // utils/census.py:9-47): pure built-ins, no UDAF, single aggregate pass.
+    QueryDef(
+      "q17_weighted_mean",
+      (s, dir) => {
+        import s.implicits._
+        // prices and discounts quantized to exact ints per row so the
+        // ratio-of-sums is computed from identical operands in both engines
+        // (the zero-weight fallback is `avg` — census.py:32-35 semantics).
+        T.lineitem(s, dir)
+          .select(
+            $"l_orderkey",
+            fixpt($"l_extendedprice", 2).as("pc"),
+            fixpt($"l_discount", 2).as("dc"))
+          .groupBy($"l_orderkey")
+          .agg(
+            // raw ratio of exact integer sums — bit-identical across
+            // engines; rounding would reintroduce boundary mismatches.
+            when(sum($"dc") === 0L, sum($"pc").cast("double") / count(lit(1)) / 100.0)
+              .otherwise(sum($"pc" * $"dc").cast("double") / sum($"dc").cast("double") / 100.0)
+              .as("wavg_price"))
+      },
+      Some("""SELECT l_orderkey,
+             |  CASE WHEN sum(dc) = 0 THEN CAST(sum(pc) AS DOUBLE) / count(*) / 100.0
+             |       ELSE CAST(sum(pc * dc) AS DOUBLE) / CAST(sum(dc) AS DOUBLE) / 100.0
+             |  END AS wavg_price
+             |FROM (SELECT l_orderkey,
+             |        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+             |        CAST(round(l_discount * 100, 0) AS BIGINT) AS dc
+             |      FROM lineitem) t
+             |GROUP BY l_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q18: JSON field extraction over the events property bag + grouped
+    // aggregate (engine surface for semi-structured columns).
+    QueryDef(
+      "q18_json_events",
+      (s, dir) => {
+        import s.implicits._
+        T.events(s, dir)
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            round(fixptSum($"value", 2), 2).as("total_value"),
+            sum(get_json_object($"props", "$.k").cast("long")).as("sum_k"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value,
+             |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q19: time-bucketed aggregate over the event stream table (batch
+    // equivalent of the streaming tumbling window). `ts` is read as raw
+    // nanos (see Tables.load), so the hour bucket is exact integer
+    // arithmetic: `ts div 3.6e12 * 3600` = epoch seconds of the hour.
+    QueryDef(
+      "q19_events_hourly",
+      (s, dir) => {
+        import s.implicits._
+        T.events(s, dir)
+          .groupBy(
+            (expr("ts div 3600000000000") * 3600).as("hour_epoch"),
+            $"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            (fixptSum($"value", 2) / count(lit(1))).as("avg_value"))
+      },
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q20: multi-join fact query (J2/J3/J6 shape): lineitem ⋈ orders ⋈
+    // customer ⋈ nation with selective dim filter; dims broadcast, fact
+    // joins shuffle on the same key. Headline bench query.
+    QueryDef(
+      "q20_fact_join",
+      (s, dir) => {
+        import s.implicits._
+        T.lineitem(s, dir)
+          .join(T.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+          .join(T.customer(s, dir), $"o_custkey" === $"c_custkey")
+          .join(broadcast(T.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .filter($"c_mktsegment" === "BUILDING")
+          .groupBy($"n_name")
+          .agg(
+            round(fixptSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4), 2).as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+      },
+      Some("""SELECT n_name,
+             |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
+             |  count(*) AS n_lineitems
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY n_name""".stripMargin),
+      headline = true)
+  )
+}
