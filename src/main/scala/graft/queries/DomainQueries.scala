@@ -1,8 +1,266 @@
 package graft.queries
 
-import graft.{QueryDef, QueryPack}
+import graft.{QueryDef, QueryPack, Tables => T}
+import graft.etl.Centroids
+import graft.geo.{Albers, Geometry}
+import graft.routing._
+import graft.sources.TableIO
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Placeholder — filled by the domain (routing/geo/io) task. */
+/** Domain operator pack — the reference's own pipeline semantics (routing
+  * matrix, snap, centroids, spatial join, partitioned publish) driven by
+  * OD point sets derived *deterministically* from the fixture tables, so
+  * every operator is still DuckDB-oracle-checkable.
+  *
+  * Coordinate synthesis uses dyadic steps (0.25°): every lon/lat is exact
+  * in binary, so sums/averages of coordinates are order-independent and
+  * cross-engine exact. Per-pair arithmetic (Manhattan-distance durations)
+  * uses the same IEEE op order in Scala and SQL → bit-identical.
+  */
 object DomainQueries extends QueryPack {
-  override def queries: Seq[QueryDef] = Seq.empty
+
+  // --- shared OD point synthesis ------------------------------------
+  // origins: one per customer; destinations: one per supplier (offset id
+  // space so ids never collide). Islands (unroutable points — FIXTURES.md
+  // §B10): custkey % 37 == 0 / suppkey % 41 == 0.
+
+  private def originsDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.customer(s, dir).select(
+      lpad($"c_custkey".cast("string"), 9, "0").as("id"),
+      (lit(120.0) + ($"c_custkey" % 97) * 0.25).as("lon"),
+      (lit(28.0) + ($"c_custkey" % 89) * 0.25).as("lat"))
+  }
+
+  private def destsDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.supplier(s, dir).select(
+      lpad(($"s_suppkey" + 500000).cast("string"), 9, "0").as("id"),
+      (lit(120.5) + ($"s_suppkey" % 83) * 0.25).as("lon"),
+      (lit(28.5) + ($"s_suppkey" % 79) * 0.25).as("lat"))
+  }
+
+  private val originsSql =
+    """origins AS (
+      |  SELECT lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS id,
+      |         120.0 + (c_custkey % 97) * 0.25 AS lon,
+      |         28.0 + (c_custkey % 89) * 0.25 AS lat,
+      |         c_custkey AS okey
+      |  FROM customer)""".stripMargin
+
+  private val destsSql =
+    """dests AS (
+      |  SELECT lpad(CAST(s_suppkey + 500000 AS VARCHAR), 9, '0') AS id,
+      |         120.5 + (s_suppkey % 83) * 0.25 AS lon,
+      |         28.5 + (s_suppkey % 79) * 0.25 AS lat,
+      |         s_suppkey AS dkey
+      |  FROM supplier)""".stripMargin
+
+  private val timesSql =
+    s"""WITH $originsSql, $destsSql,
+       |times AS (
+       |  SELECT o.id AS origin_id, d.id AS destination_id,
+       |    CASE WHEN o.okey % 37 = 0 OR d.dkey % 41 = 0 THEN NULL
+       |         ELSE (abs(o.lon - d.lon) + abs(o.lat - d.lat)) * 111320.0 / 30.0
+       |    END AS duration_sec
+       |  FROM origins o CROSS JOIN dests d)""".stripMargin
+
+  /** The full times table via the distributed matrix operator. The
+    * synthetic router fails any block containing an island point, so the
+    * NULL rows the oracle expects only emerge through R3 quadtree
+    * isolation down to 1×1 — the whole R1-R4 machinery is on the
+    * verified path.
+    */
+  private def routeTimes(s: SparkSession, dir: String): Dataset[TimeRecord] = {
+    import s.implicits._
+    val router = new SyntheticRouter(
+      speedMps = 30.0,
+      originIsland = p => p.id.toLong % 37 == 0,
+      destIsland = p => (p.id.toLong - 500000) % 41 == 0)
+    TravelTimeMatrix.run(
+      s,
+      originsDf(s, dir).as[RoutePoint],
+      destsDf(s, dir).as[RoutePoint],
+      router,
+      oSplit = 512, dSplit = 64,
+      // depth must cover log2(oSplit) so islands isolate to 1×1 —
+      // semantics of a *hit* depth limit are unit-tested instead
+      maxDepth = 12)
+  }
+
+  override def queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q30: the routing matrix operator end-to-end (R1 block routing, R2
+    // short-circuit guard, R3 quadtree isolation, R4 tiling, J8 chunk
+    // grid). Headline bench query.
+    QueryDef(
+      "q30_route_matrix",
+      (s, dir) => routeTimes(s, dir).toDF(),
+      Some(s"""$timesSql
+              |SELECT origin_id, destination_id, duration_sec FROM times""".stripMargin),
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q31: missing_pairs — the NULL-duration split (P4/U2,
+    // calculate_times.py:71-79): same scan, second filter.
+    QueryDef(
+      "q31_missing_pairs",
+      (s, dir) => {
+        import s.implicits._
+        routeTimes(s, dir).toDF()
+          .filter($"duration_sec".isNull)
+          .select($"origin_id", $"destination_id")
+      },
+      Some(s"""$timesSql
+              |SELECT origin_id, destination_id FROM times WHERE duration_sec IS NULL""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q32: snap operator (J7/R5) + coalesce fallback (P6) + derived
+    // boolean (P7) → the published points table (B6 schema). The
+    // synthetic snapper refuses lat > 43 to exercise the fallback.
+    QueryDef(
+      "q32_points_snap",
+      (s, dir) => {
+        import s.implicits._
+        val snapper = new GridSnapper(noSnapAboveLat = 43.0)
+        val o = Snap(s, originsDf(s, dir).as[RawPoint], snapper)
+        val d = Snap(s, destsDf(s, dir).as[RawPoint], snapper)
+        Snap.pointsTable(o, d)
+      },
+      Some(s"""WITH $originsSql, $destsSql,
+              |pts AS (
+              |  SELECT 'origin' AS point_type, id, lon, lat FROM origins
+              |  UNION ALL
+              |  SELECT 'destination' AS point_type, id, lon, lat FROM dests),
+              |snapped AS (
+              |  SELECT point_type, id, lon, lat,
+              |    CASE WHEN lat > 43.0 THEN lon ELSE round(lon * 2, 0) / 2 END AS lon_snapped,
+              |    CASE WHEN lat > 43.0 THEN lat ELSE round(lat * 2, 0) / 2 END AS lat_snapped
+              |  FROM pts)
+              |SELECT point_type, id, lon, lat, lon_snapped, lat_snapped,
+              |  (lon <> lon_snapped OR lat <> lat_snapped) AS is_snapped
+              |FROM snapped""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q33: cenloc weighted centroids (A1 weighted mean with zero-weight
+    // fallback, census.py:9-47) over a synthetic blockloc. Weight is
+    // nonzero only for quantity ≥ 48, so ~1/6 of geoid groups have total
+    // weight 0 and take the unweighted-mean fallback — the oracle checks
+    // both branches.
+    QueryDef(
+      "q33_weighted_centroid",
+      (s, dir) => {
+        import s.implicits._
+        val blockloc = T.lineitem(s, dir).select(
+          lpad($"l_partkey".cast("string"), 5, "0").as("geoid"),
+          (lit(120.0) + ($"l_partkey" % 89) * 0.25).as("x"),
+          (lit(28.0) + ($"l_suppkey" % 79) * 0.25).as("y"),
+          when($"l_quantity" >= 48.0, $"l_quantity".cast("int")).otherwise(0).as("population"))
+        Centroids.cenloc(blockloc)
+      },
+      Some("""WITH blockloc AS (
+             |  SELECT lpad(CAST(l_partkey AS VARCHAR), 5, '0') AS geoid,
+             |    120.0 + (l_partkey % 89) * 0.25 AS x,
+             |    28.0 + (l_suppkey % 79) * 0.25 AS y,
+             |    CASE WHEN l_quantity >= 48.0 THEN CAST(l_quantity AS INT) ELSE 0 END AS population
+             |  FROM lineitem)
+             |SELECT geoid, avg(x) AS x, avg(y) AS y,
+             |  CASE WHEN sum(CAST(population AS DOUBLE)) = 0.0 THEN avg(x)
+             |       ELSE sum(x * CAST(population AS DOUBLE)) / sum(CAST(population AS DOUBLE))
+             |  END AS x_wt,
+             |  CASE WHEN sum(CAST(population AS DOUBLE)) = 0.0 THEN avg(y)
+             |       ELSE sum(y * CAST(population AS DOUBLE)) / sum(CAST(population AS DOUBLE))
+             |  END AS y_wt,
+             |  CAST(sum(population) AS BIGINT) AS population
+             |FROM blockloc GROUP BY geoid""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q34: Albers EPSG:5071 forward+inverse roundtrip (F11,
+    // census.py:50-71). The oracle is the identity on the inputs — the
+    // roundtrip must return each coordinate to within 5e-5°, far above
+    // the transform's ~1e-10 iteration error, so a projection-math bug
+    // fails the hash.
+    QueryDef(
+      "q34_albers_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        originsDf(s, dir)
+          .withColumn("xy", Albers.fwd($"lon", $"lat"))
+          .withColumn("ll", Albers.inv(element_at($"xy", 1), element_at($"xy", 2)))
+          .select(
+            $"id",
+            round(element_at($"ll", 1), 4).as("lon_rt"),
+            round(element_at($"ll", 2), 4).as("lat_rt"))
+      },
+      Some(s"""WITH $originsSql
+              |SELECT id, round(lon, 4) AS lon_rt, round(lat, 4) AS lat_rt FROM origins""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q35: spatial join J4/J5 — polygon-contains-point as a broadcast +
+    // ray-casting UDF (create_cenloc.py:91 / create_destpoint.py:63-71).
+    // Five adjacent rectangles play the TIGER polygons; bounds sit off the
+    // 0.25° point lattice so no point lies on an edge.
+    QueryDef(
+      "q35_spatial_join",
+      (s, dir) => {
+        import s.implicits._
+        val polys = (0 until 5).map { i =>
+          (s"R$i", Geometry.rectWkt(120.001 + 5 * i, 28.001, 125.001 + 5 * i, 46.001))
+        }
+        val assign = Geometry.assignUdf(polys)
+        originsDf(s, dir)
+          .withColumn("geoid", assign($"lon", $"lat"))
+          .filter($"geoid".isNotNull)
+          .select($"id", $"geoid")
+      },
+      Some(s"""WITH $originsSql,
+              |assigned AS (
+              |  SELECT id,
+              |    CASE WHEN lat > 28.001 AND lat < 46.001 AND lon > 120.001 AND lon < 145.001 THEN
+              |      CASE WHEN lon < 125.001 THEN 'R0'
+              |           WHEN lon < 130.001 THEN 'R1'
+              |           WHEN lon < 135.001 THEN 'R2'
+              |           WHEN lon < 140.001 THEN 'R3'
+              |           ELSE 'R4' END
+              |    END AS geoid
+              |  FROM origins)
+              |SELECT id, geoid FROM assigned WHERE geoid IS NOT NULL""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q36: the publish path end-to-end (S7/S8 ordered partitioned zstd
+    // sink → S2/S3 partitioned scan → F1 chunk_id from filename):
+    // routing output written Hive-partitioned by the 6 string keys,
+    // read back, aggregated per state. n_files = 1 per partition proves
+    // the repartition-by-keys single-writer discipline (O3); the state
+    // key's leading zeros surviving the roundtrip proves string-typed
+    // partition keys (create_public_files.py:79).
+    QueryDef(
+      "q36_publish_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = dir.replaceAll(".*/", "")
+        val out = s"/tmp/graft_publish_$sfName"
+        val ptimes = routeTimes(s, dir).toDF()
+          .withColumn("version", lit("0.0.1"))
+          .withColumn("mode", lit("car"))
+          .withColumn("year", lit("2024"))
+          .withColumn("geography", lit("county"))
+          .withColumn("state", substring($"origin_id", 8, 2))
+          .withColumn("centroid_type", lit("weighted"))
+        TableIO.writePartitioned(ptimes, out, Seq("origin_id", "destination_id"))
+        val back = TableIO.withChunkId(TableIO.readPartitioned(s, out))
+        back.groupBy($"state")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(when($"duration_sec".isNull, 1)).as("n_missing"),
+            countDistinct($"chunk_id").as("n_files"))
+      },
+      Some(s"""$timesSql
+              |SELECT substr(origin_id, 8, 2) AS state,
+              |  count(*) AS n_rows,
+              |  count(CASE WHEN duration_sec IS NULL THEN 1 END) AS n_missing,
+              |  CAST(1 AS BIGINT) AS n_files
+              |FROM times GROUP BY 1""".stripMargin))
+  )
 }

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The layout contract of the published datasets (SURVEY §1.5, §4):
+  *
+  *  - Hive partitioning by version/mode/year/geography/state/centroid_type
+  *    in that order (/root/reference/README.md:334-353; path builder
+  *    data/src/utils/times.py:113-137);
+  *  - partition keys are strings and must stay strings — `state='01'`
+  *    keeps its zero (create_public_files.py:79; our session sets
+  *    partitionColumnTypeInference.enabled=false);
+  *  - zstd Parquet (params.yaml:157-160);
+  *  - rows ordered by (origin_id, destination_id) inside every file so
+  *    row-group min/max stats prune point lookups — the reference gets
+  *    this with a single-threaded DuckDB writer (create_public_files.py:
+  *    66-69); Spark gets it scalably with repartition-by-partition-keys +
+  *    sortWithinPartitions (O3);
+  *  - target file size via maxRecordsPerFile (the 475 MB FILE_SIZE_BYTES
+  *    analogue, create_public_files.py:95).
+  */
+object TableIO {
+  val PartitionKeys: Seq[String] =
+    Seq("version", "mode", "year", "geography", "state", "centroid_type")
+
+  /** Ordered, partitioned, zstd write. `orderCols` become the row-group
+    * pruning index of the table (O3).
+    */
+  def writePartitioned(
+      df: DataFrame,
+      baseDir: String,
+      orderCols: Seq[String],
+      partitionKeys: Seq[String] = PartitionKeys,
+      maxRecordsPerFile: Long = 10000000L): Unit = {
+    df.repartition(partitionKeys.map(col): _*)
+      .sortWithinPartitions((partitionKeys ++ orderCols).map(col): _*)
+      .write
+      .mode("overwrite")
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionKeys: _*)
+      .parquet(baseDir)
+  }
+
+  /** Read a published tree back; partition columns are recovered from the
+    * directory structure as strings (S2/S3).
+    */
+  def readPartitioned(spark: SparkSession, baseDir: String): DataFrame = {
+    // enforce the string-typed partition-key contract even on sessions not
+    // built by GraftSession
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    spark.read.option("basePath", baseDir).parquet(baseDir)
+  }
+
+  /** The publish projection (create_public_files.py:70-98): adds the
+    * chunk_id recovered from the physical file name (F1) — the one column
+    * whose value exists only at publish time.
+    */
+  def withChunkId(df: DataFrame): DataFrame =
+    df.withColumn("chunk_id",
+      regexp_extract(input_file_name(), "part-(\\d+)", 1))
+
+  /** S10: the "pointer database" — views over the published tree
+    * (/root/reference/data/src/utils/duckdb.py:40-84). Spark's catalog
+    * does partition pruning through the view automatically (the DuckDB
+    * version enumerates files and cannot prune — SURVEY §3.3).
+    */
+  def registerView(spark: SparkSession, name: String, baseDir: String): Unit = {
+    readPartitioned(spark, baseDir).createOrReplaceTempView(name)
+  }
+}
