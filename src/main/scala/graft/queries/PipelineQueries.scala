@@ -1,8 +1,227 @@
 package graft.queries
 
-import graft.{QueryDef, QueryPack}
+import graft.{QueryDef, QueryPack, Tables => T}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
 
-/** Placeholder — filled by the LLM-pipeline operator task. */
+/** LLM-data-pipeline operator pack: dedup family, similarity search,
+  * text analysis, multimodal plumbing, streaming — over the documents /
+  * embeddings / events fixtures.
+  *
+  * Vector-math determinism: cosine values are float32 dots (codegen'd
+  * [[graft.plans.FloatDotProduct]]) widened to double — bit-identical to
+  * DuckDB's `list_dot_product`, so no rounding is needed anywhere.
+  */
 object PipelineQueries extends QueryPack {
-  override def queries: Seq[QueryDef] = Seq.empty
+
+  /** exact n-gram-Jaccard pair SQL — ground truth for both the exact
+    * operator (q43) and the MinHash+verify pipeline (q41), whose verified
+    * output must coincide with it.
+    */
+  private val ngramPairsSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id, gram FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+      |  FROM w) t),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
+      |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(ovl AS DOUBLE) / (sa.sz + sb.sz - ovl) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(ovl AS DOUBLE) / (sa.sz + sb.sz - ovl) >= 0.5""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q40: exact dedup — one shuffle on a 16-byte digest, never the text.
+    QueryDef(
+      "q40_dedup_exact",
+      (s, dir) => Dedup.exact(T.documents(s, dir)),
+      Some("""SELECT md5(text) AS text_hash, count(*) AS n_copies,
+             |  min(doc_id) AS canonical_id
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q41: MinHash + banded LSH candidates + exact verification. The
+    // oracle is the *exact* pair set: candidate generation is approximate
+    // but verification makes the output exact (miss probability ~5e-8 at
+    // the planted Jaccard levels). Headline bench query.
+    QueryDef(
+      "q41_dedup_minhash",
+      (s, dir) => Dedup.minhashPairs(T.documents(s, dir), n = 3, nHashes = 64, nBands = 16, threshold = 0.5),
+      Some(ngramPairsSql),
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q42: SimHash near-dup pairs (hash-dependent output → no SQL oracle;
+    // recall vs the planted pairs is unit-tested).
+    QueryDef(
+      "q42_dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(T.documents(s, dir), maxHamming = 3),
+      None),
+
+    // ------------------------------------------------------------------
+    // q43: exact n-gram Jaccard via shingle equi-join.
+    QueryDef(
+      "q43_ngram_jaccard",
+      (s, dir) => Dedup.ngramPairs(T.documents(s, dir), n = 3, threshold = 0.5),
+      Some(ngramPairsSql)),
+
+    // ------------------------------------------------------------------
+    // q44: brute-force cosine top-k through the codegen'd float dot
+    // product. Headline bench query.
+    QueryDef(
+      "q44_cosine_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = T.embeddings(s, dir)
+        Similarity.cosineTopK(emb, emb.filter($"vec_id" < 10), k = 5)
+      },
+      Some("""WITH sims AS (
+             |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             |    CAST(list_dot_product(q.embedding, e.embedding) AS DOUBLE) /
+             |      (sqrt(CAST(list_dot_product(q.embedding, q.embedding) AS DOUBLE)) *
+             |       sqrt(CAST(list_dot_product(e.embedding, e.embedding) AS DOUBLE))) AS cosine
+             |  FROM embeddings q JOIN embeddings e
+             |    ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, cosine,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+             |  FROM sims)
+             |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5""".stripMargin),
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q45: LSH-bucketed ANN — the scale path (candidates via bucket
+    // equi-join, exact rerank of candidates only). Approximate → no SQL
+    // oracle; recall vs q44 is unit-tested.
+    QueryDef(
+      "q45_ann_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val emb = T.embeddings(s, dir)
+        Similarity.lshTopK(emb, emb.filter($"vec_id" < 10), k = 5, dim = 64)
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // q46: language ID (marker-token scores, fixed-order argmax).
+    QueryDef(
+      "q46_langid",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val scores = TextAnalysis.langScores(col("text"))
+        docs.select(
+          Seq(col("doc_id")) ++
+            scores.map { case (l, c) => c.as(s"s_$l") } :+
+            TextAnalysis.argmax(scores).as("lang_pred"): _*)
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text,' '), x -> x = 'the')) +
+             |         len(list_filter(string_split(text,' '), x -> x = 'key')) AS BIGINT) AS s_en,
+             |    CAST(len(list_filter(string_split(text,' '), x -> x = 'data')) +
+             |         len(list_filter(string_split(text,' '), x -> x = 'row')) AS BIGINT) AS s_es,
+             |    CAST(len(list_filter(string_split(text,' '), x -> x = 'join')) +
+             |         len(list_filter(string_split(text,' '), x -> x = 'merge')) AS BIGINT) AS s_de,
+             |    CAST(len(list_filter(string_split(text,' '), x -> x = 'table')) +
+             |         len(list_filter(string_split(text,' '), x -> x = 'sort')) AS BIGINT) AS s_fr,
+             |    CAST(len(list_filter(string_split(text,' '), x -> x = 'spark')) +
+             |         len(list_filter(string_split(text,' '), x -> x = 'batch')) AS BIGINT) AS s_zh
+             |  FROM documents)
+             |SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+             |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             |       WHEN s_fr >= s_zh THEN 'fr'
+             |       ELSE 'zh' END AS lang_pred
+             |FROM scored""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q47: quality scoring — integer-derived ratios, deterministic.
+    QueryDef(
+      "q47_text_quality",
+      (s, dir) => TextAnalysis.quality(T.documents(s, dir)),
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    CAST(length(text) AS BIGINT) AS n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_filter(string_split(text,' '), x -> x = 'the')) +
+             |         len(list_filter(string_split(text,' '), x -> x = 'a')) AS BIGINT) AS n_stopwords
+             |  FROM documents)
+             |SELECT doc_id, n_chars, n_tokens,
+             |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+             |  n_stopwords,
+             |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+             |  CASE WHEN n_tokens < 30 THEN 'short'
+             |       WHEN CAST(n_stopwords AS DOUBLE) / n_tokens > 0.08 THEN 'boilerplate'
+             |       ELSE 'ok' END AS quality_bin
+             |FROM f""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q48: token counting — whitespace + BPE-ish subtoken estimate.
+    QueryDef(
+      "q48_token_count",
+      (s, dir) => TextAnalysis.tokenCounts(T.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             |  CAST(list_sum(list_transform(string_split(text, ' '),
+             |    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtokens
+             |FROM documents""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q49: embedding-cosine near-dup pairs (brute-force verified; probe
+    // side sharded by vec_id % 4 = 0 — the shape of a sharded all-pairs
+    // sweep).
+    QueryDef(
+      "q49_embed_neardup",
+      (s, dir) => Similarity.nearDupPairs(
+        T.embeddings(s, dir), threshold = 0.4, leftPred = col("id_a") % 4 === 0),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE) /
+             |    (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE)) *
+             |     sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))) AS cosine
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.vec_id % 4 = 0 AND a.vec_id < b.vec_id
+             |WHERE CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE) /
+             |    (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE)) *
+             |     sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))) > 0.4""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q50: document fingerprinting (normalized md5).
+    QueryDef(
+      "q50_fingerprint",
+      (s, dir) => T.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint")),
+      Some("""SELECT doc_id, md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint
+             |FROM documents""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q51: multimodal binary-column plumbing with stubbed decode.
+    QueryDef(
+      "q51_multimodal_stub",
+      (s, dir) => Multimodal.decodeMetadata(s, T.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
+             |  CAST(octet_length(CAST(text AS BLOB)) * 7 % 480 AS INT) AS height,
+             |  CASE octet_length(CAST(text AS BLOB)) % 3
+             |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+             |FROM documents""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q52: Structured Streaming tumbling-hour aggregation (complete mode,
+    // memory sink, driven synchronously by the parquet fixture).
+    QueryDef(
+      "q52_stream_hourly",
+      (s, dir) => StreamingOps.hourlyCounts(s, dir),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             |  event_type, count(*) AS n
+             |FROM events GROUP BY 1, 2""".stripMargin))
+  )
 }

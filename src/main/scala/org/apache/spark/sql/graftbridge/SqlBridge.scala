@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. Spark 4 moved these conversions behind
+  * `private[sql]` (org.apache.spark.sql.classic.ExpressionUtils); placing
+  * this object under the sql package namespace is the conventional
+  * extension-library access point (cf. SNIPPETS.md [3], the Qbeast
+  * DatasetFactory pattern).
+  */
+object SqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}
