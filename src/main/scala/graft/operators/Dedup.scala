@@ -70,24 +70,26 @@ object Dedup {
     // shingle → 32-bit murmur (Spark hash), lifted non-negative
     val gh = g.withColumn("gh", hash(col("gram")).cast("long") + 2147483648L)
 
-    // deterministic affine hash family over a >2^32 prime
+    // deterministic affine hash family over a >2^32 prime. All nHashes
+    // minima are computed as parallel aggregates of ONE groupBy — the
+    // shuffle carries (doc_id, gh) once, not nHashes× (a perm crossJoin
+    // would inflate shuffle volume 64× at corpus scale).
     val prime = 4294967311L
-    val perms = (0 until nHashes).map { i =>
-      (i, ((i * 2654435761L) % 1048573L) | 1L, (i * 97531L + 12345L) % 1048573L)
+    val mins = (0 until nHashes).map { i =>
+      val a = ((i * 2654435761L) % 1048573L) | 1L
+      val b = (i * 97531L + 12345L) % 1048573L
+      min((col("gh") * a + b) % prime).as(s"mh$i")
     }
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val permDf = perms.toDF("hi", "a", "b")
-
-    val sigs = gh.crossJoin(broadcast(permDf))
-      .groupBy(col("doc_id"), col("hi"))
-      .agg(min((col("a") * col("gh") + col("b")) % prime).as("mh"))
-      .withColumn("band", (col("hi") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(sort_array(collect_list(struct(col("hi"), col("mh")))).as("sig"))
-      .withColumn("bucket",
-        xxhash64(col("band"), concat_ws(",", expr("transform(sig, x -> CAST(x.mh AS STRING))"))))
-      .select("doc_id", "band", "bucket")
+    val bandCols = (0 until nBands).map { bnd =>
+      val sigStr = concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}").cast("string")): _*)
+      struct(lit(bnd).as("band"), xxhash64(lit(bnd), sigStr).as("bucket"))
+    }
+    val sigs = gh
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .withColumn("bb", explode(array(bandCols: _*)))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
     val candidates = sigs.as("sa").join(sigs.as("sb"),
         col("sa.band") === col("sb.band") && col("sa.bucket") === col("sb.bucket") &&

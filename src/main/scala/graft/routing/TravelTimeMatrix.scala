@@ -92,7 +92,7 @@ object TravelTimeMatrix {
     * half-splits of each axis; a 1×1 block that still fails — or any block
     * at max depth — yields NULL-duration rows for its full cross product.
     */
-  private[routing] def routeBlock(
+  private[graft] def routeBlock(
       router: Router,
       os: IndexedSeq[RoutePoint],
       ds: IndexedSeq[RoutePoint],

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke: the driver contract. Every registered query must build and run
+  * at sf0.001, and every oracle key must reference a registered query.
+  */
+class EntrySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys; names are well-formed") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"dangling oracles: ${o.diff(q)}")
+    assert(q.forall(_.matches("q[0-9]{2}_[a-z0-9_]+")))
+  }
+
+  test("every query runs at sf0.001 and returns a readable result") {
+    val failures = SparkEntry.all.flatMap { qd =>
+      try {
+        qd.build(spark, sf0001).count()
+        None
+      } catch { case e: Throwable => Some(qd.name -> e.getMessage) }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.geo.{Albers, Geometry}
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoSpec extends AnyFunSuite {
+
+  test("Albers: projection origin maps to (0, 0)") {
+    val (x, y) = Albers.forward(-96.0, 23.0)
+    assert(math.abs(x) < 1e-6 && math.abs(y) < 1e-6)
+  }
+
+  test("Albers: known CONUS point is in plausible EPSG:5071 range") {
+    // Chicago-ish: EPSG:5071 puts CONUS x in ~[-2.4e6, 2.3e6], y in [0, 3.2e6]
+    val (x, y) = Albers.forward(-87.63, 41.88)
+    assert(x > 5e5 && x < 9e5, s"x=$x")
+    assert(y > 2.0e6 && y < 2.4e6, s"y=$y")
+  }
+
+  test("Albers: roundtrip identity within 1e-8 degrees across CONUS + fixture range") {
+    // deterministic lattice sweep (no scalacheck bridge in the offline cache)
+    for (lon <- BigDecimal(-130.0) to 150.0 by 3.7; lat <- BigDecimal(20.0) to 55.0 by 1.9) {
+      val (x, y) = Albers.forward(lon.toDouble, lat.toDouble)
+      val (lon2, lat2) = Albers.inverse(x, y)
+      assert(math.abs(lon2 - lon.toDouble) < 1e-8, s"lon $lon -> $lon2")
+      assert(math.abs(lat2 - lat.toDouble) < 1e-8, s"lat $lat -> $lat2")
+    }
+  }
+
+  test("Albers: area distortion near standard parallels is ~zero (equal-area sanity)") {
+    // at a standard parallel the local scale is 1: a small 0.01° box should
+    // have area ≈ cos(lat) * (111.32 km)^2 * 1e-4
+    val d = 0.01
+    val (x1, y1) = Albers.forward(-100.0, 29.5)
+    val (x2, y2) = Albers.forward(-100.0 + d, 29.5)
+    val (x3, y3) = Albers.forward(-100.0, 29.5 + d)
+    val area = math.abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1))
+    val expect = math.cos(math.toRadians(29.5)) * math.pow(111320.0 * d, 2)
+    assert(math.abs(area / expect - 1.0) < 0.01, s"area=$area expect=$expect")
+  }
+
+  test("PIP: rectangle and concave polygon containment") {
+    val rect = Geometry.parseWkt(Geometry.rectWkt(0, 0, 10, 10))
+    assert(rect.contains(5, 5))
+    assert(!rect.contains(15, 5))
+    assert(!rect.contains(-1, -1))
+    // concave "L" shape: (0,0)-(10,0)-(10,4)-(4,4)-(4,10)-(0,10)
+    val ell = Geometry.Polygon(Array((0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (4.0, 4.0), (4.0, 10.0), (0.0, 10.0), (0.0, 0.0)))
+    assert(ell.contains(2, 8))   // in the vertical arm
+    assert(ell.contains(8, 2))   // in the horizontal arm
+    assert(!ell.contains(8, 8))  // in the notch
+  }
+
+  test("PIP: buffered polygon contains points outside the original (J5 semantics)") {
+    val rect = Geometry.parseWkt(Geometry.rectWkt(0, 0, 10, 10))
+    val buffered = rect.buffer(3.0)
+    assert(!rect.contains(11.0, 5.0))
+    assert(buffered.contains(11.0, 5.0))
+  }
+
+  test("geoid split semantics (F3: 2/5/11/12/15-digit prefixes)") {
+    val geoid = "170318391001234"
+    assert(geoid.substring(0, 2) == "17")      // state
+    assert(geoid.substring(2, 5) == "031")     // county
+    assert(geoid.substring(5, 11) == "839100") // tract
+    assert(geoid.substring(11, 12) == "1")     // block group
+    assert(geoid.substring(11, 15) == "1234")  // block
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.sources.TableIO
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IoSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val outDir = {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_io_spec"
+    val df = Seq(
+      ("000000001", "000500001", Some(12.5), "01"),
+      ("000000002", "000500002", None, "01"),
+      ("000000003", "000500003", Some(7.25), "07"),
+      ("000000002", "000500001", Some(3.0), "01"))
+      .toDF("origin_id", "destination_id", "duration_sec", "state")
+      .withColumn("version", lit("0.0.1"))
+      .withColumn("mode", lit("car"))
+      .withColumn("year", lit("2024"))
+      .withColumn("geography", lit("county"))
+      .withColumn("centroid_type", lit("weighted"))
+    TableIO.writePartitioned(df, dir, Seq("origin_id", "destination_id"))
+    dir
+  }
+
+  test("partition keys survive as strings with leading zeros") {
+    val back = TableIO.readPartitioned(spark, outDir)
+    val schema = back.schema
+    TableIO.PartitionKeys.foreach { k =>
+      assert(schema(k).dataType.typeName == "string", s"$k inferred as ${schema(k).dataType}")
+    }
+    val states = back.select("state").distinct().collect().map(_.getString(0)).toSet
+    assert(states == Set("01", "07"))
+  }
+
+  test("partition pruning: a state filter touches only that partition's files") {
+    val back = TableIO.readPartitioned(spark, outDir)
+    val pruned = back.filter(col("state") === "07")
+    assert(pruned.collect().length == 1)
+    // the physical plan must carry it as a partition filter, and the scan
+    // metric must show exactly one file read (inputFiles ignores pruning)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metrics("numFiles").value == 1, s"scanned ${scan.metrics("numFiles").value} files")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+  }
+
+  test("rows inside each file are ordered by (origin_id, destination_id) (O3 row-group locality)") {
+    val files = TableIO.readPartitioned(spark, outDir).inputFiles
+    files.foreach { f =>
+      val rows = spark.read.parquet(f).select("origin_id", "destination_id")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.sameElements(rows.sortBy(identity)), s"unsorted rows in $f")
+    }
+  }
+
+  test("null durations round-trip (missing_pairs stay representable in times)") {
+    val back = TableIO.readPartitioned(spark, outDir)
+    assert(back.filter(col("duration_sec").isNull).count() == 1)
+  }
+}

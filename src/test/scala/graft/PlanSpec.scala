@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the optimizations the engine's 100 TB story
+  * depends on must be visible in the physical plan, not assumed.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect() // finalize AQE so codegen stages are visible
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"), p.take(800))
+    assert(p.contains("p_size"), "p_size filter not pushed")
+    // scan must not read columns the query doesn't use
+    assert(!p.contains("p_brand"), "unpruned column p_brand in scan")
+  }
+
+  test("q03/q20: dimension joins broadcast (no fact-side shuffle for dims)") {
+    assert(plan("q03_join_dims").contains("BroadcastHashJoin"))
+    assert(plan("q20_fact_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q11: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    assert(plan("q11_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: aggregation runs inside whole-stage codegen with partial aggregation") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("*(1) HashAggregate"), "partial agg not codegen'd") // *(n) = codegen stage
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+  }
+
+  test("q44: vec_dot is codegen'd (no UDF/eval fallback in the similarity path)") {
+    val p = plan("q44_cosine_topk")
+    assert(p.contains("vec_dot"), p.take(1200))
+    assert(p.contains("*("), "no codegen stages")
+    // top-k via window must use the group-limit optimization, not a full rank
+    assert(p.contains("WindowGroupLimit"))
+  }
+}

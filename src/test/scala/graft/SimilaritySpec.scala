@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Similarity
+import graft.plans.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val emb = Tables.embeddings(spark, sf0001).cache()
+
+  test("brute-force top-k matches a driver-side reference computation") {
+    import scala.jdk.CollectionConverters._
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0f; var na = 0.0f; var nb = 0.0f
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val want = (0L until 3L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1)
+    }.toMap
+
+    val got = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 3), 5)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("neighbor_id")).toSeq).toMap
+    assert(got == want)
+  }
+
+  test("codegen vec_dot equals interpreted eval") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val v = df.select(VectorFunctions.vecDot(col("a"), col("b"))).head.getFloat(0)
+    assert(v == 32.0f)
+  }
+
+  test("LSH ANN recalls a planted exact duplicate and has nontrivial recall on random data") {
+    val s = spark
+    import s.implicits._
+    // plant: vector 9000 = copy of vector 7 → its top-1 must be found
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 8993).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(planted)
+    val out = Similarity.lshTopK(corpus, corpus.filter(col("vec_id") === 9000), k = 1, dim = 64)
+      .collect()
+    assert(out.length == 1 && out.head.getAs[Long]("neighbor_id") == 7L,
+      s"planted dup not recalled: ${out.mkString(",")}")
+
+    val brute = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 20), 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), 5, dim = 64).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.count(ann.contains).toDouble / brute.size
+    info(s"ANN recall@5 on random vectors: $recall")
+    assert(recall >= 0.3, s"recall $recall") // random data is LSH's worst case
+  }
+}

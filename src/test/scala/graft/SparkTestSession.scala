@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for all suites. */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("graft-test", "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
+}
