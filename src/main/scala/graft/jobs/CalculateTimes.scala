@@ -1,0 +1,128 @@
+package graft.jobs
+
+import graft.routing._
+import graft.sources.TableIO
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The compute job — SURVEY §3.1 (/root/reference/data/src/
+  * calculate_times.py:23-148) as one lazy Spark pipeline:
+  *
+  *   load → snap (J7/R5) → route (R1-R4) → null-split (P4) →
+  *   ordered partitioned writes ×3 tables → metadata row.
+  *
+  * Where the reference fans out with a GitHub-Actions matrix per
+  * (year, state) and a thread pool per chunk, here the whole OD space is
+  * one job: the chunk grid is data (J8) and Spark's scheduler is the
+  * matrix. Partition-level parallelism, AQE, and the ordered-publish sink
+  * (O3) replace CI-level orchestration.
+  */
+object CalculateTimes {
+
+  final case class Config(
+      version: String = "0.0.1",
+      mode: String = "car",
+      year: String = "2024",
+      geography: String = "county",
+      centroidType: String = "weighted",
+      oSplit: Int = 5000,
+      dSplit: Int = 5000,
+      maxDepth: Int = 12,
+      useSnapped: Boolean = true,
+      outDir: String)
+
+  final case class Result(timesDir: String, pointsDir: String, missingDir: String, metadataDir: String)
+
+  /** state partition key from an id — fixture ids encode it at chars 8-9;
+    * the reference derives it from GEOID prefixes (census.py:123-153).
+    */
+  def stateOf(id: Column): Column = substring(id, 8, 2)
+
+  def run(
+      spark: SparkSession,
+      origins: Dataset[RawPoint],
+      dests: Dataset[RawPoint],
+      snapper: Snapper,
+      router: Router,
+      cfg: Config): Result = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+
+    // 1. snap (process boundary #1 in the reference; batched per partition)
+    val oSnap = Snap(spark, origins, snapper).cache()
+    val dSnap = Snap(spark, dests, snapper).cache()
+
+    // 2. route on snapped coords (times.py routes the snapped frame when
+    // use_snapped; P6 already coalesced failures back to raw coords)
+    def routed(ps: Dataset[SnappedPoint]): Dataset[RoutePoint] =
+      if (cfg.useSnapped) ps.map(p => RoutePoint(p.id, p.lon_snapped, p.lat_snapped))
+      else ps.map(p => RoutePoint(p.id, p.lon, p.lat))
+    val times = TravelTimeMatrix.run(
+      spark, routed(oSnap), routed(dSnap), router,
+      cfg.oSplit, cfg.dSplit, cfg.maxDepth).toDF().cache()
+
+    val partCols: DataFrame => DataFrame = df => df
+      .withColumn("version", lit(cfg.version))
+      .withColumn("mode", lit(cfg.mode))
+      .withColumn("year", lit(cfg.year))
+      .withColumn("geography", lit(cfg.geography))
+      .withColumn("state", stateOf(col("origin_id")))
+      .withColumn("centroid_type", lit(cfg.centroidType))
+
+    // 3. null-split (P4: one cached scan, two sinks — calculate_times.py:71-79)
+    val timesDir = s"${cfg.outDir}/times"
+    val missingDir = s"${cfg.outDir}/missing_pairs"
+    TableIO.writePartitioned(
+      partCols(times.filter(col("duration_sec").isNotNull)),
+      timesDir, Seq("origin_id", "destination_id"))
+    TableIO.writePartitioned(
+      partCols(times.filter(col("duration_sec").isNull))
+        .select("version", "mode", "year", "geography", "state", "centroid_type",
+          "origin_id", "destination_id"),
+      missingDir, Seq("origin_id", "destination_id"))
+
+    // 4. points table (point_type as 7th partition level — times.py:168-172)
+    val pointsDir = s"${cfg.outDir}/points"
+    val points = Snap.pointsTable(oSnap, dSnap)
+      .withColumn("state", stateOf(col("id")))
+    TableIO.writePartitioned(
+      points
+        .withColumn("version", lit(cfg.version))
+        .withColumn("mode", lit(cfg.mode))
+        .withColumn("year", lit(cfg.year))
+        .withColumn("geography", lit(cfg.geography))
+        .withColumn("centroid_type", lit(cfg.centroidType)),
+      pointsDir, Seq("id"),
+      partitionKeys = TableIO.PartitionKeys :+ "point_type")
+
+    // 5. metadata audit row (calculate_times.py:96-133 / FIXTURES §B8)
+    val nO = oSnap.count()
+    val nD = dSnap.count()
+    val nMissing = times.filter(col("duration_sec").isNull).count()
+    val metadataDir = s"${cfg.outDir}/metadata"
+    val meta = Seq((
+      java.util.UUID.randomUUID().toString.take(8),
+      new java.sql.Timestamp(System.currentTimeMillis()),
+      (System.nanoTime() - t0) / 1e9,
+      nO, nD, nO * nD, nMissing,
+      cfg.oSplit.toLong max cfg.dSplit.toLong,
+      cfg.useSnapped))
+      .toDF("run_id", "calc_datetime_finished", "calc_time_elapsed_sec",
+        "calc_n_origins", "calc_n_destinations", "calc_n_pairs",
+        "calc_n_missing_pairs", "param_max_split_size", "param_use_snapped")
+    // metadata is one row per run spanning every state → no state level
+    meta
+      .withColumn("version", lit(cfg.version))
+      .withColumn("mode", lit(cfg.mode))
+      .withColumn("year", lit(cfg.year))
+      .withColumn("geography", lit(cfg.geography))
+      .withColumn("centroid_type", lit(cfg.centroidType))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy(TableIO.PartitionKeys.filterNot(_ == "state"): _*)
+      .parquet(metadataDir)
+
+    times.unpersist(); oSnap.unpersist(); dSnap.unpersist()
+    Result(timesDir, pointsDir, missingDir, metadataDir)
+  }
+}

@@ -3,10 +3,12 @@ package graft.queries
 import graft.{QueryDef, QueryPack, Tables => T}
 import graft.etl.Centroids
 import graft.geo.{Albers, Geometry}
+import graft.jobs.CalculateTimes
 import graft.routing._
 import graft.sources.TableIO
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
 
 /** Domain operator pack — the reference's own pipeline semantics (routing
   * matrix, snap, centroids, spatial join, partitioned publish) driven by
@@ -88,6 +90,49 @@ object DomainQueries extends QueryPack {
       // semantics of a *hit* depth limit are unit-tested instead
       maxDepth = 12)
   }
+
+  /** snapped-coordinate times CTE — CalculateTimes routes the snapped
+    * frame (use_snapped), so the consumer-surface oracles re-derive the
+    * snap arithmetic.
+    */
+  private val snappedTimesSql =
+    s"""WITH $originsSql, $destsSql,
+       |so AS (SELECT id, okey,
+       |  CASE WHEN lat > 43.0 THEN lon ELSE round(lon * 2, 0) / 2 END AS slon,
+       |  CASE WHEN lat > 43.0 THEN lat ELSE round(lat * 2, 0) / 2 END AS slat
+       |  FROM origins),
+       |sd AS (SELECT id, dkey,
+       |  CASE WHEN lat > 43.0 THEN lon ELSE round(lon * 2, 0) / 2 END AS slon,
+       |  CASE WHEN lat > 43.0 THEN lat ELSE round(lat * 2, 0) / 2 END AS slat
+       |  FROM dests),
+       |stimes AS (
+       |  SELECT o.id AS origin_id, d.id AS destination_id,
+       |    CASE WHEN o.okey % 37 = 0 OR d.dkey % 41 = 0 THEN NULL
+       |         ELSE (abs(o.slon - d.slon) + abs(o.slat - d.slat)) * 111320.0 / 30.0
+       |    END AS duration_sec
+       |  FROM so o CROSS JOIN sd d)""".stripMargin
+
+  /** One CalculateTimes publish per sf dir per JVM; q37-q39 all consume
+    * the same published tree (mirroring real consumers of one publish).
+    */
+  private val published = TrieMap.empty[String, CalculateTimes.Result]
+  private def ensurePublished(s: SparkSession, dir: String): CalculateTimes.Result =
+    published.getOrElseUpdate(dir, {
+      import s.implicits._
+      val sfName = dir.replaceAll(".*/", "")
+      val router = new SyntheticRouter(
+        speedMps = 30.0,
+        originIsland = p => p.id.toLong % 37 == 0,
+        destIsland = p => (p.id.toLong - 500000) % 41 == 0)
+      CalculateTimes.run(
+        s,
+        originsDf(s, dir).as[RawPoint],
+        destsDf(s, dir).as[RawPoint],
+        new GridSnapper(noSnapAboveLat = 43.0),
+        router,
+        CalculateTimes.Config(oSplit = 512, dSplit = 64, maxDepth = 12,
+          outDir = s"/tmp/graft_ct_$sfName"))
+    })
 
   override def queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -261,6 +306,78 @@ object DomainQueries extends QueryPack {
               |  count(*) AS n_rows,
               |  count(CASE WHEN duration_sec IS NULL THEN 1 END) AS n_missing,
               |  CAST(1 AS BIGINT) AS n_files
-              |FROM times GROUP BY 1""".stripMargin))
+              |FROM times GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q37: the README flagship consumer query (README.md:88-98) over a
+    // real CalculateTimes publish: all partition keys + an origin prefix,
+    // answered through the catalog view with partition pruning + rowgroup
+    // stats on the (origin_id, destination_id) ordering.
+    QueryDef(
+      "q37_consumer_flagship",
+      (s, dir) => {
+        val pub = ensurePublished(s, dir)
+        TableIO.registerView(s, "graft_times", pub.timesDir)
+        s.sql("""SELECT origin_id, destination_id, duration_sec
+                |FROM graft_times
+                |WHERE version = '0.0.1' AND mode = 'car' AND year = '2024'
+                |  AND geography = 'county' AND centroid_type = 'weighted'
+                |  AND state = '23' AND origin_id LIKE '0000001%'""".stripMargin)
+      },
+      Some(s"""$snappedTimesSql
+              |SELECT origin_id, destination_id, duration_sec
+              |FROM stimes
+              |WHERE duration_sec IS NOT NULL
+              |  AND substr(origin_id, 8, 2) = '23'
+              |  AND origin_id LIKE '0000001%'""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q38: the README pair-coordinates consumer join (J6,
+    // README.md:150-178): times ⟕ points twice with aliased relations.
+    QueryDef(
+      "q38_consumer_points_join",
+      (s, dir) => {
+        val pub = ensurePublished(s, dir)
+        TableIO.registerView(s, "graft_times", pub.timesDir)
+        TableIO.registerView(s, "graft_points", pub.pointsDir)
+        s.sql("""SELECT t.origin_id, t.destination_id, t.duration_sec,
+                |  po.lon_snapped AS origin_lon, po.lat_snapped AS origin_lat,
+                |  pd.lon_snapped AS dest_lon, pd.lat_snapped AS dest_lat
+                |FROM graft_times t
+                |LEFT JOIN graft_points po
+                |  ON po.point_type = 'origin' AND po.id = t.origin_id
+                |LEFT JOIN graft_points pd
+                |  ON pd.point_type = 'destination' AND pd.id = t.destination_id
+                |WHERE t.state = '23'""".stripMargin)
+      },
+      Some(s"""$snappedTimesSql
+              |SELECT t.origin_id, t.destination_id, t.duration_sec,
+              |  o.slon AS origin_lon, o.slat AS origin_lat,
+              |  d.slon AS dest_lon, d.slat AS dest_lat
+              |FROM stimes t
+              |LEFT JOIN so o ON o.id = t.origin_id
+              |LEFT JOIN sd d ON d.id = t.destination_id
+              |WHERE t.duration_sec IS NOT NULL
+              |  AND substr(t.origin_id, 8, 2) = '23'""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q39: the metadata audit table's deterministic columns (A7,
+    // calculate_times.py:96-133) — pair-conservation accounting
+    // (n_pairs = |times| + |missing_pairs|) checked against first
+    // principles in SQL.
+    QueryDef(
+      "q39_metadata_stats",
+      (s, dir) => {
+        val pub = ensurePublished(s, dir)
+        s.read.parquet(pub.metadataDir)
+          .select("calc_n_origins", "calc_n_destinations", "calc_n_pairs",
+            "calc_n_missing_pairs", "param_use_snapped")
+      },
+      Some(s"""$snappedTimesSql
+              |SELECT (SELECT count(*) FROM customer) AS calc_n_origins,
+              |  (SELECT count(*) FROM supplier) AS calc_n_destinations,
+              |  (SELECT count(*) FROM customer) * (SELECT count(*) FROM supplier) AS calc_n_pairs,
+              |  (SELECT count(*) FROM stimes WHERE duration_sec IS NULL) AS calc_n_missing_pairs,
+              |  true AS param_use_snapped""".stripMargin))
   )
 }
