@@ -218,7 +218,8 @@ object DomainQueries extends QueryPack {
              |       ELSE sum(y * CAST(population AS DOUBLE)) / sum(CAST(population AS DOUBLE))
              |  END AS y_wt,
              |  CAST(sum(population) AS BIGINT) AS population
-             |FROM blockloc GROUP BY geoid""".stripMargin)),
+             |FROM blockloc GROUP BY geoid""".stripMargin),
+      headline = true),
 
     // ------------------------------------------------------------------
     // q34: Albers EPSG:5071 forward+inverse roundtrip (F11,
@@ -306,7 +307,8 @@ object DomainQueries extends QueryPack {
               |  count(*) AS n_rows,
               |  count(CASE WHEN duration_sec IS NULL THEN 1 END) AS n_missing,
               |  CAST(1 AS BIGINT) AS n_files
-              |FROM times GROUP BY 1""".stripMargin)),
+              |FROM times GROUP BY 1""".stripMargin),
+      headline = true),
 
     // ------------------------------------------------------------------
     // q37: the README flagship consumer query (README.md:88-98) over a

@@ -182,6 +182,8 @@ object PipelineQueries extends QueryPack {
       "q49_embed_neardup",
       (s, dir) => Similarity.nearDupPairs(
         T.embeddings(s, dir), threshold = 0.4, leftPred = col("id_a") % 4 === 0),
+      headline = true,
+      oracle =
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE) /
              |    (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE)) *

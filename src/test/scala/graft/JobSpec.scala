@@ -1,0 +1,58 @@
+package graft
+
+import graft.jobs.CalculateTimes
+import graft.routing._
+import graft.sources.TableIO
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end pipeline invariants (FIXTURES.md §C / SURVEY §5). */
+class JobSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val result = {
+    val s = spark
+    import s.implicits._
+    val origins = (0 until 60).map(i => RawPoint(f"${i}%07d23", 120.0 + (i % 9) * 0.25, 28.0 + (i % 7) * 0.25))
+    val dests = (0 until 15).map(i => RawPoint(f"${i + 500000}%07d41", 121.0 + (i % 5) * 0.25, 29.0 + (i % 11) * 0.25))
+    val router = new SyntheticRouter(30.0,
+      originIsland = p => p.id.startsWith("000001"),
+      destIsland = _ => false)
+    CalculateTimes.run(s, origins.toDS(), dests.toDS(),
+      new GridSnapper(noSnapAboveLat = 44.0), router,
+      CalculateTimes.Config(oSplit = 16, dSplit = 8, maxDepth = 10,
+        outDir = "/tmp/graft_job_spec"))
+  }
+
+  test("pair conservation: |times| + |missing_pairs| = n_origins × n_destinations") {
+    val times = TableIO.readPartitioned(spark, result.timesDir)
+    val missing = TableIO.readPartitioned(spark, result.missingDir)
+    val meta = spark.read.parquet(result.metadataDir).head
+    assert(times.count() + missing.count() == meta.getAs[Long]("calc_n_pairs"))
+    assert(missing.count() == meta.getAs[Long]("calc_n_missing_pairs"))
+  }
+
+  test("no nulls outside duration_sec; missing_pairs has no duration column") {
+    val times = TableIO.readPartitioned(spark, result.timesDir)
+    assert(times.filter(col("origin_id").isNull || col("destination_id").isNull).isEmpty)
+    assert(times.filter(col("duration_sec").isNull).isEmpty) // nulls split out
+    val missing = TableIO.readPartitioned(spark, result.missingDir)
+    assert(!missing.columns.contains("duration_sec"))
+  }
+
+  test("points table carries both point_types with snap fallback applied") {
+    val points = TableIO.readPartitioned(spark, result.pointsDir)
+    val types = points.select("point_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types == Set("origin", "destination"))
+    assert(points.filter(col("lon_snapped").isNull).isEmpty) // P6 coalesce
+  }
+
+  test("partition keys are strings everywhere in the published tree") {
+    Seq(result.timesDir, result.missingDir, result.pointsDir).foreach { d =>
+      val schema = TableIO.readPartitioned(spark, d).schema
+      TableIO.PartitionKeys.foreach { k =>
+        assert(schema(k).dataType.typeName == "string", s"$d: $k")
+      }
+    }
+  }
+}
