@@ -224,6 +224,18 @@ object PipelineQueries extends QueryPack {
       (s, dir) => StreamingOps.hourlyCounts(s, dir),
       Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
              |  event_type, count(*) AS n
-             |FROM events GROUP BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q53: IVF ANN — coarse-quantizer cells + nProbe search + exact
+    // rerank (approximate → no SQL oracle; recall unit-tested).
+    QueryDef(
+      "q53_ann_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val emb = T.embeddings(s, dir)
+        Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10), k = 5)
+      },
+      None)
   )
 }

@@ -439,6 +439,49 @@ object RelationalQueries extends QueryPack {
              |JOIN nation ON c_nationkey = n_nationkey
              |WHERE c_mktsegment = 'BUILDING'
              |GROUP BY n_name""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q21: CUBE grouping sets (extension beyond the reference's single
+    // procedural rollup).
+    QueryDef(
+      "q21_cube",
+      (s, dir) => {
+        import s.implicits._
+        T.orders(s, dir)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(fixptSum($"o_totalprice", 2), 2).as("total"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q22: gap-based sessionization (lag → flag → running-sum session id
+    // → session aggregate). Timestamps at µs resolution on both engines
+    // (DuckDB truncates the parquet nanos to µs on read).
+    QueryDef(
+      "q22_sessionize",
+      (s, dir) => graft.operators.Sessionize.batch(T.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS vc
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, us, vc,
+             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+             |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_s,
+             |    event_id
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |s AS (
+             |  SELECT user_id, us, vc,
+             |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM m)
+             |SELECT user_id, session_id,
+             |  min(us) // 1000000 AS session_start,
+             |  count(*) AS n_events,
+             |  CAST(sum(vc) AS DOUBLE) / 100.0 AS total_value
+             |FROM s GROUP BY user_id, session_id""".stripMargin))
   )
 }

@@ -48,6 +48,29 @@ class TextStreamSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stateful streaming sessionization matches batch sessions (modulo the open tail session)") {
+    val batch = graft.operators.Sessionize.batch(Tables.events(spark, sf0001))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) ->
+        (r.getAs[Long]("session_start"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      .toMap
+    val stream = graft.operators.Sessionize.streaming(spark, sf0001, "spec_sessions")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) ->
+        (r.getAs[Long]("session_start"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      .toMap
+    // streaming emits only closed sessions; each must match batch exactly
+    assert(stream.nonEmpty)
+    val mismatches = stream.filter { case (k, v) => !batch.get(k).contains(v) }
+    assert(mismatches.isEmpty, s"${mismatches.take(3)}")
+    // per user, batch has exactly one more (open) session than streaming closed ones — or equal if user has 1 session
+    val batchPerUser = batch.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    val streamPerUser = stream.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    streamPerUser.foreach { case (u, n) =>
+      assert(batchPerUser(u) == n + 1, s"user $u: batch ${batchPerUser(u)} vs stream-closed $n")
+    }
+  }
+
   test("watermarked append-mode output is a subset of complete-mode output") {
     val complete = StreamingOps.hourlyCounts(spark, sf0001, "spec_stream_c")
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
