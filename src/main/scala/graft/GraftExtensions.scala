@@ -1,0 +1,22 @@
+package graft
+
+import graft.plans.FloatDotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension point for spark-submit users:
+  *
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * registers the engine's native expressions for SQL use (programmatic
+  * sessions can call `VectorFunctions.register` instead — same builder).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => FloatDotProduct(exprs.head, exprs(1))))
+  }
+}

@@ -482,6 +482,68 @@ object RelationalQueries extends QueryPack {
              |  min(us) // 1000000 AS session_start,
              |  count(*) AS n_events,
              |  CAST(sum(vc) AS DOUBLE) / 100.0 AS total_value
-             |FROM s GROUP BY user_id, session_id""".stripMargin))
+             |FROM s GROUP BY user_id, session_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q23: correlated-scalar-subquery shape (TPC-H Q17): lineitems below
+    // half their part's average quantity. Catalyst decorrelates to a
+    // grouped self-join; avg of integer-valued quantities is exact.
+    QueryDef(
+      "q23_below_avg",
+      (s, dir) => {
+        import s.implicits._
+        val li = T.lineitem(s, dir)
+        val avgq = li.groupBy($"l_partkey").agg(avg($"l_quantity").as("aq"))
+        li.join(avgq, "l_partkey")
+          .filter($"l_quantity" < $"aq" * 0.5)
+          .agg(
+            count(lit(1)).as("n_items"),
+            round(fixptSum($"l_extendedprice", 2), 2).as("total_price"))
+      },
+      Some("""SELECT count(*) AS n_items,
+             |  round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_price
+             |FROM lineitem l
+             |WHERE l_quantity < 0.5 * (SELECT avg(l_quantity) FROM lineitem l2
+             |                          WHERE l2.l_partkey = l.l_partkey)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q24: exact distinct counting per group (the approx HLL variant is
+    // asserted within error bounds in AggSpec — sketches don't
+    // hash-match across engines).
+    QueryDef(
+      "q24_count_distinct",
+      (s, dir) => {
+        import s.implicits._
+        T.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_partkey").as("n_parts"),
+            countDistinct($"l_suppkey").as("n_supps"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q25: backward as-of join (purchase → most recent signup ≤ 1h by the
+    // same user) via the single-shuffle union-and-sweep plan — funnel
+    // attribution without a range join.
+    QueryDef(
+      "q25_asof_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val e = T.events(s, dir).select(
+          $"user_id", $"event_id", $"event_type", expr("ts div 1000").as("us"))
+        graft.operators.AsOfJoin.backward(
+          e.filter($"event_type" === "purchase").select($"user_id", $"event_id", $"us"),
+          e.filter($"event_type" === "signup").select($"user_id", $"us"),
+          key = "user_id", ts = "us", tolerance = 3600L * 1000000L)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+             |SELECT p.user_id, p.event_id, p.us,
+             |  (SELECT max(s.us) FROM e s
+             |   WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+             |     AND s.us <= p.us AND p.us - s.us <= 3600000000) AS asof_ts
+             |FROM e p WHERE p.event_type = 'purchase'""".stripMargin))
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AggSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("approx_count_distinct (HLL) is within 10% of exact") {
+    val li = Tables.lineitem(spark, sf001)
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).head
+    val exact = r.getAs[Long]("exact").toDouble
+    val approx = r.getAs[Long]("approx").toDouble
+    assert(math.abs(approx - exact) / exact < 0.10, s"exact=$exact approx=$approx")
+  }
+
+  test("as-of join semantics: ties, tolerance, and no-match rows") {
+    val s = spark
+    import s.implicits._
+    val purchases = Seq(
+      (1L, 100L, 1000L),  // exact-tie signup at 1000 → matches
+      (1L, 101L, 5000L),  // nearest signup 1000, within tol 10000 → matches
+      (2L, 102L, 9000L),  // signup at 2000, gap 7000 ≤ tol → matches
+      (3L, 103L, 500L))   // no signup for user 3 → null
+      .toDF("user_id", "event_id", "us")
+    val signups = Seq((1L, 1000L), (2L, 2000L), (1L, 400L)).toDF("user_id", "us")
+    val out = AsOfJoin.backward(purchases, signups, "user_id", "us", tolerance = 10000L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_ts")).map(_.toLong)).toMap
+    assert(out(100L).contains(1000L)) // tie: signup at same us matches
+    assert(out(101L).contains(1000L)) // most recent, not the older 400
+    assert(out(102L).contains(2000L))
+    assert(out(103L).isEmpty)
+  }
+
+  test("as-of join: beyond-tolerance match nulls out") {
+    val s = spark
+    import s.implicits._
+    val purchases = Seq((1L, 100L, 50000L)).toDF("user_id", "event_id", "us")
+    val signups = Seq((1L, 1000L)).toDF("user_id", "us")
+    val out = AsOfJoin.backward(purchases, signups, "user_id", "us", tolerance = 10000L).head
+    assert(out.isNullAt(out.fieldIndex("asof_ts")))
+  }
+}
