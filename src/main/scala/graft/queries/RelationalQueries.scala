@@ -544,6 +544,58 @@ object RelationalQueries extends QueryPack {
              |  (SELECT max(s.us) FROM e s
              |   WHERE s.event_type = 'signup' AND s.user_id = p.user_id
              |     AND s.us <= p.us AND p.us - s.us <= 3600000000) AS asof_ts
-             |FROM e p WHERE p.event_type = 'purchase'""".stripMargin))
+             |FROM e p WHERE p.event_type = 'purchase'""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q26: pivot (wide conditional aggregation); empty cells coalesced to
+    // 0 so the shape is engine-independent.
+    QueryDef(
+      "q26_pivot",
+      (s, dir) => {
+        import s.implicits._
+        T.orders(s, dir)
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(
+            $"o_orderpriority",
+            coalesce($"F", lit(0L)).as("f_cnt"),
+            coalesce($"O", lit(0L)).as("o_cnt"),
+            coalesce($"P", lit(0L)).as("p_cnt"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+             |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+             |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q27: one-pass table profile (ANALYZE-style stats: counts, distincts,
+    // ranges, null/zero shares) — the metadata-collection surface.
+    QueryDef(
+      "q27_profile",
+      (s, dir) => {
+        import s.implicits._
+        T.lineitem(s, dir).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          min($"l_quantity").as("min_qty"),
+          max($"l_quantity").as("max_qty"),
+          count(when($"l_discount" === 0.0, 1)).as("n_zero_disc"),
+          // dates as ISO strings: date32 vs timestamp objects differ
+          // across engines even when values agree
+          date_format(min($"l_shipdate"), "yyyy-MM-dd").as("min_ship"),
+          date_format(max($"l_shipdate"), "yyyy-MM-dd").as("max_ship"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps,
+             |  min(l_quantity) AS min_qty,
+             |  max(l_quantity) AS max_qty,
+             |  count(CASE WHEN l_discount = 0.0 THEN 1 END) AS n_zero_disc,
+             |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+             |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+             |FROM lineitem""".stripMargin))
   )
 }

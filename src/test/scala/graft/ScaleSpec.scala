@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-technique demonstrations: salting for aggregation skew, bucketed
+  * co-located joins, dynamic partition overwrite. These assert the
+  * *plan shapes* the 100 TB deployment depends on.
+  */
+class ScaleSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("salted aggregation matches plain aggregation and spreads the hot key") {
+    val s = spark
+    import s.implicits._
+    // skewed: key 0 owns 90% of rows
+    val df = (0 until 20000).map(i => (if (i % 10 != 0) 0L else (i % 97).toLong, 1L))
+      .toDF("k", "v")
+    val plain = df.groupBy($"k").agg(count(lit(1)).as("n_rows"), sum($"v").as("sum_v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = Skew.saltedAgg(df, "k", salts = 8, sums = Seq("v"))
+      .collect().map(r => r.getAs[Long]("k") -> (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_v"))).toMap
+    assert(salted == plain)
+    // the plan must aggregate on (k, _salt) before the final merge on k
+    val planStr = Skew.saltedAgg(df, "k", 8, Seq("v")).queryExecution.executedPlan.toString
+    assert(planStr.contains("_salt"), "no salt phase in plan")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val s = spark
+    import s.implicits._
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      s.sql("DROP TABLE IF EXISTS b_orders")
+      s.sql("DROP TABLE IF EXISTS b_customer")
+      Tables.orders(s, sf0001).write
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+      Tables.customer(s, sf0001).write
+        .bucketBy(8, "c_custkey").saveAsTable("b_customer")
+      val j = s.table("b_orders")
+        .join(s.table("b_customer"), $"o_custkey" === $"c_custkey")
+      j.collect()
+      val planStr = j.queryExecution.executedPlan.toString
+      assert(planStr.contains("SortMergeJoin") || planStr.contains("ShuffledHashJoin"), planStr.take(400))
+      assert(!planStr.contains("Exchange hashpartitioning"),
+        "bucketed join still shuffled:\n" + planStr.take(1200))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("dynamic partition overwrite rewrites only the touched partition") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_dpo_spec"
+    val mkDf = (states: Seq[(String, String)]) => states.toDF("id", "state")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    mkDf(Seq(("a", "01"), ("b", "02"))).write.mode("overwrite")
+      .partitionBy("state").parquet(dir)
+    // overwrite only state=02
+    mkDf(Seq(("c", "02"))).write.mode("overwrite").partitionBy("state").parquet(dir)
+    val back = graft.sources.TableIO.readPartitioned(s, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("a", "01"), ("c", "02"))) // 01 untouched, 02 replaced
+  }
+}
