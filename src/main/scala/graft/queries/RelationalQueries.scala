@@ -596,6 +596,23 @@ object RelationalQueries extends QueryPack {
              |  count(CASE WHEN l_discount = 0.0 THEN 1 END) AS n_zero_disc,
              |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
              |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q28: schema-on-read JSON parsing (from_json to a typed struct — the
+    // semi-structured ingestion path, vs q18's path extraction).
+    QueryDef(
+      "q28_from_json",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("k", LongType)))
+        T.events(s, dir)
+          .withColumn("parsed", from_json($"props", schema))
+          .groupBy(($"parsed.k" % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod, count(*) AS n
+             |FROM events GROUP BY 1""".stripMargin))
   )
 }

@@ -63,4 +63,28 @@ class IoSpec extends AnyFunSuite {
     val back = TableIO.readPartitioned(spark, outDir)
     assert(back.filter(col("duration_sec").isNull).count() == 1)
   }
+
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_evolve_spec"
+    Seq((1L, "x")).toDF("id", "a").write.mode("overwrite").parquet(s"$dir/gen=1")
+    Seq((2L, 3.5)).toDF("id", "b").write.mode("overwrite").parquet(s"$dir/gen=2")
+    val merged = s.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "b", "gen"))
+    assert(merged.count() == 2)
+    assert(merged.filter(col("a").isNull).count() == 1) // old rows null-fill new cols
+  }
+
+  test("csv roundtrip preserves schema with explicit types") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_csv_spec"
+    val df = Seq(("01", 1.5, 7L), ("02", 2.5, 8L)).toDF("state", "v", "n")
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = s.read.option("header", "true").schema(df.schema).csv(dir)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    // '01' stays a string (compare types; nullability flags differ by source)
+    assert(back.schema.map(f => f.name -> f.dataType) == df.schema.map(f => f.name -> f.dataType))
+  }
 }

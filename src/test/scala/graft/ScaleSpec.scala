@@ -35,9 +35,9 @@ class ScaleSpec extends AnyFunSuite {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
       s.sql("DROP TABLE IF EXISTS b_orders")
       s.sql("DROP TABLE IF EXISTS b_customer")
-      Tables.orders(s, sf0001).write
+      Tables.orders(s, sf0001).write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
-      Tables.customer(s, sf0001).write
+      Tables.customer(s, sf0001).write.mode("overwrite")
         .bucketBy(8, "c_custkey").saveAsTable("b_customer")
       val j = s.table("b_orders")
         .join(s.table("b_customer"), $"o_custkey" === $"c_custkey")

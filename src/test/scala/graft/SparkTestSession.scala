@@ -7,6 +7,7 @@ object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("graft-test", "local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -71,6 +71,22 @@ class TextStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup: dropDuplicates on the stream matches batch distinct") {
+    val schema = Tables.events(spark, sf0001).schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf0001)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val q = src.writeStream.outputMode("append")
+      .format("memory").queryName("spec_stream_dedup").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("spec_stream_dedup").count()
+    val batch = Tables.events(spark, sf0001)
+      .select("user_id", "event_type").distinct().count()
+    assert(streamed == batch)
+  }
+
   test("watermarked append-mode output is a subset of complete-mode output") {
     val complete = StreamingOps.hourlyCounts(spark, sf0001, "spec_stream_c")
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
