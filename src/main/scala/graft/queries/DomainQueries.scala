@@ -222,6 +222,51 @@ object DomainQueries extends QueryPack {
       headline = true),
 
     // ------------------------------------------------------------------
+    // q29: the cenloc ETL chain composed (create_cenloc.py:82-153):
+    // spatial-assign blocks to geographies (J4 broadcast ray-cast — the
+    // reference distrusts GEOID joins across years, create_cenloc.py:88-90)
+    // → weighted centroid per geography (A1). One broadcast + one shuffle.
+    QueryDef(
+      "q29_cenloc_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val polys = (0 until 5).map { i =>
+          (s"G$i", Geometry.rectWkt(120.001 + 5 * i, 28.001, 125.001 + 5 * i, 46.001))
+        }
+        val assign = Geometry.assignUdf(polys)
+        val blocks = T.customer(s, dir).select(
+          (lit(120.0) + ($"c_custkey" % 97) * 0.25).as("x"),
+          (lit(28.0) + ($"c_custkey" % 89) * 0.25).as("y"),
+          when($"c_acctbal" >= 9000.0, lit(1)).otherwise(lit(0)).as("population"))
+        Centroids.cenloc(
+          blocks.withColumn("geoid", assign($"x", $"y")).filter($"geoid".isNotNull))
+      },
+      Some("""WITH blocks AS (
+             |  SELECT 120.0 + (c_custkey % 97) * 0.25 AS x,
+             |         28.0 + (c_custkey % 89) * 0.25 AS y,
+             |         CASE WHEN c_acctbal >= 9000.0 THEN 1 ELSE 0 END AS population
+             |  FROM customer),
+             |assigned AS (
+             |  SELECT x, y, population,
+             |    CASE WHEN y > 28.001 AND y < 46.001 AND x > 120.001 AND x < 145.001 THEN
+             |      CASE WHEN x < 125.001 THEN 'G0'
+             |           WHEN x < 130.001 THEN 'G1'
+             |           WHEN x < 135.001 THEN 'G2'
+             |           WHEN x < 140.001 THEN 'G3'
+             |           ELSE 'G4' END
+             |    END AS geoid
+             |  FROM blocks)
+             |SELECT geoid, avg(x) AS x, avg(y) AS y,
+             |  CASE WHEN sum(CAST(population AS DOUBLE)) = 0.0 THEN avg(x)
+             |       ELSE sum(x * CAST(population AS DOUBLE)) / sum(CAST(population AS DOUBLE))
+             |  END AS x_wt,
+             |  CASE WHEN sum(CAST(population AS DOUBLE)) = 0.0 THEN avg(y)
+             |       ELSE sum(y * CAST(population AS DOUBLE)) / sum(CAST(population AS DOUBLE))
+             |  END AS y_wt,
+             |  CAST(sum(population) AS BIGINT) AS population
+             |FROM assigned WHERE geoid IS NOT NULL GROUP BY geoid""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q34: Albers EPSG:5071 forward+inverse roundtrip (F11,
     // census.py:50-71). The oracle is the identity on the inputs — the
     // roundtrip must return each coordinate to within 5e-5°, far above

@@ -106,10 +106,14 @@ object TravelTimeMatrix {
     } else {
       try {
         val m = router.table(os, ds)
+        // NaN cells = per-pair unroutable within an otherwise-successful
+        // block (OSRM returns null durations — times.py:474-478); they
+        // become missing_pairs without any quadtree recursion.
         for {
           i <- os.indices.iterator
           j <- ds.indices.iterator
-        } yield TimeRecord(os(i).id, ds(j).id, Some(m(i)(j)))
+        } yield TimeRecord(os(i).id, ds(j).id,
+          if (java.lang.Double.isNaN(m(i)(j))) None else Some(m(i)(j)))
       } catch {
         case _: RoutingFailure =>
           if (depth >= maxDepth || (os.length == 1 && ds.length == 1)) {
