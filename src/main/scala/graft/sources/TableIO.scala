@@ -46,11 +46,17 @@ object TableIO {
   /** Read a published tree back; partition columns are recovered from the
     * directory structure as strings (S2/S3).
     */
-  def readPartitioned(spark: SparkSession, baseDir: String): DataFrame = {
+  def readPartitioned(
+      spark: SparkSession,
+      baseDir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     // enforce the string-typed partition-key contract even on sessions not
     // built by GraftSession
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    spark.read.option("basePath", baseDir).parquet(baseDir)
+    val r = spark.read.option("basePath", baseDir)
+    // a registry schema keeps empty trees readable (a job with zero
+    // missing pairs writes no files — consumers must not break on it)
+    schema.fold(r)(r.schema).parquet(baseDir)
   }
 
   /** The publish projection (create_public_files.py:70-98): adds the

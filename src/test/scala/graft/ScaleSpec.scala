@@ -35,6 +35,16 @@ class ScaleSpec extends AnyFunSuite {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
       s.sql("DROP TABLE IF EXISTS b_orders")
       s.sql("DROP TABLE IF EXISTS b_customer")
+      // the in-memory catalog forgets tables across JVMs but warehouse
+      // files persist — clear leftovers or CREATE hits LOCATION_ALREADY_EXISTS
+      Seq("b_orders", "b_customer").foreach { t =>
+        val p = java.nio.file.Paths.get(s"/tmp/graft_warehouse/$t")
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+      }
       Tables.orders(s, sf0001).write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
       Tables.customer(s, sf0001).write.mode("overwrite")
