@@ -18,5 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("weighted_mean"),
+      new ExpressionInfo(classOf[graft.plans.WeightedMeanAgg].getName, "weighted_mean"),
+      (exprs: Seq[Expression]) =>
+        graft.plans.WeightedMeanAgg(exprs.head, exprs(1)).toAggregateExpression()))
   }
 }

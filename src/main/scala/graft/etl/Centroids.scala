@@ -13,14 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object Centroids {
 
-  /** weighted-mean-with-fallback aggregate expression for one value col. */
+  /** weighted-mean-with-fallback as a composition of three built-in
+    * aggregates (kept as the reference formulation; equivalent to the
+    * single-buffer [[graft.plans.WeightedMeanAgg]]).
+    */
   def weightedMean(v: Column, w: Column): Column =
     when(sum(w) === 0.0, avg(v))
       .otherwise(sum(v * w) / sum(w))
 
   /** cenloc-style build (create_cenloc.py:17-27): per-geoid unweighted and
     * population-weighted centroids of block coordinates, in one aggregate
-    * pass over the blocks.
+    * pass over the blocks. Uses the declarative custom aggregate — this
+    * puts [[graft.plans.WeightedMeanAgg]] on the oracle-verified path
+    * (q29/q33).
     */
   def cenloc(blockloc: DataFrame): DataFrame = {
     val w = col("population").cast("double")
@@ -29,8 +34,8 @@ object Centroids {
       .agg(
         avg(col("x")).as("x"),
         avg(col("y")).as("y"),
-        weightedMean(col("x"), w).as("x_wt"),
-        weightedMean(col("y"), w).as("y_wt"),
+        graft.plans.WeightedMeanAgg.weightedMean(col("x"), w).as("x_wt"),
+        graft.plans.WeightedMeanAgg.weightedMean(col("y"), w).as("y_wt"),
         sum(col("population").cast("long")).as("population"))
   }
 }
