@@ -613,6 +613,71 @@ object RelationalQueries extends QueryPack {
           .agg(count(lit(1)).as("n"))
       },
       Some("""SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod, count(*) AS n
-             |FROM events GROUP BY 1""".stripMargin))
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q60: running total (window frame rows-unbounded-preceding) in exact
+    // cents — cumulative revenue per customer over order dates.
+    QueryDef(
+      "q60_running_total",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.orders(s, dir)
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+            fixpt($"o_totalprice", 2).as("pc"))
+          .withColumn("running_total",
+            (sum($"pc").over(w).cast("double") / 100.0))
+          .select($"o_custkey", $"o_orderkey", $"running_total")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0 AS running_total
+             |FROM orders""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q61: set operators proper (INTERSECT/EXCEPT — absent from the
+    // reference, §2.7; required engine surface).
+    QueryDef(
+      "q61_setops",
+      (s, dir) => {
+        import s.implicits._
+        val li = T.lineitem(s, dir)
+        val returned = li.filter($"l_returnflag" === "R").select($"l_partkey")
+        val open = li.filter($"l_linestatus" === "O").select($"l_partkey")
+        returned.intersect(open).select($"l_partkey", lit("both").as("bucket"))
+          .unionByName(
+            returned.except(open).select($"l_partkey", lit("returned_only").as("bucket")))
+      },
+      Some("""SELECT l_partkey, 'both' AS bucket FROM (
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+             |  INTERSECT
+             |  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'O') t
+             |UNION ALL
+             |SELECT l_partkey, 'returned_only' AS bucket FROM (
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+             |  EXCEPT
+             |  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'O') t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q62: generator/UDTF surface — explode word tokens, global top-20 by
+    // (count desc, word) with deterministic tiebreak.
+    QueryDef(
+      "q62_word_counts",
+      (s, dir) => {
+        import s.implicits._
+        T.documents(s, dir)
+          .select(explode(split($"text", " ")).as("word"))
+          .groupBy($"word")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"word")
+          .limit(20)
+      },
+      Some("""SELECT word, count(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+             |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin))
   )
 }

@@ -64,6 +64,27 @@ class IoSpec extends AnyFunSuite {
     assert(back.filter(col("duration_sec").isNull).count() == 1)
   }
 
+  test("row-group data skipping: a point lookup on the sort key reads a fraction of rows") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_rowgroup_spec"
+    // ~200k sorted rows, small row groups → many groups with tight
+    // origin_id min/max stats (the map.js:702-724 contract, O3)
+    (0 until 200000).map(i => (f"$i%09d", i.toDouble))
+      .toDF("origin_id", "duration_sec")
+      .repartition(1).sortWithinPartitions("origin_id")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(dir)
+    val pointQ = s.read.parquet(dir).filter(col("origin_id") === "000123456")
+    assert(pointQ.collect().length == 1)
+    val scan = pointQ.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val rowsRead = scan.metrics("numOutputRows").value
+    assert(rowsRead < 40000, s"scan read $rowsRead of 200000 rows — no row-group skipping")
+  }
+
   test("schema evolution: mergeSchema unions columns across file generations") {
     val s = spark
     import s.implicits._
