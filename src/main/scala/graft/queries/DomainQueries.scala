@@ -124,7 +124,7 @@ object DomainQueries extends QueryPack {
         speedMps = 30.0,
         originIsland = p => p.id.toLong % 37 == 0,
         destIsland = p => (p.id.toLong - 500000) % 41 == 0)
-      CalculateTimes.run(
+      val result = CalculateTimes.run(
         s,
         originsDf(s, dir).as[RawPoint],
         destsDf(s, dir).as[RawPoint],
@@ -132,7 +132,18 @@ object DomainQueries extends QueryPack {
         router,
         CalculateTimes.Config(oSplit = 512, dSplit = 64, maxDepth = 12,
           outDir = s"/tmp/graft_ct_$sfName"))
+      // publish the pointer catalog consumers attach (S10)
+      graft.sources.PointerCatalog.save(
+        s"/tmp/graft_ct_$sfName/pointer.catalog",
+        Map("graft_times" -> result.timesDir, "graft_points" -> result.pointsDir))
+      result
     })
+
+  private def attachCatalog(s: SparkSession, dir: String): Unit = {
+    ensurePublished(s, dir)
+    val sfName = dir.replaceAll(".*/", "")
+    graft.sources.PointerCatalog.attach(s, s"/tmp/graft_ct_$sfName/pointer.catalog")
+  }
 
   override def queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -363,8 +374,7 @@ object DomainQueries extends QueryPack {
     QueryDef(
       "q37_consumer_flagship",
       (s, dir) => {
-        val pub = ensurePublished(s, dir)
-        TableIO.registerView(s, "graft_times", pub.timesDir)
+        attachCatalog(s, dir)
         s.sql("""SELECT origin_id, destination_id, duration_sec
                 |FROM graft_times
                 |WHERE version = '0.0.1' AND mode = 'car' AND year = '2024'
@@ -384,9 +394,7 @@ object DomainQueries extends QueryPack {
     QueryDef(
       "q38_consumer_points_join",
       (s, dir) => {
-        val pub = ensurePublished(s, dir)
-        TableIO.registerView(s, "graft_times", pub.timesDir)
-        TableIO.registerView(s, "graft_points", pub.pointsDir)
+        attachCatalog(s, dir)
         s.sql("""SELECT t.origin_id, t.destination_id, t.duration_sec,
                 |  po.lon_snapped AS origin_lon, po.lat_snapped AS origin_lat,
                 |  pd.lon_snapped AS dest_lon, pd.lat_snapped AS dest_lat

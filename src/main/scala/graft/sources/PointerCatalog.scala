@@ -1,0 +1,44 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** The "pointer database" (S10): a small persisted catalog file mapping
+  * table names to published tree locations, which consumers load to get
+  * queryable views — the Spark form of the reference's DuckDB catalog of
+  * views over R2 file lists (/root/reference/data/src/utils/duckdb.py:
+  * 40-84, shipped to consumers via create_public_site.py:118-146).
+  *
+  * Unlike the reference's pointer DB — which enumerates every parquet
+  * file inside the view, so consumers cannot partition-prune — these
+  * views resolve through Spark's file index and keep pruning (SURVEY
+  * §3.3).
+  *
+  * Format: one `name<TAB>path` per line (no JSON library needed).
+  */
+object PointerCatalog {
+
+  def save(catalogFile: String, tables: Map[String, String]): Unit = {
+    val lines = tables.toSeq.sorted.map { case (n, p) => s"$n\t$p" }
+    val path = Paths.get(catalogFile)
+    Option(path.getParent).foreach(Files.createDirectories(_))
+    Files.write(path, lines.asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  def load(catalogFile: String): Map[String, String] =
+    Files.readAllLines(Paths.get(catalogFile)).asScala
+      .filter(_.nonEmpty)
+      .map { l => val Array(n, p) = l.split("\t", 2); n -> p }
+      .toMap
+
+  /** Load + register: after this, `spark.sql("SELECT ... FROM <name>")`
+    * works with partition pruning intact.
+    */
+  def attach(spark: SparkSession, catalogFile: String): Map[String, String] = {
+    val tables = load(catalogFile)
+    tables.foreach { case (name, dir) => TableIO.registerView(spark, name, dir) }
+    tables
+  }
+}

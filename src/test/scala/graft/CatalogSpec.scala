@@ -1,0 +1,55 @@
+package graft
+
+import graft.sources.{PointerCatalog, TableIO}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CatalogSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("pointer catalog round-trips and attached views answer SQL with pruning") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_catalog_spec/times"
+    val df = Seq(
+      ("000000001", "000500001", 12.5, "01"),
+      ("000000002", "000500002", 9.0, "07"))
+      .toDF("origin_id", "destination_id", "duration_sec", "state")
+      .withColumn("version", lit("0.0.1")).withColumn("mode", lit("car"))
+      .withColumn("year", lit("2024")).withColumn("geography", lit("county"))
+      .withColumn("centroid_type", lit("weighted"))
+    TableIO.writePartitioned(df, dir, Seq("origin_id", "destination_id"))
+
+    val catFile = "/tmp/graft_catalog_spec/pointer.catalog"
+    PointerCatalog.save(catFile, Map("cat_times" -> dir))
+    val attached = PointerCatalog.attach(s, catFile)
+    assert(attached == Map("cat_times" -> dir))
+
+    val q = s.sql("SELECT origin_id, duration_sec FROM cat_times WHERE state = '07'")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("000000002"))
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metrics("numFiles").value == 1) // pruning survives the view
+  }
+
+  test("catalog-table statistics feed the optimizer (CBO surface)") {
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS stats_orders")
+    val p = java.nio.file.Paths.get("/tmp/graft_warehouse/stats_orders")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    Tables.orders(s, sf0001).write.saveAsTable("stats_orders")
+    s.sql("ANALYZE TABLE stats_orders COMPUTE STATISTICS")
+    val prev = s.conf.get("spark.sql.cbo.enabled")
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true") // row counts reach plan stats only under CBO
+      val stats = s.table("stats_orders").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(1500)), s"rowCount=${stats.rowCount}")
+      assert(stats.sizeInBytes > 0)
+    } finally s.conf.set("spark.sql.cbo.enabled", prev)
+  }
+}
