@@ -39,6 +39,40 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Stream-stream interval join: purchases joined to signups by the same
+    * user within [0, 1h] — the streaming form of the as-of/funnel
+    * attribution (AsOfJoin.backward is the batch form). Both sides are
+    * watermarked so the state store can evict; the join condition's time
+    * bounds are what make eviction safe.
+    */
+  def streamStreamFunnel(spark: SparkSession, sfDir: String, queryName: String = "graft_ss_join"): DataFrame = {
+    import spark.implicits._
+    val schema = T.events(spark, sfDir).schema
+    def side(eventType: String, idAs: String, tsAs: String) = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .filter($"event_type" === eventType)
+      .select(
+        $"user_id".as(s"${idAs}_user"),
+        $"event_id".as(s"${idAs}_event"),
+        timestamp_micros(expr("ts div 1000")).as(tsAs))
+      .withWatermark(tsAs, "2 hours")
+    val purchases = side("purchase", "p", "p_ts")
+    val signups = side("signup", "s", "s_ts")
+    val joined = purchases.join(
+      signups,
+      expr("""p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR"""))
+      .select(
+        $"p_user".as("user_id"), $"p_event".as("purchase_event"),
+        $"s_event".as("signup_event"),
+        unix_timestamp($"p_ts").as("p_epoch"), unix_timestamp($"s_ts").as("s_epoch"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Watermarked append-mode variant (the production shape): 1-hour
     * tumbling windows with a 2-hour watermark. Only windows the watermark
     * has passed are emitted, so the tail window stays in state — callers

@@ -71,6 +71,29 @@ class TextStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val batch = {
+      val e = Tables.events(spark, sf0001)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_event"), col("us").as("p_us"))
+      val s_ = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("event_id").as("signup_event"), col("us").as("s_us"))
+      p.join(s_, col("user_id") === col("s_user") &&
+          col("s_us") <= col("p_us") && col("s_us") >= col("p_us") - 3600L * 1000000L)
+        .select(col("user_id"), col("purchase_event"), col("signup_event"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val stream = graft.streaming.StreamingOps
+      .streamStreamFunnel(spark, sf0001, "spec_ss_join")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_event"), r.getAs[Long]("signup_event")))
+      .toSet
+    assert(stream == batch, s"stream ${stream.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup: dropDuplicates on the stream matches batch distinct") {
     val schema = Tables.events(spark, sf0001).schema
     val src = spark.readStream.schema(schema)
