@@ -678,6 +678,104 @@ object RelationalQueries extends QueryPack {
       },
       Some("""SELECT word, count(*) AS n
              |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
-             |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin))
+             |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q63 (TPC-H Q4 shape): priority counts over orders having at least
+    // one qualifying lineitem (EXISTS → left-semi).
+    QueryDef(
+      "q63_priority_exists",
+      (s, dir) => {
+        import s.implicits._
+        val big = T.lineitem(s, dir).filter($"l_quantity" >= 49.0).select($"l_orderkey")
+        T.orders(s, dir)
+          .join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q64 (TPC-H Q5 shape): local-supplier revenue per nation — the
+    // customer and supplier must share a nation; dims broadcast, fact
+    // chain shuffles on one key each.
+    QueryDef(
+      "q64_local_revenue",
+      (s, dir) => {
+        import s.implicits._
+        T.lineitem(s, dir)
+          .join(T.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+          .join(T.customer(s, dir), $"o_custkey" === $"c_custkey")
+          .join(T.supplier(s, dir), $"l_suppkey" === $"s_suppkey" &&
+            $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(T.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(T.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+          .filter($"r_name" === "ASIA")
+          .groupBy($"n_name")
+          .agg(round(fixptSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4), 2).as("revenue"))
+      },
+      Some("""SELECT n_name,
+             |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q65 (TPC-H Q16 shape): supplier variety per (brand, type) with an
+    // exclusion predicate and distinct counting.
+    QueryDef(
+      "q65_supplier_variety",
+      (s, dir) => {
+        import s.implicits._
+        T.lineitem(s, dir)
+          .join(T.part(s, dir), $"l_partkey" === $"p_partkey")
+          .filter($"p_brand" =!= "Brand#1" && !$"p_type".startsWith("PROMO"))
+          .groupBy($"p_brand", $"p_type", $"p_size")
+          .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+             |GROUP BY p_brand, p_type, p_size""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q66 (TPC-H Q10 shape): returned-item revenue, top-20 customers,
+    // deterministic tiebreak on the exact cents total.
+    QueryDef(
+      "q66_returned_revenue",
+      (s, dir) => {
+        import s.implicits._
+        T.lineitem(s, dir)
+          .filter($"l_returnflag" === "R")
+          .join(T.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+          .join(T.customer(s, dir), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_custkey", $"c_name")
+          .agg(sum(fixpt($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)).as("rev4"))
+          .orderBy($"rev4".desc, $"c_custkey")
+          .limit(20)
+          .select($"c_custkey", $"c_name",
+            ($"rev4".cast("double") / 10000.0).as("revenue"))
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CAST(rev4 AS DOUBLE) / 10000.0 AS revenue
+             |FROM (
+             |  SELECT c_custkey, c_name,
+             |    sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS rev4
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  WHERE l_returnflag = 'R'
+             |  GROUP BY c_custkey, c_name) t
+             |ORDER BY rev4 DESC, c_custkey LIMIT 20""".stripMargin))
   )
 }
