@@ -776,6 +776,29 @@ object RelationalQueries extends QueryPack {
              |  JOIN customer ON o_custkey = c_custkey
              |  WHERE l_returnflag = 'R'
              |  GROUP BY c_custkey, c_name) t
-             |ORDER BY rev4 DESC, c_custkey LIMIT 20""".stripMargin))
+             |ORDER BY rev4 DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q67: salted two-phase aggregation on a hot-key distribution —
+    // byte-identical to the plain groupBy (integer sums are salt-order
+    // independent), so the skew technique itself sits on the oracle gate.
+    QueryDef(
+      "q67_salted_agg",
+      (s, dir) => {
+        import s.implicits._
+        val skewed = T.lineitem(s, dir).select(
+          // l_orderkey % 7 == 0 rows all land on one hot key
+          when($"l_orderkey" % 7 === 0, lit(0L)).otherwise($"l_partkey" % 50 + 1).as("k"),
+          fixpt($"l_extendedprice", 2).as("pc"))
+        graft.operators.Skew.saltedAgg(skewed, "k", salts = 8, sums = Seq("pc"))
+          .select($"k", $"n_rows", ($"sum_pc".cast("double") / 100.0).as("total"))
+      },
+      Some("""SELECT k, count(*) AS n_rows,
+             |  CAST(sum(pc) AS DOUBLE) / 100.0 AS total
+             |FROM (SELECT CASE WHEN l_orderkey % 7 = 0 THEN 0
+             |             ELSE l_partkey % 50 + 1 END AS k,
+             |        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+             |      FROM lineitem) t
+             |GROUP BY k""".stripMargin))
   )
 }
