@@ -43,4 +43,24 @@ object Multimodal {
       }
       .toDF()
   }
+
+  final case class FrameRow(doc_id: Long, frame_idx: Long, frame_bytes: Long)
+
+  /** Frame sampling — the one-to-many decode shape (video → N frames):
+    * each payload yields `n_bytes % 4 + 1` frame rows. The STUB emits a
+    * deterministic per-frame byte count where a real decoder would emit
+    * the frame tensor; the flatMap-typed plumbing is the production
+    * shape (map-only, output fan-out bounded per row).
+    */
+  def sampleFrames(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+      .flatMap { m =>
+        val n = m.payload.length
+        val frames = n % 4 + 1
+        (1 to frames).map(i => FrameRow(m.doc_id, i.toLong, (n / frames).toLong))
+      }
+      .toDF()
+  }
 }

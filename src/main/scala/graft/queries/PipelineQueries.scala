@@ -236,6 +236,17 @@ object PipelineQueries extends QueryPack {
         val emb = T.embeddings(s, dir)
         Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10), k = 5)
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // q54: one-to-many multimodal decode (frame sampling) — flatMap-typed
+    // fan-out with a deterministic stub in place of the codec.
+    QueryDef(
+      "q54_frame_sample",
+      (s, dir) => Multimodal.sampleFrames(s, T.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |  unnest(generate_series(1, octet_length(CAST(text AS BLOB)) % 4 + 1)) AS frame_idx,
+             |  CAST(octet_length(CAST(text AS BLOB)) // (octet_length(CAST(text AS BLOB)) % 4 + 1) AS BIGINT) AS frame_bytes
+             |FROM documents""".stripMargin))
   )
 }

@@ -799,6 +799,54 @@ object RelationalQueries extends QueryPack {
              |             ELSE l_partkey % 50 + 1 END AS k,
              |        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
              |      FROM lineitem) t
-             |GROUP BY k""".stripMargin))
+             |GROUP BY k""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q68 (TPC-H Q6 shape): single-scan forecast-revenue filter+sum —
+    // every predicate pushed to the parquet scan.
+    QueryDef(
+      "q68_forecast_revenue",
+      (s, dir) => {
+        import s.implicits._
+        T.lineitem(s, dir)
+          .filter(
+            $"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+              $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+              $"l_quantity" < 24.0)
+          .agg(round(fixptSum($"l_extendedprice" * $"l_discount", 4), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT
+             |  round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |  AND l_quantity < 24.0""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q69 (TPC-H Q12 shape): conditional counts per line status by order
+    // priority class.
+    QueryDef(
+      "q69_priority_class",
+      (s, dir) => {
+        import s.implicits._
+        val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+        T.lineitem(s, dir)
+          .join(T.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+          .filter($"l_quantity" >= 30.0)
+          .groupBy($"l_linestatus")
+          .agg(
+            sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      },
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_quantity >= 30.0
+             |GROUP BY l_linestatus""".stripMargin))
   )
 }
