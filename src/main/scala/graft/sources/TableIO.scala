@@ -67,6 +67,39 @@ object TableIO {
     df.withColumn("chunk_id",
       regexp_extract(input_file_name(), "part-(\\d+)", 1))
 
+  /** S11: object-store listing → per-directory rollups (the reference
+    * walks paginated list_objects_v2 into a nested dict with per-dir
+    * total_size / max_last_modified — /root/reference/data/src/utils/
+    * cloudflare.py:35-121). Here the listing becomes a DataFrame and the
+    * hierarchy rollup is one explode + groupBy: each file contributes a
+    * row per ancestor directory. Listing is driver-side (metadata scale);
+    * aggregation is distributed.
+    */
+  def treeStats(spark: SparkSession, baseDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(baseDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toString.stripPrefix(fs.makeQualified(path).toString).stripPrefix("/")
+      files += ((rel, f.getLen, f.getModificationTime))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    files.toSeq.toDF("rel_path", "size", "mtime")
+      .withColumn("prefix", explode(expr(
+        // every ancestor dir of the file, '' = root
+        """transform(sequence(0, size(split(rel_path, '/')) - 1),
+          |  i -> array_join(slice(split(rel_path, '/'), 1, i), '/'))""".stripMargin)))
+      .groupBy(col("prefix"))
+      .agg(
+        sum(col("size")).as("total_size"),
+        count(lit(1)).as("n_files"),
+        max(col("mtime")).as("max_last_modified"))
+  }
+
   /** S10: the "pointer database" — views over the published tree
     * (/root/reference/data/src/utils/duckdb.py:40-84). Spark's catalog
     * does partition pruning through the view automatically (the DuckDB

@@ -33,6 +33,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(scan.metrics("numFiles").value == 1) // pruning survives the view
   }
 
+  test("tree stats: per-directory rollups match the flat listing (S11)") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_catalog_spec/times" // written by the first test
+    Seq((1, "x")).toDF("a", "b").count() // ensure session
+    val stats = TableIO.treeStats(s, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats.contains("")) // root rollup
+    val (rootSize, rootFiles) = stats("")
+    // independent ground truth: a plain filesystem walk
+    import scala.jdk.CollectionConverters._
+    val walked = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.startsWith(".")) // hadoop-hidden .crc files
+      .toSeq
+    assert(rootFiles == walked.size, s"root n_files $rootFiles != ${walked.size}")
+    assert(rootSize == walked.map(java.nio.file.Files.size(_)).sum)
+    // state partition dirs appear with their own rollups
+    assert(stats.keys.exists(_.contains("state=07")))
+    val state07 = stats.filter { case (k, _) => k.endsWith("state=07/centroid_type=weighted") }
+    assert(state07.nonEmpty && state07.values.head._2 >= 1)
+  }
+
   test("catalog-table statistics feed the optimizer (CBO surface)") {
     val s = spark
     s.sql("DROP TABLE IF EXISTS stats_orders")
