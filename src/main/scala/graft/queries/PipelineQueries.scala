@@ -274,6 +274,54 @@ object PipelineQueries extends QueryPack {
       None),
 
     // ------------------------------------------------------------------
+    // q56: embedding transforms — L2 normalization and floor-quantized
+    // int8 codes as array columns (all per-element IEEE ops on identical
+    // operands → bit-identical arrays across engines; floor, not cast:
+    // Spark casts truncate while DuckDB casts round).
+    QueryDef(
+      "q56_embed_transform",
+      (s, dir) => {
+        import s.implicits._
+        import graft.plans.VectorFunctions
+        T.embeddings(s, dir)
+          .withColumn("nrm", VectorFunctions.vecNorm($"embedding"))
+          .select(
+            $"vec_id",
+            expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("unit_vec"),
+            expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))").as("q127"))
+      },
+      Some("""SELECT vec_id,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+             |    sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE))) AS unit_vec,
+             |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT)) AS q127
+             |FROM embeddings""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q57: document chunking for training — fixed-size token windows
+    // (50 tokens, stride 40) as a generator over the token array; the
+    // standard context-window preparation op.
+    QueryDef(
+      "q57_doc_chunks",
+      (s, dir) => {
+        import s.implicits._
+        T.documents(s, dir)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id",
+            explode(expr(
+              """transform(
+                |  sequence(0, CAST(ceil(greatest(size(w) - 50, 0) / 40.0) AS INT)),
+                |  i -> struct(CAST(i AS BIGINT) AS chunk_idx,
+                |              concat_ws(' ', slice(w, i * 40 + 1, 50)) AS chunk))""".stripMargin)).as("c"))
+          .select($"doc_id", $"c.chunk_idx", $"c.chunk")
+      },
+      Some("""SELECT doc_id, chunk_idx,
+             |  array_to_string(list_slice(w, chunk_idx * 40 + 1, chunk_idx * 40 + 50), ' ') AS chunk
+             |FROM (
+             |  SELECT doc_id, w,
+             |    unnest(generate_series(0, CAST(ceil(greatest(len(w) - 50, 0) / 40.0) AS BIGINT))) AS chunk_idx
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q54: one-to-many multimodal decode (frame sampling) — flatMap-typed
     // fan-out with a deterministic stub in place of the codec.
     QueryDef(
