@@ -67,6 +67,28 @@ object TableIO {
     df.withColumn("chunk_id",
       regexp_extract(input_file_name(), "part-(\\d+)", 1))
 
+  /** F7: content MD5 of an input file (the reference records input-file
+    * MD5s in the metadata audit row — data/src/utils/utils.py:46-52,
+    * calculate_times.py:100-103). Streams through Hadoop FS so it works
+    * for any supported filesystem, not just local paths.
+    */
+  def fileMd5(spark: SparkSession, path: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) md.update(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** S11: object-store listing → per-directory rollups (the reference
     * walks paginated list_objects_v2 into a nested dict with per-dir
     * total_size / max_last_modified — /root/reference/data/src/utils/

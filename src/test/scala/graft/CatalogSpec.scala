@@ -56,6 +56,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(state07.nonEmpty && state07.values.head._2 >= 1)
   }
 
+  test("input-file md5 matches an independent digest (F7)") {
+    val f = "/tmp/graft_md5_spec.bin"
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      "graft determinism test".getBytes("UTF-8"))
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
+      .map("%02x".format(_)).mkString
+    assert(TableIO.fileMd5(spark, f) == want)
+    // stable for a real fixture file too
+    val m1 = TableIO.fileMd5(spark, sf0001 + "/region.parquet")
+    val m2 = TableIO.fileMd5(spark, sf0001 + "/region.parquet")
+    assert(m1 == m2 && m1.length == 32)
+  }
+
   test("catalog-table statistics feed the optimizer (CBO surface)") {
     val s = spark
     s.sql("DROP TABLE IF EXISTS stats_orders")
