@@ -29,7 +29,11 @@ object CalculateTimes {
       dSplit: Int = 5000,
       maxDepth: Int = 12,
       useSnapped: Boolean = true,
-      outDir: String)
+      outDir: String,
+      // when inputs come from files, their content digests are recorded in
+      // metadata (file_input_*_md5 — calculate_times.py:100-103)
+      originsInputFile: Option[String] = None,
+      destsInputFile: Option[String] = None)
 
   final case class Result(timesDir: String, pointsDir: String, missingDir: String, metadataDir: String)
 
@@ -100,16 +104,21 @@ object CalculateTimes {
     val nD = dSnap.count()
     val nMissing = times.filter(col("duration_sec").isNull).count()
     val metadataDir = s"${cfg.outDir}/metadata"
+    def md5Of(p: Option[String]): String =
+      p.map(graft.sources.TableIO.fileMd5(spark, _)).getOrElse("")
     val meta = Seq((
       java.util.UUID.randomUUID().toString.take(8),
       new java.sql.Timestamp(System.currentTimeMillis()),
       (System.nanoTime() - t0) / 1e9,
       nO, nD, nO * nD, nMissing,
       cfg.oSplit.toLong max cfg.dSplit.toLong,
-      cfg.useSnapped))
+      cfg.useSnapped,
+      md5Of(cfg.originsInputFile),
+      md5Of(cfg.destsInputFile)))
       .toDF("run_id", "calc_datetime_finished", "calc_time_elapsed_sec",
         "calc_n_origins", "calc_n_destinations", "calc_n_pairs",
-        "calc_n_missing_pairs", "param_max_split_size", "param_use_snapped")
+        "calc_n_missing_pairs", "param_max_split_size", "param_use_snapped",
+        "file_input_origins_md5", "file_input_destinations_md5")
     // metadata is one row per run spanning every state → no state level
     meta
       .withColumn("version", lit(cfg.version))

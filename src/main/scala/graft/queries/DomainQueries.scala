@@ -131,7 +131,9 @@ object DomainQueries extends QueryPack {
         new GridSnapper(noSnapAboveLat = 43.0),
         router,
         CalculateTimes.Config(oSplit = 512, dSplit = 64, maxDepth = 12,
-          outDir = s"/tmp/graft_ct_$sfName"))
+          outDir = s"/tmp/graft_ct_$sfName",
+          originsInputFile = Some(s"$dir/customer.parquet"),
+          destsInputFile = Some(s"$dir/supplier.parquet")))
       // publish the pointer catalog consumers attach (S10)
       graft.sources.PointerCatalog.save(
         s"/tmp/graft_ct_$sfName/pointer.catalog",
