@@ -274,6 +274,46 @@ object PipelineQueries extends QueryPack {
       None),
 
     // ------------------------------------------------------------------
+    // q58: TF-IDF-style top-3 terms per document — term counts, document
+    // frequencies, rational idf (tf·N/df: exact integer operands, one
+    // exact-rounded division; transcendental ln is NOT cross-engine
+    // deterministic — Math.log and libm differ in the last ulp, verified
+    // empirically — so the hash-gated variant uses the rational weight;
+    // ranking order is identical for any monotone idf).
+    QueryDef(
+      "q58_tfidf",
+      (s, dir) => {
+        import s.implicits._
+        val docs = T.documents(s, dir)
+        val n = docs.count()
+        val tf = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"score".desc, $"term")
+        tf.join(dfreq, "term")
+          .withColumn("score", ($"tf" * n).cast("double") / $"df")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 3)
+          .select($"doc_id", $"term", $"tf", $"df", $"score", $"rnk")
+      },
+      Some("""WITH tokens AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, tf.term, tf.tf, dfreq.df,
+             |    CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+             |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+             |ranked AS (
+             |  SELECT doc_id, term, tf, df, score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |                       ORDER BY score DESC, term) AS rnk
+             |  FROM scored)
+             |SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= 3""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q56: embedding transforms — L2 normalization and floor-quantized
     // int8 codes as array columns (all per-element IEEE ops on identical
     // operands → bit-identical arrays across engines; floor, not cast:
