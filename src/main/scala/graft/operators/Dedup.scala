@@ -113,19 +113,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit frequency-weighted SimHash of whitespace tokens. Map-only. */
+  /** 64-bit frequency-weighted SimHash of whitespace tokens. Map-only.
+    *
+    * The per-token hash is the first 16 hex digits of MD5: bit `b` of the
+    * hash is bit `b % 4` of hex digit `b / 4`. MD5 is available and
+    * identical in every engine (unlike murmur/xxhash variants), which
+    * makes the whole operator — votes, sign, banding — exactly
+    * reproducible in plain SQL, so the pair output is oracle-checkable
+    * rather than rows-only.
+    */
   def simhash64(text: String): Long = {
     val counts = scala.collection.mutable.HashMap.empty[String, Int]
     text.split(' ').foreach { t => if (t.nonEmpty) counts.update(t, counts.getOrElse(t, 0) + 1) }
+    val md = java.security.MessageDigest.getInstance("MD5")
     val acc = new Array[Long](64)
     counts.foreach { case (tok, c) =>
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(tok, 0x9747b28c)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(tok, 0x85ebca6b)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) acc(j) += c else acc(j) -= c
-        j += 1
+      md.reset()
+      val dg = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var b = 0
+      while (b < 64) {
+        // hex digit at position b/4 (even positions = high nibble)
+        val digit =
+          if ((b / 4) % 2 == 0) (dg(b / 8) >> 4) & 0xf
+          else dg(b / 8) & 0xf
+        if (((digit >> (b % 4)) & 1) == 1) acc(b) += c else acc(b) -= c
+        b += 1
       }
     }
     var sh = 0L

@@ -57,12 +57,38 @@ object PipelineQueries extends QueryPack {
       headline = true),
 
     // ------------------------------------------------------------------
-    // q42: SimHash near-dup pairs (hash-dependent output → no SQL oracle;
-    // recall vs the planted pairs is unit-tested).
+    // q42: SimHash near-dup pairs. The token hash is md5-derived (bit b =
+    // bit b%4 of hex digit b/4), so the oracle recomputes the full
+    // 64-bit signature in SQL — integer votes, sign, 16-bit bands — and
+    // brute-forces all pairs; the Spark side's banded candidates + exact
+    // hamming filter equal that set by the 4-band pigeonhole (hamming ≤ 3
+    // must leave one band untouched).
     QueryDef(
       "q42_dedup_simhash",
       (s, dir) => Dedup.simhashPairs(T.documents(s, dir), maxHamming = 3),
-      None),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, t, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+             |  WHERE t <> '' GROUP BY 1, 2),
+             |votes AS (
+             |  SELECT doc_id, b,
+             |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), b // 4 + 1, 1)) - 1)
+             |                   >> (b % 4)) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
+             |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+             |  GROUP BY 1, 2),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN vote > 0 AND b // 16 = 0 THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS b0,
+             |    CAST(sum(CASE WHEN vote > 0 AND b // 16 = 1 THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS b1,
+             |    CAST(sum(CASE WHEN vote > 0 AND b // 16 = 2 THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS b2,
+             |    CAST(sum(CASE WHEN vote > 0 AND b // 16 = 3 THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS b3
+             |  FROM votes GROUP BY 1)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+             |       bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+             |      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q43: exact n-gram Jaccard via shingle equi-join.
@@ -98,8 +124,11 @@ object PipelineQueries extends QueryPack {
 
     // ------------------------------------------------------------------
     // q45: LSH-bucketed ANN — the scale path (candidates via bucket
-    // equi-join, exact rerank of candidates only). Approximate → no SQL
-    // oracle; recall vs q44 is unit-tested.
+    // equi-join, exact rerank of candidates only). The ±1 hyperplanes are
+    // integer-arithmetic-derived and the signature dot is the float32
+    // index-order FloatDotProduct (= DuckDB list_dot_product bit-for-bit),
+    // so the oracle recomputes the exact same buckets, candidates, and
+    // rerank in SQL — the approximate operator hash-verifies.
     QueryDef(
       "q45_ann_lsh",
       (s, dir) => {
@@ -107,7 +136,35 @@ object PipelineQueries extends QueryPack {
         val emb = T.embeddings(s, dir)
         Similarity.lshTopK(emb, emb.filter($"vec_id" < 10), k = 5, dim = 64)
       },
-      None),
+      Some("""WITH sigs AS (
+             |  SELECT vec_id, embedding,
+             |    CAST(list_sum(list_transform(generate_series(0, 15), p ->
+             |      CASE WHEN list_dot_product(embedding, list_transform(generate_series(1, 64),
+             |          i -> CAST(CASE WHEN ((p * 97 + i - 1) * 2654435761) % 4294967296 >= 2147483648
+             |                     THEN 1.0 ELSE -1.0 END AS FLOAT))) > 0
+             |      THEN 1 << p ELSE 0 END)) AS INT) AS sig
+             |  FROM embeddings),
+             |banded AS (
+             |  SELECT vec_id, b AS band, (sig >> (b * 4)) & 15 AS bucket
+             |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+             |cand AS (
+             |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             |  FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+             |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+             |sims AS (
+             |  SELECT cand.query_id, cand.neighbor_id,
+             |    CAST(list_dot_product(q.embedding, c.embedding) AS DOUBLE) /
+             |      (sqrt(CAST(list_dot_product(q.embedding, q.embedding) AS DOUBLE)) *
+             |       sqrt(CAST(list_dot_product(c.embedding, c.embedding) AS DOUBLE))) AS cosine
+             |  FROM cand
+             |  JOIN embeddings q ON q.vec_id = cand.query_id
+             |  JOIN embeddings c ON c.vec_id = cand.neighbor_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, cosine,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+             |  FROM sims)
+             |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q46: language ID (marker-token scores, fixed-order argmax).
@@ -262,16 +319,53 @@ object PipelineQueries extends QueryPack {
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q53: IVF ANN — coarse-quantizer cells + nProbe search + exact
-    // rerank (approximate → no SQL oracle; recall unit-tested).
+    // q53: IVF ANN — seeded coarse-quantizer cells + nProbe search +
+    // exact rerank. Distances reduce to three float dots
+    // (‖a−b‖² = ‖a‖² + ‖b‖² − 2a·b), each bit-identical to DuckDB's
+    // list_dot_product, so cell assignment / probing / rerank all
+    // hash-verify. The Lloyd-iterated variant (ivfTopK) stays
+    // recall-unit-tested.
     QueryDef(
       "q53_ann_ivf",
       (s, dir) => {
         import s.implicits._
         val emb = T.embeddings(s, dir)
-        Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10), k = 5)
+        Similarity.ivfTopKSeeded(emb, emb.filter($"vec_id" < 10), k = 5)
       },
-      None),
+      Some("""WITH seeds AS (
+             |  SELECT vec_id AS cell, embedding AS sv FROM embeddings WHERE vec_id < 16),
+             |asg AS (
+             |  SELECT e.vec_id, e.embedding, s.cell,
+             |    CAST(list_dot_product(e.embedding, e.embedding) AS DOUBLE) +
+             |    CAST(list_dot_product(s.sv, s.sv) AS DOUBLE) -
+             |    2.0 * CAST(list_dot_product(e.embedding, s.sv) AS DOUBLE) AS d2
+             |  FROM embeddings e CROSS JOIN seeds s),
+             |cells AS (
+             |  SELECT vec_id AS neighbor_id, cell FROM (
+             |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS r
+             |    FROM asg) t WHERE r = 1),
+             |probes AS (
+             |  SELECT vec_id AS query_id, cell FROM (
+             |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS r
+             |    FROM asg WHERE vec_id < 10) t WHERE r <= 4),
+             |cand AS (
+             |  SELECT DISTINCT p.query_id, c.neighbor_id
+             |  FROM probes p JOIN cells c ON p.cell = c.cell
+             |  WHERE c.neighbor_id <> p.query_id),
+             |sims AS (
+             |  SELECT cand.query_id, cand.neighbor_id,
+             |    CAST(list_dot_product(q.embedding, c.embedding) AS DOUBLE) /
+             |      (sqrt(CAST(list_dot_product(q.embedding, q.embedding) AS DOUBLE)) *
+             |       sqrt(CAST(list_dot_product(c.embedding, c.embedding) AS DOUBLE))) AS cosine
+             |  FROM cand
+             |  JOIN embeddings q ON q.vec_id = cand.query_id
+             |  JOIN embeddings c ON c.vec_id = cand.neighbor_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, cosine,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+             |  FROM sims)
+             |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q58: TF-IDF-style top-3 terms per document — term counts, document
@@ -315,9 +409,11 @@ object PipelineQueries extends QueryPack {
 
     // ------------------------------------------------------------------
     // q56: embedding transforms — L2 normalization and floor-quantized
-    // int8 codes as array columns (all per-element IEEE ops on identical
-    // operands → bit-identical arrays across engines; floor, not cast:
-    // Spark casts truncate while DuckDB casts round).
+    // int8 codes (per-element IEEE ops on identical operands →
+    // bit-identical across engines; floor, not cast: Spark casts truncate
+    // while DuckDB casts round). Emitted one row per (vector, position) —
+    // scalar columns only, because the compare harness sorts cells and
+    // raw array cells aren't sortable in pandas.
     QueryDef(
       "q56_embed_transform",
       (s, dir) => {
@@ -325,16 +421,20 @@ object PipelineQueries extends QueryPack {
         import graft.plans.VectorFunctions
         T.embeddings(s, dir)
           .withColumn("nrm", VectorFunctions.vecNorm($"embedding"))
+          .select($"vec_id", $"nrm", posexplode($"embedding"))
           .select(
             $"vec_id",
-            expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("unit_vec"),
-            expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))").as("q127"))
+            ($"pos" + 1).cast("long").as("idx"),
+            ($"col".cast("double") / $"nrm").as("unit_val"),
+            floor($"col".cast("double") * 127.0).cast("long").as("q127"))
       },
-      Some("""SELECT vec_id,
-             |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
-             |    sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE))) AS unit_vec,
-             |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT)) AS q127
-             |FROM embeddings""".stripMargin)),
+      Some("""SELECT vec_id, idx,
+             |  CAST(embedding[idx] AS DOUBLE) /
+             |    sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS unit_val,
+             |  CAST(floor(CAST(embedding[idx] AS DOUBLE) * 127.0) AS BIGINT) AS q127
+             |FROM (SELECT vec_id, embedding,
+             |        unnest(generate_series(1, CAST(len(embedding) AS BIGINT))) AS idx
+             |      FROM embeddings) t""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q57: document chunking for training — fixed-size token windows
