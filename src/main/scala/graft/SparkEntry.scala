@@ -11,6 +11,7 @@ import graft.queries._
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     RelationalQueries,
+    TpchQueries,
     DomainQueries,
     PipelineQueries)
 
