@@ -23,5 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.plans.WeightedMeanAgg].getName, "weighted_mean"),
       (exprs: Seq[Expression]) =>
         graft.plans.WeightedMeanAgg(exprs.head, exprs(1)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("albers_fwd"),
+      new ExpressionInfo(classOf[graft.plans.AlbersForward].getName, "albers_fwd"),
+      (exprs: Seq[Expression]) => graft.plans.AlbersForward(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("albers_inv"),
+      new ExpressionInfo(classOf[graft.plans.AlbersInverse].getName, "albers_inv"),
+      (exprs: Seq[Expression]) => graft.plans.AlbersInverse(exprs.head, exprs(1))))
   }
 }

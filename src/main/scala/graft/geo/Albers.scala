@@ -1,7 +1,8 @@
 package graft.geo
 
+import graft.plans.{AlbersForward, AlbersInverse}
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.graftbridge.SqlBridge
 
 /** Closed-form ellipsoidal Albers Equal-Area Conic, parameterized as
   * EPSG:5071 (CONUS Albers / NAD83-GRS80) — the projection the reference
@@ -74,11 +75,22 @@ object Albers {
     (math.toDegrees(theta / n + lon0), math.toDegrees(phi))
   }
 
-  // Column-level UDFs (F11). A Catalyst Expression upgrade is possible but
-  // the UDF stays off the 100 TB hot path (projection happens once at
-  // centroid build, not per OD pair).
-  private val fwdUdf = udf((lon: Double, lat: Double) => { val r = forward(lon, lat); Seq(r._1, r._2) })
-  private val invUdf = udf((x: Double, y: Double) => { val r = inverse(x, y); Seq(r._1, r._2) })
-  def fwd(lon: Column, lat: Column): Column = fwdUdf(lon, lat)
-  def inv(x: Column, y: Column): Column = invUdf(x, y)
+  /** primitive-array forms — the codegen entry points of
+    * [[graft.plans.AlbersForward]]/[[graft.plans.AlbersInverse]] (called
+    * as static forwarders from generated code).
+    */
+  def forwardArr(lonDeg: Double, latDeg: Double): Array[Double] = {
+    val r = forward(lonDeg, latDeg); Array(r._1, r._2)
+  }
+  def inverseArr(x: Double, y: Double): Array[Double] = {
+    val r = inverse(x, y); Array(r._1, r._2)
+  }
+
+  // Column-level API (F11) — native Catalyst expressions with doGenCode
+  // (graft.plans.AlbersExpressions), not UDFs: the transform inlines into
+  // whole-stage codegen with no boxing.
+  def fwd(lon: Column, lat: Column): Column =
+    SqlBridge.column(AlbersForward(SqlBridge.expression(lon), SqlBridge.expression(lat)))
+  def inv(x: Column, y: Column): Column =
+    SqlBridge.column(AlbersInverse(SqlBridge.expression(x), SqlBridge.expression(y)))
 }

@@ -27,6 +27,30 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("Albers expression (codegen) equals the direct scala computation") {
+    import SparkTestSession._
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.element_at
+    val pts = Seq((-87.63, 41.88), (-96.0, 23.0), (-122.42, 37.77))
+    val got = pts.toDF("lon", "lat")
+      .withColumn("xy", Albers.fwd($"lon", $"lat"))
+      .withColumn("ll", Albers.inv(element_at($"xy", 1), element_at($"xy", 2)))
+      .select($"lon", $"lat",
+        element_at($"xy", 1), element_at($"xy", 2),
+        element_at($"ll", 1), element_at($"ll", 2))
+      .collect()
+    got.foreach { r =>
+      val (x, y) = Albers.forward(r.getDouble(0), r.getDouble(1))
+      assert(r.getDouble(2) == x && r.getDouble(3) == y, "forward mismatch vs scala path")
+      assert(math.abs(r.getDouble(4) - r.getDouble(0)) < 1e-8)
+      assert(math.abs(r.getDouble(5) - r.getDouble(1)) < 1e-8)
+    }
+    // the expression must also be SQL-registered via the extensions
+    graft.plans.VectorFunctions.register(s)
+    s.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))").collect()
+  }
+
   test("Albers: area distortion near standard parallels is ~zero (equal-area sanity)") {
     // at a standard parallel the local scale is 1: a small 0.01° box should
     // have area ≈ cos(lat) * (111.32 km)^2 * 1e-4

@@ -71,6 +71,27 @@ class TextStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("state TTL flushes idle sessions exactly (event-time timeout)") {
+    val batch = graft.operators.Sessionize.batch(Tables.events(spark, sf0001))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) ->
+        (r.getAs[Long]("session_start"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      .toMap
+    val noTtl = graft.operators.Sessionize.streaming(spark, sf0001, "spec_sessions_nottl")
+      .count()
+    val ttl = graft.operators.Sessionize.streamingWithTTL(spark, sf0001, "spec_sessions_ttl")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) ->
+        (r.getAs[Long]("session_start"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      .toMap
+    // every emitted session (gap-closed or TTL-flushed) matches batch exactly
+    val mismatches = ttl.filter { case (k, v) => !batch.get(k).contains(v) }
+    assert(mismatches.isEmpty, s"${mismatches.take(3)}")
+    // the timeout flushed sessions the NoTimeout variant kept open forever
+    assert(ttl.size > noTtl, s"TTL emitted ${ttl.size}, NoTimeout emitted $noTtl")
+    assert(ttl.size <= batch.size)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val batch = {
       val e = Tables.events(spark, sf0001)
