@@ -435,6 +435,39 @@ object DomainQueries extends QueryPack {
               |  (SELECT count(*) FROM supplier) AS calc_n_destinations,
               |  (SELECT count(*) FROM customer) * (SELECT count(*) FROM supplier) AS calc_n_pairs,
               |  (SELECT count(*) FROM stimes WHERE duration_sec IS NULL) AS calc_n_missing_pairs,
-              |  true AS param_use_snapped""".stripMargin))
+              |  true AS param_use_snapped""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q86: band (range) join — a join type absent from both the reference
+    // and Spark's builtins, composed from existing ops (SURVEY §7.3
+    // preference order (a)): pairs within ±0.25° on both axes. The naive
+    // plan is a cross join with an inequality filter (O(n·m)); the scale
+    // path buckets one side by floor(lon/band) and explodes the other to
+    // its 3 adjacent buckets, so candidates come from an *equi*-join on
+    // the bucket key (shuffle-partitionable, skew-salted if needed) and
+    // only candidates pay the exact predicate. Dyadic 0.25° lattice
+    // coordinates keep every abs/compare exact cross-engine.
+    QueryDef(
+      "q86_band_join",
+      (s, dir) => {
+        import s.implicits._
+        val band = 0.5
+        val o = originsDf(s, dir)
+          .select($"id".as("origin_id"), $"lon".as("olon"), $"lat".as("olat"),
+            floor($"lon" / band).as("bkt"))
+        val d = destsDf(s, dir)
+          .select($"id".as("destination_id"), $"lon".as("dlon"), $"lat".as("dlat"),
+            explode(array(floor($"lon" / band) - 1, floor($"lon" / band),
+              floor($"lon" / band) + 1)).as("bkt"))
+        o.join(d, Seq("bkt"))
+          .filter(abs($"olon" - $"dlon") <= 0.25 && abs($"olat" - $"dlat") <= 0.25)
+          .select($"origin_id", $"destination_id",
+            (abs($"olon" - $"dlon") + abs($"olat" - $"dlat")).as("d_manhattan"))
+      },
+      Some(s"""WITH $originsSql, $destsSql
+              |SELECT o.id AS origin_id, d.id AS destination_id,
+              |  abs(o.lon - d.lon) + abs(o.lat - d.lat) AS d_manhattan
+              |FROM origins o JOIN dests d
+              |  ON abs(o.lon - d.lon) <= 0.25 AND abs(o.lat - d.lat) <= 0.25""".stripMargin))
   )
 }

@@ -847,6 +847,53 @@ object RelationalQueries extends QueryPack {
              |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_quantity >= 30.0
-             |GROUP BY l_linestatus""".stripMargin))
+             |GROUP BY l_linestatus""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q84: exact interpolated percentiles (quantile_cont semantics) per
+    // group. Both engines use rank = p·(n−1) with linear interpolation;
+    // run on integer cents with dyadic fractions (.25/.5/.75) every
+    // arithmetic step is exact, so the one-pass sort-based percentile is
+    // hash-stable cross-engine.
+    QueryDef(
+      "q84_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        val cents = expr("CAST(round(o_totalprice * 100, 0) AS LONG)")
+        T.orders(s, dir)
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            (percentile(cents, lit(0.25)) / 100.0).as("p25"),
+            (percentile(cents, lit(0.5)) / 100.0).as("p50"),
+            (percentile(cents, lit(0.75)) / 100.0).as("p75"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  quantile_cont(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.25) / 100.0 AS p25,
+             |  quantile_cont(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.5) / 100.0 AS p50,
+             |  quantile_cont(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.75) / 100.0 AS p75
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q85: arbitrary GROUPING SETS (beyond q12's rollup / q21's cube)
+    // with grouping() indicator columns — the general grouping-sets
+    // contract, via the SQL surface.
+    QueryDef(
+      "q85_grouping_sets",
+      (s, dir) => {
+        T.orders(s, dir).createOrReplaceTempView("orders_q85")
+        s.sql("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+                |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+                |FROM orders_q85
+                |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                |  (o_orderpriority, o_orderstatus), ())""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+             |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+             |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+             |  (o_orderpriority, o_orderstatus), ())""".stripMargin))
   )
 }
