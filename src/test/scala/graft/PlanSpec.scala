@@ -37,6 +37,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "no map-side partial aggregation")
   }
 
+  test("q71: dims broadcast, filters pushed, top-10 is TakeOrderedAndProject") {
+    val p = plan("q71_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject(limit=10"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter not pushed to scan")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("q80: the disjunction splits per side and reaches both parquet scans") {
+    val p = plan("q80_disjunctive_rev")
+    // part side: OR of (brand,size) conjuncts pushed; lineitem side: OR of
+    // quantity windows pushed — neither scan reads unfiltered rows
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"), "part-side OR not pushed:\n" + p.take(2000))
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"), "lineitem-side OR not pushed")
+  }
+
+  test("q82: EXISTS / NOT EXISTS plan as semi and anti hash joins with non-equi conditions") {
+    val p = plan("q82_waiting_supplier")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("TakeOrderedAndProject(limit=20"))
+  }
+
+  test("q86: band join is an equi hash join on the bucket key, never a nested-loop") {
+    val p = plan("q86_band_join")
+    assert(p.contains("HashJoin [bkt"), "bucket equi-join missing:\n" + p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "band join degenerated to a cross product")
+  }
+
   test("q44: vec_dot is codegen'd (no UDF/eval fallback in the similarity path)") {
     val p = plan("q44_cosine_topk")
     assert(p.contains("vec_dot"), p.take(1200))
