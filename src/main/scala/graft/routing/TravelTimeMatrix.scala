@@ -1,7 +1,12 @@
 package graft.routing
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The travel-time matrix operator — the computational heart of the
   * reference (SURVEY §2.9), re-expressed for Spark's execution model.
@@ -81,16 +86,114 @@ object TravelTimeMatrix {
       .as[(Seq[RoutePoint], Seq[RoutePoint])]
       .repartition(parallelism)
 
-    blocks.flatMap { case (os, ds) =>
-      routeBlock(router, os.toIndexedSeq, ds.toIndexedSeq, 0, maxDepth)
+    // Emit InternalRows directly instead of going through the product
+    // encoder: at matrix volume (15M rows at sf0.1, ~140B at reference
+    // scale) the per-row String→UTF8String conversions of the encoder
+    // dominate the whole operator. Ids are converted ONCE per block and
+    // reused across the block's cross product.
+    val rowRdd = blocks.rdd.mapPartitions { iter =>
+      iter.flatMap { case (osSeq, dsSeq) =>
+        val os = osSeq.toIndexedSeq
+        val ds = dsSeq.toIndexedSeq
+        val oIds = Array.tabulate(os.length)(i => UTF8String.fromString(os(i).id))
+        val dIds = Array.tabulate(ds.length)(j => UTF8String.fromString(ds(j).id))
+        routeRows(router, os, ds, 0, os.length, 0, ds.length, 0, maxDepth, oIds, dIds)
+      }
     }
+    SqlBridge.internalCreateDataFrame(spark, rowRdd, TimeRecordSchema).as[TimeRecord]
   }
 
-  /** R1/R2/R3: route one block, quadtree-splitting on failure.
-    * Mirrors the reference's `_binary_search`
+  val TimeRecordSchema: StructType = StructType(Seq(
+    StructField("origin_id", StringType, nullable = true),
+    StructField("destination_id", StringType, nullable = true),
+    StructField("duration_sec", DoubleType, nullable = true)))
+
+  /** window view over a point array segment (no copying in the quadtree
+    * recursion — splits are index ranges, not slices).
+    */
+  private final class Span(base: IndexedSeq[RoutePoint], lo: Int, hi: Int)
+    extends IndexedSeq[RoutePoint] {
+    override def apply(k: Int): RoutePoint = base(lo + k)
+    override def length: Int = hi - lo
+  }
+
+  private def row(o: UTF8String, d: UTF8String, v: Any): InternalRow =
+    new GenericInternalRow(Array[Any](o, d, v))
+
+  /** R1/R2/R3 core: route one index-range block, quadtree-splitting on
+    * failure. Mirrors the reference's `_binary_search`
     * (/root/reference/data/src/utils/times.py:485-586): quadrants are the
     * half-splits of each axis; a 1×1 block that still fails — or any block
     * at max depth — yields NULL-duration rows for its full cross product.
+    * Rows are built from the caller's cached UTF8String ids.
+    */
+  private[graft] def routeRows(
+      router: Router,
+      os: IndexedSeq[RoutePoint],
+      ds: IndexedSeq[RoutePoint],
+      oLo: Int, oHi: Int, dLo: Int, dHi: Int,
+      depth: Int,
+      maxDepth: Int,
+      oIds: Array[UTF8String],
+      dIds: Array[UTF8String]): Iterator[InternalRow] = {
+    val nO = oHi - oLo
+    val nD = dHi - dLo
+    if (nO <= 0 || nD <= 0) Iterator.empty
+    else if (nO == 1 && nD == 1 && os(oLo).id == ds(dLo).id) {
+      // R2: identical single origin/destination → zero duration
+      // (times.py:414-432)
+      Iterator.single(row(oIds(oLo), dIds(dLo), 0.0))
+    } else {
+      try {
+        val m = router.table(new Span(os, oLo, oHi), new Span(ds, dLo, dHi))
+        // NaN cells = per-pair unroutable within an otherwise-successful
+        // block (OSRM returns null durations — times.py:474-478); they
+        // become missing_pairs without any quadtree recursion.
+        // Flat hand-rolled iterator: per-pair cost multiplies by every
+        // routed pair, so no nested flatMap/closure dispatch here.
+        new scala.collection.AbstractIterator[InternalRow] {
+          private[this] var i = 0
+          private[this] var j = 0
+          override def hasNext: Boolean = i < nO
+          override def next(): InternalRow = {
+            val v = m(i)(j)
+            val r = row(oIds(oLo + i), dIds(dLo + j),
+              if (java.lang.Double.isNaN(v)) null else v)
+            j += 1
+            if (j == nD) { j = 0; i += 1 }
+            r
+          }
+        }
+      } catch {
+        case _: RoutingFailure =>
+          if (depth >= maxDepth || (nO == 1 && nD == 1)) {
+            // emit the block's full cross product as missing
+            // (create_empty_df semantics, times.py:551-560)
+            new scala.collection.AbstractIterator[InternalRow] {
+              private[this] var i = 0
+              private[this] var j = 0
+              override def hasNext: Boolean = i < nO
+              override def next(): InternalRow = {
+                val r = row(oIds(oLo + i), dIds(dLo + j), null)
+                j += 1
+                if (j == nD) { j = 0; i += 1 }
+                r
+              }
+            }
+          } else {
+            val oMid = oLo + nO / 2
+            val dMid = dLo + nD / 2
+            routeRows(router, os, ds, oLo, oMid, dLo, dMid, depth + 1, maxDepth, oIds, dIds) ++
+              routeRows(router, os, ds, oLo, oMid, dMid, dHi, depth + 1, maxDepth, oIds, dIds) ++
+              routeRows(router, os, ds, oMid, oHi, dLo, dMid, depth + 1, maxDepth, oIds, dIds) ++
+              routeRows(router, os, ds, oMid, oHi, dMid, dHi, depth + 1, maxDepth, oIds, dIds)
+          }
+      }
+    }
+  }
+
+  /** TimeRecord view of [[routeRows]] — the unit-test / embedding surface
+    * (same single implementation underneath).
     */
   private[graft] def routeBlock(
       router: Router,
@@ -98,40 +201,12 @@ object TravelTimeMatrix {
       ds: IndexedSeq[RoutePoint],
       depth: Int,
       maxDepth: Int): Iterator[TimeRecord] = {
-    if (os.isEmpty || ds.isEmpty) Iterator.empty
-    else if (os.length == 1 && ds.length == 1 && os.head.id == ds.head.id) {
-      // R2: identical single origin/destination → zero duration
-      // (times.py:414-432)
-      Iterator.single(TimeRecord(os.head.id, ds.head.id, Some(0.0)))
-    } else {
-      try {
-        val m = router.table(os, ds)
-        // NaN cells = per-pair unroutable within an otherwise-successful
-        // block (OSRM returns null durations — times.py:474-478); they
-        // become missing_pairs without any quadtree recursion.
-        for {
-          i <- os.indices.iterator
-          j <- ds.indices.iterator
-        } yield TimeRecord(os(i).id, ds(j).id,
-          if (java.lang.Double.isNaN(m(i)(j))) None else Some(m(i)(j)))
-      } catch {
-        case _: RoutingFailure =>
-          if (depth >= maxDepth || (os.length == 1 && ds.length == 1)) {
-            // emit the block's full cross product as missing
-            // (create_empty_df semantics, times.py:551-560)
-            for {
-              o <- os.iterator
-              d <- ds.iterator
-            } yield TimeRecord(o.id, d.id, None)
-          } else {
-            val (o1, o2) = os.splitAt(os.length / 2)
-            val (d1, d2) = ds.splitAt(ds.length / 2)
-            routeBlock(router, o1, d1, depth + 1, maxDepth) ++
-              routeBlock(router, o1, d2, depth + 1, maxDepth) ++
-              routeBlock(router, o2, d1, depth + 1, maxDepth) ++
-              routeBlock(router, o2, d2, depth + 1, maxDepth)
-          }
+    val oIds = Array.tabulate(os.length)(i => UTF8String.fromString(os(i).id))
+    val dIds = Array.tabulate(ds.length)(j => UTF8String.fromString(ds(j).id))
+    routeRows(router, os, ds, 0, os.length, 0, ds.length, depth, maxDepth, oIds, dIds)
+      .map { r =>
+        TimeRecord(r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))
       }
-    }
   }
 }

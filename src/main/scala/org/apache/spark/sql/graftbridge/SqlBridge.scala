@@ -14,6 +14,18 @@ object SqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from pre-built InternalRows — lets a high-volume operator
+    * skip the product-encoder serialization path entirely (the operator
+    * constructs rows with cached UTF8Strings instead of per-row
+    * String→UTF8String conversions).
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   def registerFunction(
       spark: SparkSession,
       name: String,
