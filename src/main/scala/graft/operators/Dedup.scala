@@ -66,6 +66,12 @@ object Dedup {
       nBands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = nHashes / nBands
+    // The shingle set feeds four consumers (doc sizes, the signature
+    // aggregate, both sides of verification). Recomputing it per consumer
+    // is measurably CHEAPER than persist(): each consumer gets a pruned,
+    // fully pipelined codegen plan, while caching materializes all ~n×L
+    // shingle strings, breaks stage fusion, and leaks storage across
+    // repeated calls.
     val g = shingles(docs, n)
     // shingle → 32-bit murmur (Spark hash), lifted non-negative
     val gh = g.withColumn("gh", hash(col("gram")).cast("long") + 2147483648L)

@@ -462,6 +462,77 @@ object PipelineQueries extends QueryPack {
              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q87: the end-to-end training-data prep pipeline, composed from the
+    // operator library: quality gate (q47 semantics) → language filter
+    // (q46 argmax) → exact dedup keeping canonical docs (q40) → context
+    // chunking (q57 windows) → per-chunk token counts (q48). One plan,
+    // one shuffle per aggregation boundary — the "could a user run their
+    // whole prep job on this engine" query.
+    QueryDef(
+      "q87_training_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val docs = T.documents(s, dir)
+        val okIds = TextAnalysis.quality(docs)
+          .filter($"quality_bin" === "ok").select("doc_id")
+        val scores = TextAnalysis.langScores(col("text"))
+        val en = docs.join(okIds, "doc_id")
+          .filter(TextAnalysis.argmax(scores) === "en")
+        val canon = Dedup.exact(en)
+        val ded = en.join(canon,
+          md5($"text") === $"text_hash" && $"doc_id" === $"canonical_id", "left_semi")
+        ded
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id",
+            explode(expr(
+              """transform(
+                |  sequence(0, CAST(ceil(greatest(size(w) - 50, 0) / 40.0) AS INT)),
+                |  i -> struct(CAST(i AS BIGINT) AS chunk_idx,
+                |              concat_ws(' ', slice(w, i * 40 + 1, 50)) AS chunk))""".stripMargin)).as("c"))
+          .select($"doc_id", $"c.chunk_idx", $"c.chunk",
+            size(split($"c.chunk", " ")).cast("long").as("chunk_tokens"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_filter(string_split(text,' '), x -> x = 'the')) +
+             |         len(list_filter(string_split(text,' '), x -> x = 'a')) AS BIGINT) AS n_stop
+             |  FROM documents),
+             |ok AS (
+             |  SELECT doc_id, text FROM f
+             |  WHERE NOT (n_tokens < 30)
+             |    AND NOT (CAST(n_stop AS DOUBLE) / n_tokens > 0.08)),
+             |scored AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(list_filter(string_split(text,' '), x -> x = 'the')) +
+             |         len(list_filter(string_split(text,' '), x -> x = 'key')) AS BIGINT) AS s_en,
+             |    CAST(len(list_filter(string_split(text,' '), x -> x = 'data')) +
+             |         len(list_filter(string_split(text,' '), x -> x = 'row')) AS BIGINT) AS s_es,
+             |    CAST(len(list_filter(string_split(text,' '), x -> x = 'join')) +
+             |         len(list_filter(string_split(text,' '), x -> x = 'merge')) AS BIGINT) AS s_de,
+             |    CAST(len(list_filter(string_split(text,' '), x -> x = 'table')) +
+             |         len(list_filter(string_split(text,' '), x -> x = 'sort')) AS BIGINT) AS s_fr,
+             |    CAST(len(list_filter(string_split(text,' '), x -> x = 'spark')) +
+             |         len(list_filter(string_split(text,' '), x -> x = 'batch')) AS BIGINT) AS s_zh
+             |  FROM ok),
+             |en AS (
+             |  SELECT doc_id, text FROM scored
+             |  WHERE s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh),
+             |canon AS (SELECT md5(text) AS h, min(doc_id) AS cid FROM en GROUP BY 1),
+             |ded AS (
+             |  SELECT e.doc_id, e.text FROM en e
+             |  JOIN canon c ON md5(e.text) = c.h AND e.doc_id = c.cid),
+             |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM ded),
+             |chunks AS (
+             |  SELECT doc_id, w,
+             |    unnest(generate_series(0, CAST(ceil(greatest(len(w) - 50, 0) / 40.0) AS BIGINT))) AS chunk_idx
+             |  FROM w)
+             |SELECT doc_id, chunk_idx,
+             |  array_to_string(list_slice(w, chunk_idx * 40 + 1, chunk_idx * 40 + 50), ' ') AS chunk,
+             |  CAST(len(list_slice(w, chunk_idx * 40 + 1, chunk_idx * 40 + 50)) AS BIGINT) AS chunk_tokens
+             |FROM chunks""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q54: one-to-many multimodal decode (frame sampling) — flatMap-typed
     // fan-out with a deterministic stub in place of the codec.
     QueryDef(
