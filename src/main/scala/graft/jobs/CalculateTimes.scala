@@ -33,7 +33,12 @@ object CalculateTimes {
       // when inputs come from files, their content digests are recorded in
       // metadata (file_input_*_md5 — calculate_times.py:100-103)
       originsInputFile: Option[String] = None,
-      destsInputFile: Option[String] = None)
+      destsInputFile: Option[String] = None,
+      // audit params mirrored into metadata (params.yaml:58-67 buffers;
+      // git SHA comes from the environment at submit time)
+      networkBufferM: Double = 340000.0,
+      destinationBufferM: Double = 300000.0,
+      gitSha: String = sys.env.getOrElse("GRAFT_GIT_SHA", "unknown"))
 
   final case class Result(timesDir: String, pointsDir: String, missingDir: String, metadataDir: String)
 
@@ -106,18 +111,28 @@ object CalculateTimes {
     val metadataDir = s"${cfg.outDir}/metadata"
     def md5Of(p: Option[String]): String =
       p.map(graft.sources.TableIO.fileMd5(spark, _)).getOrElse("")
+    // one run covers the whole OD space, so the chunk span is the full
+    // range in the reference's zero-padded `o0-o1_d0-d1` format
+    // (times.py:59-72 chunk grammar)
+    val chunkId = f"${0}%05d-$nO%05d_${0}%05d-$nD%05d"
     val meta = Seq((
       java.util.UUID.randomUUID().toString.take(8),
       new java.sql.Timestamp(System.currentTimeMillis()),
       (System.nanoTime() - t0) / 1e9,
+      chunkId, nO, nD,
       nO, nD, nO * nD, nMissing,
+      cfg.gitSha.take(7), cfg.gitSha,
+      cfg.networkBufferM, cfg.destinationBufferM,
       cfg.oSplit.toLong max cfg.dSplit.toLong,
       cfg.useSnapped,
       md5Of(cfg.originsInputFile),
       md5Of(cfg.destsInputFile)))
       .toDF("run_id", "calc_datetime_finished", "calc_time_elapsed_sec",
+        "calc_chunk_id", "calc_chunk_n_origins", "calc_chunk_n_destinations",
         "calc_n_origins", "calc_n_destinations", "calc_n_pairs",
-        "calc_n_missing_pairs", "param_max_split_size", "param_use_snapped",
+        "calc_n_missing_pairs", "git_commit_sha_short", "git_commit_sha_long",
+        "param_network_buffer_m", "param_destination_buffer_m",
+        "param_max_split_size", "param_use_snapped",
         "file_input_origins_md5", "file_input_destinations_md5")
     // metadata is one row per run spanning every state → no state level
     meta

@@ -32,6 +32,25 @@ class JobSpec extends AnyFunSuite {
     assert(missing.count() == meta.getAs[Long]("calc_n_missing_pairs"))
   }
 
+  test("metadata carries the reference's full audit column set") {
+    // /root/reference/data/src/utils/constants.py:57-83 (centroid_type is
+    // the partition level)
+    val want = Set(
+      "run_id", "calc_datetime_finished", "calc_time_elapsed_sec",
+      "calc_chunk_id", "calc_chunk_n_origins", "calc_chunk_n_destinations",
+      "calc_n_origins", "calc_n_destinations", "calc_n_pairs",
+      "calc_n_missing_pairs", "git_commit_sha_short", "git_commit_sha_long",
+      "param_network_buffer_m", "param_destination_buffer_m",
+      "param_max_split_size", "param_use_snapped",
+      "file_input_origins_md5", "file_input_destinations_md5")
+    val meta = spark.read.parquet(result.metadataDir)
+    assert(want.subsetOf(meta.columns.toSet), want.diff(meta.columns.toSet).toString)
+    val row = meta.head
+    assert(row.getAs[String]("calc_chunk_id").matches("""\d+-\d+_\d+-\d+"""))
+    assert(row.getAs[String]("git_commit_sha_short").length <= 7 ||
+      row.getAs[String]("git_commit_sha_short") == "unknown")
+  }
+
   test("no nulls outside duration_sec; missing_pairs has no duration column") {
     val times = TableIO.readPartitioned(spark, result.timesDir)
     assert(times.filter(col("origin_id").isNull || col("destination_id").isNull).isEmpty)
