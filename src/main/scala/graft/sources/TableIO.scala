@@ -67,6 +67,39 @@ object TableIO {
     df.withColumn("chunk_id",
       regexp_extract(input_file_name(), "part-(\\d+)", 1))
 
+  /** Small-file compaction — the operational hazard of any long-lived
+    * partitioned tree (incremental publishes accrete files; at 100 TB the
+    * NameNode/listing cost and per-file open overhead dominate reads).
+    * Rewrites the tree through the same ordered-publish path (so the
+    * row-group locality contract survives) into a temp dir, then swaps.
+    * Returns (files before, files after).
+    */
+  def compact(
+      spark: SparkSession,
+      baseDir: String,
+      orderCols: Seq[String],
+      partitionKeys: Seq[String] = PartitionKeys,
+      maxRecordsPerFile: Long = 10000000L): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles(p: Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = nFiles(base)
+    val tmp = new Path(baseDir + ".compact-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // materialize fully before touching the source tree
+    writePartitioned(readPartitioned(spark, baseDir), tmp.toString,
+      orderCols, partitionKeys, maxRecordsPerFile)
+    fs.delete(base, true)
+    fs.rename(tmp, base)
+    (before, nFiles(base))
+  }
+
   /** F7: content MD5 of an input file (the reference records input-file
     * MD5s in the metadata audit row — data/src/utils/utils.py:46-52,
     * calculate_times.py:100-103). Streams through Hadoop FS so it works

@@ -27,6 +27,48 @@ class ScaleSpec extends AnyFunSuite {
     assert(planStr.contains("_salt"), "no salt phase in plan")
   }
 
+  test("salted join matches the plain join and runs on (key, salt)") {
+    val s = spark
+    import s.implicits._
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // the salting case: dim too big to broadcast
+      // fact: key 0 owns 90% of rows — one task would own it in a plain SMJ
+      val fact = (0 until 20000).map(i => (if (i % 10 != 0) 0L else (i % 97).toLong, i.toLong))
+        .toDF("k", "v")
+      val dim = (0L until 97L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val plain = fact.join(dim, Seq("k")).select("k", "v", "name")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val saltedDf = graft.operators.Skew.saltedJoin(fact, dim, "k", salts = 8)
+      val salted = saltedDf.select("k", "v", "name")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(salted == plain)
+      val planStr = saltedDf.queryExecution.executedPlan.toString
+      assert(planStr.contains("_salt"), "join does not run on the salt key")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("compaction merges small files and preserves data + ordering contract") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_compact_spec"
+    val df = (0 until 5000).map(i => (f"id$i%05d", i.toDouble, "0.0.1", "car", "2024",
+        "county", f"${i % 3}%02d", "weighted"))
+      .toDF("origin_id", "duration_sec", "version", "mode", "year",
+        "geography", "state", "centroid_type")
+    // force many tiny files
+    graft.sources.TableIO.writePartitioned(df, dir, Seq("origin_id"), maxRecordsPerFile = 100L)
+    val (before, after) = graft.sources.TableIO.compact(s, dir, Seq("origin_id"))
+    assert(before > after, s"no compaction: $before -> $after")
+    assert(after == 3, s"expected 1 file per state partition, got $after")
+    val back = graft.sources.TableIO.readPartitioned(s, dir)
+    assert(back.count() == 5000)
+    // per-file ordering survives (row-group pruning contract)
+    val oneFile = back.select(input_file_name().as("f"), $"origin_id")
+      .collect().groupBy(_.getString(0)).values.head.map(_.getString(1)).toSeq
+    assert(oneFile == oneFile.sorted, "in-file ordering lost after compaction")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark
     import s.implicits._
