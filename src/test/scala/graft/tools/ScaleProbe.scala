@@ -10,8 +10,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-scale-probe")
     import spark.implicits._
-    val nO = 50000
-    val nD = 2000
+    val nO = args.headOption.map(_.toInt).getOrElse(50000)
+    val nD = args.lift(1).map(_.toInt).getOrElse(2000)
     val os = spark.range(nO).map(i =>
       RoutePoint(f"$i%09d", 120.0 + (i % 97) * 0.25, 28.0 + (i % 89) * 0.25))
     val ds = spark.range(nD).map(i =>
