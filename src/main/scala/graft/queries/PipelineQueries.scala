@@ -462,6 +462,30 @@ object PipelineQueries extends QueryPack {
              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q88: regex tokenization (the BPE-ish path proper, complementing
+    // q48's arithmetic estimate): alpha word tokens, greedy ≤4-char
+    // subword units ({1,4} greedy = exactly ceil(len/4) units per word),
+    // and the longest token. Simple character-class patterns have
+    // identical semantics in Java regex and DuckDB's RE2.
+    QueryDef(
+      "q88_regex_tokens",
+      (s, dir) => {
+        import s.implicits._
+        T.documents(s, dir).select(
+          $"doc_id",
+          size(regexp_extract_all($"text", lit("[a-zA-Z]+"), lit(0))).cast("long").as("n_words"),
+          size(regexp_extract_all($"text", lit("[a-zA-Z]{1,4}"), lit(0))).cast("long").as("n_subwords"),
+          array_max(transform(regexp_extract_all($"text", lit("[a-zA-Z]+"), lit(0)),
+            t => length(t))).cast("long").as("max_token_len"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_words,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]{1,4}')) AS BIGINT) AS n_subwords,
+             |  CAST(list_max(list_transform(regexp_extract_all(text, '[a-zA-Z]+'),
+             |    t -> length(t))) AS BIGINT) AS max_token_len
+             |FROM documents""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q87: the end-to-end training-data prep pipeline, composed from the
     // operator library: quality gate (q47 semantics) → language filter
     // (q46 argmax) → exact dedup keeping canonical docs (q40) → context

@@ -100,6 +100,48 @@ object TableIO {
     (before, nFiles(base))
   }
 
+  /** S8's deterministic public file names
+    * (create_public_files.py:94 `FILENAME_PATTERN '{filename}-'` →
+    * `times-0.parquet, times-1.parquet, ...` per partition dir). Spark's
+    * committer owns in-flight names, so determinism is a post-write
+    * rename pass (SURVEY §7.3 — cheaper and safer than a custom
+    * committer): within each partition directory, part-files keep their
+    * write order (part-NNNNN ascending = the sortWithinPartitions
+    * order) and become `<prefix>-<seq>.parquet`. Idempotent.
+    */
+  def renameWithPattern(spark: SparkSession, baseDir: String, prefix: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var renamed = 0L
+    def walk(dir: Path): Unit = {
+      val entries = fs.listStatus(dir)
+      val (dirs, files) = entries.partition(_.isDirectory)
+      dirs.foreach(d => walk(d.getPath))
+      val parts = files.map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      // zero-padded seq keeps lexicographic == write order, and the
+      // two-phase rename (via temp names) cannot collide with leftovers
+      // of a previously interrupted pass
+      val targets = parts.zipWithIndex.map { case (p, i) =>
+        p -> f"$prefix-$i%05d.parquet"
+      }.filter { case (p, want) => p.getName != want }
+      val tmps = targets.map { case (p, want) =>
+        val tmp = new Path(p.getParent, s".rename-tmp-$want")
+        fs.rename(p, tmp)
+        (tmp, new Path(p.getParent, want))
+      }
+      tmps.foreach { case (tmp, dst) =>
+        if (fs.exists(dst)) fs.delete(dst, false)
+        fs.rename(tmp, dst)
+        renamed += 1
+      }
+    }
+    walk(base)
+    renamed
+  }
+
   /** F7: content MD5 of an input file (the reference records input-file
     * MD5s in the metadata audit row — data/src/utils/utils.py:46-52,
     * calculate_times.py:100-103). Streams through Hadoop FS so it works

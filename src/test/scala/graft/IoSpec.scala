@@ -1,5 +1,40 @@
 package graft
 
+class RenameSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+
+  test("S8 rename pass: deterministic public names, stable order, idempotent") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_rename_spec"
+    val df = (0 until 3000).map(i => (f"id$i%05d", i.toDouble, "0.0.1", "car", "2024",
+        "county", f"${i % 2}%02d", "weighted"))
+      .toDF("origin_id", "duration_sec", "version", "mode", "year",
+        "geography", "state", "centroid_type")
+    graft.sources.TableIO.writePartitioned(df, dir, Seq("origin_id"), maxRecordsPerFile = 200L)
+    val n1 = graft.sources.TableIO.renameWithPattern(s, dir, "times")
+    assert(n1 > 0)
+    val back = graft.sources.TableIO.readPartitioned(s, dir)
+    assert(back.count() == 3000)
+    val names = back.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0).replaceAll(".*/", "")).toSeq
+    assert(names.forall(_.matches("""times-\d{5}\.parquet""")), names.take(3).toString)
+    // file-name order preserves the in-partition sort: min id in times-00000
+    // is below min id in times-00001 within the same partition dir
+    val firstPer = back
+      .withColumn("f", input_file_name())
+      .groupBy($"state", $"f").agg(min($"origin_id").as("lo"))
+      .collect().groupBy(_.getString(0))
+    firstPer.values.foreach { rows =>
+      val byName = rows.sortBy(_.getString(1).replaceAll(".*/", "")).map(_.getString(2))
+      assert(byName.toSeq == byName.sortBy(identity).toSeq, "file order != id order")
+    }
+    // idempotent: second pass renames nothing
+    assert(graft.sources.TableIO.renameWithPattern(s, dir, "times") == 0L)
+  }
+}
+
 import graft.sources.TableIO
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite

@@ -69,6 +69,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(oneFile == oneFile.sorted, "in-file ordering lost after compaction")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    val s = spark
+    import s.implicits._
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled").map(k => k -> s.conf.get(k))
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // shrink the skew thresholds so fixture-scale data triggers the
+      // same OptimizeSkewedJoin rewrite a 100 TB hot key would
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = (0 until 200000)
+        .map(i => (if (i % 20 != 0) 0L else (i % 97).toLong, i.toLong)).toDF("k", "v")
+      val dim = (0L until 97L).map(k => (k, s"d$k")).toDF("k", "name")
+      val joined = fact.join(dim, Seq("k"))
+      // collect() (not count()) so THIS plan instance executes and AQE
+      // finalizes it — count() runs a separate plan tree
+      assert(joined.collect().length == 200000)
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("skew=true"), "AQE did not split the skewed join:\n" + planStr.take(1200))
+    } finally keep.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark
     import s.implicits._
