@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.BandJoinRule)
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "vec_dot"),

@@ -23,6 +23,7 @@ object GraftSession {
     val b = SparkSession
       .builder()
       .appName(appName)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -468,6 +468,30 @@ object DomainQueries extends QueryPack {
               |SELECT o.id AS origin_id, d.id AS destination_id,
               |  abs(o.lon - d.lon) + abs(o.lat - d.lat) AS d_manhattan
               |FROM origins o JOIN dests d
+              |  ON abs(o.lon - d.lon) <= 0.25 AND abs(o.lat - d.lat) <= 0.25""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q89: the SAME band join written naively (cross join + inequality
+    // filter, no manual bucketing) — [[graft.plans.BandJoinRule]] must
+    // rewrite it into the bucket equi-join at plan time, and the oracle
+    // hash-check proves the planner rewrite preserves semantics exactly.
+    QueryDef(
+      "q89_band_join_auto",
+      (s, dir) => {
+        import s.implicits._
+        val o = originsDf(s, dir)
+          .select($"id".as("origin_id"), $"lon".as("olon"), $"lat".as("olat"))
+        val d = destsDf(s, dir)
+          .select($"id".as("destination_id"), $"lon".as("dlon"), $"lat".as("dlat"))
+        o.crossJoin(d)
+          .filter(abs($"olon" - $"dlon") <= 0.25 && abs($"olat" - $"dlat") <= 0.25)
+          .select($"origin_id", $"destination_id",
+            (abs($"olon" - $"dlon") + abs($"olat" - $"dlat")).as("d_manhattan"))
+      },
+      Some(s"""WITH $originsSql, $destsSql
+              |SELECT o.id AS origin_id, d.id AS destination_id,
+              |  abs(o.lon - d.lon) + abs(o.lat - d.lat) AS d_manhattan
+              |FROM origins o JOIN dests d
               |  ON abs(o.lon - d.lon) <= 0.25 AND abs(o.lat - d.lat) <= 0.25""".stripMargin))
   )
 }

@@ -67,6 +67,12 @@ class PlanSpec extends AnyFunSuite {
       "band join degenerated to a cross product")
   }
 
+  test("q89: the naive inequality join is rewritten by BandJoinRule (no nested loop)") {
+    val p = plan("q89_band_join_auto")
+    assert(p.contains("_graft_bkt"), "BandJoinRule did not fire:\n" + p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q44: vec_dot is codegen'd (no UDF/eval fallback in the similarity path)") {
     val p = plan("q44_cosine_topk")
     assert(p.contains("vec_dot"), p.take(1200))
