@@ -73,6 +73,40 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming publish: the stream lands in the SAME layout contract as
+    * batch publishes (string-typed Hive partition keys, zstd, ordered
+    * rows) via foreachBatch — each microbatch appends through an ordered
+    * partitioned write keyed by (event_type, hour). On an unbounded
+    * source the accreting small files are exactly what
+    * [[graft.sources.TableIO.compact]] periodically folds up.
+    */
+  def streamingPublish(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = T.events(spark, sfDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(
+        $"event_id", $"user_id", $"value",
+        $"event_type",
+        (expr("ts div 3600000000000") * 3600).cast("string").as("hour"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch
+          .repartition($"event_type", $"hour")
+          .sortWithinPartitions($"event_type", $"hour", $"event_id")
+          .write.mode("append")
+          .option("compression", "zstd")
+          .partitionBy("event_type", "hour")
+          .parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.sources.TableIO.readPartitioned(spark, outDir)
+  }
+
   /** Watermarked append-mode variant (the production shape): 1-hour
     * tumbling windows with a 2-hour watermark. Only windows the watermark
     * has passed are emitted, so the tail window stays in state — callers

@@ -115,6 +115,24 @@ class TextStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming publish lands the layout contract (string keys, readable tree)") {
+    val out = "/tmp/graft_stream_publish_spec"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    val back = StreamingOps.streamingPublish(spark, sf0001, out)
+    val batch = Tables.events(spark, sf0001)
+    assert(back.count() == batch.count())
+    // partition keys recovered as strings (the state='01' contract)
+    assert(back.schema("event_type").dataType.typeName == "string")
+    assert(back.schema("hour").dataType.typeName == "string")
+    // per-partition content matches the batch grouping
+    val streamed = back.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = batch.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == expected)
+  }
+
   test("streaming dedup: dropDuplicates on the stream matches batch distinct") {
     val schema = Tables.events(spark, sf0001).schema
     val src = spark.readStream.schema(schema)
