@@ -115,11 +115,21 @@ object TableIO {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var renamed = 0L
     def walk(dir: Path): Unit = {
+      // crash recovery: a previously interrupted pass may have left data
+      // in phase-1 temp names (dot-files, invisible to readers) —
+      // complete their phase-2 rename before doing anything else
+      fs.listStatus(dir).filter(e => !e.isDirectory &&
+          e.getPath.getName.startsWith(".rename-tmp-")).foreach { e =>
+        val dst = new Path(dir, e.getPath.getName.stripPrefix(".rename-tmp-"))
+        if (fs.exists(dst)) fs.delete(dst, false)
+        fs.rename(e.getPath, dst)
+      }
       val entries = fs.listStatus(dir)
       val (dirs, files) = entries.partition(_.isDirectory)
       dirs.foreach(d => walk(d.getPath))
       val parts = files.map(_.getPath)
-        .filter(p => p.getName.endsWith(".parquet"))
+        // non-dot parquet files only (committer markers etc. are ignored)
+        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
         .sortBy(_.getName)
       // zero-padded seq keeps lexicographic == write order, and the
       // two-phase rename (via temp names) cannot collide with leftovers

@@ -32,6 +32,19 @@ class RenameSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     // idempotent: second pass renames nothing
     assert(graft.sources.TableIO.renameWithPattern(s, dir, "times") == 0L)
+
+    // crash recovery: simulate an interrupted pass (data stuck in a
+    // phase-1 temp dot-file) — the next pass must surface it again
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val victim = fs.listFiles(new Path(dir), true)
+    var v: Path = null
+    while (victim.hasNext) { val f = victim.next().getPath
+      if (f.getName.endsWith(".parquet")) v = f }
+    fs.rename(v, new Path(v.getParent, s".rename-tmp-${v.getName}"))
+    assert(graft.sources.TableIO.readPartitioned(s, dir).count() < 3000) // hidden
+    graft.sources.TableIO.renameWithPattern(s, dir, "times")
+    assert(graft.sources.TableIO.readPartitioned(s, dir).count() == 3000) // recovered
   }
 }
 
