@@ -152,6 +152,52 @@ object Dedup {
     sh
   }
 
+  /** Near-dup pairs → canonical clusters: distributed connected
+    * components. Each round does (1) neighbor-min propagation (a node
+    * takes the minimum label among itself and its neighbors — one
+    * equi-join + one aggregation) and (2) a pointer-jump
+    * (label := label-of-label), which halves the distance to the
+    * component minimum — so convergence is O(log diameter) rounds, not
+    * O(diameter). All steps are shuffle-partitionable joins;
+    * `localCheckpoint` truncates lineage so round N doesn't replay
+    * rounds 1..N−1. This turns the pair list into dedup groups (the
+    * cluster id is the kept canonical document).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIters: Int = 25): DataFrame = {
+    val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = e
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nc")).as("mc"))
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("cluster"),
+          least(col("cluster"), coalesce(col("mc"), col("cluster"))).as("pcluster"))
+      // pointer jump: follow the label's own label one hop
+      val next = propagated
+        .join(labels.select(col("id").as("pcluster"), col("cluster").as("gc")),
+          Seq("pcluster"), "left")
+        .select(col("id"), col("cluster"),
+          least(col("pcluster"), coalesce(col("gc"), col("pcluster"))).as("ncluster"))
+        .localCheckpoint()
+      changed = next.filter(col("ncluster") =!= col("cluster")).count()
+      labels = next.select(col("id"), col("ncluster").as("cluster"))
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3 is
     * fully covered by the 4×16-bit band pigeonhole; larger values trade
     * recall).

@@ -90,6 +90,24 @@ object PipelineQueries extends QueryPack {
              |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
              |      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3""".stripMargin)),
 
+    // q90: dup-pair clusters — connected components over the MinHash-
+    // verified pair graph (distributed min-label propagation), the step
+    // that turns pairwise similarity into dedup groups. Oracle: recursive
+    // CTE transitive closure + min root per node.
+    QueryDef(
+      "q90_dedup_clusters",
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.minhashPairs(T.documents(s, dir), n = 3, nHashes = 64, nBands = 16, threshold = 0.5)),
+      Some(s"""WITH RECURSIVE pairs AS ($ngramPairsSql),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |          UNION ALL SELECT id_b, id_a FROM pairs),
+              |nodes AS (SELECT DISTINCT src AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+              |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin)),
+
     // ------------------------------------------------------------------
     // q43: exact n-gram Jaccard via shingle equi-join.
     QueryDef(

@@ -40,6 +40,20 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"simhash recall $recall over ${exactPairs.size} planted pairs")
   }
 
+  test("connected components: min-label propagation finds the exact clusters") {
+    val s = spark
+    import s.implicits._
+    // two components: {1,2,3,8,9} (via 9-1 bridge) and {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    // long chain: diameter > 1 round forces multiple propagation rounds
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain).collect().map(_.getAs[Long]("cluster")).distinct
+    assert(cc.toSeq == Seq(0L))
+  }
+
   test("exact dedup groups duplicate texts under one canonical id") {
     val s = spark
     import s.implicits._
