@@ -33,7 +33,14 @@ object TableIO {
       orderCols: Seq[String],
       partitionKeys: Seq[String] = PartitionKeys,
       maxRecordsPerFile: Long = 10000000L): Unit = {
-    df.repartition(partitionKeys.map(col): _*)
+    // explicit partition count: a bare repartition(cols) is advisory, so
+    // AQE coalesces the shuffle toward 64 MB partitions and the zstd
+    // encode runs on a handful of tasks; pinning to the cluster's
+    // parallelism keeps every core compressing while each key group
+    // still lands whole in exactly one partition (hash on the key tuple)
+    // → still one file per Hive partition.
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(n, partitionKeys.map(col): _*)
       .sortWithinPartitions((partitionKeys ++ orderCols).map(col): _*)
       .write
       .mode("overwrite")
