@@ -663,6 +663,31 @@ object RelationalQueries extends QueryPack {
              |  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'O') t""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q91: bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) — the
+    // multiplicity-preserving complement of q61: each part key appears
+    // min(na, nb) / max(na − nb, 0) times.
+    QueryDef(
+      "q91_setops_all",
+      (s, dir) => {
+        import s.implicits._
+        val li = T.lineitem(s, dir)
+        val returned = li.filter($"l_returnflag" === "R").select($"l_partkey")
+        val open = li.filter($"l_linestatus" === "O").select($"l_partkey")
+        returned.intersectAll(open).select($"l_partkey", lit("both").as("bucket"))
+          .unionByName(
+            returned.exceptAll(open).select($"l_partkey", lit("returned_only").as("bucket")))
+      },
+      Some("""SELECT l_partkey, 'both' AS bucket FROM (
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+             |  INTERSECT ALL
+             |  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'O') t
+             |UNION ALL
+             |SELECT l_partkey, 'returned_only' AS bucket FROM (
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+             |  EXCEPT ALL
+             |  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'O') t""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q62: generator/UDTF surface — explode word tokens, global top-20 by
     // (count desc, word) with deterministic tiebreak.
     QueryDef(
