@@ -68,7 +68,7 @@ object CalculateTimes {
       else ps.map(p => RoutePoint(p.id, p.lon, p.lat))
     val times = TravelTimeMatrix.run(
       spark, routed(oSnap), routed(dSnap), router,
-      cfg.oSplit, cfg.dSplit, cfg.maxDepth).toDF().cache()
+      cfg.oSplit, cfg.dSplit, cfg.maxDepth).toDF()
 
     val partCols: DataFrame => DataFrame = df => df
       .withColumn("version", lit(cfg.version))
@@ -78,14 +78,27 @@ object CalculateTimes {
       .withColumn("state", stateOf(col("origin_id")))
       .withColumn("centroid_type", lit(cfg.centroidType))
 
-    // 3. null-split (P4: one cached scan, two sinks — calculate_times.py:71-79)
+    // 3. The matrix is routed EXACTLY ONCE, straight into the times sink —
+    // never cached (at the reference's national scale the matrix is ~140 B
+    // rows; a full-matrix cache doubles the job's storage footprint,
+    // calculate_times.py holds it in one pandas frame only because each CI
+    // job sees a single chunk). missing_pairs is then *derived from the
+    // written tree*: full OD id space (a cross join of two id-only point
+    // sets — never the routed payload) anti-joined against the published
+    // (origin_id, destination_id) pairs, a 2-string-column pruned scan.
+    // Null-duration rows never leave the routing operator as stored data.
     val timesDir = s"${cfg.outDir}/times"
     val missingDir = s"${cfg.outDir}/missing_pairs"
     TableIO.writePartitioned(
       partCols(times.filter(col("duration_sec").isNotNull)),
       timesDir, Seq("origin_id", "destination_id"))
+
+    val writtenPairs = spark.read.parquet(timesDir)
+      .select(col("origin_id"), col("destination_id"))
+    val allPairs = oSnap.select(col("id").as("origin_id"))
+      .crossJoin(dSnap.select(col("id").as("destination_id")))
     TableIO.writePartitioned(
-      partCols(times.filter(col("duration_sec").isNull))
+      partCols(allPairs.join(writtenPairs, Seq("origin_id", "destination_id"), "left_anti"))
         .select("version", "mode", "year", "geography", "state", "centroid_type",
           "origin_id", "destination_id"),
       missingDir, Seq("origin_id", "destination_id"))
@@ -104,10 +117,12 @@ object CalculateTimes {
       pointsDir, Seq("id"),
       partitionKeys = TableIO.PartitionKeys :+ "point_type")
 
-    // 5. metadata audit row (calculate_times.py:96-133 / FIXTURES §B8)
+    // 5. metadata audit row (calculate_times.py:96-133 / FIXTURES §B8).
+    // n_missing comes from the written tree (a parquet metadata count),
+    // NOT from re-evaluating the matrix.
     val nO = oSnap.count()
     val nD = dSnap.count()
-    val nMissing = times.filter(col("duration_sec").isNull).count()
+    val nMissing = nO * nD - spark.read.parquet(timesDir).count()
     val metadataDir = s"${cfg.outDir}/metadata"
     def md5Of(p: Option[String]): String =
       p.map(graft.sources.TableIO.fileMd5(spark, _)).getOrElse("")
@@ -146,7 +161,7 @@ object CalculateTimes {
       .partitionBy(TableIO.PartitionKeys.filterNot(_ == "state"): _*)
       .parquet(metadataDir)
 
-    times.unpersist(); oSnap.unpersist(); dSnap.unpersist()
+    oSnap.unpersist(); dSnap.unpersist()
     Result(timesDir, pointsDir, missingDir, metadataDir)
   }
 }

@@ -39,9 +39,34 @@ object Dedup {
           s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("gram"))
       .distinct()
 
-  /** Exact pairwise n-gram Jaccard ≥ threshold via shingle equi-join. */
-  def ngramPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val g = shingles(docs, n)
+  /** Document-frequency cap: drops shingles appearing in more than
+    * `maxDf` documents BEFORE any self-join. A shingle shared by k docs
+    * contributes k² rows to the shingle equi-join, so one boilerplate
+    * header across a corpus turns candidate generation quadratic; capping
+    * df bounds per-shingle join fan-out at maxDf² (standard practice —
+    * near-universal shingles carry no dedup signal anyway). Capped
+    * shingles leave the universe entirely: Jaccard is computed over the
+    * surviving shingle sets on both the intersection and union sides, so
+    * the estimate stays a true Jaccard (of the filtered sets) rather than
+    * a biased ratio.
+    */
+  private def dfCapped(g: DataFrame, maxDf: Option[Int]): DataFrame =
+    maxDf match {
+      case None => g
+      case Some(cap) =>
+        val rare = g.groupBy(col("gram"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+          .select(col("gram"))
+        g.join(rare, Seq("gram")).select(col("doc_id"), col("gram"))
+    }
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold via shingle equi-join.
+    * `maxDf` (off by default) enables the hot-shingle cap for corpora
+    * with shared boilerplate — see [[dfCapped]].
+    */
+  def ngramPairs(docs: DataFrame, n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
+    val g = dfCapped(shingles(docs, n), maxDf)
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = g.as("ga").join(g.as("gb"),
         col("ga.gram") === col("gb.gram") && col("ga.doc_id") < col("gb.doc_id"))
@@ -64,7 +89,8 @@ object Dedup {
       n: Int = 3,
       nHashes: Int = 64,
       nBands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxDf: Option[Int] = None): DataFrame = {
     val rowsPerBand = nHashes / nBands
     // The shingle set feeds four consumers (doc sizes, the signature
     // aggregate, both sides of verification). Recomputing it per consumer
@@ -72,7 +98,7 @@ object Dedup {
     // fully pipelined codegen plan, while caching materializes all ~n×L
     // shingle strings, breaks stage fusion, and leaks storage across
     // repeated calls.
-    val g = shingles(docs, n)
+    val g = dfCapped(shingles(docs, n), maxDf)
     // shingle → 32-bit murmur (Spark hash), lifted non-negative
     val gh = g.withColumn("gh", hash(col("gram")).cast("long") + 2147483648L)
 

@@ -40,20 +40,30 @@ final class GridSnapper(noSnapAboveLat: Double = Double.MaxValue) extends Snappe
 }
 
 /** The snap operator (J7/R5): mapPartitions so each task issues one
-  * batched backend call per partition — the Spark shape of the reference's
-  * per-point HTTP loop. Coalesce-to-original + is_snapped derivation are
-  * P6/P7 (times.py:680-682).
+  * batched backend call per bounded group — the Spark shape of the
+  * reference's per-point HTTP loop. Per-backend-call work is capped at
+  * `batchSize` points (the reference bounds per-request size the same
+  * way, params.yaml max_split_size = 5000), so task memory is bounded by
+  * the batch constant rather than the partition size. Coalesce-to-original
+  * + is_snapped derivation are P6/P7 (times.py:680-682).
   */
 object Snap {
-  def apply(spark: SparkSession, points: Dataset[RawPoint], snapper: Snapper): Dataset[SnappedPoint] = {
+  val DefaultBatchSize = 5000
+
+  def apply(
+      spark: SparkSession,
+      points: Dataset[RawPoint],
+      snapper: Snapper,
+      batchSize: Int = DefaultBatchSize): Dataset[SnappedPoint] = {
     import spark.implicits._
     points.mapPartitions { it =>
-      val pts = it.toVector
-      val snapped = snapper.snap(pts.map(p => (p.lon, p.lat)))
-      pts.iterator.zip(snapped.iterator).map { case (p, s) =>
-        val (slon, slat) = s.getOrElse((p.lon, p.lat)) // P6 coalesce fallback
-        SnappedPoint(p.id, p.lon, p.lat, slon, slat,
-          p.lon != slon || p.lat != slat) // P7 derived boolean
+      it.grouped(batchSize).flatMap { pts =>
+        val snapped = snapper.snap(pts.map(p => (p.lon, p.lat)))
+        pts.iterator.zip(snapped.iterator).map { case (p, s) =>
+          val (slon, slat) = s.getOrElse((p.lon, p.lat)) // P6 coalesce fallback
+          SnappedPoint(p.id, p.lon, p.lat, slon, slat,
+            p.lon != slon || p.lat != slat) // P7 derived boolean
+        }
       }
     }
   }

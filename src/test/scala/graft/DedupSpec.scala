@@ -68,4 +68,37 @@ class DedupSpec extends AnyFunSuite {
     assert(TextAnalysis.rollingHash("a b c") != TextAnalysis.rollingHash("c b a"))
     assert(TextAnalysis.rollingHash("a b c") == TextAnalysis.rollingHash("a b c"))
   }
+
+  test("hot-shingle df cap: shared boilerplate header does not blow up candidates") {
+    val s = spark
+    import s.implicits._
+    // 1000 docs, every one sharing the same 8-word header (every header
+    // shingle has df=1000 → uncapped the header alone contributes
+    // ~6 × 1000² = 6M join rows); unique bodies except two planted dups.
+    val header = "terms of service apply to this document copyright"
+    val body = (i: Long) => (0 until 12).map(k => s"w${i}_$k").mkString(" ")
+    val docs = (0L until 1000L).map { i =>
+      val b = if (i == 999L) body(0L) else body(i) // 999 duplicates 0's body
+      (i, s"$header $b")
+    }.toDF("doc_id", "text")
+
+    val capped = Dedup.ngramPairs(docs, 3, 0.5, maxDf = Some(10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // header shingles are df=1000 → dropped; bodies are unique except the
+    // planted pair, whose filtered Jaccard is 1.0
+    assert(capped == Set((0L, 999L)))
+
+    // minhash path honors the same cap and agrees
+    val mh = Dedup.minhashPairs(docs, 3, 64, 16, 0.5, maxDf = Some(10)).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(mh == capped)
+
+    // and with no cap the header drags every pair to Jaccard 6/30 = 0.2 —
+    // the adversarial quadratic case the cap exists for (checked on a
+    // small slice to keep the test fast): all C(40,2) pairs vs none
+    val slice = docs.filter($"doc_id" < 40)
+    val uncapped = Dedup.ngramPairs(slice, 3, 0.15).count()
+    val cappedSlice = Dedup.ngramPairs(slice, 3, 0.15, maxDf = Some(10)).count()
+    assert(uncapped == 780L && cappedSlice == 0L)
+  }
 }

@@ -74,4 +74,51 @@ class JobSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("matrix is routed exactly once and never left cached (write-once, derive missing)") {
+    val s = spark
+    import s.implicits._
+    val origins = (0 until 40).map(i => RawPoint(f"${i}%07d23", 120.0 + (i % 9) * 0.25, 28.0 + (i % 7) * 0.25))
+    val dests = (0 until 10).map(i => RawPoint(f"${i + 500000}%07d41", 121.0 + (i % 5) * 0.25, 29.0 + (i % 11) * 0.25))
+    val base = new SyntheticRouter(30.0,
+      originIsland = p => p.id.startsWith("000001"), destIsland = _ => false)
+    val counting = new CountingRouter(base)
+
+    // reference pass: the same matrix through the operator alone, one scan
+    val snapper = new GridSnapper(noSnapAboveLat = 44.0)
+    val ro = Snap(s, origins.toDS(), snapper).map(p => RoutePoint(p.id, p.lon_snapped, p.lat_snapped))
+    val rd = Snap(s, dests.toDS(), snapper).map(p => RoutePoint(p.id, p.lon_snapped, p.lat_snapped))
+    RouterCallSink.calls.set(0)
+    TravelTimeMatrix.run(s, ro, rd, counting, 16, 8, 10).toDF().count()
+    val singlePass = RouterCallSink.calls.get()
+    assert(singlePass > 0)
+
+    // the full job must not route any block a second time (no cache, no
+    // second evaluation for the null split) ...
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    RouterCallSink.calls.set(0)
+    CalculateTimes.run(s, origins.toDS(), dests.toDS(), snapper, counting,
+      CalculateTimes.Config(oSplit = 16, dSplit = 8, maxDepth = 10,
+        outDir = "/tmp/graft_job_once"))
+    assert(RouterCallSink.calls.get() == singlePass,
+      s"job routed ${RouterCallSink.calls.get()} blocks vs $singlePass for one pass")
+    // ... and must release every cache it created (the matrix is never
+    // cached at all; point caches are unpersisted before returning)
+    val leaked = s.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"job left cached RDDs: $leaked")
+  }
+}
+
+/** JVM-local router call counter (tests run local[*], one JVM). */
+object RouterCallSink {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+final class CountingRouter(inner: Router) extends Router {
+  override def table(
+      origins: IndexedSeq[RoutePoint],
+      dests: IndexedSeq[RoutePoint]): Array[Array[Double]] = {
+    RouterCallSink.calls.incrementAndGet()
+    inner.table(origins, dests)
+  }
 }

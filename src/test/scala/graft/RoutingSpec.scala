@@ -2,6 +2,7 @@ package graft
 
 import graft.routing._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 class RoutingSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -67,5 +68,39 @@ class RoutingSpec extends AnyFunSuite {
     assert(out("off_grid").lon_snapped == 120.5 && out("off_grid").lat_snapped == 30.5)
     assert(out("off_grid").is_snapped)
     assert(out("no_snap").lon_snapped == 120.25 && !out("no_snap").is_snapped)
+  }
+
+  test("snap: backend calls are capped at batchSize regardless of partition size") {
+    val s = spark
+    import s.implicits._
+    // a snapper that records every batch size it sees (driver-side via
+    // accumulator-free trick: local[*] shares the JVM, so a static sink works)
+    MaxBatchSink.sizes.clear()
+    val in = (0 until 2350).map(i => RawPoint(f"p$i%05d", 120.0 + (i % 50) * 0.25, 30.0))
+    val out = Snap(s, in.toDS().repartition(3), new RecordingSnapper, batchSize = 100)
+      .collect()
+    assert(out.length == in.size)
+    assert(out.map(_.id).toSet == in.map(_.id).toSet)
+    val sizes = MaxBatchSink.sizes.asScala.toList
+    assert(sizes.nonEmpty && sizes.max <= 100, s"saw batch sizes ${sizes.distinct}")
+    // every point snapped to the 0.5 grid exactly as with one big batch
+    val direct = new GridSnapper().snap(in.map(p => (p.lon, p.lat)))
+    val byId = out.map(p => p.id -> (p.lon_snapped, p.lat_snapped)).toMap
+    in.zip(direct).foreach { case (p, s0) =>
+      assert(byId(p.id) == s0.get)
+    }
+  }
+}
+
+/** JVM-local sink recording batch sizes (tests run local[*], one JVM). */
+object MaxBatchSink {
+  val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+}
+
+final class RecordingSnapper extends Snapper {
+  private val inner = new GridSnapper()
+  override def snap(batch: Seq[(Double, Double)]): Seq[Option[(Double, Double)]] = {
+    MaxBatchSink.sizes.add(batch.size)
+    inner.snap(batch)
   }
 }
