@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryPack, Tables => T}
-import graft.etl.Centroids
+import graft.etl.{Centroids, Destpoint}
 import graft.geo.{Albers, Geometry}
 import graft.jobs.CalculateTimes
 import graft.routing._
@@ -67,6 +67,52 @@ object DomainQueries extends QueryPack {
        |         ELSE (abs(o.lon - d.lon) + abs(o.lat - d.lat)) * 111320.0 / 30.0
        |    END AS duration_sec
        |  FROM origins o CROSS JOIN dests d)""".stripMargin
+
+  /** DuckDB mirror of [[cenlocFrame]] as a reusable CTE chain. */
+  private val cenlocSql =
+    """blocks AS (
+      |  SELECT 120.0 + (c_custkey % 97) * 0.25 AS x,
+      |         28.0 + (c_custkey % 89) * 0.25 AS y,
+      |         CASE WHEN c_acctbal >= 9000.0 THEN 1 ELSE 0 END AS population
+      |  FROM customer),
+      |assigned AS (
+      |  SELECT x, y, population,
+      |    CASE WHEN y > 28.001 AND y < 46.001 AND x > 120.001 AND x < 145.001 THEN
+      |      CASE WHEN x < 125.001 THEN 'G0'
+      |           WHEN x < 130.001 THEN 'G1'
+      |           WHEN x < 135.001 THEN 'G2'
+      |           WHEN x < 140.001 THEN 'G3'
+      |           ELSE 'G4' END
+      |    END AS geoid
+      |  FROM blocks),
+      |cenloc AS (
+      |  SELECT geoid, avg(x) AS x, avg(y) AS y,
+      |    CASE WHEN sum(CAST(population AS DOUBLE)) = 0.0 THEN avg(x)
+      |         ELSE sum(x * CAST(population AS DOUBLE)) / sum(CAST(population AS DOUBLE))
+      |    END AS x_wt,
+      |    CASE WHEN sum(CAST(population AS DOUBLE)) = 0.0 THEN avg(y)
+      |         ELSE sum(y * CAST(population AS DOUBLE)) / sum(CAST(population AS DOUBLE))
+      |    END AS y_wt,
+      |    CAST(sum(population) AS BIGINT) AS population
+      |  FROM assigned WHERE geoid IS NOT NULL GROUP BY geoid)""".stripMargin
+
+  /** cenloc build shared by q29 and the q93 destpoint stage
+    * (create_cenloc.py:82-153): spatial-assign blocks to geographies
+    * (J4), weighted centroid per geography (A1).
+    */
+  private def cenlocFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val polys = (0 until 5).map { i =>
+      (s"G$i", Geometry.rectWkt(120.001 + 5 * i, 28.001, 125.001 + 5 * i, 46.001))
+    }
+    val assign = Geometry.assignUdf(polys)
+    val blocks = T.customer(s, dir).select(
+      (lit(120.0) + ($"c_custkey" % 97) * 0.25).as("x"),
+      (lit(28.0) + ($"c_custkey" % 89) * 0.25).as("y"),
+      when($"c_acctbal" >= 9000.0, lit(1)).otherwise(lit(0)).as("population"))
+    Centroids.cenloc(
+      blocks.withColumn("geoid", assign($"x", $"y")).filter($"geoid".isNotNull))
+  }
 
   /** The full times table via the distributed matrix operator. The
     * synthetic router fails any block containing an island point, so the
@@ -241,43 +287,9 @@ object DomainQueries extends QueryPack {
     // → weighted centroid per geography (A1). One broadcast + one shuffle.
     QueryDef(
       "q29_cenloc_pipeline",
-      (s, dir) => {
-        import s.implicits._
-        val polys = (0 until 5).map { i =>
-          (s"G$i", Geometry.rectWkt(120.001 + 5 * i, 28.001, 125.001 + 5 * i, 46.001))
-        }
-        val assign = Geometry.assignUdf(polys)
-        val blocks = T.customer(s, dir).select(
-          (lit(120.0) + ($"c_custkey" % 97) * 0.25).as("x"),
-          (lit(28.0) + ($"c_custkey" % 89) * 0.25).as("y"),
-          when($"c_acctbal" >= 9000.0, lit(1)).otherwise(lit(0)).as("population"))
-        Centroids.cenloc(
-          blocks.withColumn("geoid", assign($"x", $"y")).filter($"geoid".isNotNull))
-      },
-      Some("""WITH blocks AS (
-             |  SELECT 120.0 + (c_custkey % 97) * 0.25 AS x,
-             |         28.0 + (c_custkey % 89) * 0.25 AS y,
-             |         CASE WHEN c_acctbal >= 9000.0 THEN 1 ELSE 0 END AS population
-             |  FROM customer),
-             |assigned AS (
-             |  SELECT x, y, population,
-             |    CASE WHEN y > 28.001 AND y < 46.001 AND x > 120.001 AND x < 145.001 THEN
-             |      CASE WHEN x < 125.001 THEN 'G0'
-             |           WHEN x < 130.001 THEN 'G1'
-             |           WHEN x < 135.001 THEN 'G2'
-             |           WHEN x < 140.001 THEN 'G3'
-             |           ELSE 'G4' END
-             |    END AS geoid
-             |  FROM blocks)
-             |SELECT geoid, avg(x) AS x, avg(y) AS y,
-             |  CASE WHEN sum(CAST(population AS DOUBLE)) = 0.0 THEN avg(x)
-             |       ELSE sum(x * CAST(population AS DOUBLE)) / sum(CAST(population AS DOUBLE))
-             |  END AS x_wt,
-             |  CASE WHEN sum(CAST(population AS DOUBLE)) = 0.0 THEN avg(y)
-             |       ELSE sum(y * CAST(population AS DOUBLE)) / sum(CAST(population AS DOUBLE))
-             |  END AS y_wt,
-             |  CAST(sum(population) AS BIGINT) AS population
-             |FROM assigned WHERE geoid IS NOT NULL GROUP BY geoid""".stripMargin)),
+      (s, dir) => cenlocFrame(s, dir),
+      Some(s"""WITH $cenlocSql
+              |SELECT geoid, x, y, x_wt, y_wt, population FROM cenloc""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q34: Albers EPSG:5071 forward+inverse roundtrip (F11,
@@ -492,6 +504,62 @@ object DomainQueries extends QueryPack {
               |SELECT o.id AS origin_id, d.id AS destination_id,
               |  abs(o.lon - d.lon) + abs(o.lat - d.lat) AS d_manhattan
               |FROM origins o JOIN dests d
-              |  ON abs(o.lon - d.lon) <= 0.25 AND abs(o.lat - d.lat) <= 0.25""".stripMargin))
+              |  ON abs(o.lon - d.lon) <= 0.25 AND abs(o.lat - d.lat) <= 0.25""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q92: the grid-bucketed spatial join — J4 at polygon counts where
+    // the q35 broadcast linear scan stops being a plan (create_cenloc.py
+    // sjoins 240k+ TIGER polygons). 450 adjacent 1°×1° rectangles tile
+    // the fixture extent; candidates come from a hash equi-join on the
+    // grid cell (PlanSpec asserts no nested-loop), refined by exact
+    // ray-casting. The oracle recomputes the tiling arithmetically.
+    QueryDef(
+      "q92_spatial_grid_join",
+      (s, dir) => {
+        val polys = for { i <- 0 until 25; j <- 0 until 18 } yield
+          (s"C${i}_$j", Geometry.rectWkt(120.001 + i, 28.001 + j, 121.001 + i, 29.001 + j))
+        Geometry.gridAssign(originsDf(s, dir), col("lon"), col("lat"), polys, cellSize = 1.0)
+          .select(col("id"), col("geoid"))
+      },
+      Some(s"""WITH $originsSql
+              |SELECT id,
+              |  'C' || CAST(CAST(floor(lon - 120.001) AS INT) AS VARCHAR) || '_' ||
+              |         CAST(CAST(floor(lat - 28.001) AS INT) AS VARCHAR) AS geoid
+              |FROM origins
+              |WHERE lon > 120.001 AND lon < 145.001
+              |  AND lat > 28.001 AND lat < 46.001""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q93: the composed destpoint stage (create_destpoint.py:55-82) —
+    // buffered state boundary → within-filters on BOTH centroid kinds →
+    // geoid membership union (U3+P5 semi-join) → keep-list → sort. With
+    // cenloc (q29) and blockloc (q17) this closes the reference's
+    // 3-stage ETL spine. The boundary rect is placed so the fixture
+    // exercises every membership path: G0 kept via the unweighted
+    // centroid only, G1 via both, G2 via the weighted one only, G3/G4
+    // dropped. The oracle recomputes the buffered bounds with the same
+    // vertex-offset arithmetic (Polygon.buffer of an axis-aligned
+    // 4-vertex rect is again an axis-aligned rect).
+    QueryDef(
+      "q93_destpoint_pipeline",
+      (s, dir) => {
+        val boundary = Geometry.Polygon(Array(
+          (123.0, 30.0), (131.9, 30.0), (131.9, 44.0), (123.0, 44.0)))
+        Destpoint.run(cenlocFrame(s, dir), boundary, buffer = 1.0)
+      },
+      Some(s"""WITH $cenlocSql,
+              |bnd AS (
+              |  SELECT
+              |    123.0 + (123.0 - cx) / sqrt((123.0 - cx) * (123.0 - cx) + (30.0 - cy) * (30.0 - cy)) * 1.0 AS xlo,
+              |    131.9 + (131.9 - cx) / sqrt((131.9 - cx) * (131.9 - cx) + (30.0 - cy) * (30.0 - cy)) * 1.0 AS xhi,
+              |    30.0 + (30.0 - cy) / sqrt((123.0 - cx) * (123.0 - cx) + (30.0 - cy) * (30.0 - cy)) * 1.0 AS ylo,
+              |    44.0 + (44.0 - cy) / sqrt((123.0 - cx) * (123.0 - cx) + (44.0 - cy) * (44.0 - cy)) * 1.0 AS yhi
+              |  FROM (SELECT (123.0 + 131.9 + 131.9 + 123.0) / 4 AS cx,
+              |               (30.0 + 30.0 + 44.0 + 44.0) / 4 AS cy))
+              |SELECT geoid, x, y, x_wt, y_wt, population
+              |FROM cenloc, bnd
+              |WHERE (x > xlo AND x < xhi AND y > ylo AND y < yhi)
+              |   OR (x_wt > xlo AND x_wt < xhi AND y_wt > ylo AND y_wt < yhi)
+              |ORDER BY geoid""".stripMargin))
   )
 }

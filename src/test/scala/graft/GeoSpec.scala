@@ -4,6 +4,7 @@ import graft.geo.{Albers, Geometry}
 import org.scalatest.funsuite.AnyFunSuite
 
 class GeoSpec extends AnyFunSuite {
+  import SparkTestSession._
 
   test("Albers: projection origin maps to (0, 0)") {
     val (x, y) = Albers.forward(-96.0, 23.0)
@@ -80,6 +81,32 @@ class GeoSpec extends AnyFunSuite {
     val buffered = rect.buffer(3.0)
     assert(!rect.contains(11.0, 5.0))
     assert(buffered.contains(11.0, 5.0))
+  }
+
+  test("grid join equals the broadcast linear scan at high polygon count (overlaps + concave)") {
+    val s = spark
+    import s.implicits._
+    // 1600 unit squares + a higher-priority concave L overlapping them:
+    // a polygon count where the O(|polys|)-per-row linear scan is visibly
+    // the wrong plan and cell bucketing is the real path
+    val grid = for { i <- 0 until 40; j <- 0 until 40 } yield
+      (s"g${i}_$j", Geometry.rectWkt(i + 0.001, j + 0.001, i + 1.001, j + 1.001))
+    val ell = "POLYGON ((5.001 5.001, 9.001 5.001, 9.001 6.501, 6.501 6.501, 6.501 9.001, 5.001 9.001, 5.001 5.001))"
+    val polys = ("L0", ell) +: grid
+    val pts = (0 until 5000)
+      .map(k => (k.toLong, (k % 80) * 0.5 + 0.25, (k / 80 % 80) * 0.5 + 0.25))
+      .toDF("pid", "x", "y")
+
+    val expect = pts.withColumn("geoid", Geometry.assignUdf(polys)($"x", $"y"))
+      .filter($"geoid".isNotNull)
+      .select("pid", "geoid").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Geometry.gridAssign(pts, $"x", $"y", polys, cellSize = 2.0)
+      .select("pid", "geoid").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expect)
+    // the overlap really exercised first-match priority, and the concave
+    // notch fell through to the underlying square
+    assert(got.values.exists(_ == "L0"))
+    assert(got(expect.find(_._2 == "L0").get._1) == "L0")
   }
 
   test("geoid split semantics (F3: 2/5/11/12/15-digit prefixes)") {

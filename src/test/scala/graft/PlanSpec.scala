@@ -80,4 +80,13 @@ class PlanSpec extends AnyFunSuite {
     // top-k via window must use the group-limit optimization, not a full rank
     assert(p.contains("WindowGroupLimit"))
   }
+
+  test("q92: spatial candidates come from a hash equi-join on the grid cell, never a polygon scan") {
+    val p = plan("q92_spatial_grid_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "spatial join fell back to a nested loop")
+    assert(p.contains("__cx") && p.contains("__cy"), "join key is not the grid cell")
+  }
 }
