@@ -285,13 +285,17 @@ object PipelineQueries extends QueryPack {
              |FROM documents""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q49: embedding-cosine near-dup pairs (brute-force verified; probe
-    // side sharded by vec_id % 4 = 0 — the shape of a sharded all-pairs
-    // sweep).
+    // q49: embedding-cosine near-dup pairs — the EXACT all-pairs baseline
+    // (bruteForce = true, explicitly: at this fixture's 0.4 threshold the
+    // pair mass sits right at the cut, the regime where no prefilter can
+    // both prune and keep recall; probe side sharded by vec_id % 4 = 0 —
+    // the shape of a sharded all-pairs sweep). q94 is the default
+    // LSH-prefiltered path at a near-dup threshold.
     QueryDef(
       "q49_embed_neardup",
       (s, dir) => Similarity.nearDupPairs(
-        T.embeddings(s, dir), threshold = 0.4, leftPred = col("id_a") % 4 === 0),
+        T.embeddings(s, dir), threshold = 0.4, leftPred = col("id_a") % 4 === 0,
+        bruteForce = true),
       headline = true,
       oracle =
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -583,6 +587,41 @@ object PipelineQueries extends QueryPack {
       Some("""SELECT doc_id,
              |  unnest(generate_series(1, octet_length(CAST(text AS BLOB)) % 4 + 1)) AS frame_idx,
              |  CAST(octet_length(CAST(text AS BLOB)) // (octet_length(CAST(text AS BLOB)) % 4 + 1) AS BIGINT) AS frame_bytes
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q94: the DEFAULT near-dup path — banded sign-LSH prefilter + exact
+    // cosine verify — at a real near-dup threshold (0.9). Planted dups:
+    // every vec_id % 10 = 3 vector re-enters scaled by 1.5f (same float
+    // op in both engines → bit-identical vectors; scaling preserves every
+    // projection sign, so each planted pair collides in ALL 16 bands —
+    // recall is structural here, not probabilistic). The oracle is exact
+    // brute force over the same union, so the hash-match proves
+    // prefilter+verify ≡ exact. PlanSpec asserts no nested-loop join.
+    QueryDef(
+      "q94_lsh_neardup",
+      (s, dir) => {
+        val base = T.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val dups = base.filter(col("vec_id") % 10 === 3)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+        Similarity.nearDupPairs(base.unionByName(dups), threshold = 0.9, leftPred = lit(true))
+      },
+      headline = true,
+      oracle =
+      Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+             |dups AS (
+             |  SELECT vec_id + 100000 AS vec_id,
+             |         list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS embedding
+             |  FROM base WHERE vec_id % 10 = 3),
+             |e AS (SELECT * FROM base UNION ALL SELECT * FROM dups)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE) /
+             |    (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE)) *
+             |     sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))) AS cosine
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE) /
+             |    (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE)) *
+             |     sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))) > 0.9""".stripMargin))
   )
 }

@@ -81,6 +81,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q94: near-dup candidates come from the banded equi-join, not an all-pairs product") {
+    val p = plan("q94_lsh_neardup")
+    assert(!p.contains("CartesianProduct"), "near-dup default path fell back to all-pairs")
+    assert(p.contains("vec_dot"), "prefilter signature is not the codegen dot product")
+  }
+
   test("q92: spatial candidates come from a hash equi-join on the grid cell, never a polygon scan") {
     val p = plan("q92_spatial_grid_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")

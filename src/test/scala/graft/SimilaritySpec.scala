@@ -99,4 +99,27 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"IVF recall@5 on random vectors: $recall")
     assert(recall >= 0.3, s"recall $recall")
   }
+
+  test("default near-dup path (LSH prefilter + exact verify) finds 100% of planted dups") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    // plant a scaled copy of every 5th vector: cosine ≈ 1 and identical
+    // projection signs, so the prefilter must catch every planted pair
+    val dups = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 50000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = base.unionByName(dups)
+    val got = Similarity.nearDupPairs(corpus, 0.9, lit(true)).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cosine")))
+    val want = Similarity.nearDupPairs(corpus, 0.9, lit(true), bruteForce = true).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cosine")))
+    // exact equality including cosine values: verify is exact, recall 100%
+    assert(got.toSet == want.toSet)
+    val planted = base.select("vec_id").collect().map(_.getLong(0)).filter(_ % 5 == 0)
+    assert(planted.forall(id => got.exists(p => p._1 == id && p._2 == id + 50000L)),
+      "a planted dup pair was missed")
+    // the probe-shard predicate restricts the left side, as in brute force
+    val sharded = Similarity.nearDupPairs(corpus, 0.9, col("id_a") % 2 === 0).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(sharded == want.collect { case (a, b, _) if a % 2 == 0 => (a, b) }.toSet)
+  }
 }
