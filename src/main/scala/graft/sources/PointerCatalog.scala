@@ -41,4 +41,42 @@ object PointerCatalog {
     tables.foreach { case (name, dir) => TableIO.registerView(spark, name, dir) }
     tables
   }
+
+  // ------------------------------------------------------------------
+  // Persisted catalog: DDL artifact + real catalog tables.
+  //
+  // The temp-view attach above is session-scoped. The reference's pointer
+  // DB is an *artifact* consumers download and attach cold
+  // (/root/reference/data/src/utils/duckdb.py:40-84, shipped by
+  // create_public_site.py:118-146). The Spark form of that artifact is a
+  // DDL script: plain `CREATE TABLE ... USING parquet LOCATION` +
+  // `RECOVER PARTITIONS` statements that ANY new session — different JVM,
+  // different cluster — executes to get real metastore entries with
+  // per-partition metadata (so pruning happens in the catalog, before
+  // file listing, and `ANALYZE TABLE` stats survive with the entry).
+  // Nothing in the artifact is session-bound: it is text plus the
+  // published tree's location.
+
+  /** Write the DDL artifact for `tables` (name → published tree). */
+  def saveDdl(catalogFile: String, tables: Map[String, String]): Unit = {
+    def q(s: String) = s.replace("'", "''")
+    val stmts = tables.toSeq.sorted.flatMap { case (name, dir) =>
+      Seq(
+        s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '${q(dir)}'",
+        s"ALTER TABLE $name RECOVER PARTITIONS")
+    }
+    val path = Paths.get(catalogFile)
+    Option(path.getParent).foreach(Files.createDirectories(_))
+    Files.write(path, stmts.map(_ + ";").asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Execute a DDL artifact: the cold-attach path. Idempotent
+    * (CREATE IF NOT EXISTS + RECOVER re-syncs partitions).
+    */
+  def attachDdl(spark: SparkSession, catalogFile: String): Unit =
+    Files.readAllLines(Paths.get(catalogFile)).asScala
+      .map(_.trim.stripSuffix(";"))
+      .filter(_.nonEmpty)
+      .foreach(spark.sql(_))
 }

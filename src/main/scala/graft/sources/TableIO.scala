@@ -214,6 +214,74 @@ object TableIO {
         max(col("mtime")).as("max_last_modified"))
   }
 
+  /** The consumer-side index artifact: per-partition file and row counts
+    * for a published tree, as one JSON file next to the data. This is the
+    * engine-side equivalent of the reference's site index — the bucket
+    * tree (filename/size per file, rollups per directory) that
+    * create_public_site.py:118-146 renders and the map client reads to
+    * locate parquet files before range-requesting row groups
+    * (site/assets/js/map.js:583-614). Row counts come from ONE
+    * distributed pass (group by input file); only the metadata-scale
+    * listing is driver-side.
+    */
+  def writeConsumerIndex(spark: SparkSession, baseDir: String, indexFile: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // URI path normalization: input_file_name() returns an encoded URI
+    // (file:///...), the FS listing returns Path form (file:/...) — the
+    // decoded URI path is the common denominator
+    val basePath = fs.makeQualified(base).toUri.getPath
+    def rel(uriPath: String): String = uriPath.stripPrefix(basePath).stripPrefix("/")
+
+    // file size/mtime: driver-side listing (metadata scale, like treeStats)
+    val meta = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        meta(rel(f.getPath.toUri.getPath)) = (f.getLen, f.getModificationTime)
+    }
+
+    // row counts per file: one distributed aggregation over the tree
+    val counts = readPartitioned(spark, baseDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"))
+      .collect()
+      .map(r => rel(new java.net.URI(r.getString(0)).getPath) -> r.getLong(1))
+      .toMap
+
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+
+    // per-file entries, grouped into per-partition-directory rollups
+    val files = meta.keys.toSeq.sorted
+    val byDir = files.groupBy(f => f.split('/').dropRight(1).mkString("/"))
+    val partitionsJson = byDir.toSeq.sortBy(_._1).map { case (dir, fl) =>
+      val dirRows = fl.map(f => counts.getOrElse(f, 0L)).sum
+      val dirSize = fl.map(f => meta(f)._1).sum
+      val filesJson = fl.sorted.map { f =>
+        val (size, mtime) = meta(f)
+        s"""{"filename":"${esc(f.split('/').last)}","rows":${counts.getOrElse(f, 0L)},"size":$size,"last_modified":$mtime}"""
+      }.mkString(",")
+      s"""{"partition":"${esc(dir)}","n_files":${fl.size},"rows":$dirRows,"total_size":$dirSize,"files":[$filesJson]}"""
+    }.mkString(",")
+    val totalRows = counts.values.sum
+    val json =
+      s"""{"base":"${esc(baseDir)}","n_files":${files.size},"rows":$totalRows,"partitions":[$partitionsJson]}"""
+
+    val out = new Path(indexFile)
+    Option(out.getParent).foreach(fs.mkdirs(_))
+    val os = fs.create(out, true)
+    try os.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
   /** S10: the "pointer database" — views over the published tree
     * (/root/reference/data/src/utils/duckdb.py:40-84). Spark's catalog
     * does partition pruning through the view automatically (the DuckDB

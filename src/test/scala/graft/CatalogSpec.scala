@@ -56,6 +56,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(state07.nonEmpty && state07.values.head._2 >= 1)
   }
 
+  test("consumer index JSON: per-partition file and row counts match the written tree") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_catalog_spec/times" // written by the first test
+    val idx = "/tmp/graft_catalog_spec/index.json"
+    TableIO.writeConsumerIndex(s, dir, idx)
+    val json = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(idx)), "UTF-8")
+
+    // totals match a direct read of the tree
+    val total = TableIO.readPartitioned(s, dir).count()
+    assert(json.contains(s""""rows":$total"""), json.take(400))
+
+    // every partition directory appears with its own rollup, and the
+    // per-partition rows sum back to the total (parse minimally — the
+    // format is flat key:value)
+    val partRows = """\{"partition":"([^"]*)","n_files":(\d+),"rows":(\d+)""".r
+      .findAllMatchIn(json).map(m => (m.group(1), m.group(2).toInt, m.group(3).toLong)).toSeq
+    assert(partRows.nonEmpty)
+    assert(partRows.map(_._3).sum == total)
+    assert(partRows.forall(_._2 >= 1))
+    assert(partRows.exists(_._1.contains("state=07")))
+    // per-file row counts agree with a filtered read of one partition
+    val one = partRows.find(_._1.contains("state=07")).get
+    val directRows = s.read.parquet(dir + "/" + one._1).count()
+    assert(one._3 == directRows, s"${one._1}: index ${one._3} != direct $directRows")
+  }
+
   test("input-file md5 matches an independent digest (F7)") {
     val f = "/tmp/graft_md5_spec.bin"
     java.nio.file.Files.write(java.nio.file.Paths.get(f),
@@ -68,6 +96,45 @@ class CatalogSpec extends AnyFunSuite {
     val m1 = TableIO.fileMd5(spark, sf0001 + "/region.parquet")
     val m2 = TableIO.fileMd5(spark, sf0001 + "/region.parquet")
     assert(m1 == m2 && m1.length == 32)
+  }
+
+  test("DDL catalog artifact: a fresh session attaches cold, pruning intact") {
+    val s = spark
+    val dir = "/tmp/graft_catalog_spec/times" // written by the first test
+    val ddl = "/tmp/graft_catalog_spec/catalog.ddl"
+    s.sql("DROP TABLE IF EXISTS pub_times")
+    PointerCatalog.saveDdl(ddl, Map("pub_times" -> dir))
+
+    // the artifact is self-contained SQL text — no session state inside
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(ddl)), "UTF-8")
+    assert(text.contains("CREATE TABLE IF NOT EXISTS pub_times USING parquet"))
+    assert(text.contains("RECOVER PARTITIONS"))
+
+    // attach in a NEW session (fresh session state: temp views from other
+    // tests are invisible, so resolution must come from the catalog entry)
+    val s2 = s.newSession()
+    PointerCatalog.attachDdl(s2, ddl)
+    val cat = s2.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("pub_times"))
+    assert(cat.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+    assert(cat.partitionColumnNames.take(2) == Seq("version", "mode"))
+    // partitions registered in the catalog (not rediscovered per query)
+    assert(s2.sql("SHOW PARTITIONS pub_times").count() >= 2)
+    // partition keys stay strings (leading zeros survive)
+    assert(cat.partitionSchema.fields.forall(_.dataType.typeName == "string"))
+
+    val q = s2.sql(
+      "SELECT origin_id, duration_sec FROM pub_times WHERE state = '07'")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("000000002"))
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metrics("numFiles").value == 1, "catalog pruning lost")
+
+    // idempotent re-attach
+    PointerCatalog.attachDdl(s2, ddl)
+    assert(s2.sql("SELECT count(*) FROM pub_times").head.getLong(0) == 2)
   }
 
   test("catalog-table statistics feed the optimizer (CBO surface)") {
