@@ -5,8 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Results are fully materialized via a noop-format
   * write so Catalyst cannot prune work the way a bare count() would.
+  *
+  * Each query runs once untimed (warmup) and then `Passes` timed passes;
+  * the reported per-query number is the MEDIAN, so a single transiently
+  * noisy pass (CPU contention, page-cache cold start) cannot masquerade
+  * as a regression. Min/max per query ride along in "dispersion" for
+  * run-to-run variance inspection.
   */
 object Bench {
+  private val Passes = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
@@ -22,17 +30,28 @@ object Bench {
 
     val targets = SparkEntry.headline
     // full warmup pass: every headline query runs once untimed, so the
-    // timed pass measures steady-state operator throughput (what scales
+    // timed passes measure steady-state operator throughput (what scales
     // to a long-lived cluster job), not one-time JVM/codegen/plan costs
     targets.foreach(q => run(q.build))
-    val results = targets.map(q => q.name -> run(q.build))
+    val results = targets.map { q =>
+      val times = Seq.fill(Passes)(run(q.build))
+      if (times.exists(_ < 0)) q.name -> (-1.0, -1.0, -1.0)
+      else {
+        val s = times.sorted
+        q.name -> (s(s.length / 2), s.head, s.last)
+      }
+    }
 
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, (med, _, _)) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val disp = results
+      .map { case (k, (_, mn, mx)) =>
+        "\"" + k + "\":" + f"""{"min":$mn%.3f,"max":$mx%.3f}""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"dispersion":$disp,"passes":$Passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

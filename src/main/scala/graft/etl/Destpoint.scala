@@ -30,8 +30,11 @@ object Destpoint {
     val within = cenloc.filter(withinU(col("x"), col("y"))).select("geoid")
     val withinWt = cenloc.filter(withinU(col("x_wt"), col("y_wt"))).select("geoid")
 
-    cenloc
-      .join(within.union(withinWt).distinct(), Seq("geoid"), "left_semi")
-      .orderBy("geoid")
+    // NOTE: the reference sorts by geoid before writing
+    // (create_destpoint.py:81). That ordering belongs to the SINK, not the
+    // operator: callers publish through TableIO.writePartitioned, whose
+    // sortWithinPartitions gives per-file geoid order (O3/O5) without the
+    // full range-exchange a global orderBy would force at publish scale.
+    cenloc.join(within.union(withinWt).distinct(), Seq("geoid"), "left_semi")
   }
 }

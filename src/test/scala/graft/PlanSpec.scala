@@ -85,6 +85,11 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q94_lsh_neardup")
     assert(!p.contains("CartesianProduct"), "near-dup default path fell back to all-pairs")
     assert(p.contains("vec_dot"), "prefilter signature is not the codegen dot product")
+    // single-pass signatures: the self-join's second side must reuse the
+    // first side's shuffle, so the 128-projection signature stage runs
+    // once over the corpus, not twice
+    assert(p.contains("ReusedExchange"),
+      "banded self-join did not reuse the signature exchange:\n" + p.take(2000))
   }
 
   test("q92: spatial candidates come from a hash equi-join on the grid cell, never a polygon scan") {
