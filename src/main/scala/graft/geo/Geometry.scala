@@ -1,7 +1,6 @@
 package graft.geo
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Minimal pure-Scala planar geometry for the spatial joins the reference
@@ -11,58 +10,165 @@ import org.apache.spark.sql.functions._
   *  - J5 point-within-(buffered)-polygon filter
   *    (/root/reference/data/src/create_destpoint.py:63-71).
   *
-  * Polygons are (closed) rings of (x, y) vertices, parsed from WKT
-  * POLYGON text. Containment is even-odd ray casting — exact for points
-  * strictly inside/outside; callers must keep query points off edges
-  * (our fixtures guarantee this; see FIXTURES.md §B9).
+  * A [[Polygon]] is a list of (closed or open) rings of (x, y) vertices:
+  * ring 0 is the outer boundary, later rings are holes — or, for
+  * multi-part geometries (the general TIGER/CB case: states with islands,
+  * tracts with lakes), any mix of disjoint outer rings and holes.
+  * Containment is even-odd ray casting over ALL rings, which classifies
+  * holes, islands, and islands-inside-holes correctly without needing to
+  * know which ring plays which role. Exact for points strictly
+  * inside/outside; callers must keep query points off edges (our fixtures
+  * guarantee this; see FIXTURES.md §B9).
   */
 object Geometry {
 
-  final case class Polygon(ring: Array[(Double, Double)]) {
+  final case class Polygon(rings: Array[Array[(Double, Double)]]) {
+
+    /** Outer ring (ring 0) — the single-ring accessor. */
+    def ring: Array[(Double, Double)] = rings.head
+
+    /** Even-odd ray cast over all rings: a point is inside iff a ray to
+      * +∞ crosses an odd number of ring edges in total. A crossing of a
+      * hole ring flips the parity back out; a second disjoint part flips
+      * it in again — both for free.
+      */
     def contains(x: Double, y: Double): Boolean = {
       var inside = false
-      var i = 0
-      var j = ring.length - 1
-      while (i < ring.length) {
-        val (xi, yi) = ring(i)
-        val (xj, yj) = ring(j)
-        if ((yi > y) != (yj > y) &&
-          x < (xj - xi) * (y - yi) / (yj - yi) + xi) inside = !inside
-        j = i
-        i += 1
+      var r = 0
+      while (r < rings.length) {
+        val rg = rings(r)
+        var i = 0
+        var j = rg.length - 1
+        while (i < rg.length) {
+          val (xi, yi) = rg(i)
+          val (xj, yj) = rg(j)
+          if ((yi > y) != (yj > y) &&
+            x < (xj - xi) * (y - yi) / (yj - yi) + xi) inside = !inside
+          j = i
+          i += 1
+        }
+        r += 1
       }
       inside
     }
 
-    /** Minkowski-ish buffer for convex rings: offsets each vertex outward
-      * from the centroid by `dist` (adequate for the rectangular state
-      * boundaries in fixtures; the reference buffers with shapely,
-      * create_destpoint.py:57-59 — a driver-side, single-polygon op).
-      */
-    def buffer(dist: Double): Polygon = {
-      val cx = ring.map(_._1).sum / ring.length
-      val cy = ring.map(_._2).sum / ring.length
-      Polygon(ring.map { case (x, y) =>
-        val dx = x - cx; val dy = y - cy
-        val d = math.sqrt(dx * dx + dy * dy)
-        if (d == 0) (x, y) else (x + dx / d * dist, y + dy / d * dist)
+    /** (xmin, ymin, xmax, ymax) over all parts and holes. */
+    def bbox: (Double, Double, Double, Double) = {
+      var xmin = Double.MaxValue; var ymin = Double.MaxValue
+      var xmax = Double.MinValue; var ymax = Double.MinValue
+      rings.foreach(_.foreach { case (x, y) =>
+        if (x < xmin) xmin = x; if (y < ymin) ymin = y
+        if (x > xmax) xmax = x; if (y > ymax) ymax = y
       })
+      (xmin, ymin, xmax, ymax)
+    }
+
+    /** Positive buffer by parallel edge offset with miter joins — valid
+      * for simple (non-self-intersecting) convex OR concave rings, the
+      * semantics of the reference's shapely
+      * `boundary.buffer(dist)` (create_destpoint.py:57-59) up to corner
+      * rounding: shapely rounds convex corners, the miter extends them
+      * (both contain the true offset region; fixtures keep probe points
+      * away from the corner arcs). Ring 0 grows outward; hole rings
+      * shrink inward (the solid region gains `dist` everywhere). A miter
+      * limit of 8·dist caps spike vertices (nearly-reversing edges) at a
+      * bevel-style bisector offset instead of a point at infinity.
+      */
+    def buffer(dist: Double): Polygon =
+      Polygon(rings.zipWithIndex.map { case (r, i) =>
+        offsetRing(r, if (i == 0) dist else -dist)
+      })
+
+    private def offsetRing(
+        ringIn: Array[(Double, Double)], dist: Double): Array[(Double, Double)] = {
+      val closed = ringIn.length > 1 && ringIn.head == ringIn.last
+      val vs = if (closed) ringIn.dropRight(1) else ringIn
+      val n = vs.length
+      var area2 = 0.0
+      var i = 0
+      while (i < n) {
+        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % n)
+        area2 += x1 * y2 - x2 * y1
+        i += 1
+      }
+      // CCW ring (area2 > 0): outward unit normal of edge dir (dx,dy) is
+      // (dy,-dx); CW flips. `sign` folds orientation into the normal so
+      // positive dist always moves edges away from the enclosed area.
+      val sign = if (area2 >= 0) 1.0 else -1.0
+      def normal(a: (Double, Double), b: (Double, Double)): (Double, Double) = {
+        val dx = b._1 - a._1; val dy = b._2 - a._2
+        val l = math.hypot(dx, dy)
+        (sign * dy / l * dist, -sign * dx / l * dist)
+      }
+      val out = Array.ofDim[(Double, Double)](n)
+      i = 0
+      while (i < n) {
+        val p = vs((i - 1 + n) % n); val v = vs(i); val q = vs((i + 1) % n)
+        val (n1x, n1y) = normal(p, v)
+        val (n2x, n2y) = normal(v, q)
+        val d1x = v._1 - p._1; val d1y = v._2 - p._2
+        val d2x = q._1 - v._1; val d2y = q._2 - v._2
+        val cross = d1x * d2y - d1y * d2x
+        val bevel = {
+          // angle-bisector fallback: average of the two edge normals
+          // (already orientation- and sign-of-dist-correct), rescaled to
+          // |dist|
+          val bx = (n1x + n2x) / 2; val by = (n1y + n2y) / 2
+          val bl = math.hypot(bx, by)
+          if (bl == 0) (v._1 + n1x, v._2 + n1y)
+          else (v._1 + bx / bl * math.abs(dist), v._2 + by / bl * math.abs(dist))
+        }
+        if (math.abs(cross) < 1e-12 * (math.hypot(d1x, d1y) * math.hypot(d2x, d2y))) {
+          // collinear edges: plain perpendicular offset
+          out(i) = (v._1 + n1x, v._2 + n1y)
+        } else {
+          // miter: intersection of the two offset edge lines
+          val p1x = p._1 + n1x; val p1y = p._2 + n1y
+          val p2x = v._1 + n2x; val p2y = v._2 + n2y
+          val t = ((p2x - p1x) * d2y - (p2y - p1y) * d2x) / cross
+          val mx = p1x + t * d1x; val my = p1y + t * d1y
+          val ml = math.hypot(mx - v._1, my - v._2)
+          out(i) = if (ml > 8.0 * math.abs(dist)) bevel else (mx, my)
+        }
+        i += 1
+      }
+      if (closed) out :+ out(0) else out
     }
   }
 
-  /** Parse `POLYGON ((x y, x y, ...))` WKT (outer ring only). */
+  object Polygon {
+    /** Single-ring constructor (the common fixture case). */
+    def apply(ring: Array[(Double, Double)]): Polygon = Polygon(Array(ring))
+  }
+
+  /** Parse POLYGON (with optional hole rings) or MULTIPOLYGON WKT into a
+    * flat ring list. Ring roles (outer / hole / disjoint part) need no
+    * tagging — even-odd containment is role-agnostic. Matches what the
+    * reference reads out of TIGER shapefiles via geopandas
+    * (create_cenloc.py:91 consumes arbitrary shapely geometry).
+    */
   def parseWkt(wkt: String): Polygon = {
-    val inner = wkt.trim
-      .stripPrefix("POLYGON").trim
-      .stripPrefix("((").stripSuffix("))")
-    Polygon(inner.split(",").map { pair =>
-      val parts = pair.trim.split("\\s+")
-      (parts(0).toDouble, parts(1).toDouble)
-    })
+    val body = wkt.trim
+      .stripPrefix("MULTIPOLYGON").stripPrefix("POLYGON").trim
+    // innermost parenthesized groups are exactly the rings, for both
+    // POLYGON ((r1), (r2)) and MULTIPOLYGON (((r1), (r2)), ((r3)))
+    val rings = "\\(([^()]+)\\)".r.findAllMatchIn(body).map { m =>
+      m.group(1).split(",").map { pair =>
+        val parts = pair.trim.split("\\s+")
+        (parts(0).toDouble, parts(1).toDouble)
+      }
+    }.toArray
+    require(rings.nonEmpty, s"no rings in WKT: ${wkt.take(80)}")
+    Polygon(rings)
   }
 
   def rectWkt(xmin: Double, ymin: Double, xmax: Double, ymax: Double): String =
     s"POLYGON (($xmin $ymin, $xmax $ymin, $xmax $ymax, $xmin $ymax, $xmin $ymin))"
+
+  /** Serialize a polygon back to WKT (single part with hole rings). */
+  def toWkt(p: Polygon): String =
+    p.rings.map(_.map { case (x, y) => s"$x $y" }.mkString("(", ", ", ")"))
+      .mkString("POLYGON (", ", ", ")")
 
   /** Broadcast-side spatial assignment (J4 as a broadcast + UDF plan —
     * SURVEY §7.3): given small (geoid → polygon) pairs, returns a column
@@ -96,14 +202,21 @@ object Geometry {
     * scan does not survive that).
     *
     * Plan shape: polygons explode to the grid cells covered by their
-    * bbox; points compute their single cell; candidates come from an
-    * EQUI-JOIN on the cell key (hash-partitionable, never a nested-loop
-    * or per-row polygon scan); the exact even-odd `contains` test then
-    * refines candidates only. Per-point candidate count is bounded by
-    * polygons-per-cell, so refine cost is O(points × local density), not
-    * O(points × |polygons|). First-match semantics (lowest `prio` wins,
-    * parity with [[assignUdf]]'s `find`) resolve overlaps via a
-    * per-point window over the few candidate rows.
+    * bbox (all parts and holes); points compute their single cell;
+    * candidates come from an EQUI-JOIN on the cell key
+    * (hash-partitionable, never a nested-loop or per-row polygon scan);
+    * the exact even-odd `contains` test then refines candidates only.
+    * Per-point candidate count is bounded by polygons-per-cell, so refine
+    * cost is O(points × local density), not O(points × |polygons|).
+    * First-match semantics (lowest `prio` wins, parity with
+    * [[assignUdf]]'s `find`) resolve overlaps with a `min_by` aggregation
+    * on the point key — ONE shuffle with map-side partial aggregation,
+    * not a window over a max-cardinality partition key.
+    *
+    * `pointKey` names columns that uniquely identify a point row (cenloc
+    * always has one — geoid); when absent a synthetic per-row id is used
+    * (computed once, before the join, so task retries on the join side
+    * cannot skew it).
     *
     * `polys` columns: (prio int, geoid string, wkt string). Returns the
     * point rows that fall in some polygon, with a `geoid` column
@@ -114,11 +227,12 @@ object Geometry {
       xCol: Column,
       yCol: Column,
       polys: DataFrame,
-      cellSize: Double): DataFrame = {
+      cellSize: Double,
+      pointKey: Seq[String] = Nil): DataFrame = {
     val cs = lit(cellSize)
     val bboxU = udf { (w: String) =>
-      val r = cachedParse(w).ring
-      Array(r.map(_._1).min, r.map(_._2).min, r.map(_._1).max, r.map(_._2).max)
+      val (xmin, ymin, xmax, ymax) = cachedParse(w).bbox
+      Array(xmin, ymin, xmax, ymax)
     }
     val containsU = udf((w: String, x: Double, y: Double) => cachedParse(w).contains(x, y))
 
@@ -130,17 +244,24 @@ object Geometry {
         floor(col("__bb")(1) / cs).cast("long"), floor(col("__bb")(3) / cs).cast("long"))))
       .select(col("__cx"), col("__cy"), col("prio"), col("geoid"), col("wkt"))
 
-    val cells = points
-      .withColumn("__rid", monotonically_increasing_id())
+    val ptCols = points.columns.toSeq
+    val keyCols = if (pointKey.nonEmpty) pointKey else Seq("__rid")
+    val keyed =
+      if (pointKey.nonEmpty) points
+      else points.withColumn("__rid", monotonically_increasing_id())
+    val cells = keyed
       .withColumn("__cx", floor(xCol / cs).cast("long"))
       .withColumn("__cy", floor(yCol / cs).cast("long"))
 
-    val w = Window.partitionBy(col("__rid")).orderBy(col("prio"))
+    val valCols = ptCols.filterNot(keyCols.contains)
     cells.join(polyCells, Seq("__cx", "__cy"))
       .filter(containsU(col("wkt"), xCol, yCol))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__cx", "__cy", "__rid", "__rn", "prio", "wkt")
+      .groupBy(keyCols.map(col): _*)
+      .agg(min_by(
+        struct((valCols.map(col) :+ col("geoid")): _*), col("prio")).as("__m"))
+      .select(ptCols.map(c =>
+        if (keyCols.contains(c)) col(c) else col(s"__m.$c")) :+
+        col("__m.geoid").as("geoid"): _*)
   }
 
   /** [[gridAssign]] over an in-memory (geoid, wkt) list; priority is the
@@ -151,11 +272,20 @@ object Geometry {
       xCol: Column,
       yCol: Column,
       polys: Seq[(String, String)],
-      cellSize: Double): DataFrame = {
+      cellSize: Double,
+      pointKey: Seq[String]): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val pdf = polys.zipWithIndex.map { case ((g, w), i) => (i, g, w) }
       .toDF("prio", "geoid", "wkt")
-    gridAssign(points, xCol, yCol, pdf, cellSize)
+    gridAssign(points, xCol, yCol, pdf, cellSize, pointKey)
   }
+
+  def gridAssign(
+      points: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      polys: Seq[(String, String)],
+      cellSize: Double): DataFrame =
+    gridAssign(points, xCol, yCol, polys, cellSize, Nil)
 }

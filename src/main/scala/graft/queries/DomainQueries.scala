@@ -518,7 +518,8 @@ object DomainQueries extends QueryPack {
       (s, dir) => {
         val polys = for { i <- 0 until 25; j <- 0 until 18 } yield
           (s"C${i}_$j", Geometry.rectWkt(120.001 + i, 28.001 + j, 121.001 + i, 29.001 + j))
-        Geometry.gridAssign(originsDf(s, dir), col("lon"), col("lat"), polys, cellSize = 1.0)
+        Geometry.gridAssign(originsDf(s, dir), col("lon"), col("lat"), polys,
+            cellSize = 1.0, pointKey = Seq("id"))
           .select(col("id"), col("geoid"))
       },
       Some(s"""WITH $originsSql
@@ -532,14 +533,13 @@ object DomainQueries extends QueryPack {
     // ------------------------------------------------------------------
     // q93: the composed destpoint stage (create_destpoint.py:55-82) —
     // buffered state boundary → within-filters on BOTH centroid kinds →
-    // geoid membership union (U3+P5 semi-join) → keep-list → sort. With
-    // cenloc (q29) and blockloc (q17) this closes the reference's
-    // 3-stage ETL spine. The boundary rect is placed so the fixture
-    // exercises every membership path: G0 kept via the unweighted
-    // centroid only, G1 via both, G2 via the weighted one only, G3/G4
-    // dropped. The oracle recomputes the buffered bounds with the same
-    // vertex-offset arithmetic (Polygon.buffer of an axis-aligned
-    // 4-vertex rect is again an axis-aligned rect).
+    // geoid membership union (U3+P5 semi-join) → keep-list. With cenloc
+    // (q29) and blockloc (q17) this closes the reference's 3-stage ETL
+    // spine. The boundary rect is placed so the fixture exercises the
+    // mixed membership paths (weighted-only / unweighted-only / both).
+    // The oracle recomputes the buffered bounds with the same edge-offset
+    // arithmetic (a miter buffer of an axis-aligned rect is exactly the
+    // rect expanded by `dist` on every side).
     QueryDef(
       "q93_destpoint_pipeline",
       (s, dir) => {
@@ -547,19 +547,79 @@ object DomainQueries extends QueryPack {
           (123.0, 30.0), (131.9, 30.0), (131.9, 44.0), (123.0, 44.0)))
         Destpoint.run(cenlocFrame(s, dir), boundary, buffer = 1.0)
       },
-      Some(s"""WITH $cenlocSql,
-              |bnd AS (
-              |  SELECT
-              |    123.0 + (123.0 - cx) / sqrt((123.0 - cx) * (123.0 - cx) + (30.0 - cy) * (30.0 - cy)) * 1.0 AS xlo,
-              |    131.9 + (131.9 - cx) / sqrt((131.9 - cx) * (131.9 - cx) + (30.0 - cy) * (30.0 - cy)) * 1.0 AS xhi,
-              |    30.0 + (30.0 - cy) / sqrt((123.0 - cx) * (123.0 - cx) + (30.0 - cy) * (30.0 - cy)) * 1.0 AS ylo,
-              |    44.0 + (44.0 - cy) / sqrt((123.0 - cx) * (123.0 - cx) + (44.0 - cy) * (44.0 - cy)) * 1.0 AS yhi
-              |  FROM (SELECT (123.0 + 131.9 + 131.9 + 123.0) / 4 AS cx,
-              |               (30.0 + 30.0 + 44.0 + 44.0) / 4 AS cy))
+      Some(s"""WITH $cenlocSql
               |SELECT geoid, x, y, x_wt, y_wt, population
-              |FROM cenloc, bnd
-              |WHERE (x > xlo AND x < xhi AND y > ylo AND y < yhi)
-              |   OR (x_wt > xlo AND x_wt < xhi AND y_wt > ylo AND y_wt < yhi)
+              |FROM cenloc
+              |WHERE (x > 122.0 AND x < 132.9 AND y > 29.0 AND y < 45.0)
+              |   OR (x_wt > 122.0 AND x_wt < 132.9 AND y_wt > 29.0 AND y_wt < 45.0)
+              |ORDER BY geoid""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q95: multi-ring / multi-part spatial join — the general TIGER/CB
+    // geometry case (every real polygon the reference sjoins,
+    // create_cenloc.py:91, can be a MultiPolygon with interior rings:
+    // lakes, enclaves, islands). A donut (outer ring + hole), a
+    // two-part MULTIPOLYGON, and a lower-priority backdrop rect: points
+    // in the hole MUST fall through the donut to the backdrop — a
+    // single-outer-ring containment test misclassifies exactly those.
+    // Same grid-bucketed equi-join plan as q92; the oracle recomputes
+    // the ring arithmetic (hole via NOT, parts via OR).
+    QueryDef(
+      "q95_spatial_multiring",
+      (s, dir) => {
+        val donut = "POLYGON ((124.001 30.001, 130.001 30.001, 130.001 36.001, " +
+          "124.001 36.001, 124.001 30.001), (126.001 32.001, 128.001 32.001, " +
+          "128.001 34.001, 126.001 34.001, 126.001 32.001))"
+        val twoPart = "MULTIPOLYGON (((134.001 30.001, 137.001 30.001, " +
+          "137.001 33.001, 134.001 33.001, 134.001 30.001)), ((138.001 34.001, " +
+          "141.001 34.001, 141.001 37.001, 138.001 37.001, 138.001 34.001)))"
+        val polys = Seq(
+          ("D", donut),
+          ("M", twoPart),
+          ("B", Geometry.rectWkt(120.001, 28.001, 145.001, 46.001)))
+        Geometry.gridAssign(originsDf(s, dir), col("lon"), col("lat"), polys,
+            cellSize = 4.0, pointKey = Seq("id"))
+          .select(col("id"), col("geoid"))
+      },
+      Some(s"""WITH $originsSql
+              |SELECT id,
+              |  CASE
+              |    WHEN lon > 124.001 AND lon < 130.001 AND lat > 30.001 AND lat < 36.001
+              |         AND NOT (lon > 126.001 AND lon < 128.001 AND lat > 32.001 AND lat < 34.001)
+              |      THEN 'D'
+              |    WHEN (lon > 134.001 AND lon < 137.001 AND lat > 30.001 AND lat < 33.001)
+              |      OR (lon > 138.001 AND lon < 141.001 AND lat > 34.001 AND lat < 37.001)
+              |      THEN 'M'
+              |    WHEN lon > 120.001 AND lon < 145.001 AND lat > 28.001 AND lat < 46.001
+              |      THEN 'B'
+              |  END AS geoid
+              |FROM origins
+              |WHERE lon > 120.001 AND lon < 145.001 AND lat > 28.001 AND lat < 46.001""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q96: destpoint with a CONCAVE state boundary — the case the old
+    // centroid-ray vertex offset buffered wrongly (real concave states:
+    // MD, FL, LA; the reference buffers arbitrary boundaries with
+    // shapely, create_destpoint.py:57-59). An L-shaped boundary, miter
+    // buffer 1.0: the buffered region is exactly the union of the two
+    // expanded arms (the reflex corner's miter vertex is the
+    // intersection of its two offset edges), which the oracle encodes as
+    // two rectangle tests.
+    QueryDef(
+      "q96_destpoint_concave",
+      (s, dir) => {
+        val ell = Geometry.Polygon(Array(
+          (123.0, 30.0), (135.0, 30.0), (135.0, 40.0),
+          (130.0, 40.0), (130.0, 44.0), (123.0, 44.0)))
+        Destpoint.run(cenlocFrame(s, dir), ell, buffer = 1.0)
+      },
+      Some(s"""WITH $cenlocSql
+              |SELECT geoid, x, y, x_wt, y_wt, population
+              |FROM cenloc
+              |WHERE ((x > 122.0 AND x < 136.0 AND y > 29.0 AND y < 41.0)
+              |    OR (x > 122.0 AND x < 131.0 AND y > 29.0 AND y < 45.0))
+              |   OR ((x_wt > 122.0 AND x_wt < 136.0 AND y_wt > 29.0 AND y_wt < 41.0)
+              |    OR (x_wt > 122.0 AND x_wt < 131.0 AND y_wt > 29.0 AND y_wt < 45.0))
               |ORDER BY geoid""".stripMargin))
   )
 }

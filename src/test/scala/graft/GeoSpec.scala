@@ -81,6 +81,62 @@ class GeoSpec extends AnyFunSuite {
     val buffered = rect.buffer(3.0)
     assert(!rect.contains(11.0, 5.0))
     assert(buffered.contains(11.0, 5.0))
+    // miter buffer of an axis-aligned rect is EXACTLY the expanded rect,
+    // corners included
+    assert(buffered.contains(-2.9, -2.9))
+    assert(!buffered.contains(-3.1, 5.0))
+  }
+
+  test("PIP: donut (hole ring) and multi-part containment via even-odd over all rings") {
+    val donut = Geometry.parseWkt(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))")
+    assert(donut.contains(1, 1))      // in the ring area
+    assert(!donut.contains(5, 5))     // in the hole
+    assert(donut.contains(3.5, 1.0))  // below the hole, still solid
+    assert(!donut.contains(11, 5))    // outside
+
+    val two = Geometry.parseWkt(
+      "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((6 6, 9 6, 9 9, 6 9, 6 6)))")
+    assert(two.contains(2, 2))
+    assert(two.contains(7, 7))
+    assert(!two.contains(5, 5))       // the gap between parts
+
+    // island inside a lake: three nested rings, parity alternates
+    val nested = Geometry.parseWkt(
+      "POLYGON ((0 0, 12 0, 12 12, 0 12, 0 0), (2 2, 10 2, 10 10, 2 10, 2 2), (4 4, 8 4, 8 8, 4 8, 4 4))")
+    assert(nested.contains(1, 1))     // mainland
+    assert(!nested.contains(3, 3))    // lake
+    assert(nested.contains(6, 6))     // island in the lake
+    assert((two.bbox, nested.bbox) == (((0.0, 0.0, 9.0, 9.0)), ((0.0, 0.0, 12.0, 12.0))))
+  }
+
+  test("buffer: concave L offsets edges, not centroid rays (miter at the reflex corner)") {
+    // L = [123,135]x[30,40] ∪ [123,130]x[30,44]; miter buffer 1.0 =
+    // [122,136]x[29,41] ∪ [122,131]x[29,45]
+    val ell = Geometry.Polygon(Array(
+      (123.0, 30.0), (135.0, 30.0), (135.0, 40.0),
+      (130.0, 40.0), (130.0, 44.0), (123.0, 44.0)))
+    val b = ell.buffer(1.0)
+    // near the right arm's far edge: inside the true offset region — a
+    // centroid-ray vertex offset pulls this edge short and loses it
+    assert(b.contains(135.8, 35.0))
+    assert(b.contains(135.8, 40.8))   // expanded outer corner of the arm
+    assert(!b.contains(136.2, 35.0))  // just past the offset edge
+    assert(b.contains(130.8, 44.5))   // top arm's right edge moved to 131
+    assert(!b.contains(131.5, 42.0))  // notch side: NOT buffered outward
+    assert(b.contains(130.5, 40.5))   // reflex miter corner region is solid
+    assert(!b.contains(122.0 - 0.2, 35.0))
+    assert(b.contains(122.2, 29.2))
+  }
+
+  test("buffer: positive buffer shrinks holes (solid gains dist everywhere)") {
+    val donut = Geometry.parseWkt(
+      "POLYGON ((120 30, 130 30, 130 40, 120 40, 120 30), (124 33, 128 33, 128 37, 124 37, 124 33))")
+    val b = donut.buffer(0.5)
+    assert(!donut.contains(124.2, 35.0)) // in the original hole
+    assert(b.contains(124.2, 35.0))      // hole shrank to [124.5,127.5]x[33.5,36.5]
+    assert(!b.contains(126.0, 35.0))     // hole center still open
+    assert(b.contains(130.3, 35.0))      // outer grew
   }
 
   test("grid join equals the broadcast linear scan at high polygon count (overlaps + concave)") {
@@ -103,6 +159,11 @@ class GeoSpec extends AnyFunSuite {
     val got = Geometry.gridAssign(pts, $"x", $"y", polys, cellSize = 2.0)
       .select("pid", "geoid").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == expect)
+    // natural-key variant (no synthetic row id at all) must agree
+    val gotKeyed = Geometry.gridAssign(pts, $"x", $"y", polys, cellSize = 2.0,
+        pointKey = Seq("pid"))
+      .select("pid", "geoid").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotKeyed == expect)
     // the overlap really exercised first-match priority, and the concave
     // notch fell through to the underlying square
     assert(got.values.exists(_ == "L0"))

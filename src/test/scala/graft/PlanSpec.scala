@@ -99,5 +99,9 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "spatial join fell back to a nested loop")
     assert(p.contains("__cx") && p.contains("__cy"), "join key is not the grid cell")
+    // overlap resolution is a min_by aggregation (one shuffle, map-side
+    // partial agg), not a per-point window over a synthetic id
+    assert(!p.contains("Window"), "grid join still resolves overlaps with a window:\n" + p.take(1500))
+    assert(p.contains("min_by"), "first-match not a min_by aggregate")
   }
 }
