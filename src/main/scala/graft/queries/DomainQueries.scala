@@ -100,11 +100,14 @@ object DomainQueries extends QueryPack {
     * (create_cenloc.py:82-153): spatial-assign blocks to geographies
     * (J4), weighted centroid per geography (A1).
     */
-  private def cenlocFrame(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val polys = (0 until 5).map { i =>
+  private def cenlocFrame(s: SparkSession, dir: String): DataFrame =
+    cenlocFromPolys(s, dir, (0 until 5).map { i =>
       (s"G$i", Geometry.rectWkt(120.001 + 5 * i, 28.001, 125.001 + 5 * i, 46.001))
-    }
+    })
+
+  private def cenlocFromPolys(
+      s: SparkSession, dir: String, polys: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
     val assign = Geometry.assignUdf(polys)
     val blocks = T.customer(s, dir).select(
       (lit(120.0) + ($"c_custkey" % 97) * 0.25).as("x"),
@@ -620,6 +623,35 @@ object DomainQueries extends QueryPack {
               |    OR (x > 122.0 AND x < 131.0 AND y > 29.0 AND y < 45.0))
               |   OR ((x_wt > 122.0 AND x_wt < 136.0 AND y_wt > 29.0 AND y_wt < 41.0)
               |    OR (x_wt > 122.0 AND x_wt < 131.0 AND y_wt > 29.0 AND y_wt < 45.0))
-              |ORDER BY geoid""".stripMargin))
+              |ORDER BY geoid""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q97: the cenloc pipeline fed by REAL zipped-shapefile ingestion
+    // (S4, census.py:74-97): the geography polygons arrive as a binary
+    // .shp/.dbf archive (synthesized once per JVM — the sandbox has no
+    // TIGER downloads), are parsed by the dependency-free ESRI/dBASE
+    // reader with the reference's lowercase/digit-strip renames
+    // (GEOID24 → geoid), and then drive the exact q29 spatial-assign +
+    // weighted-centroid chain — same oracle as q29.
+    QueryDef(
+      "q97_cenloc_shapefile",
+      (s, dir) => {
+        val sfName = dir.replaceAll(".*/", "")
+        val zip = s"/tmp/graft_shp_$sfName.zip"
+        if (!new java.io.File(zip).exists()) {
+          val recs = (0 until 5).map { i =>
+            (Seq[Any](s"G$i"), Geometry.parseWkt(
+              Geometry.rectWkt(120.001 + 5 * i, 28.001, 125.001 + 5 * i, 46.001)))
+          }
+          graft.sources.Shapefile.writeZip(zip, "tl_2024_graft",
+            Seq(graft.sources.Shapefile.Field("GEOID24", 'C', 4, 0)), recs)
+        }
+        val gdf = graft.sources.Shapefile.loadZip(s, zip)
+        val polys = gdf.select("geoid", "wkt").collect()
+          .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+        cenlocFromPolys(s, dir, polys)
+      },
+      Some(s"""WITH $cenlocSql
+              |SELECT geoid, x, y, x_wt, y_wt, population FROM cenloc""".stripMargin))
   )
 }

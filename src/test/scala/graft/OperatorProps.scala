@@ -38,6 +38,50 @@ object OperatorProps extends Properties("Operators") {
       got == want
     }
 
+  private val genBandFull = for {
+    nA <- Gen.choose(1, 50)
+    nB <- Gen.choose(1, 50)
+    stepA <- Gen.oneOf(0.25, 0.5, 1.0)
+    stepB <- Gen.oneOf(0.25, 0.5, 0.75)
+    off <- Gen.choose(-6, 6)
+    c <- Gen.oneOf(0.5, 1.0, 2.0, 3.0)
+    swap <- Gen.oneOf(true, false) // abs(r − l) vs abs(l − r)
+    nullEvery <- Gen.oneOf(0, 3, 5) // 0 = dense; else every k-th value null
+  } yield (nA, nB, stepA, stepB, off.toDouble, c, swap, nullEvery)
+
+  /** The round-3 ask: arbitrary subtract order, null rates, and proof the
+    * rule FIRED (a silent non-rewrite would pass a result-only check by
+    * falling back to the cross product).
+    */
+  property("BandJoinRule: swapped sides + nulls preserved, and the rewrite fires") =
+    Prop.forAll(genBandFull) { case (nA, nB, stepA, stepB, off, c, swap, nullEvery) =>
+      val s = spark
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      def nul(i: Int): Boolean = nullEvery > 0 && i % nullEvery == 0
+      val a = (0 until nA).map(i => (i.toLong, if (nul(i)) None else Some(i * stepA)))
+        .toDF("ida", "xa")
+      val b = (0 until nB).map(j => (j.toLong, if (nul(j)) None else Some(off + j * stepB)))
+        .toDF("idb", "xb")
+      val cond = if (swap) abs($"xb" - $"xa") <= c else abs($"xa" - $"xb") <= c
+      val joined = a.crossJoin(b).filter(cond).select($"ida", $"idb")
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // a null on either side is UNKNOWN → dropped, exactly like SQL
+      val want = (for {
+        i <- 0 until nA if !nul(i)
+        j <- 0 until nB if !nul(j)
+        if math.abs(i * stepA - (off + j * stepB)) <= c
+      } yield (i.toLong, j.toLong)).toSet
+      val fired = joined.queryExecution.executedPlan.toString.contains("_graft_bkt")
+      // when one side is entirely null, inferred IsNotNull filters +
+      // empty-relation propagation legitimately DELETE the join — only
+      // demand the rewrite when a join survives to be rewritten
+      val joinSurvives =
+        (0 until nA).exists(!nul(_)) && (0 until nB).exists(!nul(_))
+      Prop.propBoolean(got == want) :| s"rows ${got.size} vs ${want.size}" &&
+        Prop.propBoolean(fired || !joinSurvives) :| "rule did not fire"
+    }
+
   private val genGraph = for {
     n <- Gen.choose(2, 60)
     m <- Gen.choose(1, 120)
