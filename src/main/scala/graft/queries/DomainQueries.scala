@@ -652,6 +652,39 @@ object DomainQueries extends QueryPack {
         cenlocFromPolys(s, dir, polys)
       },
       Some(s"""WITH $cenlocSql
-              |SELECT geoid, x, y, x_wt, y_wt, population FROM cenloc""".stripMargin))
+              |SELECT geoid, x, y, x_wt, y_wt, population FROM cenloc""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q98: the reference's FULL ETL spine composed end-to-end — blocks →
+    // spatial-assign → weighted centroids (create_cenloc.py) → buffered
+    // within-filter keep-list (create_destpoint.py) → OD expansion →
+    // distributed route matrix (calculate_times.py), one oracle over the
+    // whole chain. Weighted centroids become the routed coordinates,
+    // exactly like the reference's centroid_type=weighted runs.
+    QueryDef(
+      "q98_reference_spine",
+      (s, dir) => {
+        import s.implicits._
+        val boundary = Geometry.Polygon(Array(
+          (123.0, 30.0), (131.9, 30.0), (131.9, 44.0), (123.0, 44.0)))
+        val dest = Destpoint.run(cenlocFrame(s, dir), boundary, buffer = 1.0)
+        val origins = dest.select(
+          concat(lit("O"), $"geoid").as("id"),
+          $"x_wt".as("lon"), $"y_wt".as("lat")).as[RoutePoint]
+        val dests = dest.select(
+          concat(lit("D"), $"geoid").as("id"),
+          $"x_wt".as("lon"), $"y_wt".as("lat")).as[RoutePoint]
+        TravelTimeMatrix.run(s, origins, dests,
+          new SyntheticRouter(speedMps = 30.0),
+          oSplit = 2, dSplit = 2, maxDepth = 4).toDF()
+      },
+      Some(s"""WITH $cenlocSql,
+              |dp AS (
+              |  SELECT geoid, x_wt, y_wt FROM cenloc
+              |  WHERE (x > 122.0 AND x < 132.9 AND y > 29.0 AND y < 45.0)
+              |     OR (x_wt > 122.0 AND x_wt < 132.9 AND y_wt > 29.0 AND y_wt < 45.0))
+              |SELECT 'O' || a.geoid AS origin_id, 'D' || b.geoid AS destination_id,
+              |  (abs(a.x_wt - b.x_wt) + abs(a.y_wt - b.y_wt)) * 111320.0 / 30.0 AS duration_sec
+              |FROM dp a CROSS JOIN dp b""".stripMargin))
   )
 }

@@ -78,6 +78,38 @@ class CensusSpec extends AnyFunSuite {
     }
   }
 
+  test("blockpop composes into the weighted-centroid stage (S5 → A1 integration)") {
+    withMock { (_, _) =>
+      (200,
+        """[["P1_001N","state","county","tract","block"],
+          |["10","17","031","010100","1000"],
+          |["30","17","031","010100","1001"],
+          |["0","17","043","002900","2000"],
+          |["0","17","043","002900","2001"]]""".stripMargin)
+    } { base =>
+      val s = spark
+      import s.implicits._
+      val bp = new CensusClient(base).blockpop(s, "2020", "17")
+      // block centroids arrive from the (shapefile) block frame in the
+      // real pipeline; synthesize the join side here
+      val coords = Seq(
+        ("031", "010100", "1000", 1.0, 10.0),
+        ("031", "010100", "1001", 3.0, 14.0),
+        ("043", "002900", "2000", 5.0, 20.0),
+        ("043", "002900", "2001", 7.0, 28.0)
+      ).toDF("county", "tract", "block", "x", "y")
+      val blockloc = bp.join(coords, Seq("county", "tract", "block"))
+        .select(org.apache.spark.sql.functions.col("county").as("geoid"),
+          $"x", $"y", $"population")
+      val got = graft.etl.Centroids.cenloc(blockloc).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(3)))).toMap
+      // weighted county 031: x_wt = (1*10 + 3*30)/40 = 2.5; unweighted x = 2
+      assert(got("031") == ((2.0, 2.5)))
+      // county 043 has zero total weight → x_wt falls back to plain mean
+      assert(got("043") == ((6.0, 6.0)))
+    }
+  }
+
   test("blockpop: invalid key and http errors surface as errors, not empty frames") {
     withMock { (_, _) => (200, """Invalid Key provided, see terms""") } { base =>
       intercept[IllegalArgumentException](new CensusClient(base).blockpop(spark, "2020", "17"))

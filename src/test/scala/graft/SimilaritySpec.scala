@@ -100,6 +100,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("fused SignBuckets expression equals the unfused pmPlane/vecDot formulation") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    val vecs = (0 until 25).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => ((i * 31 + j * 17) % 13 - 6).toFloat).toSeq))
+    val got = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id",
+        graft.plans.VectorFunctions.signBuckets($"embedding", 1000, 8, 16).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // reference: sign of the float32 index-order dot against pmPlane ±1s
+    def ref(v: Seq[Float]): Seq[Int] = (0 until 16).map { b =>
+      (0 until 8).foldLeft(0) { (acc, r) =>
+        val plane = Similarity.pmPlane(1000 + b * 8 + r, dim)
+        var sAcc = 0.0f
+        var i = 0
+        while (i < dim) { sAcc += v(i) * plane(i); i += 1 }
+        if (sAcc > 0f) acc | (1 << r) else acc
+      }
+    }
+    vecs.foreach { case (id, v) => assert(got(id) == ref(v), s"vec $id") }
+  }
+
   test("default near-dup path (LSH prefilter + exact verify) finds 100% of planted dups") {
     val base = emb.select(col("vec_id"), col("embedding"))
     // plant a scaled copy of every 5th vector: cosine ≈ 1 and identical
