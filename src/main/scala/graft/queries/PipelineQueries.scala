@@ -622,6 +622,39 @@ object PipelineQueries extends QueryPack {
              |FROM e a JOIN e b ON a.vec_id < b.vec_id
              |WHERE CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE) /
              |    (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE)) *
-             |     sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))) > 0.9""".stripMargin))
+             |     sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))) > 0.9""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q99: REAL image decode — planted solid-color PNGs (encoded inside
+    // the distributed map via the JDK's javax.imageio, dimensions and
+    // colors derived from c_custkey) are decoded back by the multimodal
+    // operator: magic-byte format sniff + raster dimensions + exact
+    // per-channel means. PNG is lossless, so the oracle recomputes every
+    // output column arithmetically — the decode is proven real, not
+    // rows-only.
+    QueryDef(
+      "q99_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        val gen = T.customer(s, dir).select(
+          $"c_custkey".cast("long").as("doc_id"),
+          ($"c_custkey" % 24 + 8).cast("int").as("w"),
+          ($"c_custkey" % 16 + 8).cast("int").as("h"),
+          ($"c_custkey" % 256).cast("int").as("r"),
+          (($"c_custkey" * 7) % 256).cast("int").as("g"),
+          (($"c_custkey" * 13) % 256).cast("int").as("b"))
+        val imgs = gen.as[(Long, Int, Int, Int, Int, Int)]
+          .map { case (id, w, h, r, g, b) => (id, Multimodal.encodePng(w, h, r, g, b)) }
+          .toDF("doc_id", "img")
+        Multimodal.decodeImages(s, imgs)
+      },
+      Some("""SELECT c_custkey AS doc_id,
+             |  CAST(c_custkey % 24 + 8 AS INT) AS width,
+             |  CAST(c_custkey % 16 + 8 AS INT) AS height,
+             |  'png' AS format,
+             |  CAST(c_custkey % 256 AS INT) AS mean_r,
+             |  CAST(c_custkey * 7 % 256 AS INT) AS mean_g,
+             |  CAST(c_custkey * 13 % 256 AS INT) AS mean_b
+             |FROM customer""".stripMargin))
   )
 }

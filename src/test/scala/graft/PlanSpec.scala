@@ -93,16 +93,22 @@ class PlanSpec extends AnyFunSuite {
     // plan: both self-join sides canonicalize to the same exchange, so
     // the 128-projection signature stage runs once. Pin that path by
     // disabling broadcast, as a big corpus would.
-    val s = spark
-    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // own session: isolated SQLConf so parallel suites can't race this
+    // conf (suites share one SparkContext)
+    val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val df = SparkEntry.queries("q94_lsh_neardup")(s, sf0001)
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("ReusedExchange"),
-        "banded self-join did not reuse the signature exchange:\n" + p.take(2000))
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // AQE off: the cache manager is shared across sessions, and AQE's
+    // between-stage re-planning re-applies cache substitution — if a
+    // parallel suite caches the embeddings table mid-query, one self-join
+    // side picks up InMemoryRelation and the exchanges stop canonicalizing
+    // equal. Static planning substitutes the cache once for the whole
+    // tree, so ReuseExchange fires deterministically.
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = SparkEntry.queries("q94_lsh_neardup")(s, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "banded self-join did not reuse the signature exchange:\n" + p.take(2000))
   }
 
   test("q92: spatial candidates come from a hash equi-join on the grid cell, never a polygon scan") {

@@ -28,24 +28,22 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("salted join matches the plain join and runs on (key, salt)") {
-    val s = spark
+    // own session: isolated SQLConf (parallel suites share one SparkContext)
+    val s = spark.newSession()
     import s.implicits._
-    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // the salting case: dim too big to broadcast
-      // fact: key 0 owns 90% of rows — one task would own it in a plain SMJ
-      val fact = (0 until 20000).map(i => (if (i % 10 != 0) 0L else (i % 97).toLong, i.toLong))
-        .toDF("k", "v")
-      val dim = (0L until 97L).map(k => (k, s"dim_$k")).toDF("k", "name")
-      val plain = fact.join(dim, Seq("k")).select("k", "v", "name")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-      val saltedDf = graft.operators.Skew.saltedJoin(fact, dim, "k", salts = 8)
-      val salted = saltedDf.select("k", "v", "name")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-      assert(salted == plain)
-      val planStr = saltedDf.queryExecution.executedPlan.toString
-      assert(planStr.contains("_salt"), "join does not run on the salt key")
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // the salting case: dim too big to broadcast
+    // fact: key 0 owns 90% of rows — one task would own it in a plain SMJ
+    val fact = (0 until 20000).map(i => (if (i % 10 != 0) 0L else (i % 97).toLong, i.toLong))
+      .toDF("k", "v")
+    val dim = (0L until 97L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val saltedDf = graft.operators.Skew.saltedJoin(fact, dim, "k", salts = 8)
+    val salted = saltedDf.select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain)
+    val planStr = saltedDf.queryExecution.executedPlan.toString
+    assert(planStr.contains("_salt"), "join does not run on the salt key")
   }
 
   test("compaction merges small files and preserves data + ordering contract") {
@@ -70,38 +68,31 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
-    val s = spark
+    // own session: isolated SQLConf (parallel suites share one SparkContext)
+    val s = spark.newSession()
     import s.implicits._
-    val keep = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.adaptive.coalescePartitions.enabled").map(k => k -> s.conf.get(k))
-    try {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      // shrink the skew thresholds so fixture-scale data triggers the
-      // same OptimizeSkewedJoin rewrite a 100 TB hot key would
-      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
-      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
-      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
-      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      val fact = (0 until 200000)
-        .map(i => (if (i % 20 != 0) 0L else (i % 97).toLong, i.toLong)).toDF("k", "v")
-      val dim = (0L until 97L).map(k => (k, s"d$k")).toDF("k", "name")
-      val joined = fact.join(dim, Seq("k"))
-      // collect() (not count()) so THIS plan instance executes and AQE
-      // finalizes it — count() runs a separate plan tree
-      assert(joined.collect().length == 200000)
-      val planStr = joined.queryExecution.executedPlan.toString
-      assert(planStr.contains("skew=true"), "AQE did not split the skewed join:\n" + planStr.take(1200))
-    } finally keep.foreach { case (k, v) => s.conf.set(k, v) }
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // shrink the skew thresholds so fixture-scale data triggers the
+    // same OptimizeSkewedJoin rewrite a 100 TB hot key would
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val fact = (0 until 200000)
+      .map(i => (if (i % 20 != 0) 0L else (i % 97).toLong, i.toLong)).toDF("k", "v")
+    val dim = (0L until 97L).map(k => (k, s"d$k")).toDF("k", "name")
+    val joined = fact.join(dim, Seq("k"))
+    // collect() (not count()) so THIS plan instance executes and AQE
+    // finalizes it — count() runs a separate plan tree
+    assert(joined.collect().length == 200000)
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("skew=true"), "AQE did not split the skewed join:\n" + planStr.take(1200))
   }
 
   test("bucketed tables join without a shuffle exchange") {
-    val s = spark
+    // own session: isolated SQLConf (parallel suites share one SparkContext)
+    val s = spark.newSession()
     import s.implicits._
-    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
       s.sql("DROP TABLE IF EXISTS b_orders")
@@ -128,12 +119,15 @@ class ScaleSpec extends AnyFunSuite {
       assert(!planStr.contains("Exchange hashpartitioning"),
         "bucketed join still shuffled:\n" + planStr.take(1200))
     } finally {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      // catalog entries are shared across sessions — clean up for other suites
+      s.sql("DROP TABLE IF EXISTS b_orders")
+      s.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
 
   test("dynamic partition overwrite rewrites only the touched partition") {
-    val s = spark
+    // own session: partitionOverwriteMode must not leak to parallel suites
+    val s = spark.newSession()
     import s.implicits._
     val dir = "/tmp/graft_dpo_spec"
     val mkDf = (states: Seq[(String, String)]) => states.toDF("id", "state")
