@@ -134,6 +134,85 @@ object Geometry {
       }
       if (closed) out :+ out(0) else out
     }
+
+    /** Clip to an axis-aligned bbox — F13, the reference's dateline guard
+      * (`create_osmclip.py:50-54` intersects the boundary with a large
+      * box before reprojecting). Each ring is clipped independently by
+      * [[clipConvex]]; axis-parallel clip edges make every intersection
+      * coordinate an exact clamp (no interpolation dust), so rectangular
+      * inputs clip to bit-exact rectangles (the q100 oracle relies on
+      * this).
+      */
+    def clipBbox(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Polygon =
+      clipConvex(Array((xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)))
+
+    /** Sutherland–Hodgman clip of every ring against a CONVEX clip ring
+      * (any orientation; reoriented to CCW internally). Rings are clipped
+      * independently — correct for even-odd containment as long as holes
+      * lie inside their outer ring, which TIGER/CB geometry guarantees.
+      * Rings fully outside drop out; a fully-clipped polygon has zero
+      * rings. Points exactly ON a clip edge count as inside, so shared
+      * boundaries don't open gaps.
+      */
+    def clipConvex(clipRingIn: Array[(Double, Double)]): Polygon = {
+      val cr0 = if (clipRingIn.length > 1 && clipRingIn.head == clipRingIn.last)
+        clipRingIn.dropRight(1) else clipRingIn
+      var a2 = 0.0
+      var k = 0
+      while (k < cr0.length) {
+        val (x1, y1) = cr0(k); val (x2, y2) = cr0((k + 1) % cr0.length)
+        a2 += x1 * y2 - x2 * y1
+        k += 1
+      }
+      val cr = if (a2 >= 0) cr0 else cr0.reverse
+      val outRings = rings.flatMap { ringIn =>
+        val closed = ringIn.length > 1 && ringIn.head == ringIn.last
+        var subject = if (closed) ringIn.dropRight(1) else ringIn
+        var e = 0
+        while (e < cr.length && subject.length >= 3) {
+          val a = cr(e); val b = cr((e + 1) % cr.length)
+          subject = clipHalfPlane(subject, a, b)
+          e += 1
+        }
+        // S-H emits a duplicate when a vertex lies exactly on a clip edge
+        // — drop consecutive (and cyclic first==last) repeats
+        val dedup = subject.indices.collect {
+          case i if subject(i) != subject((i + 1) % subject.length) => subject(i)
+        }.toArray
+        if (dedup.length < 3) None
+        else Some(if (closed) dedup :+ dedup(0) else dedup)
+      }
+      Polygon(outRings)
+    }
+
+    /** Keep the part of `vs` on the left of directed edge a→b (CCW clip
+      * ring ⇒ left = inside). Intersections on axis-parallel clip edges
+      * snap the fixed coordinate exactly.
+      */
+    private def clipHalfPlane(
+        vs: Array[(Double, Double)],
+        a: (Double, Double), b: (Double, Double)): Array[(Double, Double)] = {
+      val ex = b._1 - a._1; val ey = b._2 - a._2
+      def side(p: (Double, Double)): Double = ex * (p._2 - a._2) - ey * (p._1 - a._1)
+      def cross(p1: (Double, Double), p2: (Double, Double), s1: Double, s2: Double) = {
+        val t = s1 / (s1 - s2)
+        val ix = if (ex == 0) a._1 else p1._1 + t * (p2._1 - p1._1)
+        val iy = if (ey == 0) a._2 else p1._2 + t * (p2._2 - p1._2)
+        (ix, iy)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      var i = 0
+      while (i < vs.length) {
+        val cur = vs(i); val nxt = vs((i + 1) % vs.length)
+        val sc = side(cur); val sn = side(nxt)
+        if (sc >= 0) {
+          out += cur
+          if (sn < 0) out += cross(cur, nxt, sc, sn)
+        } else if (sn >= 0) out += cross(cur, nxt, sc, sn)
+        i += 1
+      }
+      out.toArray
+    }
   }
 
   object Polygon {

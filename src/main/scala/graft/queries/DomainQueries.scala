@@ -685,6 +685,51 @@ object DomainQueries extends QueryPack {
               |     OR (x_wt > 122.0 AND x_wt < 132.9 AND y_wt > 29.0 AND y_wt < 45.0))
               |SELECT 'O' || a.geoid AS origin_id, 'D' || b.geoid AS destination_id,
               |  (abs(a.x_wt - b.x_wt) + abs(a.y_wt - b.y_wt)) * 111320.0 / 30.0 AS duration_sec
-              |FROM dp a CROSS JOIN dp b""".stripMargin))
+              |FROM dp a CROSS JOIN dp b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q100: F13 bbox intersection clip (create_osmclip.py:50-54 — the
+    // dateline guard box). Integer-coordinate rectangles clip through the
+    // REAL Sutherland–Hodgman path; axis-parallel clip edges snap
+    // intersection coordinates exactly, so the engine's clipped bbox is
+    // bit-equal to the oracle's GREATEST/LEAST arithmetic. Disjoint and
+    // zero-width-touch rectangles must come back null (fully clipped).
+    QueryDef(
+      "q100_bbox_clip",
+      (s, dir) => {
+        import s.implicits._
+        val clipU = udf { (x1: Double, y1: Double, x2: Double, y2: Double) =>
+          val p = Geometry.parseWkt(Geometry.rectWkt(x1, y1, x2, y2))
+            .clipBbox(10.0, 10.0, 60.0, 50.0)
+          if (p.rings.isEmpty) null
+          else { val (a, b, c, d) = p.bbox; Array(a, b, c, d) }
+        }
+        T.customer(s, dir).select(
+          $"c_custkey",
+          ($"c_custkey" % 83).cast("double").as("x1"),
+          (($"c_custkey" * 3) % 71).cast("double").as("y1"),
+          (($"c_custkey" % 83) + ($"c_custkey" % 29) + 1).cast("double").as("x2"),
+          ((($"c_custkey" * 3) % 71) + ($"c_custkey" % 17) + 1).cast("double").as("y2"))
+          .withColumn("bb", clipU($"x1", $"y1", $"x2", $"y2"))
+          .select($"c_custkey", $"x1", $"y1", $"x2", $"y2",
+            $"bb" (0).as("cxmin"), $"bb" (1).as("cymin"),
+            $"bb" (2).as("cxmax"), $"bb" (3).as("cymax"))
+      },
+      Some("""WITH r AS (
+             |  SELECT c_custkey,
+             |    CAST(c_custkey % 83 AS DOUBLE) AS x1,
+             |    CAST((c_custkey * 3) % 71 AS DOUBLE) AS y1,
+             |    CAST((c_custkey % 83) + (c_custkey % 29) + 1 AS DOUBLE) AS x2,
+             |    CAST((c_custkey * 3) % 71 + (c_custkey % 17) + 1 AS DOUBLE) AS y2
+             |  FROM customer),
+             |o AS (
+             |  SELECT *, GREATEST(x1, 10.0) < LEAST(x2, 60.0)
+             |        AND GREATEST(y1, 10.0) < LEAST(y2, 50.0) AS ov FROM r)
+             |SELECT c_custkey, x1, y1, x2, y2,
+             |  CASE WHEN ov THEN GREATEST(x1, 10.0) END AS cxmin,
+             |  CASE WHEN ov THEN GREATEST(y1, 10.0) END AS cymin,
+             |  CASE WHEN ov THEN LEAST(x2, 60.0) END AS cxmax,
+             |  CASE WHEN ov THEN LEAST(y2, 50.0) END AS cymax
+             |FROM o""".stripMargin))
   )
 }

@@ -919,6 +919,49 @@ object RelationalQueries extends QueryPack {
              |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
              |FROM orders
              |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
-             |  (o_orderpriority, o_orderstatus), ())""".stripMargin))
+             |  (o_orderpriority, o_orderstatus), ())""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q59: F8/F9 utility scalar functions (utils.py:31-43,
+    // create_blockloc.py:35) lifted to engine columns. sz_small spans
+    // B/KB, sz_large the mid units, sz_huge forces the TB and
+    // past-the-unit-list null branches. Cross-engine float parity: /1024
+    // steps are exact power-of-two divisions, and the 2-decimal format
+    // is integer-cents divmod in BOTH engines (Java %.2f and C printf
+    // disagree when the shortest decimal repr lands on a .xx5 tie).
+    QueryDef(
+      "q59_utility_fns",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UtilityFns._
+        T.orders(s, dir).select(
+          $"o_orderkey",
+          humanSize($"o_totalprice").as("sz_small"),
+          humanSize($"o_totalprice" * $"o_orderkey").as("sz_large"),
+          humanSize($"o_totalprice" * lit(1e13)).as("sz_huge"),
+          humanTime($"o_orderkey" % 100000L).as("elapsed"),
+          decadeFloor(year($"o_orderdate")).as("pop_year"))
+      },
+      Some {
+        def f2(v: String, unit: String) =
+          s"CAST(CAST(floor(($v)*100 + 0.5) AS BIGINT) // 100 AS VARCHAR) || '.' || " +
+            s"lpad(CAST(CAST(floor(($v)*100 + 0.5) AS BIGINT) % 100 AS VARCHAR), 2, '0') || ' $unit'"
+        def sz(v: String) =
+          s"""CASE WHEN $v < 1024 THEN ${f2(s"CAST($v AS DOUBLE)", "B")}
+             |  WHEN $v/1024.0 < 1024 THEN ${f2(s"$v/1024.0", "KB")}
+             |  WHEN $v/1048576.0 < 1024 THEN ${f2(s"$v/1048576.0", "MB")}
+             |  WHEN $v/1073741824.0 < 1024 THEN ${f2(s"$v/1073741824.0", "GB")}
+             |  WHEN $v/1099511627776.0 < 1024 THEN ${f2(s"$v/1099511627776.0", "TB")}
+             |  END""".stripMargin
+        s"""SELECT o_orderkey,
+           |  ${sz("o_totalprice")} AS sz_small,
+           |  ${sz("(o_totalprice * o_orderkey)")} AS sz_large,
+           |  ${sz("(o_totalprice * 1e13)")} AS sz_huge,
+           |  CAST((o_orderkey % 100000) // 3600 AS VARCHAR) || 'H ' ||
+           |    CAST((o_orderkey % 100000) % 3600 // 60 AS VARCHAR) || 'M ' ||
+           |    CAST((o_orderkey % 100000) % 60 AS VARCHAR) || 's' AS elapsed,
+           |  CAST((year(o_orderdate) // 10) * 10 AS INT) AS pop_year
+           |FROM orders""".stripMargin
+      })
   )
 }

@@ -16,7 +16,7 @@ class EntrySpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"dangling oracles: ${o.diff(q)}")
-    assert(q.forall(_.matches("q[0-9]{2}_[a-z0-9_]+")))
+    assert(q.forall(_.matches("q[0-9]{2,3}_[a-z0-9_]+")))
   }
 
   test("every query runs at sf0.001 and returns a readable result") {

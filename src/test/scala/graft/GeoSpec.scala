@@ -170,6 +170,69 @@ class GeoSpec extends AnyFunSuite {
     assert(got(expect.find(_._2 == "L0").get._1) == "L0")
   }
 
+  // --- F13 bbox / convex clip (create_osmclip.py:50-54) ---------------
+
+  private def shoelace(ring: Array[(Double, Double)]): Double = {
+    val vs = if (ring.length > 1 && ring.head == ring.last) ring.dropRight(1) else ring
+    math.abs(vs.indices.map { i =>
+      val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.length)
+      x1 * y2 - x2 * y1
+    }.sum / 2)
+  }
+
+  test("clipBbox: concave L-shape clips to the exact intersection") {
+    val l = Geometry.Polygon(Array(
+      (0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0), (2.0, 4.0), (0.0, 4.0)))
+    val c = l.clipBbox(1, 1, 3, 3)
+    assert(c.rings.length == 1)
+    // area of L ∩ [1,3]² = 2×2 square minus the 1×1 notch corner
+    assert(math.abs(shoelace(c.ring) - 3.0) < 1e-12)
+    assert(c.contains(1.5, 2.5))
+    assert(!c.contains(2.5, 2.5)) // the notch survives the clip
+    assert(!c.contains(3.5, 1.5)) // outside the bbox
+  }
+
+  test("clipBbox: donut keeps its hole through the clip (per-ring clipping)") {
+    val donut = Geometry.Polygon(Array(
+      Array((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+      Array((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0))))
+    val c = donut.clipBbox(-1, -1, 5, 5)
+    assert(c.rings.length == 2)
+    assert(c.contains(2.0, 2.0))
+    assert(!c.contains(4.5, 4.5)) // inside the (clipped) hole
+    assert(!c.contains(5.5, 2.0)) // clipped away
+    // outer ring becomes [0,5]², hole corner [4,5]² → solid area 25 − 1
+    assert(math.abs(shoelace(c.rings(0)) - shoelace(c.rings(1)) - 24.0) < 1e-12)
+  }
+
+  test("clipBbox: disjoint ring drops; fully-clipped polygon has zero rings") {
+    val far = Geometry.Polygon(Array((100.0, 100.0), (110.0, 100.0), (110.0, 110.0), (100.0, 110.0)))
+    assert(far.clipBbox(0, 0, 50, 50).rings.isEmpty)
+    val multi = Geometry.Polygon(Array(
+      Array((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)),
+      Array((100.0, 100.0), (110.0, 100.0), (110.0, 110.0), (100.0, 110.0))))
+    val c = multi.clipBbox(0, 0, 50, 50)
+    assert(c.rings.length == 1 && math.abs(shoelace(c.ring) - 16.0) < 1e-12)
+  }
+
+  test("clipConvex: general convex window (diamond), any clip orientation") {
+    val sq = Geometry.Polygon(Array((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)))
+    val diamondCcw = Array((2.0, -1.0), (5.0, 2.0), (2.0, 5.0), (-1.0, 2.0))
+    // square ∩ diamond: each square corner loses a ½-area triangle → 14
+    val c1 = sq.clipConvex(diamondCcw)
+    assert(math.abs(shoelace(c1.ring) - 14.0) < 1e-12)
+    val c2 = sq.clipConvex(diamondCcw.reverse) // CW clip ring must work too
+    assert(math.abs(shoelace(c2.ring) - 14.0) < 1e-12)
+  }
+
+  test("clipBbox: boundary-coincident edges are kept, not opened") {
+    val sq = Geometry.Polygon(Array((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)))
+    val c = sq.clipBbox(0, 0, 4, 4)
+    assert(c.rings.length == 1 && math.abs(shoelace(c.ring) - 16.0) < 1e-12)
+    // zero-width touch degenerates to nothing rather than a sliver
+    assert(sq.clipBbox(4, 0, 8, 4).rings.isEmpty)
+  }
+
   test("geoid split semantics (F3: 2/5/11/12/15-digit prefixes)") {
     val geoid = "170318391001234"
     assert(geoid.substring(0, 2) == "17")      // state

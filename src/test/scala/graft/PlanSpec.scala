@@ -111,6 +111,22 @@ class PlanSpec extends AnyFunSuite {
       "banded self-join did not reuse the signature exchange:\n" + p.take(2000))
   }
 
+  test("q41: at shuffle scale the minhash banded self-join reuses the signature exchange") {
+    // Same 100 TB contract as the q94 pin: the 64-min signature aggregate
+    // is the expensive stage, and the banded candidate self-join must
+    // ride ONE exchange of it (canonicalization-equal sides), not compute
+    // it twice. Broadcast off = the big-corpus plan; AQE off = immune to
+    // a parallel suite caching the docs table mid-query (see q94 note).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = SparkEntry.queries("q41_dedup_minhash")(s, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "minhash banded self-join did not reuse the signature exchange:\n" + p.take(2000))
+  }
+
   test("q92: spatial candidates come from a hash equi-join on the grid cell, never a polygon scan") {
     val p = plan("q92_spatial_grid_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
