@@ -730,6 +730,34 @@ object DomainQueries extends QueryPack {
              |  CASE WHEN ov THEN GREATEST(y1, 10.0) END AS cymin,
              |  CASE WHEN ov THEN LEAST(x2, 60.0) END AS cxmax,
              |  CASE WHEN ov THEN LEAST(y2, 50.0) END AS cymax
-             |FROM o""".stripMargin))
+             |FROM o""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q101: S12 OSM pbf decode proven real — planted nodes (id/coords/tag
+    // derived from c_custkey) go through the full container: varint/
+    // zigzag/delta encode → zlib blob → distributed blob decode. OSM's
+    // fixed-point model (granularity 100 = 1e-7°) makes the roundtrip
+    // exact for these coords, and the decoder's `1e-9 * (offset + 100 *
+    // units)` arithmetic is replayed verbatim in the oracle.
+    QueryDef(
+      "q101_osm_pbf",
+      (s, dir) => {
+        import s.implicits._
+        val keys = T.customer(s, dir).select($"c_custkey").collect().map(_.getLong(0))
+        val nodes = keys.toSeq.map { c =>
+          graft.sources.OsmPbf.PbfNode(c,
+            30.0 + (c % 1000) * 0.001, -100.0 + (c % 500) * 0.002,
+            Map("name" -> s"n$c"))
+        }
+        val path = s"/tmp/graft_pbf_q101_${dir.replaceAll(".*/", "")}.pbf"
+        graft.sources.OsmPbf.writePbf(path, nodes, Nil)
+        graft.sources.OsmPbf.nodes(s, path).select(
+          $"id", $"lat", $"lon", element_at($"tags", "name").as("name"))
+      },
+      Some("""SELECT c_custkey AS id,
+             |  1e-9 * (30000000000 + (c_custkey % 1000) * 1000000) AS lat,
+             |  1e-9 * (-100000000000 + (c_custkey % 500) * 2000000) AS lon,
+             |  'n' || CAST(c_custkey AS VARCHAR) AS name
+             |FROM customer""".stripMargin))
   )
 }
