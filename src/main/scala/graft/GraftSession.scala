@@ -38,7 +38,16 @@ object GraftSession {
 
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val s = builder(appName, s"local[$cpus]").getOrCreate()
+    val b = builder(appName, s"local[$cpus]")
+    // Single-node runs: put shuffle/spill files on tmpfs when present.
+    // On a real cluster these land on executor-local disks; here the
+    // only "local disk" is the shared virtio root volume, whose
+    // writeback throttling turns repeated shuffle-heavy passes into
+    // 5-8x outliers (observed on the publish path). RAM-backed scratch
+    // is the faithful stand-in for executor-local NVMe.
+    if (new java.io.File("/dev/shm").isDirectory)
+      b.config("spark.local.dir", "/dev/shm/graft-scratch")
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -13,6 +13,7 @@ object SparkEntry {
     RelationalQueries,
     TpchQueries,
     DomainQueries,
+    NetworkQueries,
     PipelineQueries)
 
   lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)

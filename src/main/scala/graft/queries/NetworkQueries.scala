@@ -1,0 +1,362 @@
+package graft.queries
+
+import graft.{QueryDef, QueryPack, Tables => T}
+import graft.routing._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Road-network routing pack — the in-engine replacement for the
+  * reference's OSRM sidecar (SURVEY §2.9; osrm-extract + osrm-routed in
+  * /root/reference/.github/workflows/calculate-times.yaml:79-180),
+  * oracle-checked end to end: way→edge expansion with the car speed
+  * profile and oneway semantics (q102), distributed SSSP against a
+  * recursive-CTE shortest path (q103), the broadcast-Dijkstra router
+  * through the travel-time matrix against a closed form (q104), and the
+  * full network spine — edges → island pruning → snap → Dijkstra →
+  * matrix with missing pairs (q105).
+  *
+  * All coordinates are dyadic (0.125° grid, 0.03125°-scale snap offsets):
+  * exact in binary, so step lengths are exactly 13915.0 m, per-hop times
+  * are exact, and path sums are order-independent — Spark and DuckDB
+  * agree bit for bit.
+  *
+  * The planted network is a W×H grid derived from customer keys (keys are
+  * 0-based in the fixtures): node id = key < W·H at row-major position;
+  * row ways from keys < H, column ways from keys < W — the fixture tables
+  * remain the only input at every scale factor.
+  */
+object NetworkQueries extends QueryPack {
+
+  private val W = 10
+  private val H = 7
+  private val Lon0 = -100.0
+  private val Lat0 = 30.0
+  private val Step = 0.125
+  // residential step time: 0.125 * 111320 / 8.0
+  private val StepSec = 1739.375
+
+  // --- planted grid: nodes + ways (Spark side) ----------------------
+
+  /** One node per customer key < W·H: id = key, row-major position. */
+  private def gridNodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.customer(s, dir)
+      .filter($"c_custkey" < W * H)
+      .select(
+        $"c_custkey".as("id"),
+        (lit(Lat0) + ($"c_custkey" / W).cast("long") * Step).as("lat"),
+        (lit(Lon0) + ($"c_custkey" % W) * Step).as("lon"))
+  }
+
+  /** Row + column ways with per-way highway class and oneway flags
+    * (mixed=true), or all-residential bidirectional (mixed=false).
+    * `dagOnly` forces oneway=yes everywhere → a pure right/down DAG.
+    */
+  private def gridWays(s: SparkSession, dir: String,
+      mixed: Boolean, dagOnly: Boolean): DataFrame = {
+    import s.implicits._
+    val cust = T.customer(s, dir)
+    val rowClass =
+      if (mixed)
+        element_at(array(lit("primary"), lit("secondary"), lit("residential"), lit("tertiary")),
+          (($"r" % 4) + 1).cast("int"))
+      else lit("residential")
+    val rowOneway =
+      if (dagOnly) lit("yes")
+      else if (mixed) when($"r" % 3 === 0, "yes").otherwise("no")
+      else lit("no")
+    val rows = cust.filter($"c_custkey" < H)
+      .select($"c_custkey".as("r"))
+      .select(
+        ($"r" + 1000L).as("id"),
+        sequence($"r" * W, $"r" * W + (W - 1)).as("refs"),
+        map(lit("highway"), rowClass, lit("oneway"), rowOneway).as("tags"))
+    val colClass =
+      if (mixed)
+        element_at(array(lit("trunk"), lit("unclassified"), lit("service")),
+          (($"c" % 3) + 1).cast("int"))
+      else lit("residential")
+    val colOneway =
+      if (dagOnly) lit("yes")
+      else if (mixed) when($"c" % 4 === 0, "-1").otherwise("no")
+      else lit("no")
+    val cols = cust.filter($"c_custkey" < W)
+      .select($"c_custkey".as("c"))
+      .select(
+        ($"c" + 2000L).as("id"),
+        sequence($"c", lit(((H - 1) * W).toLong) + $"c", lit(W.toLong)).as("refs"),
+        map(lit("highway"), colClass, lit("oneway"), colOneway).as("tags"))
+    rows.unionByName(cols)
+  }
+
+  // --- the same grid in DuckDB SQL ----------------------------------
+
+  /** CTEs: nodes / hfwd / vfwd — forward hops with class + oneway. */
+  private val gridSql =
+    s"""nodes AS (
+       |  SELECT c_custkey AS id,
+       |         $Lat0 + CAST(c_custkey // $W AS DOUBLE) * $Step AS lat,
+       |         $Lon0 + CAST(c_custkey % $W AS DOUBLE) * $Step AS lon
+       |  FROM customer WHERE c_custkey < ${W * H}),
+       |rows_ AS (SELECT c_custkey AS r FROM customer WHERE c_custkey < $H),
+       |cols_ AS (SELECT c_custkey AS c FROM customer WHERE c_custkey < $W),
+       |hsteps AS (SELECT c_custkey AS k FROM customer WHERE c_custkey BETWEEN 1 AND ${W - 1}),
+       |vsteps AS (SELECT c_custkey AS k FROM customer WHERE c_custkey BETWEEN 1 AND ${H - 1}),
+       |hfwd AS (
+       |  SELECT r * $W + k - 1 AS src, r * $W + k AS dst,
+       |         CASE r % 4 WHEN 0 THEN 'primary' WHEN 1 THEN 'secondary'
+       |                    WHEN 2 THEN 'residential' ELSE 'tertiary' END AS highway,
+       |         CASE WHEN r % 3 = 0 THEN 'yes' ELSE 'no' END AS oneway
+       |  FROM rows_ CROSS JOIN hsteps),
+       |vfwd AS (
+       |  SELECT (k - 1) * $W + c AS src, k * $W + c AS dst,
+       |         CASE c % 3 WHEN 0 THEN 'trunk' WHEN 1 THEN 'unclassified'
+       |                    ELSE 'service' END AS highway,
+       |         CASE WHEN c % 4 = 0 THEN '-1' ELSE 'no' END AS oneway
+       |  FROM cols_ CROSS JOIN vsteps)""".stripMargin
+
+  private val speedSql =
+    """CASE highway WHEN 'motorway' THEN 33.0 WHEN 'trunk' THEN 27.0
+      |  WHEN 'primary' THEN 22.0 WHEN 'secondary' THEN 17.0
+      |  WHEN 'tertiary' THEN 14.0 WHEN 'unclassified' THEN 11.0
+      |  WHEN 'residential' THEN 8.0 WHEN 'service' THEN 5.0
+      |  ELSE 10.0 END""".stripMargin
+
+  /** directed + weighted edge CTE on top of [[gridSql]] — mirrors
+    * [[RoadNetwork.edges]] arithmetic op for op.
+    */
+  private val edgeSql =
+    s"""directed AS (
+       |  SELECT src, dst, highway FROM hfwd WHERE oneway <> '-1'
+       |  UNION ALL SELECT dst, src, highway FROM hfwd WHERE oneway <> 'yes'
+       |  UNION ALL SELECT src, dst, highway FROM vfwd WHERE oneway <> '-1'
+       |  UNION ALL SELECT dst, src, highway FROM vfwd WHERE oneway <> 'yes'),
+       |e AS (
+       |  SELECT d.src, d.dst, d.highway,
+       |         sqrt((n2.lon - n1.lon) * (n2.lon - n1.lon)
+       |            + (n2.lat - n1.lat) * (n2.lat - n1.lat)) * 111320.0 AS meters,
+       |         sqrt((n2.lon - n1.lon) * (n2.lon - n1.lon)
+       |            + (n2.lat - n1.lat) * (n2.lat - n1.lat)) * 111320.0
+       |           / $speedSql AS sec
+       |  FROM directed d
+       |  JOIN nodes n1 ON n1.id = d.src
+       |  JOIN nodes n2 ON n2.id = d.dst)""".stripMargin
+
+  // --- OD point synthesis for the matrix queries --------------------
+  // Origins one per customer key (capped), destinations one per supplier
+  // key: each sits near grid node (key * p) % (W*H) with a dyadic snap
+  // offset < half the 0.125 spacing, so nearest-node snap is exact and
+  // unambiguous.
+
+  private val OCap = 30000
+  private val DCap = 500
+
+  private def matrixOrigins(s: SparkSession, dir: String, islandMod: Int): DataFrame = {
+    import s.implicits._
+    val node = ($"c_custkey" * 7) % (W * H)
+    val base = T.customer(s, dir).filter($"c_custkey" < OCap)
+    val main = base.select(
+      concat(lit("O"), lpad($"c_custkey".cast("string"), 9, "0")).as("id"),
+      (lit(Lon0) + (node % W) * Step + (($"c_custkey" % 3) - 1) * 0.03125).as("lon"),
+      (lit(Lat0) + (node / W).cast("long") * Step + (($"c_custkey" % 5) - 2) * 0.015625).as("lat"),
+      $"c_custkey".as("key"))
+    if (islandMod <= 0) main.drop("key")
+    else main.select(
+      $"id",
+      when($"key" % islandMod === 0, lit(Lon0 + 5.0 + 0.0625)).otherwise($"lon").as("lon"),
+      when($"key" % islandMod === 0, lit(Lat0 + 0.0625)).otherwise($"lat").as("lat"))
+  }
+
+  private def matrixDests(s: SparkSession, dir: String, islandMod: Int): DataFrame = {
+    import s.implicits._
+    val node = ($"s_suppkey" * 11) % (W * H)
+    val base = T.supplier(s, dir).filter($"s_suppkey" < DCap)
+    val main = base.select(
+      concat(lit("D"), lpad($"s_suppkey".cast("string"), 9, "0")).as("id"),
+      (lit(Lon0) + (node % W) * Step + (($"s_suppkey" % 3) - 1) * 0.03125).as("lon"),
+      (lit(Lat0) + (node / W).cast("long") * Step + (($"s_suppkey" % 7) - 3) * 0.0078125).as("lat"),
+      $"s_suppkey".as("key"))
+    if (islandMod <= 0) main.drop("key")
+    else main.select(
+      $"id",
+      when($"key" % islandMod === 0, lit(Lon0 + 5.0 + 0.0625)).otherwise($"lon").as("lon"),
+      when($"key" % islandMod === 0, lit(Lat0 + 0.0625)).otherwise($"lat").as("lat"))
+  }
+
+  /** Closed-form oracle for the uniform grid: Manhattan hops between the
+    * snapped nodes × 1739.375 s/hop. The island predicates mark points
+    * the island pruning makes unroutable → NULL duration.
+    */
+  private def matrixSql(islandO: String, islandD: String): String =
+    s"""o AS (
+       |  SELECT 'O' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS id,
+       |         ((c_custkey * 7) % ${W * H}) // $W AS r,
+       |         ((c_custkey * 7) % ${W * H}) % $W AS c,
+       |         c_custkey AS key
+       |  FROM customer WHERE c_custkey < $OCap),
+       |d AS (
+       |  SELECT 'D' || lpad(CAST(s_suppkey AS VARCHAR), 9, '0') AS id,
+       |         ((s_suppkey * 11) % ${W * H}) // $W AS r,
+       |         ((s_suppkey * 11) % ${W * H}) % $W AS c,
+       |         s_suppkey AS key
+       |  FROM supplier WHERE s_suppkey < $DCap)
+       |SELECT o.id AS origin_id, d.id AS destination_id,
+       |       CASE WHEN ($islandO) OR ($islandD) THEN NULL
+       |            ELSE (abs(o.r - d.r) + abs(o.c - d.c)) * $StepSec END AS duration_sec
+       |FROM o CROSS JOIN d""".stripMargin
+
+  // ------------------------------------------------------------------
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // q102: ways → directed weighted edges. Mixed highway classes pick
+    // their profile speed, oneway=yes drops the reverse hop, oneway=-1
+    // drops the forward hop, non-highway ways are excluded by
+    // construction. Oracle rebuilds the same pairs + weights in SQL.
+    QueryDef(
+      "q102_osm_edges",
+      (s, dir) => RoadNetwork.edges(
+          gridNodes(s, dir), gridWays(s, dir, mixed = true, dagOnly = false))
+        .select("src", "dst", "highway", "meters", "sec"),
+      Some(s"""WITH $gridSql,
+              |$edgeSql
+              |SELECT src, dst, highway, meters, sec FROM e""".stripMargin)),
+
+    // q103: distributed SSSP (the graph-larger-than-memory path) on the
+    // right/down DAG with mixed per-way speeds, two sources. The oracle
+    // enumerates every DAG path with a recursive CTE and keeps the min —
+    // prefix-order additions on both sides, so doubles agree exactly.
+    QueryDef(
+      "q103_network_sssp",
+      (s, dir) => {
+        import s.implicits._
+        val e = RoadNetwork.edges(
+          gridNodes(s, dir), gridWays(s, dir, mixed = true, dagOnly = true))
+        val sources = T.customer(s, dir)
+          .filter($"c_custkey".isin(0, 11)).select($"c_custkey".as("id"))
+        RoadNetwork.sssp(e, sources)
+          .select($"source", $"node", $"dist_sec")
+      },
+      Some(s"""WITH RECURSIVE $gridSql,
+              |dag AS (
+              |  SELECT src, dst, highway FROM hfwd
+              |  UNION ALL SELECT src, dst, highway FROM vfwd),
+              |e AS (
+              |  SELECT d.src, d.dst,
+              |         sqrt((n2.lon - n1.lon) * (n2.lon - n1.lon)
+              |            + (n2.lat - n1.lat) * (n2.lat - n1.lat)) * 111320.0
+              |           / $speedSql AS sec
+              |  FROM dag d
+              |  JOIN nodes n1 ON n1.id = d.src
+              |  JOIN nodes n2 ON n2.id = d.dst),
+              |walk AS (
+              |  SELECT id AS source, id AS node, CAST(0.0 AS DOUBLE) AS dist
+              |  FROM nodes WHERE id IN (0, 11)
+              |  UNION ALL
+              |  SELECT w.source, e.dst AS node, w.dist + e.sec AS dist
+              |  FROM walk w JOIN e ON e.src = w.node)
+              |SELECT source, node, min(dist) AS dist_sec
+              |FROM walk GROUP BY source, node""".stripMargin)),
+
+    // q104: the broadcast-Dijkstra NetworkRouter through the full
+    // travel-time matrix operator (chunking + blocks + snap). Uniform
+    // residential grid → shortest network time has the Manhattan closed
+    // form; snap offsets are sub-half-cell so every point maps to its
+    // planted node.
+    QueryDef(
+      "q104_network_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val e = RoadNetwork.edges(
+          gridNodes(s, dir), gridWays(s, dir, mixed = false, dagOnly = false))
+        val rt = RoadNetwork.router(s, e)
+        TravelTimeMatrix.run(s,
+          matrixOrigins(s, dir, 0).as[RoutePoint],
+          matrixDests(s, dir, 0).as[RoutePoint],
+          rt, oSplit = 5000, dSplit = 5000, maxDepth = 3).toDF()
+      },
+      Some(s"WITH ${matrixSql("FALSE", "FALSE")}")),
+
+    // q105: the network spine — edges → largest-component island pruning
+    // → snap → Dijkstra → matrix. An island subgraph 400+ km off the
+    // grid is pruned; points planted on it snap nowhere within the
+    // 300 km reference buffer and surface as NULL missing pairs, the
+    // reference's missing_pairs semantics without an OSRM process.
+    QueryDef(
+      "q105_network_spine",
+      (s, dir) => {
+        import s.implicits._
+        val islandNodes = T.customer(s, dir).filter($"c_custkey" < 4)
+          .select(
+            ($"c_custkey" + 901L).as("id"),
+            (lit(Lat0) + ($"c_custkey" / 2).cast("long") * Step).as("lat"),
+            (lit(Lon0 + 5.0) + ($"c_custkey" % 2) * Step).as("lon"))
+        val islandWays = T.customer(s, dir).filter($"c_custkey" < 2)
+          .select(
+            ($"c_custkey" + 3000L).as("id"),
+            when($"c_custkey" === 0, array(lit(901L), lit(902L), lit(904L), lit(903L), lit(901L)))
+              .otherwise(array(lit(901L), lit(904L))).as("refs"),
+            map(lit("highway"), lit("residential")).as("tags"))
+        val e = RoadNetwork.edges(
+          gridNodes(s, dir).unionByName(islandNodes),
+          gridWays(s, dir, mixed = false, dagOnly = false).unionByName(islandWays))
+        val rt = RoadNetwork.router(s, RoadNetwork.largestComponent(e))
+        TravelTimeMatrix.run(s,
+          matrixOrigins(s, dir, 23).as[RoutePoint],
+          matrixDests(s, dir, 29).as[RoutePoint],
+          rt, oSplit = 5000, dSplit = 5000, maxDepth = 3).toDF()
+      },
+      Some(s"WITH ${matrixSql("o.key % 23 = 0", "d.key % 29 = 0")}"),
+      headline = true),
+
+    // q106: degree-2 chain contraction (osrm-extract's geometry
+    // compression) proven distance-preserving through the whole router:
+    // the same uniform grid with every hop SUBDIVIDED by a midpoint
+    // node (2× nodes, half-length hops) contracts back to the plain
+    // grid, and the routed matrix equals q104's closed form exactly —
+    // two 869.6875 s half-hops sum to one 1739.375 s hop, all dyadic.
+    QueryDef(
+      "q106_contracted_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val grid = gridNodes(s, dir)
+        val hmids = grid.filter($"id" % W < W - 1)
+          .select(($"id" + 10000L).as("id"), $"lat", ($"lon" + 0.0625).as("lon"))
+        val vmids = grid.filter($"id" < (H - 1) * W)
+          .select(($"id" + 20000L).as("id"), ($"lat" + 0.0625).as("lat"), $"lon")
+        val cust = T.customer(s, dir)
+        val rowWays = cust.filter($"c_custkey" < H)
+          .select($"c_custkey".as("r"))
+          .select(
+            ($"r" + 1000L).as("id"),
+            concat(
+              flatten(transform(
+                sequence($"r" * W, $"r" * W + (W - 2)),
+                i => array(i, i + 10000L))),
+              array($"r" * W + (W - 1))).as("refs"),
+            map(lit("highway"), lit("residential")).as("tags"))
+        val colWays = cust.filter($"c_custkey" < W)
+          .select($"c_custkey".as("c"))
+          .select(
+            ($"c" + 2000L).as("id"),
+            concat(
+              flatten(transform(
+                sequence($"c", lit(((H - 2) * W).toLong) + $"c", lit(W.toLong)),
+                i => array(i, i + 20000L))),
+              array(lit(((H - 1) * W).toLong) + $"c")).as("refs"),
+            map(lit("highway"), lit("residential")).as("tags"))
+        val e = RoadNetwork.edges(
+          grid.unionByName(hmids).unionByName(vmids),
+          rowWays.unionByName(colWays))
+        // keep the base grid ids: snap targets must survive contraction
+        // (corners are degree-2 and would otherwise collapse away)
+        val rt = RoadNetwork.router(s,
+          RoadNetwork.contractChains(e, keep = Some(grid.select("id"))))
+        TravelTimeMatrix.run(s,
+          matrixOrigins(s, dir, 0).as[RoutePoint],
+          matrixDests(s, dir, 0).as[RoutePoint],
+          rt, oSplit = 5000, dSplit = 5000, maxDepth = 3).toDF()
+      },
+      Some(s"WITH ${matrixSql("FALSE", "FALSE")}"))
+  )
+}

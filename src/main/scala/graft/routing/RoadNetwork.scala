@@ -1,0 +1,487 @@
+package graft.routing
+
+import graft.operators.Dedup
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-engine road-network routing — the stage the reference delegates to
+  * an OSRM sidecar (`osrm-routed --algorithm ch`,
+  * /root/reference/.github/workflows/calculate-times.yaml:178-180, fed by
+  * `osrm-extract` over the state pbf). Everything OSRM does for the
+  * reference — build a weighted graph from OSM ways, drop disconnected
+  * islands, answer `/table` many-to-many time queries — is re-expressed
+  * here on Spark primitives, so the full pipeline (pbf → network → travel
+  * times) runs inside the engine with no external process.
+  *
+  * Three pieces, each picked for its scale regime:
+  *  - [[edges]]: ways + nodes → directed weighted edge list. Pure
+  *    DataFrame ops — consecutive ref pairs come from a `transform` over
+  *    the refs array (no shuffle), coordinates from two equi-joins on
+  *    node id (hash-partitionable at any scale).
+  *  - [[largestComponent]]: OSRM's island-pruning
+  *    (`small_component_size`) via the engine's pointer-jump connected
+  *    components — O(log diameter) shuffle rounds.
+  *  - [[NetworkRouter]]: a [[Router]] backend holding the contracted
+  *    graph BROADCAST as CSR arrays; each matrix block runs plain
+  *    Dijkstra task-locally. This is the reference's own memory model —
+  *    its per-state OSRM network must fit the 16 GB runner
+  *    (/root/reference/README.md:222-225) — so one graph per job unit,
+  *    shipped once per executor, is the honest Spark translation.
+  *  - [[sssp]]: when the graph does NOT fit one node (planet-scale),
+  *    iterative frontier-relaxation SSSP as DataFrame joins —
+  *    Bellman-Ford with only-improved frontiers, lineage truncated per
+  *    round. O(shortest-path-hops) shuffles, each a narrow
+  *    (node, source, dist) exchange.
+  */
+object RoadNetwork {
+
+  /** Car-profile speeds in m/s by OSM highway class — same shape as the
+    * reference's OSRM car profile (public OSRM semantics), values chosen
+    * for clean SQL reproducibility.
+    */
+  val CarSpeedsMps: Map[String, Double] = Map(
+    "motorway" -> 33.0,
+    "trunk" -> 27.0,
+    "primary" -> 22.0,
+    "secondary" -> 17.0,
+    "tertiary" -> 14.0,
+    "unclassified" -> 11.0,
+    "residential" -> 8.0,
+    "service" -> 5.0)
+  val DefaultSpeedMps: Double = 10.0
+
+  /** Planar degree metric used across the engine's synthetic profiles:
+    * sqrt(dLon² + dLat²) × 111320 m/deg. Every op is a single correctly
+    * rounded IEEE operation, so ANSI SQL reproduces it bit-for-bit (the
+    * haversine trig functions, by contrast, differ between libm
+    * implementations in the last ulp and would break hash oracles).
+    */
+  def planarMeters(dLon: Double, dLat: Double): Double =
+    math.sqrt(dLon * dLon + dLat * dLat) * 111320.0
+
+  /** Directed weighted edge list from OSM frames.
+    *
+    * @param nodes (id: Long, lat: Double, lon: Double, ...) as produced
+    *              by [[graft.sources.OsmPbf.nodes]]
+    * @param ways  (id: Long, refs: Array[Long], tags: Map[String,String])
+    *              as produced by [[graft.sources.OsmPbf.ways]]
+    *
+    * Keeps ways carrying a `highway` tag (the OSRM car profile's
+    * routability predicate). Consecutive ref pairs become edges; a
+    * reverse edge is emitted unless `oneway=yes` (and only the reverse
+    * for `oneway=-1`). Weight = [[planarMeters]] / class speed.
+    *
+    * Scale: the pair expansion is a per-row `transform` + `explode`
+    * (no shuffle); the two coordinate lookups are equi-joins on a long
+    * key — broadcast when the node table is small, hash otherwise.
+    * Output schema: (src, dst, src_lon, src_lat, dst_lon, dst_lat,
+    * highway, meters, sec).
+    */
+  def edges(
+      nodes: DataFrame,
+      ways: DataFrame,
+      speeds: Map[String, Double] = CarSpeedsMps,
+      defaultSpeed: Double = DefaultSpeedMps): DataFrame = {
+    val speedCol = speeds.foldLeft(lit(defaultSpeed)) { case (acc, (cls, v)) =>
+      when(col("highway") === cls, lit(v)).otherwise(acc)
+    }
+    val hw = ways
+      .filter(map_contains_key(col("tags"), lit("highway")))
+      .select(
+        col("id").as("way_id"),
+        element_at(col("tags"), "highway").as("highway"),
+        coalesce(element_at(col("tags"), "oneway"), lit("no")).as("oneway"),
+        col("refs"))
+    // consecutive (refs[i], refs[i+1]) pairs, built inside the row
+    val fwd = hw
+      .withColumn("hop",
+        explode(expr(
+          "transform(sequence(0, size(refs) - 2), i -> struct(refs[i] AS a, refs[i + 1] AS b))")))
+      .select(col("way_id"), col("highway"), col("oneway"),
+        col("hop.a").as("src"), col("hop.b").as("dst"))
+    val directed = fwd.filter(col("oneway") =!= "-1")
+      .unionByName(
+        fwd.filter(col("oneway") =!= "yes")
+          .select(col("way_id"), col("highway"), col("oneway"),
+            col("dst").as("src"), col("src").as("dst")))
+    directed
+      .join(nodes.select(col("id").as("src"),
+        col("lon").as("src_lon"), col("lat").as("src_lat")), Seq("src"))
+      .join(nodes.select(col("id").as("dst"),
+        col("lon").as("dst_lon"), col("lat").as("dst_lat")), Seq("dst"))
+      .withColumn("meters",
+        sqrt(
+          (col("dst_lon") - col("src_lon")) * (col("dst_lon") - col("src_lon")) +
+            (col("dst_lat") - col("src_lat")) * (col("dst_lat") - col("src_lat"))) * lit(111320.0))
+      .withColumn("sec", col("meters") / speedCol)
+      .select("src", "dst", "src_lon", "src_lat", "dst_lon", "dst_lat",
+        "highway", "meters", "sec")
+  }
+
+  /** Keep only edges of the largest connected component (undirected
+    * sense) — OSRM's island pruning, which the reference relies on so
+    * ferry-less islands rout as missing rather than garbage. Component
+    * labels come from the engine's pointer-jump CC (O(log diameter)
+    * rounds); the winning label is one aggregate row. Ties break to the
+    * smallest label for determinism.
+    */
+  def largestComponent(edgeDf: DataFrame): DataFrame = {
+    val cc = Dedup.connectedComponents(
+      edgeDf.select(col("src").as("id_a"), col("dst").as("id_b")).distinct())
+    val top = cc.groupBy("cluster").count()
+      .orderBy(col("count").desc, col("cluster").asc)
+      .limit(1)
+      .select(col("cluster"))
+    val keep = cc.join(broadcast(top), Seq("cluster")).select(col("id"))
+    edgeDf
+      .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+  }
+
+  // ------------------------------------------------------------- CSR
+
+  /** Compressed-sparse-row graph + uniform-grid snap index, broadcast to
+    * executors. Node order is ascending id; `cellOf` buckets coordinates
+    * at `cellDeg` for nearest-node search. Memory is O(V + E) primitive
+    * arrays — the per-job-unit bound the reference already imposes on its
+    * OSRM network.
+    */
+  final case class CsrGraph(
+      ids: Array[Long],
+      lons: Array[Double],
+      lats: Array[Double],
+      offsets: Array[Int],
+      targets: Array[Int],
+      weights: Array[Double],
+      cellDeg: Double,
+      cells: Map[(Int, Int), Array[Int]]) extends Serializable {
+
+    def nodeCount: Int = ids.length
+
+    private def cellOf(lon: Double, lat: Double): (Int, Int) =
+      (math.floor(lon / cellDeg).toInt, math.floor(lat / cellDeg).toInt)
+
+    /** Nearest node within `maxMeters` (planar metric), or -1. Searches
+      * grid rings outward; terminates as soon as the best hit is closer
+      * than the next ring can offer.
+      */
+    def snap(lon: Double, lat: Double, maxMeters: Double): Int = {
+      val (cx, cy) = cellOf(lon, lat)
+      val maxRing = math.ceil(maxMeters / (cellDeg * 111320.0)).toInt + 1
+      var best = -1
+      var bestM = maxMeters
+      var ring = 0
+      while (ring <= maxRing) {
+        // once a hit exists, further rings can only be farther than
+        // (ring - 1) whole cells away
+        if (best >= 0 && (ring - 1).toDouble * cellDeg * 111320.0 > bestM) return best
+        var dx = -ring
+        while (dx <= ring) {
+          var dy = -ring
+          while (dy <= ring) {
+            if (math.max(math.abs(dx), math.abs(dy)) == ring) {
+              cells.get((cx + dx, cy + dy)).foreach { arr =>
+                var k = 0
+                while (k < arr.length) {
+                  val i = arr(k)
+                  val m = planarMeters(lons(i) - lon, lats(i) - lat)
+                  if (m < bestM || (m == bestM && (best < 0 || ids(i) < ids(best)))) {
+                    best = i; bestM = m
+                  }
+                  k += 1
+                }
+              }
+            }
+            dy += 1
+          }
+          dx += 1
+        }
+        ring += 1
+      }
+      best
+    }
+
+    /** Single-source Dijkstra over the CSR arrays; returns the distance
+      * array (Double.PositiveInfinity = unreachable). Binary heap on
+      * primitive arrays; early exit once `until` nodes of interest are
+      * settled (pass null to settle everything).
+      */
+    def dijkstra(source: Int, until: java.util.BitSet = null): Array[Double] = {
+      val n = nodeCount
+      val dist = Array.fill(n)(Double.PositiveInfinity)
+      val settled = new java.util.BitSet(n)
+      var remaining = if (until == null) -1 else until.cardinality()
+      // heap of (dist, node) encoded as two parallel arrays
+      var heapSize = 0
+      var hDist = new Array[Double](math.max(16, n / 4))
+      var hNode = new Array[Int](hDist.length)
+      def push(d: Double, v: Int): Unit = {
+        if (heapSize == hDist.length) {
+          hDist = java.util.Arrays.copyOf(hDist, heapSize * 2)
+          hNode = java.util.Arrays.copyOf(hNode, heapSize * 2)
+        }
+        var i = heapSize; heapSize += 1
+        while (i > 0 && hDist((i - 1) / 2) > d) {
+          hDist(i) = hDist((i - 1) / 2); hNode(i) = hNode((i - 1) / 2); i = (i - 1) / 2
+        }
+        hDist(i) = d; hNode(i) = v
+      }
+      def pop(): Int = {
+        val top = hNode(0)
+        heapSize -= 1
+        if (heapSize > 0) {
+          val d = hDist(heapSize); val v = hNode(heapSize)
+          var i = 0
+          var c = 1
+          while (c < heapSize) {
+            if (c + 1 < heapSize && hDist(c + 1) < hDist(c)) c += 1
+            if (hDist(c) >= d) c = heapSize
+            else { hDist(i) = hDist(c); hNode(i) = hNode(c); i = c; c = 2 * i + 1 }
+          }
+          hDist(i) = d; hNode(i) = v
+        }
+        top
+      }
+      dist(source) = 0.0
+      push(0.0, source)
+      while (heapSize > 0 && remaining != 0) {
+        val u = pop()
+        if (!settled.get(u)) {
+          settled.set(u)
+          if (until != null && until.get(u)) remaining -= 1
+          val d0 = dist(u)
+          var e = offsets(u)
+          while (e < offsets(u + 1)) {
+            val v = targets(e)
+            val nd = d0 + weights(e)
+            if (nd < dist(v)) { dist(v) = nd; push(nd, v) }
+            e += 1
+          }
+        }
+      }
+      dist
+    }
+  }
+
+  /** Collect an edge DataFrame into a broadcast-ready [[CsrGraph]].
+    *
+    * DRIVER-BOUNDED BY DESIGN: the reference's unit of work is one state
+    * network held in one OSRM process (README.md:222-225); this is the
+    * same envelope — V+E primitive arrays, not row objects. For graphs
+    * beyond single-node memory use [[sssp]] instead.
+    */
+  def buildCsr(edgeDf: DataFrame, cellDeg: Double = 0.5): CsrGraph = {
+    val rows = edgeDf
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("src_lon").cast("double"), col("src_lat").cast("double"),
+        col("dst_lon").cast("double"), col("dst_lat").cast("double"),
+        col("sec").cast("double"))
+      .collect()
+    val coord = scala.collection.mutable.LongMap.empty[(Double, Double)]
+    rows.foreach { r =>
+      coord.getOrElseUpdate(r.getLong(0), (r.getDouble(2), r.getDouble(3)))
+      coord.getOrElseUpdate(r.getLong(1), (r.getDouble(4), r.getDouble(5)))
+    }
+    val ids = coord.keys.toArray.sorted
+    val index = ids.zipWithIndex.toMap
+    val lons = ids.map(coord(_)._1)
+    val lats = ids.map(coord(_)._2)
+    val n = ids.length
+    val deg = new Array[Int](n + 1)
+    rows.foreach(r => deg(index(r.getLong(0)) + 1) += 1)
+    var i = 0
+    while (i < n) { deg(i + 1) += deg(i); i += 1 }
+    val offsets = deg.clone()
+    val targets = new Array[Int](rows.length)
+    val weights = new Array[Double](rows.length)
+    val fill = offsets.clone()
+    rows.foreach { r =>
+      val s = index(r.getLong(0))
+      targets(fill(s)) = index(r.getLong(1))
+      weights(fill(s)) = r.getDouble(6)
+      fill(s) += 1
+    }
+    val cells = (0 until n)
+      .groupBy(k => (math.floor(lons(k) / cellDeg).toInt, math.floor(lats(k) / cellDeg).toInt))
+      .map { case (c, ks) => c -> ks.toArray }
+    CsrGraph(ids, lons, lats, offsets, targets, weights, cellDeg, cells)
+  }
+
+  /** [[Router]] backend over a broadcast [[CsrGraph]] — the in-engine
+    * stand-in for the reference's `osrm-routed /table` call
+    * (utils/times.py:456-462). Each block: snap points to nearest nodes
+    * (grid-ring search), one Dijkstra per distinct origin node with
+    * early exit once every destination node is settled. Unsnappable
+    * points and unreachable destinations produce NaN cells → per-pair
+    * missing rows, exactly OSRM's null durations; whole-block failure
+    * (and thus quadtree recursion) never triggers spuriously.
+    *
+    * Scale: per-block work is O(distinct origins × E log V) task-local
+    * CPU with zero shuffle; the graph ships once per executor via the
+    * broadcast. maxSplit=5000 bounds matrix memory exactly as the
+    * reference's max_table_size bounds OSRM's.
+    */
+  final class NetworkRouter(
+      graph: Broadcast[CsrGraph],
+      maxSnapMeters: Double = 300000.0) extends Router {
+
+    override def table(
+        origins: IndexedSeq[RoutePoint],
+        dests: IndexedSeq[RoutePoint]): Array[Array[Double]] = {
+      val g = graph.value
+      val oNode = origins.map(p => g.snap(p.lon, p.lat, maxSnapMeters)).toArray
+      val dNode = dests.map(p => g.snap(p.lon, p.lat, maxSnapMeters)).toArray
+      val wanted = new java.util.BitSet(g.nodeCount)
+      dNode.foreach(d => if (d >= 0) wanted.set(d))
+      // one Dijkstra per DISTINCT snapped origin node
+      val byNode = oNode.distinct.filter(_ >= 0)
+        .map(s => s -> g.dijkstra(s, wanted))
+        .toMap
+      Array.tabulate(origins.length) { i =>
+        val dist = if (oNode(i) >= 0) byNode(oNode(i)) else null
+        Array.tabulate(dests.length) { j =>
+          if (dist == null || dNode(j) < 0) Double.NaN
+          else {
+            val d = dist(dNode(j))
+            if (d.isInfinite) Double.NaN else d
+          }
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------- distributed SSSP
+
+  /** Multi-source single-source-shortest-path as iterative DataFrame
+    * relaxation — the scale path when the graph exceeds single-node
+    * memory (planet-scale OSM: ~9B nodes). Classic frontier-style
+    * Bellman-Ford: each round joins the improved frontier with the edge
+    * list and keeps strictly-better distances; rounds are narrow
+    * (node, source, dist) shuffles and lineage is truncated with
+    * localCheckpoint so round N doesn't replay rounds 1..N−1.
+    * Converges in O(max shortest-path hop count) rounds.
+    *
+    * @param edgeDf  (src, dst, sec) — directed weighted edges
+    * @param sources one column `id`: source node per row
+    * @return (source, node, dist_sec) for every reachable (source, node)
+    */
+  def sssp(edgeDf: DataFrame, sources: DataFrame, maxIters: Int = 50): DataFrame = {
+    val e = edgeDf.select(col("src").as("node"), col("dst"), col("sec"))
+      .localCheckpoint()
+    var dist = sources.select(col("id").as("source"), col("id").as("node"),
+      lit(0.0).as("dist_sec")).localCheckpoint()
+    var frontier = dist
+    var i = 0
+    var active = frontier.count()
+    while (active > 0 && i < maxIters) {
+      val cand = frontier.join(e, Seq("node"))
+        .select(col("source"), col("dst").as("node"),
+          (col("dist_sec") + col("sec")).as("cand_sec"))
+        .groupBy("source", "node")
+        .agg(min("cand_sec").as("cand_sec"))
+      val joined = cand.join(dist, Seq("source", "node"), "left")
+      val improved = joined
+        .filter(col("dist_sec").isNull || col("cand_sec") < col("dist_sec"))
+        .select(col("source"), col("node"), col("cand_sec").as("dist_sec"))
+        .localCheckpoint()
+      active = improved.count()
+      if (active > 0) {
+        // min-merge: one narrow shuffle, map-side partial agg
+        dist = dist.unionByName(improved)
+          .groupBy("source", "node")
+          .agg(min("dist_sec").as("dist_sec"))
+          .localCheckpoint()
+        frontier = improved
+      }
+      i += 1
+    }
+    dist
+  }
+
+  /** Broadcast helper: build + broadcast the CSR graph and wrap it in a
+    * [[NetworkRouter]] in one call.
+    */
+  def router(spark: SparkSession, edgeDf: DataFrame,
+      maxSnapMeters: Double = 300000.0, cellDeg: Double = 0.5): NetworkRouter =
+    new NetworkRouter(spark.sparkContext.broadcast(buildCsr(edgeDf, cellDeg)), maxSnapMeters)
+
+  // -------------------------------------------- chain contraction
+
+  /** Collapse degree-2 geometry chains into single weighted edges — the
+    * graph compression `osrm-extract` performs before contraction
+    * proper. OSM ways are dominated by shape-only intermediate nodes
+    * (every bend is a node); collapsing nodes with exactly two distinct
+    * neighbors typically shrinks V and E several-fold, which shrinks
+    * the broadcast CSR and every Dijkstra by the same factor while
+    * preserving all distances between surviving nodes.
+    *
+    * Distributed pointer-jumping: each round, every edge ending at a
+    * contractible node splices the unique continuation (the outgoing
+    * edge that doesn't U-turn), so chain spans double and the loop ends
+    * in O(log max-chain-length) rounds. All steps are equi-joins on
+    * node ids. Finally only endpoint→endpoint spans are kept. Pure
+    * degree-2 rings (no endpoints) cannot terminate and are dropped by
+    * the final filter after `maxRounds` — acceptable: an isolated ring
+    * is unreachable from any surviving node.
+    *
+    * Weights/meters sum along the chain; the span keeps the FIRST hop's
+    * highway class and its endpoints' coordinates.
+    *
+    * @param keep nodes never contracted regardless of degree — snap
+    *             targets, turn-restriction carriers, stop locations
+    *             (one column `id`)
+    */
+  def contractChains(
+      edgeDf: DataFrame,
+      keep: Option[DataFrame] = None,
+      maxRounds: Int = 20): DataFrame = {
+    val cols = Seq("src", "dst", "src_lon", "src_lat", "dst_lon", "dst_lat",
+      "highway", "meters", "sec")
+    val e0 = edgeDf.select(cols.map(col): _*)
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+    // contractible = exactly two distinct undirected neighbors, minus keeps
+    val deg2 = e0.select(col("src").as("id"), col("dst").as("nbr"))
+      .union(e0.select(col("dst").as("id"), col("src").as("nbr")))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") === 2)
+      .select(col("id"))
+    val contractible = keep.fold(deg2)(k =>
+        deg2.join(k.select(col(k.columns.head).as("id")), Seq("id"), "left_anti"))
+      .localCheckpoint()
+    var spans = e0
+    var round = 0
+    var extendable = 1L
+    while (extendable > 0 && round < maxRounds) {
+      val endsAtC = spans.join(contractible.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      val stopped = spans.join(contractible.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      extendable = endsAtC.limit(1).count()
+      if (extendable > 0) {
+        // unique continuation: the outgoing edge of `dst` that doesn't
+        // U-turn back to `src` (≤ 1 exists since dst has 2 neighbors)
+        val cont = spans.select(
+          col("src").as("c_src"), col("dst").as("c_dst"),
+          col("dst_lon").as("c_dlon"), col("dst_lat").as("c_dlat"),
+          col("meters").as("c_m"), col("sec").as("c_s"))
+        val extended = endsAtC
+          .join(cont, endsAtC("dst") === cont("c_src") && cont("c_dst") =!= endsAtC("src"),
+            "inner")
+          .select(col("src"), col("c_dst").as("dst"),
+            col("src_lon"), col("src_lat"),
+            col("c_dlon").as("dst_lon"), col("c_dlat").as("dst_lat"),
+            col("highway"),
+            (col("meters") + col("c_m")).as("meters"),
+            (col("sec") + col("c_s")).as("sec"))
+        spans = stopped.unionByName(extended).localCheckpoint()
+      }
+      round += 1
+    }
+    // keep only endpoint→endpoint spans
+    spans
+      .join(contractible.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(contractible.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      .select(cols.map(col): _*)
+  }
+}

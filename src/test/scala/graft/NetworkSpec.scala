@@ -1,0 +1,271 @@
+package graft
+
+import graft.routing._
+import graft.sources.OsmPbf
+import org.apache.spark.sql.functions.lit
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Road-network routing: edge building from OSM frames, island pruning,
+  * the broadcast-CSR Dijkstra router, and the distributed SSSP — each
+  * cross-checked against an independent naive implementation.
+  */
+class NetworkSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ---- naive reference implementations -----------------------------
+
+  /** Floyd–Warshall over a dense matrix — O(n³) ground truth. */
+  private def floydWarshall(n: Int, edges: Seq[(Int, Int, Double)]): Array[Array[Double]] = {
+    val d = Array.fill(n, n)(Double.PositiveInfinity)
+    (0 until n).foreach(i => d(i)(i) = 0.0)
+    edges.foreach { case (u, v, w) => if (w < d(u)(v)) d(u)(v) = w }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (d(i)(k) + d(k)(j) < d(i)(j)) d(i)(j) = d(i)(k) + d(k)(j)
+    d
+  }
+
+  private def randomGraph(rng: Random, n: Int, m: Int): Seq[(Int, Int, Double)] =
+    (0 until m).map { _ =>
+      (rng.nextInt(n), rng.nextInt(n), 1.0 + rng.nextInt(64).toDouble)
+    }.filter { case (u, v, _) => u != v }
+
+  /** Build a CsrGraph directly from an integer edge list (nodes on a
+    * diagonal so every node has unique coordinates).
+    */
+  private def csrOf(n: Int, edges: Seq[(Int, Int, Double)]): RoadNetwork.CsrGraph = {
+    import spark.implicits._
+    val df = edges.toDF("s", "d", "w").select(
+      $"s".cast("long").as("src"), $"d".cast("long").as("dst"),
+      ($"s" * 0.01).as("src_lon"), ($"s" * 0.01).as("src_lat"),
+      ($"d" * 0.01).as("dst_lon"), ($"d" * 0.01).as("dst_lat"),
+      $"w".cast("double").as("sec"))
+    RoadNetwork.buildCsr(df)
+  }
+
+  // ---- Dijkstra vs Floyd–Warshall ----------------------------------
+
+  test("CSR Dijkstra matches Floyd-Warshall on random graphs") {
+    val rng = new Random(42)
+    (1 to 20).foreach { trial =>
+      val n = 2 + rng.nextInt(14)
+      val edges = randomGraph(rng, n, 3 * n)
+      if (edges.nonEmpty) {
+        val g = csrOf(n, edges)
+        val truth = floydWarshall(n, edges)
+        // graph may not contain isolated nodes; map via ids
+        val pos = g.ids.map(_.toInt)
+        pos.zipWithIndex.foreach { case (srcId, si) =>
+          val dist = g.dijkstra(si)
+          pos.zipWithIndex.foreach { case (dstId, di) =>
+            assert(dist(di) == truth(srcId)(dstId),
+              s"trial $trial: $srcId->$dstId got ${dist(di)} want ${truth(srcId)(dstId)}")
+          }
+        }
+      }
+    }
+  }
+
+  test("distributed SSSP matches Floyd-Warshall on random graphs") {
+    import spark.implicits._
+    val rng = new Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 4 + rng.nextInt(8)
+      val edges = randomGraph(rng, n, 3 * n)
+      val truth = floydWarshall(n, edges)
+      val eDf = edges.toDF("s", "d", "w").select(
+        $"s".cast("long").as("src"), $"d".cast("long").as("dst"), $"w".cast("double").as("sec"))
+      val sources = Seq(0L, (n - 1).toLong).toDF("id")
+      val got = RoadNetwork.sssp(eDf, sources)
+        .as[(Long, Long, Double)].collect()
+        .map { case (s, v, d) => (s.toInt, v.toInt) -> d }.toMap
+      for (s <- Seq(0, n - 1); v <- 0 until n) {
+        val want = truth(s)(v)
+        if (want.isInfinity) assert(!got.contains((s, v)), s"trial $trial: $s->$v should be unreachable")
+        else assert(got((s, v)) == want, s"trial $trial: $s->$v got ${got.get((s, v))} want $want")
+      }
+    }
+  }
+
+  // ---- snapping -----------------------------------------------------
+
+  test("grid snap equals brute-force nearest node") {
+    val rng = new Random(11)
+    val edges = randomGraph(rng, 40, 120)
+    val g = csrOf(40, edges)
+    (1 to 200).foreach { _ =>
+      val lon = rng.nextDouble() * 0.6 - 0.1
+      val lat = rng.nextDouble() * 0.6 - 0.1
+      val got = g.snap(lon, lat, maxMeters = 200000.0)
+      val brute = (0 until g.nodeCount)
+        .map(i => (RoadNetwork.planarMeters(g.lons(i) - lon, g.lats(i) - lat), g.ids(i), i))
+        .filter(_._1 <= 200000.0)
+      if (brute.isEmpty) assert(got == -1)
+      else {
+        val best = brute.min
+        assert(got == best._3, s"snap($lon,$lat) got $got want ${best._3}")
+      }
+    }
+  }
+
+  // ---- edge building ------------------------------------------------
+
+  test("edges: consecutive pairs, oneway handling, speed classes") {
+    import spark.implicits._
+    val nodes = Seq(
+      (1L, 10.0, 0.0), (2L, 10.0, 0.125), (3L, 10.0, 0.25), (4L, 10.125, 0.0))
+      .toDF("id", "lat", "lon")
+    val ways = Seq(
+      (100L, Array(1L, 2L, 3L), Map("highway" -> "primary")),          // bidirectional
+      (101L, Array(1L, 4L), Map("highway" -> "residential", "oneway" -> "yes")),
+      (102L, Array(2L, 4L), Map("highway" -> "service", "oneway" -> "-1")), // reverse only
+      (103L, Array(3L, 4L), Map("building" -> "yes")))                 // not routable
+      .toDF("id", "refs", "tags")
+    val e = RoadNetwork.edges(nodes, ways)
+      .select("src", "dst", "highway", "sec").as[(Long, Long, String, Double)]
+      .collect().toSet
+    val prim = 0.125 * 111320.0 / 22.0
+    val res = 0.125 * 111320.0 / 8.0
+    val svc = RoadNetwork.planarMeters(0.125, 0.125) / 5.0
+    assert(e == Set(
+      (1L, 2L, "primary", prim), (2L, 3L, "primary", prim),
+      (2L, 1L, "primary", prim), (3L, 2L, "primary", prim),
+      (1L, 4L, "residential", res),
+      (4L, 2L, "service", svc)))
+  }
+
+  test("largestComponent drops islands, ties break deterministically") {
+    import spark.implicits._
+    // main component 1-2-3-4 (6 directed edges), island 10-11 (2 edges)
+    val mk = (s: Long, d: Long) => (s, d, 0.0, 0.0, 0.0, 0.0, "x", 1.0, 1.0)
+    val e = Seq(
+      mk(1, 2), mk(2, 1), mk(2, 3), mk(3, 2), mk(3, 4), mk(4, 3),
+      mk(10, 11), mk(11, 10))
+      .toDF("src", "dst", "src_lon", "src_lat", "dst_lon", "dst_lat", "highway", "meters", "sec")
+    val kept = RoadNetwork.largestComponent(e)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L)))
+  }
+
+  // ---- NetworkRouter through the matrix operator -------------------
+
+  test("NetworkRouter on a uniform grid equals Manhattan closed form; off-graph points go missing") {
+    import spark.implicits._
+    // 4x5 grid, 0.125-degree spacing (binary-exact), all residential
+    val W = 5; val H = 4
+    val nodes = (for (r <- 0 until H; c <- 0 until W)
+      yield (r * W + c + 1L, 30.0 + r * 0.125, -100.0 + c * 0.125))
+      .toDF("id", "lat", "lon")
+    val ways =
+      ((0 until H).map(r => (200L + r, (1 to W).map(c => r * W + c.toLong).toArray,
+        Map("highway" -> "residential"))) ++
+        (0 until W).map(c => (300L + c, (0 until H).map(r => r * W + c + 1L).toArray,
+          Map("highway" -> "residential"))))
+        .toDF("id", "refs", "tags")
+    val e = RoadNetwork.edges(nodes, ways)
+    val rt = RoadNetwork.router(spark, e)
+    val pts = (for (r <- 0 until H; c <- 0 until W)
+      yield RoutePoint(f"P${r * W + c + 1}%03d", -100.0 + c * 0.125, 30.0 + r * 0.125)).toSeq
+    val far = RoutePoint("X999", 50.0, 80.0) // unsnappable
+    val got = TravelTimeMatrix.run(spark,
+        spark.createDataset(pts :+ far), spark.createDataset(pts :+ far), rt,
+        oSplit = 7, dSplit = 7, maxDepth = 3)
+      .collect().map(t => (t.origin_id, t.destination_id) -> t.duration_sec).toMap
+    val step = 0.125 * 111320.0 / 8.0
+    for (a <- 0 until H * W; b <- 0 until H * W) {
+      val manhattan = (math.abs(a / W - b / W) + math.abs(a % W - b % W)) * step
+      assert(got((f"P${a + 1}%03d", f"P${b + 1}%03d")) == Some(manhattan))
+    }
+    assert(got(("X999", "P001")).isEmpty && got(("P001", "X999")).isEmpty)
+    // unsnappable-to-itself is also missing: NaN cells never trigger the
+    // quadtree, so the R2 1x1 short-circuit correctly does not apply
+    assert(got(("X999", "X999")).isEmpty)
+  }
+
+  // ---- chain contraction -------------------------------------------
+
+  test("contractChains preserves all distances between surviving nodes") {
+    import spark.implicits._
+    val rng = new Random(23)
+    (1 to 5).foreach { trial =>
+      // random graph + planted degree-2 chains hanging between its nodes
+      val n = 4 + rng.nextInt(6)
+      val base = randomGraph(rng, n, 2 * n)
+        .flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) } // symmetric core
+      var next = n
+      val chains = (0 until 4).flatMap { _ =>
+        // distinct endpoints: an a==b length-1 "chain" gives the mid a
+        // single distinct neighbor, which correctly does NOT contract
+        val a = rng.nextInt(n); val b = (a + 1 + rng.nextInt(n - 1)) % n
+        val len = 1 + rng.nextInt(4)
+        val mids = (0 until len).map { _ => val m = next; next += 1; m }
+        val path = a +: mids :+ b
+        path.sliding(2).toSeq.flatMap { case Seq(x, y) =>
+          val w = 1.0 + rng.nextInt(8).toDouble
+          Seq((x, y, w), (y, x, w))
+        }
+      }
+      val all = base ++ chains
+      val truth = floydWarshall(next, all)
+      val df = all.toDF("s", "d", "w").select(
+        $"s".cast("long").as("src"), $"d".cast("long").as("dst"),
+        ($"s" * 0.01).as("src_lon"), ($"s" * 0.01).as("src_lat"),
+        ($"d" * 0.01).as("dst_lon"), ($"d" * 0.01).as("dst_lat"),
+        lit("x").as("highway"), $"w".cast("double").as("meters"),
+        $"w".cast("double").as("sec"))
+      val contracted = RoadNetwork.contractChains(df,
+        keep = Some((0 until n).map(_.toLong).toDF("id")))
+      val g = RoadNetwork.buildCsr(contracted)
+      // every surviving pair's Dijkstra distance == Floyd-Warshall truth
+      g.ids.zipWithIndex.foreach { case (srcId, si) =>
+        assert(srcId < n, s"trial $trial: interior node $srcId survived")
+        val dist = g.dijkstra(si)
+        g.ids.zipWithIndex.foreach { case (dstId, di) =>
+          val want = truth(srcId.toInt)(dstId.toInt)
+          val got = dist(di)
+          assert(math.abs(got - want) <= 1e-9 * math.max(1.0, want.abs) || got == want,
+            s"trial $trial: $srcId->$dstId got $got want $want")
+        }
+      }
+    }
+  }
+
+  test("contractChains collapses a subdivided path to one edge per direction and keeps rings out") {
+    import spark.implicits._
+    // path 0 -(1,2,3 interior)- 4, plus an isolated degree-2 ring 10-11-12
+    val hops = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).flatMap { case (a, b) =>
+      Seq((a, b, 2.5), (b, a, 2.5))
+    } ++ Seq((10L, 11L), (11L, 12L), (12L, 10L)).flatMap { case (a, b) =>
+      Seq((a, b, 1.0), (b, a, 1.0))
+    }
+    val df = hops.toDF("src", "dst", "w").select(
+      $"src", $"dst",
+      lit(0.0).as("src_lon"), lit(0.0).as("src_lat"),
+      lit(0.0).as("dst_lon"), lit(0.0).as("dst_lat"),
+      lit("x").as("highway"), $"w".as("meters"), $"w".as("sec"))
+    val out = RoadNetwork.contractChains(df)
+      .select("src", "dst", "sec").as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((0L, 4L, 10.0), (4L, 0L, 10.0)))
+  }
+
+  test("pbf -> edges -> router end-to-end (clip spine)") {
+    import spark.implicits._
+    val path = "/tmp/graft_network_spec.pbf"
+    val nodes = (for (r <- 0 until 3; c <- 0 until 3)
+      yield OsmPbf.PbfNode(r * 3 + c + 1L, 30.0 + r * 0.125, -100.0 + c * 0.125, Map.empty))
+    val ways =
+      (0 until 3).map(r => OsmPbf.PbfWay(50L + r, Array.tabulate(3)(c => r * 3 + c + 1L),
+        Map("highway" -> "secondary"))) ++
+        (0 until 3).map(c => OsmPbf.PbfWay(60L + c, Array.tabulate(3)(r => r * 3 + c + 1L),
+          Map("highway" -> "secondary")))
+    OsmPbf.writePbf(path, nodes, ways)
+    val e = RoadNetwork.edges(OsmPbf.nodes(spark, path), OsmPbf.ways(spark, path))
+    val g = RoadNetwork.buildCsr(e)
+    val dist = g.dijkstra(g.ids.indexOf(1L))
+    val step = 0.125 * 111320.0 / 17.0
+    // pbf fixed-point decode (1e-9 * units) can differ from the planted
+    // doubles by an ulp, so corner-to-corner gets a relative tolerance
+    val want = 4 * step
+    assert(math.abs(dist(g.ids.indexOf(9L)) - want) < 1e-6 * want)
+  }
+}
