@@ -273,7 +273,7 @@ object NetworkQueries extends QueryPack {
         TravelTimeMatrix.run(s,
           matrixOrigins(s, dir, 0).as[RoutePoint],
           matrixDests(s, dir, 0).as[RoutePoint],
-          rt, oSplit = 5000, dSplit = 5000, maxDepth = 3).toDF()
+          rt, oSplit = 1000, dSplit = 500, maxDepth = 3).toDF()
       },
       Some(s"WITH ${matrixSql("FALSE", "FALSE")}")),
 
@@ -304,10 +304,29 @@ object NetworkQueries extends QueryPack {
         TravelTimeMatrix.run(s,
           matrixOrigins(s, dir, 23).as[RoutePoint],
           matrixDests(s, dir, 29).as[RoutePoint],
-          rt, oSplit = 5000, dSplit = 5000, maxDepth = 3).toDF()
+          rt, oSplit = 1000, dSplit = 500, maxDepth = 3).toDF()
       },
       Some(s"WITH ${matrixSql("o.key % 23 = 0", "d.key % 29 = 0")}"),
       headline = true),
+
+    // q107: the contraction-hierarchy router (what `osrm-routed
+    // --algorithm ch` actually runs) through the same matrix as q104 —
+    // rank ordering, witness-pruned shortcuts, and the bucket
+    // many-to-many must reproduce the Manhattan closed form exactly
+    // (dyadic per-hop times keep shortcut weight sums bit-exact).
+    QueryDef(
+      "q107_ch_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val e = RoadNetwork.edges(
+          gridNodes(s, dir), gridWays(s, dir, mixed = false, dagOnly = false))
+        val rt = RoadNetwork.chRouter(s, e)
+        TravelTimeMatrix.run(s,
+          matrixOrigins(s, dir, 0).as[RoutePoint],
+          matrixDests(s, dir, 0).as[RoutePoint],
+          rt, oSplit = 1000, dSplit = 500, maxDepth = 3).toDF()
+      },
+      Some(s"WITH ${matrixSql("FALSE", "FALSE")}")),
 
     // q106: degree-2 chain contraction (osrm-extract's geometry
     // compression) proven distance-preserving through the whole router:
@@ -355,7 +374,7 @@ object NetworkQueries extends QueryPack {
         TravelTimeMatrix.run(s,
           matrixOrigins(s, dir, 0).as[RoutePoint],
           matrixDests(s, dir, 0).as[RoutePoint],
-          rt, oSplit = 5000, dSplit = 5000, maxDepth = 3).toDF()
+          rt, oSplit = 1000, dSplit = 500, maxDepth = 3).toDF()
       },
       Some(s"WITH ${matrixSql("FALSE", "FALSE")}"))
   )

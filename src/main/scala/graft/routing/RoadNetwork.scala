@@ -406,6 +406,316 @@ object RoadNetwork {
       maxSnapMeters: Double = 300000.0, cellDeg: Double = 0.5): NetworkRouter =
     new NetworkRouter(spark.sparkContext.broadcast(buildCsr(edgeDf, cellDeg)), maxSnapMeters)
 
+  // ------------------------------------- contraction hierarchies
+
+  /** Contraction-hierarchy overlay of a [[CsrGraph]] — the algorithm the
+    * reference's router actually runs (`osrm-routed --algorithm ch`,
+    * calculate-times.yaml:178-180). Nodes get a contraction rank; every
+    * shortest path is then expressible as an up-then-down rank sequence,
+    * so a point-to-point query touches only the two small "upward"
+    * cones instead of the whole graph.
+    *
+    *  - `upOff/upTgt/upW`: forward edges (original + shortcuts) into
+    *    HIGHER-ranked nodes — the forward search graph.
+    *  - `bwdOff/bwdTgt/bwdW`: REVERSED edges whose forward orientation
+    *    descends in rank — the backward search graph (a backward search
+    *    from t over these computes exact dist(m → t) for every m on
+    *    t's downward cone).
+    *
+    * Many-to-many uses OSRM's bucket algorithm: one backward search per
+    * distinct destination node writes (dest, dist) entries into buckets
+    * at each settled node; one forward search per distinct origin node
+    * then scans buckets at its settled nodes and keeps the min sum.
+    * Total work is O((|O| + |D|) × cone) instead of |O| full-graph
+    * Dijkstras — the gap widens with graph size, which is exactly the
+    * 100 TB argument for paying the one-time contraction.
+    */
+  final case class ChGraph(
+      csr: CsrGraph,
+      rank: Array[Int],
+      upOff: Array[Int], upTgt: Array[Int], upW: Array[Double],
+      bwdOff: Array[Int], bwdTgt: Array[Int], bwdW: Array[Double])
+      extends Serializable {
+
+    /** Upward Dijkstra from `source` over one of the two search CSRs;
+      * returns (settledNodes, settledDists) as parallel arrays.
+      */
+    private def coneSearch(
+        source: Int,
+        off: Array[Int], tgt: Array[Int], w: Array[Double]): (Array[Int], Array[Double]) = {
+      val dist = scala.collection.mutable.HashMap.empty[Int, Double]
+      val settled = scala.collection.mutable.HashSet.empty[Int]
+      val outN = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val outD = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val pq = new java.util.PriorityQueue[(Double, Int)](
+        11, (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(a._1, b._1))
+      dist(source) = 0.0
+      pq.add((0.0, source))
+      while (!pq.isEmpty) {
+        val (d, u) = pq.poll()
+        if (!settled.contains(u)) {
+          settled += u
+          outN += u; outD += d
+          var e = off(u)
+          while (e < off(u + 1)) {
+            val v = tgt(e)
+            val nd = d + w(e)
+            if (nd < dist.getOrElse(v, Double.PositiveInfinity)) {
+              dist(v) = nd; pq.add((nd, v))
+            }
+            e += 1
+          }
+        }
+      }
+      (outN.toArray, outD.toArray)
+    }
+
+    /** Exact many-to-many durations between snapped node indices
+      * (−1 = unsnapped → NaN row/col), via the bucket algorithm.
+      */
+    def table(oNode: Array[Int], dNode: Array[Int]): Array[Array[Double]] = {
+      val n = csr.nodeCount
+      // backward cones: buckets of (destSlot, dist) per settled node
+      val distinctD = dNode.filter(_ >= 0).distinct
+      val dSlot = distinctD.zipWithIndex.toMap
+      val bucketN = Array.fill(n)(null: scala.collection.mutable.ArrayBuffer[(Int, Double)])
+      distinctD.foreach { t =>
+        val (ns, ds) = coneSearch(t, bwdOff, bwdTgt, bwdW)
+        var i = 0
+        while (i < ns.length) {
+          val u = ns(i)
+          if (bucketN(u) == null)
+            bucketN(u) = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+          bucketN(u) += ((dSlot(t), ds(i)))
+          i += 1
+        }
+      }
+      // forward cones per distinct origin node
+      val byOrigin = oNode.filter(_ >= 0).distinct.map { s =>
+        val best = Array.fill(distinctD.length)(Double.PositiveInfinity)
+        val (ns, ds) = coneSearch(s, upOff, upTgt, upW)
+        var i = 0
+        while (i < ns.length) {
+          val b = bucketN(ns(i))
+          if (b != null) {
+            val fd = ds(i)
+            b.foreach { case (slot, bd) =>
+              if (fd + bd < best(slot)) best(slot) = fd + bd
+            }
+          }
+          i += 1
+        }
+        s -> best
+      }.toMap
+      Array.tabulate(oNode.length) { i =>
+        val best = if (oNode(i) >= 0) byOrigin(oNode(i)) else null
+        Array.tabulate(dNode.length) { j =>
+          if (best == null || dNode(j) < 0) Double.NaN
+          else {
+            val d = best(dSlot(dNode(j)))
+            if (d.isInfinite) Double.NaN else d
+          }
+        }
+      }
+    }
+  }
+
+  /** Contract a [[CsrGraph]] into a [[ChGraph]].
+    *
+    * DRIVER-BOUNDED BY DESIGN like [[buildCsr]] — preprocessing is the
+    * same one-state-network envelope the reference pays in its
+    * `osrm-contract` CI step (calculate-times.yaml:100-120), done once
+    * and broadcast.
+    *
+    * Ordering is the standard lazy heuristic: priority = edge
+    * difference (shortcuts needed − edges removed) + contracted
+    * neighbors; the heap re-evaluates a node when popped and re-inserts
+    * if it is no longer minimal. Witness searches are bounded local
+    * Dijkstras (`witnessSettleLimit`); truncating a witness search can
+    * only ADD redundant shortcuts, never lose a shortest path, so
+    * correctness is unconditional.
+    */
+  def buildCh(csr: CsrGraph, witnessSettleLimit: Int = 64): ChGraph = {
+    import scala.collection.mutable
+    val n = csr.nodeCount
+    // dynamic adjacency over uncontracted nodes; (nbr -> weight), min kept
+    val out = Array.fill(n)(mutable.LongMap.empty[Double])
+    val in = Array.fill(n)(mutable.LongMap.empty[Double])
+    var u0 = 0
+    while (u0 < n) {
+      var e = csr.offsets(u0)
+      while (e < csr.offsets(u0 + 1)) {
+        val v = csr.targets(e); val w = csr.weights(e)
+        if (v != u0) {
+          if (w < out(u0).getOrElse(v.toLong, Double.PositiveInfinity)) out(u0)(v.toLong) = w
+          if (w < in(v).getOrElse(u0.toLong, Double.PositiveInfinity)) in(v)(u0.toLong) = w
+        }
+        e += 1
+      }
+      u0 += 1
+    }
+    val contracted = new Array[Boolean](n)
+    val deletedNbrs = new Array[Int](n)
+    val rank = new Array[Int](n)
+    // all surviving forward edges incl. shortcuts: (src, dst, w)
+    val finalSrc = mutable.ArrayBuffer.empty[Int]
+    val finalDst = mutable.ArrayBuffer.empty[Int]
+    val finalW = mutable.ArrayBuffer.empty[Double]
+
+    /** min witness dist u→w in the uncontracted graph minus `skip`,
+      * capped: stops when heap min > `bound` or settle budget is spent.
+      */
+    def witness(u: Int, targets: mutable.LongMap[Double], skip: Int, bound: Double): mutable.LongMap[Double] = {
+      val dist = mutable.LongMap.empty[Double]
+      val settled = mutable.LongMap.empty[Double] // node -> settled dist
+      val pq = new java.util.PriorityQueue[(Double, Int)](
+        11, (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(a._1, b._1))
+      dist(u.toLong) = 0.0
+      pq.add((0.0, u))
+      var budget = witnessSettleLimit
+      var remainingTargets = targets.size
+      while (!pq.isEmpty && budget > 0 && remainingTargets > 0 && pq.peek()._1 <= bound) {
+        val (d, x) = pq.poll()
+        if (!settled.contains(x.toLong)) {
+          settled(x.toLong) = d
+          if (targets.contains(x.toLong)) remainingTargets -= 1
+          budget -= 1
+          out(x).foreach { case (vL, w) =>
+            val v = vL.toInt
+            if (v != skip && !contracted(v)) {
+              val nd = d + w
+              if (nd < dist.getOrElse(vL, Double.PositiveInfinity)) {
+                dist(vL) = nd; pq.add((nd, v))
+              }
+            }
+          }
+        }
+      }
+      settled
+    }
+
+    /** Shortcuts node v would need now: (u, w, weight) triples. */
+    def neededShortcuts(v: Int): Seq[(Int, Int, Double)] = {
+      val ins = in(v).toSeq.collect { case (uL, w) if !contracted(uL.toInt) => (uL.toInt, w) }
+      val outs = out(v).toSeq.collect { case (wL, w) if !contracted(wL.toInt) => (wL.toInt, w) }
+      if (ins.isEmpty || outs.isEmpty) Seq.empty
+      else {
+        val maxOut = outs.map(_._2).max
+        ins.flatMap { case (u, wu) =>
+          val targets = mutable.LongMap.empty[Double]
+          outs.foreach { case (t, wt) => if (t != u) targets(t.toLong) = wt }
+          if (targets.isEmpty) Seq.empty
+          else {
+            val settledW = witness(u, targets, skip = v, bound = wu + maxOut)
+            outs.collect {
+              case (t, wt) if t != u &&
+                  settledW.getOrElse(t.toLong, Double.PositiveInfinity) > wu + wt =>
+                (u, t, wu + wt)
+            }
+          }
+        }
+      }
+    }
+
+    def priority(v: Int): Double = {
+      val sc = neededShortcuts(v).length
+      val deg = in(v).count(kv => !contracted(kv._1.toInt)) +
+        out(v).count(kv => !contracted(kv._1.toInt))
+      (sc - deg).toDouble + deletedNbrs(v).toDouble * 0.5
+    }
+
+    val heap = new java.util.PriorityQueue[(Double, Int)](
+      math.max(11, n), (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(a._1, b._1))
+    (0 until n).foreach(v => heap.add((priority(v), v)))
+    var nextRank = 0
+    while (!heap.isEmpty) {
+      val (p, v) = heap.poll()
+      if (!contracted(v)) {
+        val pNow = priority(v)
+        if (!heap.isEmpty && pNow > heap.peek()._1 + 1e-12) heap.add((pNow, v))
+        else {
+          // contract v: materialize its shortcuts, retire its edges
+          val sc = neededShortcuts(v)
+          sc.foreach { case (u, t, w) =>
+            if (w < out(u).getOrElse(t.toLong, Double.PositiveInfinity)) {
+              out(u)(t.toLong) = w; in(t)(u.toLong) = w
+            }
+          }
+          rank(v) = nextRank; nextRank += 1
+          contracted(v) = true
+          // freeze v's edges to still-uncontracted neighbors (pairs with
+          // an already-contracted endpoint were frozen at that earlier
+          // contraction — including them again would duplicate edges)
+          out(v).foreach { case (tL, w) =>
+            val t = tL.toInt
+            if (!contracted(t)) {
+              finalSrc += v; finalDst += t; finalW += w
+              deletedNbrs(t) += 1
+            }
+          }
+          in(v).foreach { case (uL, w) =>
+            val u = uL.toInt
+            if (!contracted(u)) {
+              finalSrc += u; finalDst += v; finalW += w
+              deletedNbrs(u) += 1
+            }
+          }
+        }
+      }
+    }
+    // split the final edges into the two search CSRs
+    val m = finalSrc.length
+    val upDeg = new Array[Int](n + 1)
+    val bwdDeg = new Array[Int](n + 1)
+    var k = 0
+    while (k < m) {
+      val s = finalSrc(k); val d = finalDst(k)
+      if (rank(d) > rank(s)) upDeg(s + 1) += 1 else bwdDeg(d + 1) += 1
+      k += 1
+    }
+    var i = 0
+    while (i < n) { upDeg(i + 1) += upDeg(i); bwdDeg(i + 1) += bwdDeg(i); i += 1 }
+    val upOff = upDeg.clone(); val bwdOff = bwdDeg.clone()
+    val upTgt = new Array[Int](upOff(n)); val upW = new Array[Double](upOff(n))
+    val bwdTgt = new Array[Int](bwdOff(n)); val bwdW = new Array[Double](bwdOff(n))
+    val upFill = upOff.clone(); val bwdFill = bwdOff.clone()
+    k = 0
+    while (k < m) {
+      val s = finalSrc(k); val d = finalDst(k); val w = finalW(k)
+      if (rank(d) > rank(s)) {
+        upTgt(upFill(s)) = d; upW(upFill(s)) = w; upFill(s) += 1
+      } else {
+        bwdTgt(bwdFill(d)) = s; bwdW(bwdFill(d)) = w; bwdFill(d) += 1
+      }
+      k += 1
+    }
+    ChGraph(csr, rank, upOff, upTgt, upW, bwdOff, bwdTgt, bwdW)
+  }
+
+  /** [[Router]] backend over a broadcast [[ChGraph]] — the in-engine
+    * equivalent of `osrm-routed --algorithm ch /table`. Snap shares the
+    * CSR grid index; the block query is the bucket many-to-many.
+    */
+  final class ChRouter(
+      graph: Broadcast[ChGraph],
+      maxSnapMeters: Double = 300000.0) extends Router {
+    override def table(
+        origins: IndexedSeq[RoutePoint],
+        dests: IndexedSeq[RoutePoint]): Array[Array[Double]] = {
+      val g = graph.value
+      g.table(
+        origins.map(p => g.csr.snap(p.lon, p.lat, maxSnapMeters)).toArray,
+        dests.map(p => g.csr.snap(p.lon, p.lat, maxSnapMeters)).toArray)
+    }
+  }
+
+  /** Build + broadcast a contraction hierarchy and wrap it in a
+    * [[ChRouter]] in one call.
+    */
+  def chRouter(spark: SparkSession, edgeDf: DataFrame,
+      maxSnapMeters: Double = 300000.0, cellDeg: Double = 0.5): ChRouter =
+    new ChRouter(spark.sparkContext.broadcast(buildCh(buildCsr(edgeDf, cellDeg))), maxSnapMeters)
+
   // -------------------------------------------- chain contraction
 
   /** Collapse degree-2 geometry chains into single weighted edges — the
@@ -421,9 +731,10 @@ object RoadNetwork {
     * edge that doesn't U-turn), so chain spans double and the loop ends
     * in O(log max-chain-length) rounds. All steps are equi-joins on
     * node ids. Finally only endpoint→endpoint spans are kept. Pure
-    * degree-2 rings (no endpoints) cannot terminate and are dropped by
-    * the final filter after `maxRounds` — acceptable: an isolated ring
-    * is unreachable from any surviving node.
+    * degree-2 rings (no endpoints) can never stall, so spans carry a
+    * hop count and any span longer than the contractible-node count —
+    * necessarily a wrapped ring — is dropped as soon as it forms;
+    * an isolated ring is unreachable from any surviving node anyway.
     *
     * Weights/meters sum along the chain; the span keeps the FIRST hop's
     * highway class and its endpoints' coordinates.
@@ -435,7 +746,7 @@ object RoadNetwork {
   def contractChains(
       edgeDf: DataFrame,
       keep: Option[DataFrame] = None,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 12): DataFrame = {
     val cols = Seq("src", "dst", "src_lon", "src_lat", "dst_lon", "dst_lat",
       "highway", "meters", "sec")
     val e0 = edgeDf.select(cols.map(col): _*)
@@ -451,7 +762,11 @@ object RoadNetwork {
     val contractible = keep.fold(deg2)(k =>
         deg2.join(k.select(col(k.columns.head).as("id")), Seq("id"), "left_anti"))
       .localCheckpoint()
-    var spans = e0
+    // a legitimate endpoint→endpoint span visits each contractible node
+    // at most once → hops ≤ nContractible + 1; anything longer wrapped a
+    // pure ring and is dead weight from then on
+    val maxHops = contractible.count() + 1
+    var spans = e0.withColumn("__hops", lit(1L))
     var round = 0
     var extendable = 1L
     while (extendable > 0 && round < maxRounds) {
@@ -464,7 +779,7 @@ object RoadNetwork {
         val cont = spans.select(
           col("src").as("c_src"), col("dst").as("c_dst"),
           col("dst_lon").as("c_dlon"), col("dst_lat").as("c_dlat"),
-          col("meters").as("c_m"), col("sec").as("c_s"))
+          col("meters").as("c_m"), col("sec").as("c_s"), col("__hops").as("c_h"))
         val extended = endsAtC
           .join(cont, endsAtC("dst") === cont("c_src") && cont("c_dst") =!= endsAtC("src"),
             "inner")
@@ -473,7 +788,9 @@ object RoadNetwork {
             col("c_dlon").as("dst_lon"), col("c_dlat").as("dst_lat"),
             col("highway"),
             (col("meters") + col("c_m")).as("meters"),
-            (col("sec") + col("c_s")).as("sec"))
+            (col("sec") + col("c_s")).as("sec"),
+            (col("__hops") + col("c_h")).as("__hops"))
+          .filter(col("__hops") <= maxHops)
         spans = stopped.unionByName(extended).localCheckpoint()
       }
       round += 1

@@ -66,10 +66,35 @@ class NetworkSpec extends AnyFunSuite {
     }
   }
 
+  test("CH bucket many-to-many matches Floyd-Warshall on random graphs") {
+    val rng = new Random(99)
+    (1 to 20).foreach { trial =>
+      val n = 2 + rng.nextInt(14)
+      val edges = randomGraph(rng, n, 3 * n)
+      if (edges.nonEmpty) {
+        val csr = csrOf(n, edges)
+        val ch = RoadNetwork.buildCh(csr)
+        val truth = floydWarshall(n, edges)
+        // weights are integers, so all path sums are exact regardless of
+        // the association order shortcuts introduce
+        val idx = csr.ids.indices.toArray
+        val got = ch.table(idx, idx)
+        csr.ids.zipWithIndex.foreach { case (sid, si) =>
+          csr.ids.zipWithIndex.foreach { case (did, di) =>
+            val want = truth(sid.toInt)(did.toInt)
+            val g = got(si)(di)
+            if (want.isInfinity) assert(g.isNaN, s"trial $trial: $sid->$did got $g want unreachable")
+            else assert(g == want, s"trial $trial: $sid->$did got $g want $want")
+          }
+        }
+      }
+    }
+  }
+
   test("distributed SSSP matches Floyd-Warshall on random graphs") {
     import spark.implicits._
     val rng = new Random(7)
-    (1 to 3).foreach { trial =>
+    (1 to 2).foreach { trial =>
       val n = 4 + rng.nextInt(8)
       val edges = randomGraph(rng, n, 3 * n)
       val truth = floydWarshall(n, edges)
@@ -187,7 +212,7 @@ class NetworkSpec extends AnyFunSuite {
   test("contractChains preserves all distances between surviving nodes") {
     import spark.implicits._
     val rng = new Random(23)
-    (1 to 5).foreach { trial =>
+    (1 to 3).foreach { trial =>
       // random graph + planted degree-2 chains hanging between its nodes
       val n = 4 + rng.nextInt(6)
       val base = randomGraph(rng, n, 2 * n)
