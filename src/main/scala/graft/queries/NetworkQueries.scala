@@ -328,6 +328,64 @@ object NetworkQueries extends QueryPack {
       },
       Some(s"WITH ${matrixSql("FALSE", "FALSE")}")),
 
+    // q108: via-node turn restrictions honored end-to-end — relation
+    // frame → (from, via, to) triples → banned set → edge-state
+    // Dijkstra through the matrix. T-network A(0)–B(1)–C(2) with D(3)
+    // under B; `no_left_turn` from way [A,B] via B onto way [B,D]
+    // forces A→D to detour A→B→C→B→D (4 hops instead of 2); every
+    // other pair keeps its tree distance. Ways are OSM-normalized
+    // (split at the junction), matching the invariant the triple
+    // extraction relies on.
+    QueryDef(
+      "q108_turn_restriction",
+      (s, dir) => {
+        import s.implicits._
+        val keys = T.customer(s, dir).filter($"c_custkey" < 4)
+          .select($"c_custkey".as("key"))
+        val tNodes = keys.select(
+          $"key".as("id"),
+          (lit(Lat0) - when($"key" === 3, Step).otherwise(0.0)).as("lat"),
+          (lit(Lon0) + element_at(
+            array(lit(0.0), lit(Step), lit(2 * Step), lit(Step)),
+            ($"key" + 1).cast("int"))).as("lon"))
+        val tWays = keys.filter($"key" < 3).select(
+          element_at(array(lit(500L), lit(501L), lit(502L)),
+            ($"key" + 1).cast("int")).as("id"),
+          element_at(array(
+            array(lit(0L), lit(1L)),
+            array(lit(1L), lit(3L)),
+            array(lit(1L), lit(2L))), ($"key" + 1).cast("int")).as("refs"),
+          map(lit("highway"), lit("residential")).as("tags"))
+        val rels = keys.filter($"key" === 0).select(
+          lit(900L).as("id"),
+          array(lit(500L), lit(1L), lit(501L)).as("memberIds"),
+          array(lit(1), lit(0), lit(1)).as("memberTypes"),
+          array(lit("from"), lit("via"), lit("to")).as("memberRoles"),
+          map(lit("type"), lit("restriction"),
+            lit("restriction"), lit("no_left_turn")).as("tags"))
+        val e = RoadNetwork.edges(tNodes, tWays)
+        val bannedDf = RoadNetwork.bannedTriples(
+          e, RoadNetwork.restrictionTriples(rels, tWays))
+        val rt = RoadNetwork.restrictedRouter(s, e, bannedDf)
+        val pts = tNodes.select(
+          concat(lit("P"), $"id".cast("string")).as("id"), $"lon", $"lat")
+        TravelTimeMatrix.run(s, pts.as[RoutePoint], pts.as[RoutePoint], rt,
+          oSplit = 1000, dSplit = 500, maxDepth = 3).toDF()
+      },
+      Some(s"""WITH o AS (
+              |  SELECT c_custkey AS key, 'P' || CAST(c_custkey AS VARCHAR) AS id
+              |  FROM customer WHERE c_custkey < 4),
+              |d AS (
+              |  SELECT c_custkey AS key, 'P' || CAST(c_custkey AS VARCHAR) AS id
+              |  FROM customer WHERE c_custkey < 4)
+              |SELECT o.id AS origin_id, d.id AS destination_id,
+              |       CAST(CASE WHEN o.key = d.key THEN 0
+              |                 WHEN o.key = 0 AND d.key = 3 THEN 4
+              |                 ELSE (CASE WHEN o.key = 1 THEN 0 ELSE 1 END)
+              |                    + (CASE WHEN d.key = 1 THEN 0 ELSE 1 END)
+              |            END AS DOUBLE) * CAST($StepSec AS DOUBLE) AS duration_sec
+              |FROM o CROSS JOIN d""".stripMargin)),
+
     // q106: degree-2 chain contraction (osrm-extract's geometry
     // compression) proven distance-preserving through the whole router:
     // the same uniform grid with every hop SUBDIVIDED by a midpoint

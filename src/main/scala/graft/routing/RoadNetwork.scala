@@ -159,6 +159,20 @@ object RoadNetwork {
 
     def nodeCount: Int = ids.length
 
+    /** tail node of each CSR edge slot (inverse of offsets), built once
+      * per deserialized graph — used only by the restricted search.
+      */
+    @transient private lazy val tails: Array[Int] = {
+      val t = new Array[Int](targets.length)
+      var u = 0
+      while (u < nodeCount) {
+        var e = offsets(u)
+        while (e < offsets(u + 1)) { t(e) = u; e += 1 }
+        u += 1
+      }
+      t
+    }
+
     private def cellOf(lon: Double, lat: Double): (Int, Int) =
       (math.floor(lon / cellDeg).toInt, math.floor(lat / cellDeg).toInt)
 
@@ -262,6 +276,96 @@ object RoadNetwork {
       }
       dist
     }
+
+    /** Dijkstra over EDGE states — exact under turn restrictions, where
+      * plain node Dijkstra is wrong (the optimal path may revisit a
+      * node to legalize a turn). A state is a CSR edge slot; transition
+      * e→e2 at node h = targets(e) is allowed unless
+      * (ids(tails(e)), ids(h), ids(targets(e2))) ∈ `banned`. Departures
+      * from the source have no from-edge, so they are never restricted
+      * (OSRM semantics for a trip starting at a junction). Edge states
+      * settle in global distance order, so the FIRST settled state
+      * arriving at a node fixes that node's distance.
+      *
+      * `vias` (the banned triples' middle nodes) gates the set lookup so
+      * unrestricted junctions — virtually all of them — stay on the
+      * same fast path as the node search.
+      */
+    def dijkstraRestricted(
+        source: Int,
+        banned: scala.collection.Set[(Long, Long, Long)],
+        vias: scala.collection.Set[Long],
+        until: java.util.BitSet = null): Array[Double] = {
+      val n = nodeCount
+      val nE = targets.length
+      val nodeDist = Array.fill(n)(Double.PositiveInfinity)
+      val nodeSettled = new java.util.BitSet(n)
+      var remaining = if (until == null) -1 else until.cardinality()
+      val edist = Array.fill(nE)(Double.PositiveInfinity)
+      val esettled = new java.util.BitSet(nE)
+      var heapSize = 0
+      var hDist = new Array[Double](math.max(16, nE / 4))
+      var hEdge = new Array[Int](hDist.length)
+      def push(d: Double, v: Int): Unit = {
+        if (heapSize == hDist.length) {
+          hDist = java.util.Arrays.copyOf(hDist, heapSize * 2)
+          hEdge = java.util.Arrays.copyOf(hEdge, heapSize * 2)
+        }
+        var i = heapSize; heapSize += 1
+        while (i > 0 && hDist((i - 1) / 2) > d) {
+          hDist(i) = hDist((i - 1) / 2); hEdge(i) = hEdge((i - 1) / 2); i = (i - 1) / 2
+        }
+        hDist(i) = d; hEdge(i) = v
+      }
+      def pop(): Int = {
+        val top = hEdge(0)
+        heapSize -= 1
+        if (heapSize > 0) {
+          val d = hDist(heapSize); val v = hEdge(heapSize)
+          var i = 0
+          var c = 1
+          while (c < heapSize) {
+            if (c + 1 < heapSize && hDist(c + 1) < hDist(c)) c += 1
+            if (hDist(c) >= d) c = heapSize
+            else { hDist(i) = hDist(c); hEdge(i) = hEdge(c); i = c; c = 2 * i + 1 }
+          }
+          hDist(i) = d; hEdge(i) = v
+        }
+        top
+      }
+      nodeDist(source) = 0.0
+      nodeSettled.set(source)
+      if (until != null && until.get(source)) remaining -= 1
+      var e0 = offsets(source)
+      while (e0 < offsets(source + 1)) {
+        if (weights(e0) < edist(e0)) { edist(e0) = weights(e0); push(weights(e0), e0) }
+        e0 += 1
+      }
+      while (heapSize > 0 && remaining != 0) {
+        val e = pop()
+        if (!esettled.get(e)) {
+          esettled.set(e)
+          val h = targets(e)
+          val d = edist(e)
+          if (!nodeSettled.get(h)) {
+            nodeSettled.set(h)
+            nodeDist(h) = d
+            if (until != null && until.get(h)) remaining -= 1
+          }
+          val restrictedHere = vias.contains(ids(h))
+          val tailId = if (restrictedHere) ids(tails(e)) else 0L
+          var e2 = offsets(h)
+          while (e2 < offsets(h + 1)) {
+            if (!restrictedHere || !banned.contains((tailId, ids(h), ids(targets(e2))))) {
+              val nd = d + weights(e2)
+              if (nd < edist(e2)) { edist(e2) = nd; push(nd, e2) }
+            }
+            e2 += 1
+          }
+        }
+      }
+      nodeDist
+    }
   }
 
   /** Collect an edge DataFrame into a broadcast-ready [[CsrGraph]].
@@ -324,7 +428,12 @@ object RoadNetwork {
     */
   final class NetworkRouter(
       graph: Broadcast[CsrGraph],
-      maxSnapMeters: Double = 300000.0) extends Router {
+      maxSnapMeters: Double = 300000.0,
+      banned: Broadcast[Set[(Long, Long, Long)]] = null) extends Router {
+
+    // banned triples' via nodes — gates the per-transition set lookup
+    @transient private lazy val viaSet: Set[Long] =
+      if (banned == null) Set.empty else banned.value.map(_._2)
 
     override def table(
         origins: IndexedSeq[RoutePoint],
@@ -334,9 +443,11 @@ object RoadNetwork {
       val dNode = dests.map(p => g.snap(p.lon, p.lat, maxSnapMeters)).toArray
       val wanted = new java.util.BitSet(g.nodeCount)
       dNode.foreach(d => if (d >= 0) wanted.set(d))
+      val bSet = if (banned == null) null else banned.value
       // one Dijkstra per DISTINCT snapped origin node
       val byNode = oNode.distinct.filter(_ >= 0)
-        .map(s => s -> g.dijkstra(s, wanted))
+        .map(s => s -> (if (bSet == null || bSet.isEmpty) g.dijkstra(s, wanted)
+          else g.dijkstraRestricted(s, bSet, viaSet, wanted)))
         .toMap
       Array.tabulate(origins.length) { i =>
         val dist = if (oNode(i) >= 0) byNode(oNode(i)) else null
@@ -405,6 +516,30 @@ object RoadNetwork {
   def router(spark: SparkSession, edgeDf: DataFrame,
       maxSnapMeters: Double = 300000.0, cellDeg: Double = 0.5): NetworkRouter =
     new NetworkRouter(spark.sparkContext.broadcast(buildCsr(edgeDf, cellDeg)), maxSnapMeters)
+
+  /** [[router]] honoring a banned-transition frame (from
+    * [[bannedTriples]]). Restrictions are a vanishing fraction of a
+    * network (OSM has ~1 per thousand junctions), so collecting them to
+    * the driver for broadcast rides the same envelope as the graph
+    * itself.
+    */
+  def restrictedRouter(
+      spark: SparkSession,
+      edgeDf: DataFrame,
+      bannedDf: DataFrame,
+      maxSnapMeters: Double = 300000.0,
+      cellDeg: Double = 0.5): NetworkRouter = {
+    val b = bannedDf
+      .select(col("from_node").cast("long"), col("via").cast("long"),
+        col("to_node").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    new NetworkRouter(
+      spark.sparkContext.broadcast(buildCsr(edgeDf, cellDeg)),
+      maxSnapMeters,
+      spark.sparkContext.broadcast(b))
+  }
 
   // ------------------------------------- contraction hierarchies
 
@@ -715,6 +850,71 @@ object RoadNetwork {
   def chRouter(spark: SparkSession, edgeDf: DataFrame,
       maxSnapMeters: Double = 300000.0, cellDeg: Double = 0.5): ChRouter =
     new ChRouter(spark.sparkContext.broadcast(buildCh(buildCsr(edgeDf, cellDeg))), maxSnapMeters)
+
+  // -------------------------------------------- turn restrictions
+
+  /** Via-node turn restrictions from OSM relation frames → node triples.
+    *
+    * OSRM's car profile honors `type=restriction` relations (from-way,
+    * via-node, to-way with `restriction=no_left_turn` etc.); the
+    * reference inherits that behavior from its sidecar, so the in-engine
+    * router reproduces it. A via-NODE restriction names the transition
+    * (x → via → y) where x is the from-way's node adjacent to via and y
+    * the to-way's. All steps are equi-joins: members unpack per-row via
+    * `arrays_zip`, adjacency comes from posexploded way refs.
+    *
+    * @return (via, from_node, to_node, kind) — kind is the raw
+    *         `restriction` value (`no_*` forbids the one transition,
+    *         `only_*` forbids every alternative)
+    */
+  def restrictionTriples(relations: DataFrame, ways: DataFrame): DataFrame = {
+    val r = relations
+      .filter(element_at(col("tags"), "type") === "restriction" &&
+        map_contains_key(col("tags"), lit("restriction")))
+      .select(
+        col("id").as("rel_id"),
+        element_at(col("tags"), "restriction").as("kind"),
+        expr("arrays_zip(memberIds, memberTypes, memberRoles)").as("members"))
+      .select(
+        col("rel_id"), col("kind"),
+        expr("filter(members, m -> m.memberRoles = 'from' AND m.memberTypes = 1)[0].memberIds")
+          .as("from_way"),
+        expr("filter(members, m -> m.memberRoles = 'via' AND m.memberTypes = 0)[0].memberIds")
+          .as("via"),
+        expr("filter(members, m -> m.memberRoles = 'to' AND m.memberTypes = 1)[0].memberIds")
+          .as("to_way"))
+      .filter(col("from_way").isNotNull && col("via").isNotNull && col("to_way").isNotNull)
+    // node adjacent to `via` within a way (either side; a valid from/to
+    // way ends at via, so exactly one adjacent ref exists there)
+    val adj = ways
+      .select(col("id").as("way_id"), posexplode(col("refs")).as(Seq("pos", "ref")))
+    val viaPos = adj.select(
+      col("way_id"), col("ref").as("via"), col("pos").as("via_pos"))
+    val nbr = adj.join(viaPos, Seq("way_id"))
+      .filter(abs(col("pos") - col("via_pos")) === 1)
+      .select(col("way_id"), col("via"), col("ref").as("nbr"))
+    r.join(nbr.withColumnRenamed("way_id", "from_way").withColumnRenamed("nbr", "from_node"),
+        Seq("from_way", "via"))
+      .join(nbr.withColumnRenamed("way_id", "to_way").withColumnRenamed("nbr", "to_node"),
+        Seq("to_way", "via"))
+      .select("via", "from_node", "to_node", "kind")
+  }
+
+  /** Expand restriction triples into the banned transition set the
+    * router consumes: `no_*` bans its one transition; `only_*` bans
+    * every out-neighbor of via except the mandated one (U-turn back to
+    * the from node included — OSRM's interpretation).
+    */
+  def bannedTriples(edgeDf: DataFrame, triples: DataFrame): DataFrame = {
+    val no = triples.filter(col("kind").startsWith("no_"))
+      .select(col("from_node"), col("via"), col("to_node"))
+    val onlyT = triples.filter(col("kind").startsWith("only_"))
+    val outNbrs = edgeDf.select(col("src").as("via"), col("dst").as("out_nbr")).distinct()
+    val only = onlyT.join(outNbrs, Seq("via"))
+      .filter(col("out_nbr") =!= col("to_node"))
+      .select(col("from_node"), col("via"), col("out_nbr").as("to_node"))
+    no.unionByName(only).distinct()
+  }
 
   // -------------------------------------------- chain contraction
 

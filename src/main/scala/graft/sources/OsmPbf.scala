@@ -56,6 +56,15 @@ object OsmPbf {
   // ------------------------------------------------------------ model
   final case class PbfNode(id: Long, lat: Double, lon: Double, tags: Map[String, String])
   final case class PbfWay(id: Long, refs: Array[Long], tags: Map[String, String])
+  /** Relation members as parallel arrays (the wire layout): type 0=node,
+    * 1=way, 2=relation; roles resolved through the string table.
+    */
+  final case class PbfRelation(
+      id: Long,
+      memberIds: Array[Long],
+      memberTypes: Array[Int],
+      memberRoles: Array[String],
+      tags: Map[String, String])
   /** One indexed data blob: byte range within the file. */
   final case class BlobRange(offset: Long, length: Int)
 
@@ -115,6 +124,13 @@ object OsmPbf {
 
   /** Decode one PrimitiveBlock → (nodes, ways). */
   private[graft] def decodeBlock(block: Array[Byte]): (Seq[PbfNode], Seq[PbfWay]) = {
+    val (n, w, _) = decodeBlockFull(block)
+    (n, w)
+  }
+
+  /** Decode one PrimitiveBlock → (nodes, ways, relations). */
+  private[graft] def decodeBlockFull(
+      block: Array[Byte]): (Seq[PbfNode], Seq[PbfWay], Seq[PbfRelation]) = {
     val r = new Reader(block, 0, block.length)
     val strings = ArrayBuffer.empty[String]
     val groups = ArrayBuffer.empty[(Int, Int)]
@@ -137,6 +153,7 @@ object OsmPbf {
     }
     val nodes = ArrayBuffer.empty[PbfNode]
     val ways = ArrayBuffer.empty[PbfWay]
+    val rels = ArrayBuffer.empty[PbfRelation]
     def coord(offsetNano: Long, units: Long): Double =
       1e-9 * (offsetNano + granularity * units)
     groups.foreach { case (gs, gn) =>
@@ -184,10 +201,31 @@ object OsmPbf {
           val tags = keys.zip(vals)
             .map { case (k, v) => strings(k.toInt) -> strings(v.toInt) }.toMap
           ways += PbfWay(id, abs, tags)
+        case (4, 2) => // Relation
+          val (rs, rn) = gr.lenDelim()
+          val rr = new Reader(block, rs, rs + rn)
+          var id = 0L
+          var keys, vals, roles, types = Array.emptyLongArray
+          var memids = Array.emptyLongArray
+          while (rr.hasMore) rr.tag() match {
+            case (1, 0) => id = rr.varint()
+            case (2, 2) => keys = packedVarint(block, rr)
+            case (3, 2) => vals = packedVarint(block, rr)
+            case (8, 2) => roles = packedVarint(block, rr)
+            case (9, 2) => memids = packedZigzag(block, rr)
+            case (10, 2) => types = packedVarint(block, rr)
+            case (_, w) => rr.skip(w)
+          }
+          var acc = 0L
+          val abs = memids.map { d => acc += d; acc }
+          val tags = keys.zip(vals)
+            .map { case (k, v) => strings(k.toInt) -> strings(v.toInt) }.toMap
+          rels += PbfRelation(id, abs, types.map(_.toInt),
+            roles.map(r => strings(r.toInt)), tags)
         case (_, w) => gr.skip(w)
       }
     }
-    (nodes.toSeq, ways.toSeq)
+    (nodes.toSeq, ways.toSeq, rels.toSeq)
   }
 
   private def packedZigzag(buf: Array[Byte], r: Reader): Array[Long] = {
@@ -219,6 +257,15 @@ object OsmPbf {
   def ways(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     blobDs(spark, path).flatMap(b => decodeBlock(inflateBlob(b))._2).toDF()
+  }
+
+  /** Relations DataFrame: (id, memberIds, memberTypes, memberRoles,
+    * tags) — the carrier of turn restrictions, route and boundary
+    * memberships.
+    */
+  def relations(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    blobDs(spark, path).flatMap(b => decodeBlockFull(inflateBlob(b))._3).toDF()
   }
 
   private def blobDs(spark: SparkSession, path: String) = {
@@ -262,7 +309,11 @@ object OsmPbf {
     * tooling mirroring [[Shapefile.writeZip]]: lets specs and oracle
     * queries construct real files whose decode output is recomputable.
     */
-  def writePbf(path: String, nodes: Seq[PbfNode], ways: Seq[PbfWay]): Unit = {
+  def writePbf(
+      path: String,
+      nodes: Seq[PbfNode],
+      ways: Seq[PbfWay],
+      relations: Seq[PbfRelation] = Seq.empty): Unit = {
     val strings = ArrayBuffer[String]("") // index 0 must be the empty string
     def strId(s: String): Int = {
       val i = strings.indexOf(s)
@@ -308,10 +359,25 @@ object OsmPbf {
         wBytes(o, 8, packed(w.refs.zip(0L +: w.refs.init).map { case (a, b) => zz(a - b) }))
       }
     }
+    val relKv = relations.map(r =>
+      (r.tags.keys.map(strId(_)).toSeq, r.tags.values.map(strId(_)).toSeq,
+        r.memberRoles.map(strId(_)).toSeq))
+    val relMsgs = relations.zip(relKv).map { case (rel, (ks, vs, roles)) =>
+      msg { o =>
+        wTag(o, 1, 0); wVarint(o, rel.id)
+        wBytes(o, 2, packed(ks.map(_.toLong)))
+        wBytes(o, 3, packed(vs.map(_.toLong)))
+        wBytes(o, 8, packed(roles.map(_.toLong)))
+        wBytes(o, 9, packed(rel.memberIds.zip(0L +: rel.memberIds.init)
+          .map { case (a, b) => zz(a - b) }))
+        wBytes(o, 10, packed(rel.memberTypes.map(_.toLong)))
+      }
+    }
     val stringTable = msg(o => strings.foreach(s => wBytes(o, 1, s.getBytes("UTF-8"))))
     val group = msg { o =>
       wBytes(o, 2, dense)
       wayMsgs.foreach(wm => wBytes(o, 3, wm))
+      relMsgs.foreach(rm => wBytes(o, 4, rm))
     }
     val block = msg { o =>
       wBytes(o, 1, stringTable)

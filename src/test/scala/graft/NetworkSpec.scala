@@ -273,6 +273,132 @@ class NetworkSpec extends AnyFunSuite {
     assert(out == Set((0L, 4L, 10.0), (4L, 0L, 10.0)))
   }
 
+  // ---- turn restrictions -------------------------------------------
+
+  /** Edge-state Bellman-Ford ground truth for restricted shortest
+    * paths: O(E²) relaxation rounds, transitions banned by
+    * (tail, via, head) triple.
+    */
+  private def bruteRestricted(
+      n: Int,
+      edges: IndexedSeq[(Int, Int, Double)],
+      banned: Set[(Int, Int, Int)],
+      source: Int): Array[Double] = {
+    val m = edges.length
+    val edist = Array.fill(m)(Double.PositiveInfinity)
+    edges.zipWithIndex.foreach { case ((u, _, w), i) =>
+      if (u == source && w < edist(i)) edist(i) = w
+    }
+    var changed = true
+    var rounds = 0
+    while (changed && rounds <= m + 1) {
+      changed = false
+      var i = 0
+      while (i < m) {
+        if (!edist(i).isInfinity) {
+          val (u, v, _) = edges(i)
+          var j = 0
+          while (j < m) {
+            val (u2, v2, w2) = edges(j)
+            if (u2 == v && !banned.contains((u, v, v2)) && edist(i) + w2 < edist(j)) {
+              edist(j) = edist(i) + w2; changed = true
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+      rounds += 1
+    }
+    val nodeDist = Array.fill(n)(Double.PositiveInfinity)
+    nodeDist(source) = 0.0
+    edges.zipWithIndex.foreach { case ((_, v, _), i) =>
+      if (edist(i) < nodeDist(v)) nodeDist(v) = edist(i)
+    }
+    nodeDist
+  }
+
+  test("restricted edge-state Dijkstra matches edge-state Bellman-Ford on random graphs") {
+    val rng = new Random(314)
+    (1 to 12).foreach { trial =>
+      val n = 3 + rng.nextInt(8)
+      val edges = randomGraph(rng, n, 3 * n).toIndexedSeq
+      if (edges.nonEmpty) {
+        val g = csrOf(n, edges)
+        // ban a few random transitions (ids == node ints in csrOf)
+        val banned = (0 until rng.nextInt(5)).map { _ =>
+          val (u, v, _) = edges(rng.nextInt(edges.length))
+          val w = edges(rng.nextInt(edges.length))._2
+          (u, v, w)
+        }.toSet
+        val bannedL = banned.map { case (a, b, c) => (a.toLong, b.toLong, c.toLong) }
+        val vias = bannedL.map(_._2)
+        val pos = g.ids.map(_.toInt)
+        pos.zipWithIndex.foreach { case (srcId, si) =>
+          val truth = bruteRestricted(n, edges, banned, srcId)
+          val got = g.dijkstraRestricted(si, bannedL, vias)
+          pos.zipWithIndex.foreach { case (dstId, di) =>
+            assert(got(di) == truth(dstId),
+              s"trial $trial: $srcId->$dstId got ${got(di)} want ${truth(dstId)} banned=$banned")
+          }
+          // empty ban set degenerates to plain node Dijkstra
+          val plain = g.dijkstra(si)
+          val unrestricted = g.dijkstraRestricted(si, Set.empty, Set.empty)
+          pos.indices.foreach(di => assert(unrestricted(di) == plain(di)))
+        }
+      }
+    }
+  }
+
+  test("restrictionTriples + bannedTriples: no_ bans one transition, only_ bans the rest") {
+    import spark.implicits._
+    // ways split at junction 1: [0,1] id 500, [1,2] id 502, [1,3] id 501
+    val ways = Seq(
+      (500L, Array(0L, 1L), Map("highway" -> "residential")),
+      (502L, Array(1L, 2L), Map("highway" -> "residential")),
+      (501L, Array(1L, 3L), Map("highway" -> "residential")))
+      .toDF("id", "refs", "tags")
+    val nodes = Seq(
+      (0L, 30.0, -100.0), (1L, 30.0, -99.875), (2L, 30.0, -99.75), (3L, 29.875, -99.875))
+      .toDF("id", "lat", "lon")
+    val e = RoadNetwork.edges(nodes, ways)
+    def rel(kind: String) = Seq(
+      (900L, Array(500L, 1L, 501L), Array(1, 0, 1), Array("from", "via", "to"),
+        Map("type" -> "restriction", "restriction" -> kind)))
+      .toDF("id", "memberIds", "memberTypes", "memberRoles", "tags")
+    val no = RoadNetwork.bannedTriples(e, RoadNetwork.restrictionTriples(rel("no_left_turn"), ways))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(no == Set((0L, 1L, 3L)))
+    // only_: coming from 0 at 1, every exit except 3 is banned (0 back
+    // and 2 straight)
+    val only = RoadNetwork.bannedTriples(e, RoadNetwork.restrictionTriples(rel("only_left_turn"), ways))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(only == Set((0L, 1L, 0L), (0L, 1L, 2L)))
+  }
+
+  test("relations survive the pbf write/read round trip") {
+    import spark.implicits._
+    val path = "/tmp/graft_network_rels.pbf"
+    val nodes = Seq(OsmPbf.PbfNode(1L, 30.0, -100.0, Map.empty))
+    val ways = Seq(OsmPbf.PbfWay(500L, Array(1L), Map("highway" -> "service")))
+    val rels = Seq(
+      OsmPbf.PbfRelation(900L, Array(500L, 1L, 502L), Array(1, 0, 1),
+        Array("from", "via", "to"),
+        Map("type" -> "restriction", "restriction" -> "no_u_turn")),
+      OsmPbf.PbfRelation(901L, Array(7L), Array(2), Array("outer"),
+        Map("type" -> "multipolygon")))
+    OsmPbf.writePbf(path, nodes, ways, rels)
+    val got = OsmPbf.relations(spark, path)
+      .as[(Long, Array[Long], Array[Int], Array[String], Map[String, String])]
+      .collect().sortBy(_._1)
+    assert(got.length == 2)
+    assert(got(0)._1 == 900L && got(0)._2.toSeq == Seq(500L, 1L, 502L) &&
+      got(0)._3.toSeq == Seq(1, 0, 1) && got(0)._4.toSeq == Seq("from", "via", "to") &&
+      got(0)._5 == Map("type" -> "restriction", "restriction" -> "no_u_turn"))
+    assert(got(1)._1 == 901L && got(1)._4.toSeq == Seq("outer") &&
+      got(1)._5("type") == "multipolygon")
+  }
+
   test("pbf -> edges -> router end-to-end (clip spine)") {
     import spark.implicits._
     val path = "/tmp/graft_network_spec.pbf"
