@@ -46,6 +46,29 @@ object PipelineQueries extends QueryPack {
              |FROM documents GROUP BY 1""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q109: span-level exact dedup (Lee et al. 2022) — every 8-token
+    // window occurring in >1 document, with its 1-based position. On
+    // the ~30-word fixture vocabulary, random 8-grams collide with
+    // negligible probability, so the output localizes the PLANTED
+    // duplicate passages. Oracle recomputes the windows with the
+    // list_transform idiom.
+    QueryDef(
+      "q109_duplicated_spans",
+      (s, dir) => Dedup.duplicatedSpans(T.documents(s, dir), k = 8),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |w AS (
+             |  SELECT doc_id, unnest(generate_series(1, len(w) - 7)) AS pos
+             |  FROM t WHERE len(w) >= 8),
+             |g AS (
+             |  SELECT w.doc_id, w.pos,
+             |         array_to_string(list_slice(t.w, w.pos, w.pos + 7), ' ') AS gram
+             |  FROM w JOIN t ON t.doc_id = w.doc_id),
+             |dup AS (
+             |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1)
+             |SELECT g.doc_id, g.pos, g.gram
+             |FROM g JOIN dup USING (gram)""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q41: MinHash + banded LSH candidates + exact verification. The
     // oracle is the *exact* pair set: candidate generation is approximate
     // but verification makes the output exact (miss probability ~5e-8 at

@@ -64,6 +64,22 @@ class DedupSpec extends AnyFunSuite {
     assert(dupGroup.getAs[Long]("canonical_id") == 1L)
   }
 
+  test("duplicatedSpans finds exactly the cross-doc k-token windows at their positions") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e x y z"), // "a b c d e" shared with doc 2 at pos 1
+      (2L, "q q a b c d e r"), // ... at pos 3
+      (3L, "u v w x y z t s"), // no 5-window shared (only 3-suffix overlap)
+      (4L, "short one"))       // below k, no windows
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(corpus, k = 5)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 1L, "a b c d e"), (2L, 3L, "a b c d e")))
+    // within-doc repetition alone is NOT cross-doc duplication
+    val solo = Seq((1L, "m m m m m m m m m m")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(solo, k = 5).isEmpty)
+  }
+
   test("rolling hash is order-sensitive where token-multiset hashing is not") {
     assert(TextAnalysis.rollingHash("a b c") != TextAnalysis.rollingHash("c b a"))
     assert(TextAnalysis.rollingHash("a b c") == TextAnalysis.rollingHash("a b c"))
