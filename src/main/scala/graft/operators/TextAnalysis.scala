@@ -79,6 +79,26 @@ object TextAnalysis {
           .otherwise("ok"))
   }
 
+  /** Within-document repetition ratio: 1 − distinct/total k-token
+    * windows — the self-repetition quality signal (loops, boilerplate
+    * stutter, template spam score high). Entirely per-row (window
+    * expansion + array_distinct inside the document), so it costs no
+    * shuffle; docs shorter than k windows get NULL. Both divisions are
+    * single correctly rounded IEEE ops on exact integers, so SQL
+    * replays them bit-for-bit.
+    */
+  def repetitionRatio(text: Column, k: Int): Column = {
+    val w = split(text, " ")
+    // greatest(…, 0) keeps sequence() ascending on short docs; the
+    // degenerate windows it yields are discarded by the outer `when`
+    val wins = transform(
+      sequence(lit(0), greatest(size(w) - k, lit(0))),
+      i => concat_ws(" ", slice(w, i + 1, lit(k))))
+    when(size(w) >= k,
+      lit(1.0) - size(array_distinct(wins)).cast("double") / size(wins).cast("double"))
+      .otherwise(lit(null).cast("double"))
+  }
+
   /** whitespace token count + a BPE-ish subtoken estimate
     * (Σ ceil(len(token)/4) — the standard chars/4 heuristic applied
     * per-token).

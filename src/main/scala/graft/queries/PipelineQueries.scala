@@ -69,6 +69,30 @@ object PipelineQueries extends QueryPack {
              |FROM g JOIN dup USING (gram)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q110: within-doc repetition ratio (1 − distinct/total 3-token
+    // windows) — the self-repetition quality signal; the word-soup
+    // fixture repeats trigrams often enough to spread the ratio. No
+    // shuffle: fully per-row.
+    QueryDef(
+      "q110_repetition_ratio",
+      (s, dir) => T.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text"), 3).as("rep_ratio")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |         list_transform(generate_series(1, len(w) - 2),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS wins,
+             |         len(w) AS n
+             |  FROM t)
+             |SELECT doc_id,
+             |       CASE WHEN n >= 3 THEN
+             |         1.0 - CAST(len(list_distinct(wins)) AS DOUBLE)
+             |             / CAST(len(wins) AS DOUBLE)
+             |       ELSE NULL END AS rep_ratio
+             |FROM g""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q41: MinHash + banded LSH candidates + exact verification. The
     // oracle is the *exact* pair set: candidate generation is approximate
     // but verification makes the output exact (miss probability ~5e-8 at

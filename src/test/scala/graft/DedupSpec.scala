@@ -80,6 +80,18 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.duplicatedSpans(solo, k = 5).isEmpty)
   }
 
+  test("repetitionRatio: pure stutter scores 1-1/n, all-distinct scores 0, short docs null") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "m m m m m m"),     // 4 windows, 1 distinct -> 0.75
+      (2L, "a b c d e f"),     // 4 windows, all distinct -> 0.0
+      (3L, "a b"))             // shorter than k -> null
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.repetitionRatio($"text", 3).as("r"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows(1L) == Some(0.75) && rows(2L) == Some(0.0) && rows(3L).isEmpty)
+  }
+
   test("rolling hash is order-sensitive where token-multiset hashing is not") {
     assert(TextAnalysis.rollingHash("a b c") != TextAnalysis.rollingHash("c b a"))
     assert(TextAnalysis.rollingHash("a b c") == TextAnalysis.rollingHash("a b c"))
