@@ -59,6 +59,26 @@ object Dedup {
       .select(col("doc_id"), col("pos"), col("gram"))
   }
 
+  /** Fraction of each document's tokens covered by some cross-document
+    * duplicated k-window — the per-document removal criterion built on
+    * [[duplicatedSpans]] (drop or trim docs above a coverage
+    * threshold). Coverage unions overlapping windows exactly: each span
+    * explodes to its k token positions (bounded fan-out k) and
+    * `count_distinct` collapses the overlaps per doc.
+    */
+  def spanCoverage(docs: DataFrame, k: Int): DataFrame = {
+    val covered = duplicatedSpans(docs, k)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("tok")).as("covered"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("covered"), lit(0L)).cast("double") / col("n").cast("double"))
+          .as("dup_coverage"))
+  }
+
   /** Distinct word n-gram shingles per doc (docs shorter than n words
     * produce none — Spark's sequence() would go descending on a negative
     * span, hence the pre-filter).

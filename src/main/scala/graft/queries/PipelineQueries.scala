@@ -69,6 +69,33 @@ object PipelineQueries extends QueryPack {
              |FROM g JOIN dup USING (gram)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q111: duplicated-span coverage per document — the Lee et al.
+    // removal criterion on top of q109: what fraction of a doc's tokens
+    // lie under some cross-doc duplicated 8-window (overlaps unioned).
+    QueryDef(
+      "q111_span_coverage",
+      (s, dir) => Dedup.spanCoverage(T.documents(s, dir), k = 8),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |win AS (
+             |  SELECT doc_id, unnest(generate_series(1, len(w) - 7)) AS pos
+             |  FROM t WHERE len(w) >= 8),
+             |g AS (
+             |  SELECT win.doc_id, win.pos,
+             |         array_to_string(list_slice(t.w, win.pos, win.pos + 7), ' ') AS gram
+             |  FROM win JOIN t ON t.doc_id = win.doc_id),
+             |dup AS (
+             |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+             |occ AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+             |cov AS (
+             |  SELECT doc_id, count(DISTINCT pos + off.o) AS covered
+             |  FROM occ CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS o) off
+             |  GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |       CAST(coalesce(cov.covered, 0) AS DOUBLE)
+             |         / CAST(len(t.w) AS DOUBLE) AS dup_coverage
+             |FROM t LEFT JOIN cov USING (doc_id)""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q110: within-doc repetition ratio (1 − distinct/total 3-token
     // windows) — the self-repetition quality signal; the word-soup
     // fixture repeats trigrams often enough to spread the ratio. No

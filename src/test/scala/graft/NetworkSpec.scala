@@ -91,6 +91,37 @@ class NetworkSpec extends AnyFunSuite {
     }
   }
 
+  test("CH equals plain Dijkstra on a 3600-node grid with mixed weights") {
+    // 60x60 grid, both directions, weight varies by row/col parity —
+    // cross-checks the two independent route implementations at a size
+    // where the contraction order and shortcut set are nontrivial
+    val W = 60
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    for (r <- 0 until W; c <- 0 until W) {
+      val v = r * W + c
+      if (c + 1 < W) {
+        val w = if (r % 2 == 0) 3.0 else 7.0
+        edges += ((v, v + 1, w)); edges += ((v + 1, v, w))
+      }
+      if (r + 1 < W) {
+        val w = if (c % 3 == 0) 2.0 else 5.0
+        edges += ((v, v + W, w)); edges += ((v + W, v, w))
+      }
+    }
+    val g = csrOf(W * W, edges.toSeq)
+    val ch = RoadNetwork.buildCh(g)
+    val rng = new Random(5)
+    val oNodes = Array.fill(12)(rng.nextInt(W * W))
+    val dNodes = Array.fill(12)(rng.nextInt(W * W))
+    val got = ch.table(oNodes, dNodes)
+    oNodes.zipWithIndex.foreach { case (s, i) =>
+      val truth = g.dijkstra(s)
+      dNodes.zipWithIndex.foreach { case (t, j) =>
+        assert(got(i)(j) == truth(t), s"$s->$t got ${got(i)(j)} want ${truth(t)}")
+      }
+    }
+  }
+
   test("distributed SSSP matches Floyd-Warshall on random graphs") {
     import spark.implicits._
     val rng = new Random(7)
