@@ -127,6 +127,22 @@ class PlanSpec extends AnyFunSuite {
       "minhash banded self-join did not reuse the signature exchange:\n" + p.take(2000))
   }
 
+  test("q109: duplicated spans plan with partial aggregation and no cartesian product") {
+    val p = plan("q109_duplicated_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // the cross-doc gram count must map-side combine before the shuffle
+    assert(p.contains("partial_count"), "no partial aggregation in the gram count")
+  }
+
+  test("q102: way-to-edge expansion joins node coordinates by hash equi-join, no nested loop") {
+    val p = plan("q102_osm_edges")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // the per-row pair expansion must be a generate, not a join
+    assert(p.contains("Generate"), "consecutive-ref expansion not per-row")
+  }
+
   test("q92: spatial candidates come from a hash equi-join on the grid cell, never a polygon scan") {
     val p = plan("q92_spatial_grid_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
