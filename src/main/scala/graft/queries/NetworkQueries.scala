@@ -65,12 +65,20 @@ object NetworkQueries extends QueryPack {
       if (dagOnly) lit("yes")
       else if (mixed) when($"r" % 3 === 0, "yes").otherwise("no")
       else lit("no")
+    // mixed rows r % 5 == 0 carry an explicit maxspeed=25 km/h override
+    val rowTags =
+      if (mixed)
+        when($"r" % 5 === 0,
+          map(lit("highway"), rowClass, lit("oneway"), rowOneway,
+            lit("maxspeed"), lit("25")))
+          .otherwise(map(lit("highway"), rowClass, lit("oneway"), rowOneway))
+      else map(lit("highway"), rowClass, lit("oneway"), rowOneway)
     val rows = cust.filter($"c_custkey" < H)
       .select($"c_custkey".as("r"))
       .select(
         ($"r" + 1000L).as("id"),
         sequence($"r" * W, $"r" * W + (W - 1)).as("refs"),
-        map(lit("highway"), rowClass, lit("oneway"), rowOneway).as("tags"))
+        rowTags.as("tags"))
     val colClass =
       if (mixed)
         element_at(array(lit("trunk"), lit("unclassified"), lit("service")),
@@ -106,13 +114,16 @@ object NetworkQueries extends QueryPack {
        |  SELECT r * $W + k - 1 AS src, r * $W + k AS dst,
        |         CASE r % 4 WHEN 0 THEN 'primary' WHEN 1 THEN 'secondary'
        |                    WHEN 2 THEN 'residential' ELSE 'tertiary' END AS highway,
-       |         CASE WHEN r % 3 = 0 THEN 'yes' ELSE 'no' END AS oneway
+       |         CASE WHEN r % 3 = 0 THEN 'yes' ELSE 'no' END AS oneway,
+       |         CASE WHEN r % 5 = 0 THEN CAST(25 AS DOUBLE) / 3.6
+       |              ELSE CAST(NULL AS DOUBLE) END AS msp
        |  FROM rows_ CROSS JOIN hsteps),
        |vfwd AS (
        |  SELECT (k - 1) * $W + c AS src, k * $W + c AS dst,
        |         CASE c % 3 WHEN 0 THEN 'trunk' WHEN 1 THEN 'unclassified'
        |                    ELSE 'service' END AS highway,
-       |         CASE WHEN c % 4 = 0 THEN '-1' ELSE 'no' END AS oneway
+       |         CASE WHEN c % 4 = 0 THEN '-1' ELSE 'no' END AS oneway,
+       |         CAST(NULL AS DOUBLE) AS msp
        |  FROM cols_ CROSS JOIN vsteps)""".stripMargin
 
   private val speedSql =
@@ -127,17 +138,17 @@ object NetworkQueries extends QueryPack {
     */
   private val edgeSql =
     s"""directed AS (
-       |  SELECT src, dst, highway FROM hfwd WHERE oneway <> '-1'
-       |  UNION ALL SELECT dst, src, highway FROM hfwd WHERE oneway <> 'yes'
-       |  UNION ALL SELECT src, dst, highway FROM vfwd WHERE oneway <> '-1'
-       |  UNION ALL SELECT dst, src, highway FROM vfwd WHERE oneway <> 'yes'),
+       |  SELECT src, dst, highway, msp FROM hfwd WHERE oneway <> '-1'
+       |  UNION ALL SELECT dst, src, highway, msp FROM hfwd WHERE oneway <> 'yes'
+       |  UNION ALL SELECT src, dst, highway, msp FROM vfwd WHERE oneway <> '-1'
+       |  UNION ALL SELECT dst, src, highway, msp FROM vfwd WHERE oneway <> 'yes'),
        |e AS (
        |  SELECT d.src, d.dst, d.highway,
        |         sqrt((n2.lon - n1.lon) * (n2.lon - n1.lon)
        |            + (n2.lat - n1.lat) * (n2.lat - n1.lat)) * 111320.0 AS meters,
        |         sqrt((n2.lon - n1.lon) * (n2.lon - n1.lon)
        |            + (n2.lat - n1.lat) * (n2.lat - n1.lat)) * 111320.0
-       |           / $speedSql AS sec
+       |           / coalesce(d.msp, $speedSql) AS sec
        |  FROM directed d
        |  JOIN nodes n1 ON n1.id = d.src
        |  JOIN nodes n2 ON n2.id = d.dst)""".stripMargin
@@ -210,17 +221,46 @@ object NetworkQueries extends QueryPack {
   override def queries: Seq[QueryDef] = Seq(
 
     // q102: ways → directed weighted edges. Mixed highway classes pick
-    // their profile speed, oneway=yes drops the reverse hop, oneway=-1
-    // drops the forward hop, non-highway ways are excluded by
-    // construction. Oracle rebuilds the same pairs + weights in SQL.
+    // their profile speed, rows r%5==0 carry an explicit maxspeed=25
+    // override, oneway=yes drops the reverse hop, oneway=-1 drops the
+    // forward hop. Planted junk — a footway, an access=no way, a
+    // motor_vehicle=no way — must produce NO edges, and a "30 mph"
+    // service way must convert imperial. Oracle rebuilds the surviving
+    // pairs + weights in SQL (the junk ways simply don't appear).
     QueryDef(
       "q102_osm_edges",
-      (s, dir) => RoadNetwork.edges(
-          gridNodes(s, dir), gridWays(s, dir, mixed = true, dagOnly = false))
-        .select("src", "dst", "highway", "meters", "sec"),
+      (s, dir) => {
+        import s.implicits._
+        val extras = T.customer(s, dir).filter($"c_custkey" < 4).select(
+          ($"c_custkey" + 4000L).as("id"),
+          element_at(array(
+            array(lit(0L), lit(1L)),
+            array(lit(1L), lit(2L)),
+            array(lit(2L), lit(3L)),
+            array(lit(60L), lit(61L))), ($"c_custkey" + 1).cast("int")).as("refs"),
+          element_at(array(
+            map(lit("highway"), lit("footway")),
+            map(lit("highway"), lit("residential"), lit("access"), lit("no")),
+            map(lit("highway"), lit("residential"), lit("motor_vehicle"), lit("no")),
+            map(lit("highway"), lit("service"), lit("maxspeed"), lit("30 mph"),
+              lit("oneway"), lit("yes"))), ($"c_custkey" + 1).cast("int")).as("tags"))
+        RoadNetwork.edges(
+          gridNodes(s, dir),
+          gridWays(s, dir, mixed = true, dagOnly = false).unionByName(extras))
+          .select("src", "dst", "highway", "meters", "sec")
+      },
       Some(s"""WITH $gridSql,
-              |$edgeSql
-              |SELECT src, dst, highway, meters, sec FROM e""".stripMargin)),
+              |$edgeSql,
+              |mph AS (
+              |  SELECT 60 AS src, 61 AS dst, 'service' AS highway,
+              |         sqrt((n2.lon - n1.lon) * (n2.lon - n1.lon)
+              |            + (n2.lat - n1.lat) * (n2.lat - n1.lat)) * 111320.0 AS meters,
+              |         sqrt((n2.lon - n1.lon) * (n2.lon - n1.lon)
+              |            + (n2.lat - n1.lat) * (n2.lat - n1.lat)) * 111320.0
+              |           / (CAST(30 AS DOUBLE) * 0.44704) AS sec
+              |  FROM nodes n1, nodes n2 WHERE n1.id = 60 AND n2.id = 61)
+              |SELECT src, dst, highway, meters, sec FROM e
+              |UNION ALL SELECT src, dst, highway, meters, sec FROM mph""".stripMargin)),
 
     // q103: distributed SSSP (the graph-larger-than-memory path) on the
     // right/down DAG with mixed per-way speeds, two sources. The oracle
@@ -239,13 +279,13 @@ object NetworkQueries extends QueryPack {
       },
       Some(s"""WITH RECURSIVE $gridSql,
               |dag AS (
-              |  SELECT src, dst, highway FROM hfwd
-              |  UNION ALL SELECT src, dst, highway FROM vfwd),
+              |  SELECT src, dst, highway, msp FROM hfwd
+              |  UNION ALL SELECT src, dst, highway, msp FROM vfwd),
               |e AS (
               |  SELECT d.src, d.dst,
               |         sqrt((n2.lon - n1.lon) * (n2.lon - n1.lon)
               |            + (n2.lat - n1.lat) * (n2.lat - n1.lat)) * 111320.0
-              |           / $speedSql AS sec
+              |           / coalesce(d.msp, $speedSql) AS sec
               |  FROM dag d
               |  JOIN nodes n1 ON n1.id = d.src
               |  JOIN nodes n2 ON n2.id = d.dst),

@@ -51,6 +51,11 @@ object RoadNetwork {
     "service" -> 5.0)
   val DefaultSpeedMps: Double = 10.0
 
+  /** Highway classes a car profile never routes on. */
+  val NonRoutable: Seq[String] = Seq(
+    "footway", "cycleway", "path", "pedestrian", "steps", "bridleway",
+    "corridor", "construction", "proposed")
+
   /** Planar degree metric used across the engine's synthetic profiles:
     * sqrt(dLon² + dLat²) × 111320 m/deg. Every op is a single correctly
     * rounded IEEE operation, so ANSI SQL reproduces it bit-for-bit (the
@@ -67,10 +72,15 @@ object RoadNetwork {
     * @param ways  (id: Long, refs: Array[Long], tags: Map[String,String])
     *              as produced by [[graft.sources.OsmPbf.ways]]
     *
-    * Keeps ways carrying a `highway` tag (the OSRM car profile's
-    * routability predicate). Consecutive ref pairs become edges; a
-    * reverse edge is emitted unless `oneway=yes` (and only the reverse
-    * for `oneway=-1`). Weight = [[planarMeters]] / class speed.
+    * Keeps ways carrying a routable `highway` tag — the OSRM car
+    * profile's predicate: class not in [[NonRoutable]], and neither
+    * `access=no` nor `motor_vehicle=no`. Consecutive ref pairs become
+    * edges; a reverse edge is emitted unless `oneway=yes` (and only the
+    * reverse for `oneway=-1`). Weight = [[planarMeters]] / speed, where
+    * an explicit `maxspeed` tag (plain km/h number, or `N mph`)
+    * overrides the class speed; unparseable values fall back to the
+    * class (OSRM's own lenient behavior). All conversions are single
+    * correctly rounded IEEE ops, SQL-replayable.
     *
     * Scale: the pair expansion is a per-row `transform` + `explode`
     * (no shuffle); the two coordinate lookups are equi-joins on a long
@@ -83,27 +93,37 @@ object RoadNetwork {
       ways: DataFrame,
       speeds: Map[String, Double] = CarSpeedsMps,
       defaultSpeed: Double = DefaultSpeedMps): DataFrame = {
-    val speedCol = speeds.foldLeft(lit(defaultSpeed)) { case (acc, (cls, v)) =>
+    val classSpeed = speeds.foldLeft(lit(defaultSpeed)) { case (acc, (cls, v)) =>
       when(col("highway") === cls, lit(v)).otherwise(acc)
     }
+    // maxspeed override: "50" is km/h, "30 mph" imperial; junk → class
+    val ms = element_at(col("tags"), "maxspeed")
+    val msMps = when(ms.isNull, lit(null).cast("double"))
+      .when(ms.endsWith(" mph"),
+        expr("try_cast(substring(element_at(tags, 'maxspeed'), 1, length(element_at(tags, 'maxspeed')) - 4) AS double)") * 0.44704)
+      .otherwise(expr("try_cast(element_at(tags, 'maxspeed') AS double)") / 3.6)
     val hw = ways
-      .filter(map_contains_key(col("tags"), lit("highway")))
+      .filter(map_contains_key(col("tags"), lit("highway")) &&
+        !element_at(col("tags"), "highway").isin(NonRoutable: _*) &&
+        coalesce(element_at(col("tags"), "access"), lit("yes")) =!= "no" &&
+        coalesce(element_at(col("tags"), "motor_vehicle"), lit("yes")) =!= "no")
       .select(
         col("id").as("way_id"),
         element_at(col("tags"), "highway").as("highway"),
         coalesce(element_at(col("tags"), "oneway"), lit("no")).as("oneway"),
+        msMps.as("maxspeed_mps"),
         col("refs"))
     // consecutive (refs[i], refs[i+1]) pairs, built inside the row
     val fwd = hw
       .withColumn("hop",
         explode(expr(
           "transform(sequence(0, size(refs) - 2), i -> struct(refs[i] AS a, refs[i + 1] AS b))")))
-      .select(col("way_id"), col("highway"), col("oneway"),
+      .select(col("way_id"), col("highway"), col("oneway"), col("maxspeed_mps"),
         col("hop.a").as("src"), col("hop.b").as("dst"))
     val directed = fwd.filter(col("oneway") =!= "-1")
       .unionByName(
         fwd.filter(col("oneway") =!= "yes")
-          .select(col("way_id"), col("highway"), col("oneway"),
+          .select(col("way_id"), col("highway"), col("oneway"), col("maxspeed_mps"),
             col("dst").as("src"), col("src").as("dst")))
     directed
       .join(nodes.select(col("id").as("src"),
@@ -114,7 +134,7 @@ object RoadNetwork {
         sqrt(
           (col("dst_lon") - col("src_lon")) * (col("dst_lon") - col("src_lon")) +
             (col("dst_lat") - col("src_lat")) * (col("dst_lat") - col("src_lat"))) * lit(111320.0))
-      .withColumn("sec", col("meters") / speedCol)
+      .withColumn("sec", col("meters") / coalesce(col("maxspeed_mps"), classSpeed))
       .select("src", "dst", "src_lon", "src_lat", "dst_lon", "dst_lat",
         "highway", "meters", "sec")
   }

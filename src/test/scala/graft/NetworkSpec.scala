@@ -166,7 +166,7 @@ class NetworkSpec extends AnyFunSuite {
 
   // ---- edge building ------------------------------------------------
 
-  test("edges: consecutive pairs, oneway handling, speed classes") {
+  test("edges: consecutive pairs, oneway handling, speed classes, car-profile exclusions, maxspeed") {
     import spark.implicits._
     val nodes = Seq(
       (1L, 10.0, 0.0), (2L, 10.0, 0.125), (3L, 10.0, 0.25), (4L, 10.125, 0.0))
@@ -175,7 +175,15 @@ class NetworkSpec extends AnyFunSuite {
       (100L, Array(1L, 2L, 3L), Map("highway" -> "primary")),          // bidirectional
       (101L, Array(1L, 4L), Map("highway" -> "residential", "oneway" -> "yes")),
       (102L, Array(2L, 4L), Map("highway" -> "service", "oneway" -> "-1")), // reverse only
-      (103L, Array(3L, 4L), Map("building" -> "yes")))                 // not routable
+      (103L, Array(3L, 4L), Map("building" -> "yes")),                 // not routable
+      (104L, Array(1L, 3L), Map("highway" -> "footway")),              // class excluded
+      (105L, Array(1L, 3L), Map("highway" -> "residential", "access" -> "no")),
+      (106L, Array(3L, 4L), Map("highway" -> "residential", "motor_vehicle" -> "no")),
+      (107L, Array(1L, 2L), Map("highway" -> "tertiary", "maxspeed" -> "36")), // 10 m/s
+      (108L, Array(2L, 3L), Map("highway" -> "tertiary", "maxspeed" -> "30 mph",
+        "oneway" -> "yes")),
+      (109L, Array(2L, 3L), Map("highway" -> "motorway", "maxspeed" -> "none",
+        "oneway" -> "yes")))                                           // junk -> class speed
       .toDF("id", "refs", "tags")
     val e = RoadNetwork.edges(nodes, ways)
       .select("src", "dst", "highway", "sec").as[(Long, Long, String, Double)]
@@ -183,11 +191,17 @@ class NetworkSpec extends AnyFunSuite {
     val prim = 0.125 * 111320.0 / 22.0
     val res = 0.125 * 111320.0 / 8.0
     val svc = RoadNetwork.planarMeters(0.125, 0.125) / 5.0
+    val ms36 = 0.125 * 111320.0 / (36.0 / 3.6)
+    val mph30 = 0.125 * 111320.0 / (30.0 * 0.44704)
+    val mwy = 0.125 * 111320.0 / 33.0
     assert(e == Set(
       (1L, 2L, "primary", prim), (2L, 3L, "primary", prim),
       (2L, 1L, "primary", prim), (3L, 2L, "primary", prim),
       (1L, 4L, "residential", res),
-      (4L, 2L, "service", svc)))
+      (4L, 2L, "service", svc),
+      (1L, 2L, "tertiary", ms36), (2L, 1L, "tertiary", ms36),
+      (2L, 3L, "tertiary", mph30),
+      (2L, 3L, "motorway", mwy)))
   }
 
   test("largestComponent drops islands, ties break deterministically") {
