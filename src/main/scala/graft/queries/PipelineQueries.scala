@@ -55,6 +55,8 @@ object PipelineQueries extends QueryPack {
     QueryDef(
       "q109_duplicated_spans",
       (s, dir) => Dedup.duplicatedSpans(T.documents(s, dir), k = 8),
+      headline = true,
+      oracle =
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |w AS (
              |  SELECT doc_id, unnest(generate_series(1, len(w) - 7)) AS pos
