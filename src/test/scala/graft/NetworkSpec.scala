@@ -300,6 +300,44 @@ class NetworkSpec extends AnyFunSuite {
     }
   }
 
+  test("contractChains output feeds buildCh: distances survive both transforms composed") {
+    import spark.implicits._
+    val rng = new Random(77)
+    // symmetric random core + hanging chains (as in the contraction test)
+    val n = 6
+    val base = randomGraph(rng, n, 2 * n)
+      .flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+    var next = n
+    val chains = (0 until 3).flatMap { _ =>
+      val a = rng.nextInt(n); val b = (a + 1 + rng.nextInt(n - 1)) % n
+      val mids = (0 until 1 + rng.nextInt(3)).map { _ => val m = next; next += 1; m }
+      (a +: mids :+ b).sliding(2).toSeq.flatMap { case Seq(x, y) =>
+        val w = 1.0 + rng.nextInt(8).toDouble
+        Seq((x, y, w), (y, x, w))
+      }
+    }
+    val all = base ++ chains
+    val truth = floydWarshall(next, all)
+    val df = all.toDF("s", "d", "w").select(
+      $"s".cast("long").as("src"), $"d".cast("long").as("dst"),
+      ($"s" * 0.01).as("src_lon"), ($"s" * 0.01).as("src_lat"),
+      ($"d" * 0.01).as("dst_lon"), ($"d" * 0.01).as("dst_lat"),
+      lit("x").as("highway"), $"w".cast("double").as("meters"),
+      $"w".cast("double").as("sec"))
+    val contracted = RoadNetwork.contractChains(df,
+      keep = Some((0 until n).map(_.toLong).toDF("id")))
+    val ch = RoadNetwork.buildCh(RoadNetwork.buildCsr(contracted))
+    val idx = ch.csr.ids.indices.toArray
+    val got = ch.table(idx, idx)
+    ch.csr.ids.zipWithIndex.foreach { case (sid, si) =>
+      ch.csr.ids.zipWithIndex.foreach { case (did, di) =>
+        val want = truth(sid.toInt)(did.toInt)
+        if (want.isInfinity) assert(got(si)(di).isNaN)
+        else assert(got(si)(di) == want, s"$sid->$did got ${got(si)(di)} want $want")
+      }
+    }
+  }
+
   test("contractChains collapses a subdivided path to one edge per direction and keeps rings out") {
     import spark.implicits._
     // path 0 -(1,2,3 interior)- 4, plus an isolated degree-2 ring 10-11-12
