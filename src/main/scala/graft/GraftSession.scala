@@ -36,6 +36,15 @@ object GraftSession {
     if (master.nonEmpty) b.master(master) else b
   }
 
+  /** Scratch base for fixture publish targets — same rationale as the
+    * `spark.local.dir` choice in [[local]]: single-node runs have only
+    * the virtio root volume as "disk", whose writeback throttling adds
+    * multi-second noise to write-heavy passes; tmpfs stands in for the
+    * executor-local scratch a cluster job would write before upload.
+    */
+  def scratchBase: String =
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-out" else "/tmp"
+
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val b = builder(appName, s"local[$cpus]")

@@ -180,12 +180,12 @@ object DomainQueries extends QueryPack {
         new GridSnapper(noSnapAboveLat = 43.0),
         router,
         CalculateTimes.Config(oSplit = 512, dSplit = 64, maxDepth = 12,
-          outDir = s"/tmp/graft_ct_$sfName",
+          outDir = s"${graft.GraftSession.scratchBase}/graft_ct_$sfName",
           originsInputFile = Some(s"$dir/customer.parquet"),
           destsInputFile = Some(s"$dir/supplier.parquet")))
       // publish the pointer catalog consumers attach (S10)
       graft.sources.PointerCatalog.save(
-        s"/tmp/graft_ct_$sfName/pointer.catalog",
+        s"${graft.GraftSession.scratchBase}/graft_ct_$sfName/pointer.catalog",
         Map("graft_times" -> result.timesDir, "graft_points" -> result.pointsDir))
       result
     })
@@ -193,7 +193,7 @@ object DomainQueries extends QueryPack {
   private def attachCatalog(s: SparkSession, dir: String): Unit = {
     ensurePublished(s, dir)
     val sfName = dir.replaceAll(".*/", "")
-    graft.sources.PointerCatalog.attach(s, s"/tmp/graft_ct_$sfName/pointer.catalog")
+    graft.sources.PointerCatalog.attach(s, s"${graft.GraftSession.scratchBase}/graft_ct_$sfName/pointer.catalog")
   }
 
   override def queries: Seq[QueryDef] = Seq(
@@ -359,7 +359,7 @@ object DomainQueries extends QueryPack {
       (s, dir) => {
         import s.implicits._
         val sfName = dir.replaceAll(".*/", "")
-        val out = s"/tmp/graft_publish_$sfName"
+        val out = s"${graft.GraftSession.scratchBase}/graft_publish_$sfName"
         val ptimes = routeTimes(s, dir).toDF()
           .withColumn("version", lit("0.0.1"))
           .withColumn("mode", lit("car"))
