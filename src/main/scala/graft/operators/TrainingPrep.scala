@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators the reference has no analogue
+  * for: benchmark decontamination, deterministic mixture sampling, and
+  * concat-and-chunk sequence packing — the three stages between "clean
+  * corpus" and "token stream" in an LLM pretraining pipeline.
+  *
+  * Scale shapes (the 100 TB contract):
+  *  - decontamination broadcasts the benchmark gram set (eval suites are
+  *    MB-scale against a TB-scale corpus) so the corpus side is never
+  *    shuffled: grams stream map-side through the broadcast join and only
+  *    the matched handful reaches the per-doc aggregate;
+  *  - mixture sampling is map-only (a deterministic hash threshold —
+  *    no sampleBy scan, no RNG state, reproducible across retries);
+  *  - packing's global running sum is a two-phase distributed prefix sum
+  *    (per-range-partition window + a driver prefix over ≤numPartitions
+  *    partial totals), never a single-partition `Window.orderBy`.
+  */
+object TrainingPrep {
+
+  /** Distinct word n-grams per doc-row — same expansion as
+    * [[Dedup.duplicatedSpans]]'s windows but set-valued per document.
+    */
+  private def grams(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
+          .as("gram"))
+
+  /** Per-document benchmark contamination: how many DISTINCT n-grams of
+    * the (small) `benchmark` frame appear in each document — the GPT-3
+    * appendix-C eval-overlap test as an operator. Returns every corpus
+    * doc_id with its hit count (0 when clean).
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val bench = grams(benchmark, n).select(col("gram")).distinct()
+    val hits = grams(docs, n)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("bench_hits"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("bench_hits"), lit(0L)).as("bench_hits"))
+  }
+
+  /** Corpus minus documents with ≥ `minHits` distinct benchmark n-grams.
+    * The flagged set is contamination-sized (small), so the removal is a
+    * broadcastable anti-join — the full corpus still never shuffles.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int,
+      minHits: Long = 1L): DataFrame = {
+    val bench = grams(benchmark, n).select(col("gram")).distinct()
+    val flagged = grams(docs, n)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("bench_hits"))
+      .filter(col("bench_hits") >= minHits)
+      .select(col("doc_id"))
+    docs.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+  }
+
+  /** Engine-portable uniform hash in [0, 2³²): the first 8 hex digits of
+    * md5 of the id rendered as a string — replayable digit-by-digit in
+    * any SQL engine, unlike murmur/xxhash whose constants differ.
+    */
+  private def u32(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic weighted mixture sampling: keep a document iff
+    * u32(id) < weight(source) · 2³². Sources absent from `weights` drop
+    * entirely. Map-only, seedless, and stable under task retries —
+    * the property `sample(fraction=…)` does NOT give on a recomputed
+    * partition. Dyadic weights make the threshold exact.
+    */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    val thresh = weights.foldLeft(lit(0L)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src,
+        lit(math.floor(w * 4294967296.0).toLong)).otherwise(acc)
+    }
+    docs.filter(u32(col(idCol)) < thresh)
+  }
+
+  /** Adds `outCol` = running sum of `valueCol` in `orderCol` order, as a
+    * distributed two-phase prefix sum: range-partition by the order key,
+    * cumsum inside each partition (parallel windows), then shift each
+    * partition by the driver-side prefix of the ≤numPartitions partial
+    * totals (bounded like [[Similarity]]'s IVF sample). The result is
+    * independent of where the range boundaries land.
+    */
+  def prefixSum(df: DataFrame, orderCol: Column, valueCol: Column,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = df.repartitionByRange(orderCol)
+      .withColumn("__pid", spark_partition_id())
+    val withLocal = parts.withColumn("__local",
+      sum(valueCol).over(Window.partitionBy(col("__pid")).orderBy(orderCol)))
+    val totals = parts.groupBy(col("__pid"))
+      .agg(sum(valueCol).as("__tot"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, tot) => val o = (pid, acc); acc += tot; o }
+    val offDf = spark.createDataFrame(offsets.toIndexedSeq).toDF("__pid", "__off")
+    withLocal.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol, col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+  }
+
+  /** Concat-and-chunk sequence packing (GPT-style pretraining): documents
+    * are concatenated into one token stream in ascending `doc_id` order
+    * and the stream is cut every `seqLen` tokens. Emits one row per
+    * (document × overlapped sequence):
+    *
+    *   doc_id, seq_id, doc_off (first packed token within the doc),
+    *   seq_off (its position within the sequence), len (tokens taken).
+    *
+    * Integer arithmetic throughout; every sequence except the last sums
+    * to exactly `seqLen`.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val cum = prefixSum(toks, col("doc_id"), col("ntok"), "cum_end")
+      .withColumn("cum_start", col("cum_end") - col("ntok"))
+    cum
+      .withColumn("seq_id", explode(sequence(
+        expr(s"cum_start div $seqLen"), expr(s"(cum_end - 1) div $seqLen"))))
+      .withColumn("tok_start", greatest(col("cum_start"), col("seq_id") * seqLen))
+      .withColumn("tok_end", least(col("cum_end"), (col("seq_id") + 1) * seqLen))
+      .select(
+        col("doc_id"),
+        col("seq_id"),
+        (col("tok_start") - col("cum_start")).as("doc_off"),
+        (col("tok_start") - col("seq_id") * seqLen).as("seq_off"),
+        (col("tok_end") - col("tok_start")).as("len"))
+  }
+}

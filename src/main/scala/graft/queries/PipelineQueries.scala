@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryPack, Tables => T}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TrainingPrep}
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.functions._
 
@@ -35,7 +35,157 @@ object PipelineQueries extends QueryPack {
       |JOIN sizes sb ON sb.doc_id = id_b
       |WHERE CAST(ovl AS DOUBLE) / (sa.sz + sb.sz - ovl) >= 0.5""".stripMargin
 
+  /** Mixture-sampling weights for q113/q115 — all dyadic, so the
+    * threshold `floor(w · 2³²)` is exact in both engines. src9 is absent
+    * from the map → dropped entirely.
+    */
+  private val mixWeights = Map(
+    "src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.5,
+    "src4" -> 0.375, "src5" -> 0.25, "src6" -> 0.25, "src7" -> 0.125,
+    "src8" -> 0.0625)
+
+  private val mixThreshSql =
+    """CASE source WHEN 'src0' THEN 4294967296 WHEN 'src1' THEN 3221225472
+      | WHEN 'src2' THEN 2147483648 WHEN 'src3' THEN 2147483648
+      | WHEN 'src4' THEN 1610612736 WHEN 'src5' THEN 1073741824
+      | WHEN 'src6' THEN 1073741824 WHEN 'src7' THEN 536870912
+      | WHEN 'src8' THEN 268435456 ELSE 0 END""".stripMargin
+
+  /** DuckDB replay of [[TrainingPrep]]'s engine-portable u32 hash: the
+    * first 8 hex digits of md5, assembled nibble by nibble (DuckDB has no
+    * hex→int cast).
+    */
+  private def u32Sql(e: String): String =
+    (0 until 8).map { i =>
+      val mul = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1) * $mul"
+    }.mkString("(", " + ", ")")
+
+  /** 8-token gram expansion over `src` — the SQL twin of
+    * `TrainingPrep.grams(_, 8)`.
+    */
+  private def gram8Sql(src: String): String =
+    s"""SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+       |    i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src) t
+       |  WHERE len(w) >= 8""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q112: benchmark decontamination scan (GPT-3 appendix C): every
+    // corpus document's count of DISTINCT 8-gram overlaps with a held-out
+    // benchmark set (doc_id % 17 == 0 plays the eval suite). The planted
+    // cross-doc duplicate passages make hits nonzero without any new
+    // fixture. Scale shape: the benchmark gram set is broadcast — the
+    // corpus is never shuffled, only matched grams reach the aggregate.
+    QueryDef(
+      "q112_contamination",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        TrainingPrep.contamination(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0), n = 8)
+      },
+      Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+              |bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+              |bg AS (SELECT DISTINCT gram FROM (${gram8Sql("bench")}) u),
+              |cg AS (${gram8Sql("corpus")}),
+              |hits AS (
+              |  SELECT cg.doc_id, count(DISTINCT cg.gram) AS bench_hits
+              |  FROM cg JOIN bg USING (gram) GROUP BY 1)
+              |SELECT c.doc_id, CAST(coalesce(h.bench_hits, 0) AS BIGINT) AS bench_hits
+              |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q113: deterministic weighted mixture sampling — keep doc iff
+    // u32(md5(doc_id)) < weight(source)·2³². Map-only, seedless, stable
+    // under task retries (unlike sample()); the md5-nibble hash replays
+    // exactly in SQL, so the kept set hash-matches rather than rows-only.
+    QueryDef(
+      "q113_mixture_sample",
+      (s, dir) => TrainingPrep.mixtureSample(T.documents(s, dir), mixWeights)
+        .select(col("doc_id"), col("source"), col("lang")),
+      Some(s"""SELECT doc_id, source, lang FROM documents
+              |WHERE ${u32Sql("CAST(doc_id AS VARCHAR)")} < ($mixThreshSql)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q114: concat-and-chunk sequence packing (GPT-style pretraining):
+    // docs concatenate in doc_id order, the stream is cut every 128
+    // tokens, and each row localizes one (doc × sequence) slice. The
+    // running sum is a two-phase distributed prefix sum (range partition
+    // + driver prefix over partial totals), NOT a single-partition
+    // window — the oracle's plain `sum() OVER (ORDER BY)` proves the
+    // distributed decomposition exact.
+    QueryDef(
+      "q114_pack_sequences",
+      (s, dir) => TrainingPrep.packSequences(T.documents(s, dir), 128),
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, ntok,
+             |         CAST(sum(ntok) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
+             |  FROM t),
+             |cs AS (SELECT doc_id, cum_end, cum_end - ntok AS cum_start FROM c),
+             |x AS (
+             |  SELECT doc_id, cum_start, cum_end,
+             |         unnest(generate_series(cum_start // 128, (cum_end - 1) // 128)) AS seq_id
+             |  FROM cs)
+             |SELECT doc_id, seq_id,
+             |  greatest(cum_start, seq_id * 128) - cum_start AS doc_off,
+             |  greatest(cum_start, seq_id * 128) - seq_id * 128 AS seq_off,
+             |  least(cum_end, (seq_id + 1) * 128) - greatest(cum_start, seq_id * 128) AS len
+             |FROM x""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q115: the pretraining mix, composed end to end from the operator
+    // library: decontaminate against the held-out benchmark (q112
+    // semantics, minHits=1) → weighted mixture sample (q113) → pack into
+    // 256-token sequences (q114) → per-sequence fill summary. Every
+    // interior sequence must pack to exactly 256 tokens — the summary
+    // exposes any packing gap immediately.
+    QueryDef(
+      "q115_training_mix",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val clean = TrainingPrep.decontaminate(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0), n = 8)
+        TrainingPrep.packSequences(TrainingPrep.mixtureSample(clean, mixWeights), 256)
+          .groupBy(col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"))
+      },
+      Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+              |bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+              |bg AS (SELECT DISTINCT gram FROM (${gram8Sql("bench")}) u),
+              |cg AS (${gram8Sql("corpus")}),
+              |flagged AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+              |clean AS (
+              |  SELECT * FROM corpus
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+              |sampled AS (
+              |  SELECT * FROM clean
+              |  WHERE ${u32Sql("CAST(doc_id AS VARCHAR)")} < ($mixThreshSql)),
+              |t AS (
+              |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+              |  FROM sampled),
+              |c AS (
+              |  SELECT doc_id, ntok,
+              |         CAST(sum(ntok) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
+              |  FROM t),
+              |cs AS (SELECT doc_id, cum_end, cum_end - ntok AS cum_start FROM c),
+              |x AS (
+              |  SELECT doc_id, cum_start, cum_end,
+              |         unnest(generate_series(cum_start // 256, (cum_end - 1) // 256)) AS seq_id
+              |  FROM cs),
+              |packed AS (
+              |  SELECT doc_id, seq_id,
+              |    least(cum_end, (seq_id + 1) * 256) - greatest(cum_start, seq_id * 256) AS len
+              |  FROM x)
+              |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(len) AS BIGINT) AS n_tokens
+              |FROM packed GROUP BY seq_id""".stripMargin)),
+
     // ------------------------------------------------------------------
     // q40: exact dedup — one shuffle on a 16-byte digest, never the text.
     QueryDef(

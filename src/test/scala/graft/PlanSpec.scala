@@ -155,4 +155,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "grid join still resolves overlaps with a window:\n" + p.take(1500))
     assert(p.contains("min_by"), "first-match not a min_by aggregate")
   }
+
+  test("q112: benchmark gram set broadcasts — the corpus side never shuffles for the join") {
+    val p = plan("q112_contamination")
+    assert(p.contains("BroadcastHashJoin"), "bench grams not broadcast:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q114: the running sum is a partitioned window, never a single-partition sort") {
+    val p = plan("q114_pack_sequences")
+    // the cumsum window must be keyed by the range-partition id (parallel),
+    // not an empty partition spec (which Spark plans as Exchange SinglePartition)
+    assert(p.contains("windowspecdefinition(__pid"),
+      "prefix sum is not partition-local:\n" + p.take(1500))
+    assert(!p.contains("SinglePartition"),
+      "global-order window collapsed the stream to one partition:\n" + p.take(1500))
+    assert(p.contains("rangepartitioning(doc_id"),
+      "prefix sum is not range-partitioned by the order key")
+  }
 }

@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.TrainingPrep
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the training-prep operators: contamination counting,
+  * deterministic mixture sampling, and the distributed prefix sum /
+  * sequence packing (tiling invariants + equivalence to the naive
+  * single-partition window). The arbitrary-input tiling property lives
+  * in [[TrainingPrepProps]].
+  */
+class TrainingPrepSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+
+  test("contamination counts distinct benchmark grams; clean docs report 0") {
+    val bench = docs((100L, "a b c d e f", "eval"))
+    val corpus = docs(
+      // contains benchmark 3-grams "a b c", "b c d" (and its own tail)
+      (1L, "a b c d x y", "web"),
+      // repeats "a b c" twice — still ONE distinct benchmark gram
+      (2L, "a b c q a b c", "web"),
+      (3L, "p q r s t", "web"))
+    val got = TrainingPrep.contamination(corpus, bench, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("decontaminate removes exactly the docs at/above minHits") {
+    val bench = docs((100L, "a b c d e f", "eval"))
+    val corpus = docs(
+      (1L, "a b c d x y", "web"), // 2 hits
+      (2L, "a b c q r s", "web"), // 1 hit
+      (3L, "p q r s t", "web")) // clean
+    val kept2 = TrainingPrep.decontaminate(corpus, bench, n = 3, minHits = 2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2 === Seq(2L, 3L))
+    val kept1 = TrainingPrep.decontaminate(corpus, bench, n = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept1 === Seq(3L))
+  }
+
+  test("mixtureSample: weight 1.0 keeps every doc, absent source drops all, deterministic") {
+    val d = Tables.documents(spark, sf0001)
+    val all = TrainingPrep.mixtureSample(d, Map("src0" -> 1.0))
+    val src0 = d.filter($"source" === "src0")
+    assert(all.count() === src0.count(), "weight 1.0 must keep all of src0")
+    assert(all.filter($"source" =!= "src0").count() === 0L, "absent sources must drop")
+    val half = Map("src0" -> 0.5, "src1" -> 0.5)
+    val a = TrainingPrep.mixtureSample(d, half).select("doc_id").as[Long].collect().sorted
+    val b = TrainingPrep.mixtureSample(d, half).select("doc_id").as[Long].collect().sorted
+    assert(a sameElements b, "hash sampling must be run-to-run deterministic")
+    assert(a.nonEmpty && a.length < src0.count() + d.filter($"source" === "src1").count(),
+      "0.5 weight should keep a strict nonempty subset")
+  }
+
+  test("prefixSum equals the single-partition window cumsum") {
+    val toks = Tables.documents(spark, sf0001)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("ntok"))
+    val got = TrainingPrep.prefixSum(toks, $"doc_id", $"ntok", "cum")
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    val want = toks
+      .withColumn("cum", sum($"ntok").over(Window.orderBy($"doc_id")))
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("packSequences tiles the token stream: interior seqs full, no gaps, per-doc totals") {
+    val d = Tables.documents(spark, sf0001)
+    val seqLen = 128L
+    val packed = TrainingPrep.packSequences(d, seqLen.toInt)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val totalToks = d.select(sum(size(split($"text", " ")).cast("long")))
+      .as[Long].head()
+    // per-sequence fill: every sequence but the last is exactly seqLen
+    val bySeq = packed.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, tot) =>
+      if (seq < lastSeq) assert(tot === seqLen, s"seq $seq under-packed: $tot")
+    }
+    assert(bySeq.values.sum === totalToks, "packing must conserve every token")
+    // per-doc: slices reassemble the doc contiguously from offset 0
+    packed.groupBy(_._1).foreach { case (doc, slices) =>
+      val sorted = slices.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"doc $doc does not start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 + a._5 === b._3, s"doc $doc has a gap between slices")
+        case _ =>
+      }
+    }
+    // seq_off bounds
+    packed.foreach { case (_, _, _, off, len) =>
+      assert(off >= 0 && off + len <= seqLen)
+    }
+  }
+
+}
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Arbitrary-input packing property: the emitted (seq_id·L + seq_off,
+  * len) intervals must tile [0, Σ ntok) exactly — no gaps, no overlaps —
+  * for any document length profile.
+  */
+object TrainingPrepProps extends Properties("TrainingPrep") {
+  private lazy val spark = SparkTestSession.spark
+
+  private val genLens = Gen.choose(1, 40).flatMap(n =>
+    Gen.listOfN(n, Gen.choose(1, 300)))
+
+  property("packSequences tiles the token stream exactly") =
+    Prop.forAll(genLens) { ls =>
+      val s = spark
+      import s.implicits._
+      val df = ls.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("t").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val packed = TrainingPrep.packSequences(df, 64)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val ivs = packed.map(p => (p._2 * 64 + p._4, p._5)).sortBy(_._1)
+      val total = ls.map(_.toLong).sum
+      ivs.head._1 == 0L &&
+        ivs.sliding(2).forall {
+          case Array(a, b) => a._1 + a._2 == b._1
+          case _ => true
+        } &&
+        (ivs.last._1 + ivs.last._2 == total)
+    }
+}
