@@ -340,7 +340,10 @@ object NetworkQueries extends QueryPack {
         val e = RoadNetwork.edges(
           gridNodes(s, dir).unionByName(islandNodes),
           gridWays(s, dir, mixed = false, dagOnly = false).unionByName(islandWays))
-        val rt = RoadNetwork.router(s, RoadNetwork.largestComponent(e))
+        // island pruning rides the broadcast build (union-find over the
+        // collected edges); router(s, largestComponent(e)) is the same
+        // result via distributed CC — NetworkSpec holds them equal
+        val rt = RoadNetwork.routerPruned(s, e)
         TravelTimeMatrix.run(s,
           matrixOrigins(s, dir, 23).as[RoutePoint],
           matrixDests(s, dir, 29).as[RoutePoint],

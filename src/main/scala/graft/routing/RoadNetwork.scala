@@ -159,6 +159,51 @@ object RoadNetwork {
       .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
   }
 
+  /** Largest-component filter over already-collected edge rows: a
+    * path-halving union-find, O(E α). Once a graph is small enough to
+    * broadcast, spending [[largestComponent]]'s log-diameter shuffle
+    * rounds on island pruning is pure job-scheduling overhead — this is
+    * the same pruning fused into the driver-side build. Tie-break parity
+    * with the distributed path: component size desc, then smallest
+    * member id (pointer-jump CC labels a component by its min id).
+    */
+  private def pruneRowsToLargestComponent(
+      rows: Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] = {
+    if (rows.isEmpty) return rows
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    val rawIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def ix(id: Long): Int = idx.getOrElseUpdate(id, { rawIds += id; rawIds.length - 1 })
+    val ends = rows.map(r => (ix(r.getLong(0)), ix(r.getLong(1))))
+    val parent = Array.tabulate(rawIds.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    ends.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val size = new Array[Int](rawIds.length)
+    val minId = Array.fill(rawIds.length)(Long.MaxValue)
+    var i = 0
+    while (i < rawIds.length) {
+      val r = find(i)
+      size(r) += 1
+      if (rawIds(i) < minId(r)) minId(r) = rawIds(i)
+      i += 1
+    }
+    var top = -1
+    i = 0
+    while (i < rawIds.length) {
+      if (find(i) == i &&
+        (top < 0 || size(i) > size(top) ||
+          (size(i) == size(top) && minId(i) < minId(top)))) top = i
+      i += 1
+    }
+    rows.zip(ends).collect { case (r, (a, _)) if find(a) == top => r }
+  }
+
   // ------------------------------------------------------------- CSR
 
   /** Compressed-sparse-row graph + uniform-grid snap index, broadcast to
@@ -395,13 +440,15 @@ object RoadNetwork {
     * same envelope — V+E primitive arrays, not row objects. For graphs
     * beyond single-node memory use [[sssp]] instead.
     */
-  def buildCsr(edgeDf: DataFrame, cellDeg: Double = 0.5): CsrGraph = {
-    val rows = edgeDf
+  def buildCsr(edgeDf: DataFrame, cellDeg: Double = 0.5,
+      pruneIslands: Boolean = false): CsrGraph = {
+    val collected = edgeDf
       .select(col("src").cast("long"), col("dst").cast("long"),
         col("src_lon").cast("double"), col("src_lat").cast("double"),
         col("dst_lon").cast("double"), col("dst_lat").cast("double"),
         col("sec").cast("double"))
       .collect()
+    val rows = if (pruneIslands) pruneRowsToLargestComponent(collected) else collected
     val coord = scala.collection.mutable.LongMap.empty[(Double, Double)]
     rows.foreach { r =>
       coord.getOrElseUpdate(r.getLong(0), (r.getDouble(2), r.getDouble(3)))
@@ -536,6 +583,20 @@ object RoadNetwork {
   def router(spark: SparkSession, edgeDf: DataFrame,
       maxSnapMeters: Double = 300000.0, cellDeg: Double = 0.5): NetworkRouter =
     new NetworkRouter(spark.sparkContext.broadcast(buildCsr(edgeDf, cellDeg)), maxSnapMeters)
+
+  /** [[router]] with island pruning fused into the broadcast build
+    * (driver-side union-find over the collected edges) — semantically
+    * identical to `router(s, largestComponent(e))` (NetworkSpec proves
+    * the equivalence) without the log-diameter shuffle rounds, which on
+    * a broadcastable graph are pure scheduling overhead. Use the
+    * distributed [[largestComponent]] when the graph exceeds single-node
+    * memory and feeds [[sssp]] instead of a broadcast router.
+    */
+  def routerPruned(spark: SparkSession, edgeDf: DataFrame,
+      maxSnapMeters: Double = 300000.0, cellDeg: Double = 0.5): NetworkRouter =
+    new NetworkRouter(
+      spark.sparkContext.broadcast(buildCsr(edgeDf, cellDeg, pruneIslands = true)),
+      maxSnapMeters)
 
   /** [[router]] honoring a banned-transition frame (from
     * [[bannedTriples]]). Restrictions are a vanishing fraction of a

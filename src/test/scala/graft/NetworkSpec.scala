@@ -217,6 +217,31 @@ class NetworkSpec extends AnyFunSuite {
     assert(kept == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L)))
   }
 
+  test("fused union-find pruning builds the same CSR as distributed largestComponent") {
+    import spark.implicits._
+    // three components: 4-cycle (largest), 3-path, 2-island; plus a
+    // same-size tie pair {20,21} vs {10,11} — min-id component must win
+    val mk = (s: Long, d: Long) => (s, d, s * 0.125, d * 0.125, d * 0.125, s * 0.125, "x", 1.0, 1.0)
+    val e = Seq(
+      mk(1, 2), mk(2, 1), mk(2, 3), mk(3, 2), mk(3, 4), mk(4, 3), mk(4, 1), mk(1, 4),
+      mk(10, 11), mk(11, 10),
+      mk(20, 21), mk(21, 20))
+      .toDF("src", "dst", "src_lon", "src_lat", "dst_lon", "dst_lat", "highway", "meters", "sec")
+    val viaCc = RoadNetwork.buildCsr(RoadNetwork.largestComponent(e))
+    val fused = RoadNetwork.buildCsr(e, pruneIslands = true)
+    assert(fused.ids.sameElements(viaCc.ids))
+    assert(fused.offsets.sameElements(viaCc.offsets))
+    assert(fused.targets.sameElements(viaCc.targets))
+    assert(fused.weights.sameElements(viaCc.weights))
+    // tie case alone: {10,11} vs {20,21} — both size 2, min id wins
+    val tie = Seq(mk(20, 21), mk(21, 20), mk(10, 11), mk(11, 10))
+      .toDF("src", "dst", "src_lon", "src_lat", "dst_lon", "dst_lat", "highway", "meters", "sec")
+    val tieViaCc = RoadNetwork.buildCsr(RoadNetwork.largestComponent(tie))
+    val tieFused = RoadNetwork.buildCsr(tie, pruneIslands = true)
+    assert(tieFused.ids.sameElements(Array(10L, 11L)))
+    assert(tieViaCc.ids.sameElements(tieFused.ids))
+  }
+
   // ---- NetworkRouter through the matrix operator -------------------
 
   test("NetworkRouter on a uniform grid equals Manhattan closed form; off-graph points go missing") {
