@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: [[decodeImages]] parses PNG/JPEG payloads with
   * the JDK's built-in `javax.imageio` codecs (no native libs needed) —
   * format sniffed from magic bytes, dimensions and per-channel pixel
-  * means from the decoded raster. Audio/video decode remains a STUB
-  * (this container has no ffmpeg): a deterministic function of the
+  * means from the decoded raster. AUDIO decode is REAL for RIFF/PCM
+  * WAV: [[decodeWav]] walks the container chunks and scans PCM16
+  * samples for exact integer signal features. Video decode remains a
+  * STUB (this container has no ffmpeg): a deterministic function of the
   * bytes standing in where the codec would be called per batch.
   *
   * At scale: payloads stay columnar (never shuffled unless the plan
@@ -79,6 +81,100 @@ object Multimodal {
           val n = w.toLong * h
           ImageMeta(row.doc_id, w, h, fmt,
             (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+        }
+      }
+      .toDF()
+  }
+
+  final case class AudioRow(doc_id: Long, wav: Array[Byte])
+  final case class AudioMeta(
+      doc_id: Long, format: String, channels: Int, sample_rate: Int,
+      bits: Int, n_samples: Long, duration_ms: Long, peak_abs: Int,
+      energy: Long)
+
+  /** Encode 16-bit PCM WAV — fixture/test tooling for the real audio
+    * decode (PCM is lossless, so planted waveforms survive the roundtrip
+    * exactly and decode output is oracle-checkable integer arithmetic).
+    * `junkChunk` inserts a LIST chunk before fmt to exercise the decoder's
+    * chunk walk.
+    */
+  def encodeWav(sampleRate: Int, samples: Array[Short],
+      junkChunk: Boolean = false): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val junkLen = if (junkChunk) 8 + 7 + 1 else 0 // odd 7-byte payload + pad
+    val bb = java.nio.ByteBuffer.allocate(44 + junkLen + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(36 + junkLen + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    if (junkChunk) {
+      bb.put("LIST".getBytes("US-ASCII")); bb.putInt(7)
+      bb.put("INFOx21".getBytes("US-ASCII")); bb.put(0.toByte) // even padding
+    }
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio decode: RIFF/WAVE container walk (chunk iteration with
+    * RIFF even-byte padding — not fixed offsets) + PCM16 sample scan.
+    * Emits rate/duration metadata plus two exact integer signal features:
+    * peak |amplitude| and total energy (Σ s²) — the loudness /
+    * silence-detection primitives an audio-corpus sweep filters on.
+    * Map-only like [[decodeImages]]; malformed payloads fail loudly.
+    */
+  def decodeWav(spark: SparkSession, audio: DataFrame): DataFrame = {
+    import spark.implicits._
+    audio.select(col("doc_id").cast("long"), col("wav"))
+      .as[AudioRow]
+      .mapPartitions { it =>
+        it.map { row =>
+          val bb = java.nio.ByteBuffer.wrap(row.wav)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def fourcc(): String = {
+            val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+          }
+          require(fourcc() == "RIFF", s"not RIFF for doc ${row.doc_id}")
+          bb.getInt // container size
+          require(fourcc() == "WAVE", s"not WAVE for doc ${row.doc_id}")
+          var channels = -1; var rate = -1; var bits = -1
+          var dataOff = -1; var dataLen = -1
+          while (bb.remaining() >= 8) {
+            val id = fourcc()
+            val size = bb.getInt
+            val next = bb.position() + size + (size & 1) // RIFF pads to even
+            id match {
+              case "fmt " =>
+                val audioFormat = bb.getShort
+                require(audioFormat == 1, s"non-PCM wav for doc ${row.doc_id}")
+                channels = bb.getShort
+                rate = bb.getInt
+                bb.getInt; bb.getShort // byte rate, block align
+                bits = bb.getShort
+              case "data" =>
+                dataOff = bb.position(); dataLen = size
+              case _ => // skip unknown chunks (LIST, INFO, ...)
+            }
+            bb.position(next)
+          }
+          require(rate > 0 && dataOff >= 0, s"missing fmt/data for doc ${row.doc_id}")
+          require(bits == 16, s"only PCM16 supported, got $bits")
+          val n = dataLen / 2 / channels
+          var peak = 0; var energy = 0L
+          var i = 0
+          while (i < dataLen / 2) {
+            val s = bb.getShort(dataOff + i * 2).toInt
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            energy += s.toLong * s
+            i += 1
+          }
+          AudioMeta(row.doc_id, "wav", channels, rate, bits, n.toLong,
+            n.toLong * 1000L / rate, peak, energy)
         }
       }
       .toDF()

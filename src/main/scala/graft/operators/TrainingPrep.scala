@@ -65,6 +65,29 @@ object TrainingPrep {
     docs.join(broadcast(flagged), Seq("doc_id"), "left_anti")
   }
 
+  /** Streaming-composable decontamination, minHits=1 semantics: the
+    * benchmark gram set is collected and broadcast (eval suites are
+    * MB-scale — the same fits-one-node envelope as the routing CSR), and
+    * each document is a stateless per-row membership filter. This makes
+    * the op legal in a Structured Streaming plan, where
+    * [[decontaminate]]'s aggregate-then-anti-join shape is not (the
+    * flagged set would be a stream-stream anti-join). TrainingPrepSpec
+    * holds it equal to `decontaminate(_, _, n, 1)` on batch input;
+    * TextStreamSpec runs it on a stream.
+    */
+  def decontaminateStreamable(docs: DataFrame, benchmark: DataFrame,
+      n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val bench = grams(benchmark, n).select(col("gram")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(bench)
+    val contaminated = udf { text: String =>
+      val w = text.split(' ')
+      (0 to w.length - n).exists(i => bc.value.contains(w.slice(i, i + n).mkString(" ")))
+    }
+    docs.filter(!contaminated(col("text")))
+  }
+
   /** Engine-portable uniform hash in [0, 2³²): the first 8 hex digits of
     * md5 of the id rendered as a string — replayable digit-by-digit in
     * any SQL engine, unlike murmur/xxhash whose constants differ.

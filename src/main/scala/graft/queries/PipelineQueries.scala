@@ -881,6 +881,39 @@ object PipelineQueries extends QueryPack {
              |  CAST(c_custkey % 256 AS INT) AS mean_r,
              |  CAST(c_custkey * 7 % 256 AS INT) AS mean_g,
              |  CAST(c_custkey * 13 % 256 AS INT) AS mean_b
+             |FROM customer""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q116: REAL audio decode — planted PCM16 square waves (amplitude and
+    // length derived from c_custkey, encoded inside the distributed map)
+    // are parsed back by the RIFF chunk walker: rate/bits/duration plus
+    // exact integer signal features. A ±A square wave of N samples has
+    // peak = A and energy = N·A² exactly, so the oracle recomputes every
+    // column arithmetically — the decode is proven real, not rows-only.
+    QueryDef(
+      "q116_audio_decode",
+      (s, dir) => {
+        import s.implicits._
+        val gen = T.customer(s, dir).select(
+          $"c_custkey".cast("long").as("doc_id"),
+          ($"c_custkey" % 50 + 20).cast("int").as("n"),
+          ($"c_custkey" % 1000 + 1).cast("int").as("amp"))
+        val wavs = gen.as[(Long, Int, Int)]
+          .map { case (id, n, a) =>
+            val samples = Array.tabulate(n)(i => (if (i % 2 == 0) a else -a).toShort)
+            (id, Multimodal.encodeWav(8000, samples))
+          }
+          .toDF("doc_id", "wav")
+        Multimodal.decodeWav(s, wavs)
+      },
+      Some("""SELECT c_custkey AS doc_id, 'wav' AS format,
+             |  CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
+             |  CAST(16 AS INT) AS bits,
+             |  CAST(c_custkey % 50 + 20 AS BIGINT) AS n_samples,
+             |  CAST((c_custkey % 50 + 20) * 1000 // 8000 AS BIGINT) AS duration_ms,
+             |  CAST(c_custkey % 1000 + 1 AS INT) AS peak_abs,
+             |  CAST((c_custkey % 50 + 20)
+             |     * (c_custkey % 1000 + 1) * (c_custkey % 1000 + 1) AS BIGINT) AS energy
              |FROM customer""".stripMargin))
   )
 }

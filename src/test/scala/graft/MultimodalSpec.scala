@@ -56,4 +56,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("undecodable") ||
       Option(e.getCause).exists(_.getMessage.contains("undecodable")))
   }
+
+  test("wav roundtrip: known waveform decodes to exact integer features") {
+    val s = spark
+    import s.implicits._
+    // 5 samples at 1000 Hz: 3, -4, 0, 7, -7 → peak 7, energy 9+16+0+49+49
+    val samples = Array[Short](3, -4, 0, 7, -7)
+    val wavs = Seq((1L, Multimodal.encodeWav(1000, samples))).toDF("doc_id", "wav")
+    val r = Multimodal.decodeWav(s, wavs)
+      .as[(Long, String, Int, Int, Int, Long, Long, Int, Long)].collect().head
+    assert(r == ((1L, "wav", 1, 1000, 16, 5L, 5L, 7, 123L)))
+  }
+
+  test("wav chunk walk skips unknown odd-sized chunks (RIFF pad byte honored)") {
+    val s = spark
+    import s.implicits._
+    val samples = Array[Short](100, -100)
+    val plain = Multimodal.encodeWav(8000, samples)
+    val padded = Multimodal.encodeWav(8000, samples, junkChunk = true)
+    assert(padded.length > plain.length, "junk chunk not inserted")
+    val both = Seq((1L, plain), (2L, padded)).toDF("doc_id", "wav")
+    val out = Multimodal.decodeWav(s, both)
+      .select("doc_id", "n_samples", "peak_abs", "energy")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 100, 20000L), (2L, 2L, 100, 20000L)))
+  }
+
+  test("non-PCM wav fails loudly") {
+    val s = spark
+    import s.implicits._
+    val wav = Multimodal.encodeWav(8000, Array[Short](1, 2))
+    wav(20) = 3 // audioFormat LE low byte → 3 (IEEE float)
+    val df = Seq((5L, wav)).toDF("doc_id", "wav")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWav(s, df).collect()
+    }
+    assert(e.getMessage.contains("non-PCM") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-PCM")))
+  }
 }

@@ -115,6 +115,33 @@ class TextStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("training-prep filters run unchanged on a document stream (decontaminate + mixture sample)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TrainingPrep
+    val docs = Tables.documents(s, sf0001)
+    val bench = docs.filter($"doc_id" % 17 === 0)
+    val weights = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+    val batch = TrainingPrep.mixtureSample(
+        TrainingPrep.decontaminateStreamable(docs.filter($"doc_id" % 17 =!= 0), bench, 8),
+        weights)
+      .select("doc_id").as[Long].collect().toSet
+    val stream = s.readStream
+      .schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf0001)
+      .filter($"doc_id" % 17 =!= 0)
+    val filtered = TrainingPrep.mixtureSample(
+      TrainingPrep.decontaminateStreamable(stream, bench, 8), weights)
+    val q = filtered.select("doc_id").writeStream
+      .outputMode("append").format("memory").queryName("spec_tp_stream").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = s.table("spec_tp_stream").as[Long].collect().toSet
+    assert(got == batch, s"stream ${got.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming publish lands the layout contract (string keys, readable tree)") {
     val out = "/tmp/graft_stream_publish_spec"
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

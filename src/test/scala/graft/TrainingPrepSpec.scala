@@ -45,6 +45,18 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(kept1 === Seq(3L))
   }
 
+  test("decontaminateStreamable equals decontaminate at minHits=1 on the fixture corpus") {
+    val d = Tables.documents(spark, sf0001)
+    val bench = d.filter($"doc_id" % 17 === 0)
+    val corpus = d.filter($"doc_id" % 17 =!= 0)
+    val viaJoin = TrainingPrep.decontaminate(corpus, bench, n = 8)
+      .select("doc_id").as[Long].collect().sorted
+    val viaFilter = TrainingPrep.decontaminateStreamable(corpus, bench, n = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(viaJoin sameElements viaFilter)
+    assert(viaJoin.length < corpus.count(), "fixture must actually flag some docs")
+  }
+
   test("mixtureSample: weight 1.0 keeps every doc, absent source drops all, deterministic") {
     val d = Tables.documents(spark, sf0001)
     val all = TrainingPrep.mixtureSample(d, Map("src0" -> 1.0))
