@@ -89,9 +89,13 @@ object CalculateTimes {
     // Null-duration rows never leave the routing operator as stored data.
     val timesDir = s"${cfg.outDir}/times"
     val missingDir = s"${cfg.outDir}/missing_pairs"
+    // destination_id bloom filter: the table is origin-sorted, so
+    // destination-only consumer probes can't use row-group min/max —
+    // the bloom closes that access path (IoSpec measures the skip)
     TableIO.writePartitioned(
       partCols(times.filter(col("duration_sec").isNotNull)),
-      timesDir, Seq("origin_id", "destination_id"))
+      timesDir, Seq("origin_id", "destination_id"),
+      bloomCols = Seq("destination_id" -> 100000L))
 
     val writtenPairs = spark.read.parquet(timesDir)
       .select(col("origin_id"), col("destination_id"))

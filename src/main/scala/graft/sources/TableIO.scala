@@ -25,14 +25,19 @@ object TableIO {
     Seq("version", "mode", "year", "geography", "state", "centroid_type")
 
   /** Ordered, partitioned, zstd write. `orderCols` become the row-group
-    * pruning index of the table (O3).
+    * pruning index of the table (O3). `bloomCols` (column → expected
+    * NDV) add parquet bloom filters for SECONDARY-key point lookups:
+    * row-group min/max only prunes on the sort prefix, so an
+    * `destination_id = X` probe against an origin-sorted table reads
+    * every row group without one (IoSpec measures the skip).
     */
   def writePartitioned(
       df: DataFrame,
       baseDir: String,
       orderCols: Seq[String],
       partitionKeys: Seq[String] = PartitionKeys,
-      maxRecordsPerFile: Long = 10000000L): Unit = {
+      maxRecordsPerFile: Long = 10000000L,
+      bloomCols: Seq[(String, Long)] = Nil): Unit = {
     // explicit partition count: a bare repartition(cols) is advisory, so
     // AQE coalesces the shuffle toward 64 MB partitions and the zstd
     // encode runs on a handful of tasks; pinning to the cluster's
@@ -40,14 +45,17 @@ object TableIO {
     // still lands whole in exactly one partition (hash on the key tuple)
     // → still one file per Hive partition.
     val n = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(n, partitionKeys.map(col): _*)
+    val w = df.repartition(n, partitionKeys.map(col): _*)
       .sortWithinPartitions((partitionKeys ++ orderCols).map(col): _*)
       .write
       .mode("overwrite")
       .option("compression", "zstd")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(partitionKeys: _*)
-      .parquet(baseDir)
+    val wb = bloomCols.foldLeft(w) { case (acc, (c, ndv)) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    wb.partitionBy(partitionKeys: _*).parquet(baseDir)
   }
 
   /** Read a published tree back; partition columns are recovered from the
