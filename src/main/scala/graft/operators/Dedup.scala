@@ -136,28 +136,14 @@ object Dedup {
     * [[ngramPairs]] at the same threshold (up to the negligible LSH miss
     * probability), but candidate generation touches only signatures.
     */
-  def minhashPairs(
-      docs: DataFrame,
-      n: Int = 3,
-      nHashes: Int = 64,
-      nBands: Int = 16,
-      threshold: Double = 0.5,
-      maxDf: Option[Int] = None): DataFrame = {
+  /** (doc_id, band, bucket) LSH band signatures from hashed shingles —
+    * deterministic affine hash family over a >2^32 prime. All nHashes
+    * minima are computed as parallel aggregates of ONE groupBy — the
+    * shuffle carries (doc_id, gh) once, not nHashes× (a perm crossJoin
+    * would inflate shuffle volume 64× at corpus scale).
+    */
+  private def bandSignatures(gh: DataFrame, nHashes: Int, nBands: Int): DataFrame = {
     val rowsPerBand = nHashes / nBands
-    // The shingle set feeds four consumers (doc sizes, the signature
-    // aggregate, both sides of verification). Recomputing it per consumer
-    // is measurably CHEAPER than persist(): each consumer gets a pruned,
-    // fully pipelined codegen plan, while caching materializes all ~n×L
-    // shingle strings, breaks stage fusion, and leaks storage across
-    // repeated calls.
-    val g = dfCapped(shingles(docs, n), maxDf)
-    // shingle → 32-bit murmur (Spark hash), lifted non-negative
-    val gh = g.withColumn("gh", hash(col("gram")).cast("long") + 2147483648L)
-
-    // deterministic affine hash family over a >2^32 prime. All nHashes
-    // minima are computed as parallel aggregates of ONE groupBy — the
-    // shuffle carries (doc_id, gh) once, not nHashes× (a perm crossJoin
-    // would inflate shuffle volume 64× at corpus scale).
     val prime = 4294967311L
     val mins = (0 until nHashes).map { i =>
       val a = ((i * 2654435761L) % 1048573L) | 1L
@@ -169,11 +155,49 @@ object Dedup {
         (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}").cast("string")): _*)
       struct(lit(bnd).as("band"), xxhash64(lit(bnd), sigStr).as("bucket"))
     }
-    val sigs = gh
-      .groupBy(col("doc_id"))
+    gh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .withColumn("bb", explode(array(bandCols: _*)))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Shingles lifted to non-negative 32-bit hashes (murmur via Spark's
+    * `hash`) — the narrow frame every MinHash stage shuffles.
+    */
+  private def hashedShingles(docs: DataFrame, n: Int, maxDf: Option[Int]): DataFrame =
+    dfCapped(shingles(docs, n), maxDf)
+      .withColumn("gh", hash(col("gram")).cast("long") + 2147483648L)
+
+  /** The persistable signature artifact for a corpus — what a rolling
+    * ingest keeps alongside the documents so new arrivals dedup against
+    * the whole corpus WITHOUT reshingling it (see
+    * [[minhashPairsIncremental]]).
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      n: Int = 3,
+      nHashes: Int = 64,
+      nBands: Int = 16,
+      maxDf: Option[Int] = None): DataFrame =
+    bandSignatures(hashedShingles(docs, n, maxDf), nHashes, nBands)
+
+  def minhashPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      nHashes: Int = 64,
+      nBands: Int = 16,
+      threshold: Double = 0.5,
+      maxDf: Option[Int] = None): DataFrame = {
+    // The shingle set feeds four consumers (doc sizes, the signature
+    // aggregate, both sides of verification). Recomputing it per consumer
+    // is measurably CHEAPER than persist(): each consumer gets a pruned,
+    // fully pipelined codegen plan, while caching materializes all ~n×L
+    // shingle strings, breaks stage fusion, and leaks storage across
+    // repeated calls.
+    val g = dfCapped(shingles(docs, n), maxDf)
+    // shingle → 32-bit murmur (Spark hash), lifted non-negative
+    val gh = g.withColumn("gh", hash(col("gram")).cast("long") + 2147483648L)
+    val sigs = bandSignatures(gh, nHashes, nBands)
 
     val candidates = sigs.as("sa").join(sigs.as("sb"),
         col("sa.band") === col("sb.band") && col("sa.bucket") === col("sb.bucket") &&
@@ -186,6 +210,63 @@ object Dedup {
     val inter = candidates
       .join(gh.select(col("doc_id").as("id_a"), col("gram")), Seq("id_a"))
       .join(gh.select(col("doc_id").as("id_b"), col("gram").as("gram_b")), Seq("id_b"))
+      .filter(col("gram") === col("gram_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("both"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", col("both").cast("double") / (col("na") + col("nb") - col("both")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental MinHash dedup: near-dup pairs TOUCHING a batch of new
+    * documents, against a corpus whose signatures were computed earlier
+    * (the [[minhashSignatures]] artifact). The rolling-ingest shape at
+    * corpus scale:
+    *
+    *  - only `newDocs` are shingled and signed — the old corpus is
+    *    represented by its persisted (doc_id, band, bucket) store;
+    *  - candidates come from joining the new signatures against the
+    *    union store (new×new and new×old collide; old×old pairs cannot
+    *    form because both sides of the join carry a new doc);
+    *  - exact Jaccard verification reshingles ONLY candidate documents —
+    *    a semi-join prune on the text table, not a corpus scan.
+    *
+    * Output equals `minhashPairs(old ∪ new)` restricted to pairs with a
+    * new endpoint (DedupSpec holds them equal; q117's oracle is the
+    * exact n-gram SQL under the same restriction).
+    */
+  def minhashPairsIncremental(
+      newDocs: DataFrame,
+      oldDocs: DataFrame,
+      oldSigs: DataFrame,
+      n: Int = 3,
+      nHashes: Int = 64,
+      nBands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, n, nHashes, nBands)
+    val allSigs = oldSigs.select(col("doc_id"), col("band"), col("bucket"))
+      .unionByName(newSigs)
+    val candidates = newSigs.as("sa").join(allSigs.as("sb"),
+        col("sa.band") === col("sb.band") && col("sa.bucket") === col("sb.bucket") &&
+          col("sa.doc_id") =!= col("sb.doc_id"))
+      .select(
+        least(col("sa.doc_id"), col("sb.doc_id")).as("id_a"),
+        greatest(col("sa.doc_id"), col("sb.doc_id")).as("id_b"))
+      .distinct()
+    val candIds = candidates.select(col("id_a").as("doc_id"))
+      .union(candidates.select(col("id_b").as("doc_id")))
+      .distinct()
+    val touched = newDocs.select(col("doc_id"), col("text"))
+      .unionByName(oldDocs.select(col("doc_id"), col("text")))
+      .join(candIds, Seq("doc_id"), "left_semi")
+    val g = shingles(touched, n)
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(g.select(col("doc_id").as("id_a"), col("gram")), Seq("id_a"))
+      .join(g.select(col("doc_id").as("id_b"), col("gram").as("gram_b")), Seq("id_b"))
       .filter(col("gram") === col("gram_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("both"))

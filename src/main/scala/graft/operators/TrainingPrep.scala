@@ -110,6 +110,15 @@ object TrainingPrep {
     docs.filter(u32(col(idCol)) < thresh)
   }
 
+  /** Deterministic exact-size sample: the k documents with the smallest
+    * engine-portable hash (ties broken by id). Seedless and stable like
+    * [[mixtureSample]], but with a guaranteed output size — the
+    * fixed-budget eval-subset cut. Plans as TakeOrderedAndProject
+    * (per-partition top-k + merge), never a full sort.
+    */
+  def sampleExact(docs: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame =
+    docs.orderBy(u32(col(idCol)).asc, col(idCol).asc).limit(k)
+
   /** Adds `outCol` = running sum of `valueCol` in `orderCol` order, as a
     * distributed two-phase prefix sum: range-partition by the order key,
     * cumsum inside each partition (parallel windows), then shift each

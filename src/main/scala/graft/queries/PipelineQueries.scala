@@ -109,6 +109,19 @@ object PipelineQueries extends QueryPack {
               |WHERE ${u32Sql("CAST(doc_id AS VARCHAR)")} < ($mixThreshSql)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q118: deterministic exact-size sample — the 100 smallest md5-u32
+    // hashes win (ties by doc_id). The guaranteed-size companion to
+    // q113's rate sampling: a fixed-budget eval subset that is identical
+    // on every run and every engine. Plans as TakeOrderedAndProject.
+    QueryDef(
+      "q118_sample_exact",
+      (s, dir) => TrainingPrep.sampleExact(T.documents(s, dir), 100)
+        .select(col("doc_id"), col("source")),
+      Some(s"""SELECT doc_id, source FROM documents
+              |ORDER BY ${u32Sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+              |LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q114: concat-and-chunk sequence packing (GPT-style pretraining):
     // docs concatenate in doc_id order, the stream is cut every 128
     // tokens, and each row localizes one (doc × sequence) slice. The
@@ -882,6 +895,26 @@ object PipelineQueries extends QueryPack {
              |  CAST(c_custkey * 7 % 256 AS INT) AS mean_g,
              |  CAST(c_custkey * 13 % 256 AS INT) AS mean_b
              |FROM customer""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q117: INCREMENTAL MinHash dedup — the rolling-ingest shape: docs
+    // with doc_id % 3 == 0 arrive as the new batch; the rest is the old
+    // corpus represented only by its persisted signature artifact. Only
+    // new docs are shingled/signed; candidates come from the new-vs-store
+    // band join; verification reshingles candidate docs only. The oracle
+    // is the exact n-gram pair SQL restricted to pairs touching the new
+    // batch — the hash match proves incremental ≡ full-corpus-filtered.
+    QueryDef(
+      "q117_dedup_incremental",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
+        val newDocs = docs.filter(col("doc_id") % 3 === 0)
+        Dedup.minhashPairsIncremental(
+          newDocs, oldDocs, Dedup.minhashSignatures(oldDocs))
+      },
+      Some(ngramPairsSql +
+        "\n  AND (id_a % 3 = 0 OR id_b % 3 = 0)")),
 
     // ------------------------------------------------------------------
     // q116: REAL audio decode — planted PCM16 square waves (amplitude and

@@ -129,4 +129,24 @@ class DedupSpec extends AnyFunSuite {
     val cappedSlice = Dedup.ngramPairs(slice, 3, 0.15, maxDf = Some(10)).count()
     assert(uncapped == 780L && cappedSlice == 0L)
   }
+
+  test("incremental minhash equals the full run restricted to pairs touching the new batch") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(s, SparkTestSession.sf0001)
+    val oldDocs = docs.filter($"doc_id" % 3 =!= 0)
+    val newDocs = docs.filter($"doc_id" % 3 === 0)
+    // the persisted-store round trip: signatures survive parquet exactly
+    val store = "/tmp/graft_incr_sigs"
+    Dedup.minhashSignatures(oldDocs).write.mode("overwrite").parquet(store)
+    val incr = Dedup.minhashPairsIncremental(newDocs, oldDocs, s.read.parquet(store))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashPairs(docs)
+      .filter($"id_a" % 3 === 0 || $"id_b" % 3 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == full)
+    assert(incr.nonEmpty, "fixture must plant near-dups across the batch split")
+    // and nothing leaks from the old×old side
+    assert(incr.forall { case (a, b, _) => a % 3 == 0 || b % 3 == 0 })
+  }
 }

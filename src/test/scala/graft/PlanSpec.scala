@@ -162,6 +162,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q118: exact-size sample plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan("q118_sample_exact").contains("TakeOrderedAndProject"))
+  }
+
   test("q114: the running sum is a partitioned window, never a single-partition sort") {
     val p = plan("q114_pack_sequences")
     // the cumsum window must be keyed by the range-partition id (parallel),
