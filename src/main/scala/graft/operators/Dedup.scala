@@ -246,7 +246,13 @@ object Dedup {
       nHashes: Int = 64,
       nBands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    val newSigs = minhashSignatures(newDocs, n, nHashes, nBands)
+    // Both narrow frames feed multiple consumers on DIFFERENT join sides
+    // (newSigs: probe side AND inside the union store; candidates: the
+    // id extraction twice plus the verify join), so unlike minhashPairs'
+    // symmetric self-join there is no ReusedExchange to ride —
+    // re-evaluation would re-run the signature aggregate ~6×. Both are
+    // (id, band, bucket)/(id, id) narrow: checkpoint, don't recompute.
+    val newSigs = minhashSignatures(newDocs, n, nHashes, nBands).localCheckpoint()
     val allSigs = oldSigs.select(col("doc_id"), col("band"), col("bucket"))
       .unionByName(newSigs)
     val candidates = newSigs.as("sa").join(allSigs.as("sb"),
@@ -256,6 +262,7 @@ object Dedup {
         least(col("sa.doc_id"), col("sb.doc_id")).as("id_a"),
         greatest(col("sa.doc_id"), col("sb.doc_id")).as("id_b"))
       .distinct()
+      .localCheckpoint()
     val candIds = candidates.select(col("id_a").as("doc_id"))
       .union(candidates.select(col("id_b").as("doc_id")))
       .distinct()

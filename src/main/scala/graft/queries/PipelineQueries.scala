@@ -168,7 +168,8 @@ object PipelineQueries extends QueryPack {
           .groupBy(col("seq_id"))
           .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"))
       },
-      Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+      headline = true,
+      oracle = Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
               |bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
               |bg AS (SELECT DISTINCT gram FROM (${gram8Sql("bench")}) u),
               |cg AS (${gram8Sql("corpus")}),
@@ -913,7 +914,8 @@ object PipelineQueries extends QueryPack {
         Dedup.minhashPairsIncremental(
           newDocs, oldDocs, Dedup.minhashSignatures(oldDocs))
       },
-      Some(ngramPairsSql +
+      headline = true,
+      oracle = Some(ngramPairsSql +
         "\n  AND (id_a % 3 = 0 OR id_b % 3 = 0)")),
 
     // ------------------------------------------------------------------
