@@ -52,37 +52,64 @@ object Multimodal {
     * than silent nulls — a corrupt-image quarantine filter belongs
     * upstream of this operator.
     */
+  private def decodeOne(row: ImageRow): ImageMeta = {
+    val fmt =
+      if (row.img.length >= 8 && (row.img(0) & 0xff) == 0x89 &&
+        row.img(1) == 'P') "png"
+      else if (row.img.length >= 2 && (row.img(0) & 0xff) == 0xff &&
+        (row.img(1) & 0xff) == 0xd8) "jpeg"
+      else "unknown"
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.img))
+    require(bi != null, s"undecodable payload for doc ${row.doc_id}")
+    val (w, h) = (bi.getWidth, bi.getHeight)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = bi.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    ImageMeta(row.doc_id, w, h, fmt,
+      (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+  }
+
   def decodeImages(spark: SparkSession, imgs: DataFrame): DataFrame = {
     import spark.implicits._
     imgs.select(col("doc_id").cast("long"), col("img"))
       .as[ImageRow]
-      .mapPartitions { it =>
-        it.map { row =>
-          val fmt =
-            if (row.img.length >= 8 && (row.img(0) & 0xff) == 0x89 &&
-              row.img(1) == 'P') "png"
-            else if (row.img.length >= 2 && (row.img(0) & 0xff) == 0xff &&
-              (row.img(1) & 0xff) == 0xd8) "jpeg"
-            else "unknown"
-          val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.img))
-          require(bi != null, s"undecodable payload for doc ${row.doc_id}")
-          val (w, h) = (bi.getWidth, bi.getHeight)
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = bi.getRGB(x, y)
-              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-              x += 1
-            }
-            y += 1
-          }
-          val n = w.toLong * h
-          ImageMeta(row.doc_id, w, h, fmt,
-            (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+      .mapPartitions(_.map(decodeOne))
+      .toDF()
+  }
+
+  final case class SafeImageMeta(
+      doc_id: Long, status: String, width: Option[Int], height: Option[Int],
+      format: Option[String], mean_r: Option[Int], mean_g: Option[Int],
+      mean_b: Option[Int])
+
+  /** Poison-pill-safe decode: corrupt payloads become `status = "error"`
+    * rows with null features instead of failing the task — at 100 TB a
+    * handful of truncated blobs must not kill the job or poison task
+    * retries. Same map-only shape as [[decodeImages]]; the strict
+    * variant remains for pipelines that prefer failing loudly.
+    */
+  def decodeImagesSafe(spark: SparkSession, imgs: DataFrame): DataFrame = {
+    import spark.implicits._
+    imgs.select(col("doc_id").cast("long"), col("img"))
+      .as[ImageRow]
+      .mapPartitions(_.map { row =>
+        scala.util.Try(decodeOne(row)) match {
+          case scala.util.Success(m) => SafeImageMeta(row.doc_id, "ok",
+            Some(m.width), Some(m.height), Some(m.format),
+            Some(m.mean_r), Some(m.mean_g), Some(m.mean_b))
+          case scala.util.Failure(_) => SafeImageMeta(row.doc_id, "error",
+            None, None, None, None, None, None)
         }
-      }
+      })
       .toDF()
   }
 

@@ -99,6 +99,32 @@ object TextAnalysis {
       .otherwise(lit(null).cast("double"))
   }
 
+  /** PII detection/redaction patterns — explicit character classes only,
+    * so Java regex and DuckDB's RE2 agree token for token (the q88
+    * cross-engine contract; `\d`/`\w` shorthand semantics differ across
+    * engines and are avoided).
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9_]+@[a-zA-Z0-9]+\\.[a-z]+", "<EMAIL>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** PII scrub — the standard pretraining masking pass (emails, phone
+    * numbers, IPv4 literals → typed placeholder tokens) plus per-kind
+    * match counts from the ORIGINAL text. Map-only, no shuffle; order of
+    * application is emails first so the later numeric patterns can't
+    * bite into an already-masked span.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    val counts = PiiPatterns.map { case (kind, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as(s"n_$kind")
+    }
+    docs.select(col("doc_id") +: redacted.as("redacted") +: counts: _*)
+  }
+
   /** whitespace token count + a BPE-ish subtoken estimate
     * (Σ ceil(len(token)/4) — the standard chars/4 heuristic applied
     * per-token).

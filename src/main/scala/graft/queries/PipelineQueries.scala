@@ -109,6 +109,88 @@ object PipelineQueries extends QueryPack {
               |WHERE ${u32Sql("CAST(doc_id AS VARCHAR)")} < ($mixThreshSql)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q120: poison-pill quarantine — every 13th payload is corrupted
+    // (magic byte zeroed) before the safe decode: corrupt rows surface
+    // as status='error' with null features, good rows decode exactly as
+    // q99, and the job never dies. The oracle knows which keys were
+    // poisoned by construction.
+    QueryDef(
+      "q120_decode_quarantine",
+      (s, dir) => {
+        import s.implicits._
+        val gen = T.customer(s, dir).select(
+          $"c_custkey".cast("long").as("doc_id"),
+          ($"c_custkey" % 24 + 8).cast("int").as("w"),
+          ($"c_custkey" % 16 + 8).cast("int").as("h"),
+          ($"c_custkey" % 256).cast("int").as("r"),
+          (($"c_custkey" * 7) % 256).cast("int").as("g"),
+          (($"c_custkey" * 13) % 256).cast("int").as("b"))
+        val imgs = gen.as[(Long, Int, Int, Int, Int, Int)]
+          .map { case (id, w, h, r, g, b) =>
+            val png = Multimodal.encodePng(w, h, r, g, b)
+            if (id % 13 == 0) png(0) = 0 // poison the magic byte
+            (id, png)
+          }
+          .toDF("doc_id", "img")
+        Multimodal.decodeImagesSafe(s, imgs)
+          .select("doc_id", "status", "width", "height", "mean_r", "mean_g", "mean_b")
+      },
+      Some("""SELECT c_custkey AS doc_id,
+             |  CASE WHEN c_custkey % 13 = 0 THEN 'error' ELSE 'ok' END AS status,
+             |  CASE WHEN c_custkey % 13 = 0 THEN NULL
+             |       ELSE CAST(c_custkey % 24 + 8 AS INT) END AS width,
+             |  CASE WHEN c_custkey % 13 = 0 THEN NULL
+             |       ELSE CAST(c_custkey % 16 + 8 AS INT) END AS height,
+             |  CASE WHEN c_custkey % 13 = 0 THEN NULL
+             |       ELSE CAST(c_custkey % 256 AS INT) END AS mean_r,
+             |  CASE WHEN c_custkey % 13 = 0 THEN NULL
+             |       ELSE CAST(c_custkey * 7 % 256 AS INT) END AS mean_g,
+             |  CASE WHEN c_custkey % 13 = 0 THEN NULL
+             |       ELSE CAST(c_custkey * 13 % 256 AS INT) END AS mean_b
+             |FROM customer""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q119: PII scrub — emails / phone numbers / IPv4 literals planted
+    // into every document from its key (repeat counts and digits all
+    // key-derived), masked to typed placeholders with per-kind counts
+    // from the original text. Patterns are explicit character classes,
+    // so Java regex and DuckDB RE2 agree exactly (the q88 contract) and
+    // the full redacted TEXT hash-matches, not just the counts.
+    QueryDef(
+      "q119_pii_redact",
+      (s, dir) => {
+        val planted = T.documents(s, dir).select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            expr("repeat(concat(' u', CAST(doc_id AS STRING), '@ex', " +
+              "CAST(doc_id % 7 AS STRING), '.com'), CAST(doc_id % 3 + 1 AS INT))"),
+            expr("CASE WHEN doc_id % 2 = 0 THEN concat(' call ', " +
+              "CAST(doc_id % 900 + 100 AS STRING), '-555-0199') ELSE '' END"),
+            expr("concat(' from 10.', CAST(doc_id % 256 AS STRING), '.0.', " +
+              "CAST(doc_id % 100 AS STRING))")).as("text"))
+        TextAnalysis.redactPii(planted)
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    text || repeat(' u' || CAST(doc_id AS VARCHAR) || '@ex'
+             |        || CAST(doc_id % 7 AS VARCHAR) || '.com', CAST(doc_id % 3 + 1 AS INT))
+             |      || CASE WHEN doc_id % 2 = 0 THEN ' call '
+             |          || CAST(doc_id % 900 + 100 AS VARCHAR) || '-555-0199' ELSE '' END
+             |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+             |      || CAST(doc_id % 100 AS VARCHAR) AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[a-zA-Z0-9_]+@[a-zA-Z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+             |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9_]+@[a-zA-Z0-9]+\.[a-z]+')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+             |  CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip
+             |FROM planted""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q118: deterministic exact-size sample — the 100 smallest md5-u32
     // hashes win (ties by doc_id). The guaranteed-size companion to
     // q113's rate sampling: a fixed-budget eval subset that is identical

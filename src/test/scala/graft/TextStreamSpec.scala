@@ -38,6 +38,28 @@ class TextStreamSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_subtokens") == 1 + 2 + 1) // ceil(4/4)+ceil(5/4)+ceil(1/4)
   }
 
+  test("PII redaction: masking order, adjacency, and count independence") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "mail a_1@host9.com then dial 312-555-0100 from 10.0.0.7"),
+      // email digits must not be half-eaten by the phone pattern
+      (2L, "x 123-456-7890@host.com y"),
+      // two IPs, no phone; IP pattern must not bite placeholder digits
+      (3L, "10.1.2.3 10.4.5.6"),
+      (4L, "clean text only")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toMap
+    assert(r(1L) == (("mail <EMAIL> then dial <PHONE> from <IP>", 1L, 1L, 1L)))
+    // the email local-part class has no dash: only "7890@host.com" masks,
+    // the phone fragment stays (and no longer matches the phone pattern) —
+    // but counts, taken from the ORIGINAL text, still see the full phone
+    assert(r(2L) == (("x 123-456-<EMAIL> y", 1L, 1L, 0L)))
+    assert(r(3L) == (("<IP> <IP>", 0L, 0L, 2L)))
+    assert(r(4L) == (("clean text only", 0L, 0L, 0L)))
+  }
+
   test("streaming complete-mode hourly counts equal the batch aggregation") {
     val batch = Tables.events(spark, sf0001)
       .groupBy((expr("ts div 3600000000000") * 3600).as("hour_epoch"), col("event_type"))
