@@ -146,6 +146,34 @@ object TrainingPrep {
       .drop("__pid", "__local", "__off")
   }
 
+  /** Per-group sequence packing: like [[packSequences]] but sequences
+    * never cross `groupCol` boundaries (domain-separated pretraining —
+    * a batch drawn from one source/language at a time). The running sum
+    * is an ordinary window PARTITIONED by the group, so each group packs
+    * in parallel with no global prefix sum; `seq_id` restarts per group,
+    * making (group, seq_id) the sequence key. A single group big enough
+    * to skew its task can be packed alone via [[packSequences]].
+    */
+  def packSequencesBy(docs: DataFrame, seqLen: Int, groupCol: String): DataFrame = {
+    val toks = docs.select(col(groupCol), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("doc_id"))
+    toks
+      .withColumn("cum_end", sum(col("ntok")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("ntok"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"cum_start div $seqLen"), expr(s"(cum_end - 1) div $seqLen"))))
+      .withColumn("tok_start", greatest(col("cum_start"), col("seq_id") * seqLen))
+      .withColumn("tok_end", least(col("cum_end"), (col("seq_id") + 1) * seqLen))
+      .select(
+        col(groupCol),
+        col("doc_id"),
+        col("seq_id"),
+        (col("tok_start") - col("cum_start")).as("doc_off"),
+        (col("tok_start") - col("seq_id") * seqLen).as("seq_off"),
+        (col("tok_end") - col("tok_start")).as("len"))
+  }
+
   /** Concat-and-chunk sequence packing (GPT-style pretraining): documents
     * are concatenated into one token stream in ascending `doc_id` order
     * and the stream is cut every `seqLen` tokens. Emits one row per

@@ -150,6 +150,34 @@ object PipelineQueries extends QueryPack {
              |FROM customer""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q121: domain-separated packing — sequences never cross a source
+    // boundary (per-source pretraining batches). The cumsum window is
+    // PARTITIONED by source, so groups pack in parallel and seq_id
+    // restarts per source; the oracle is the same arithmetic over
+    // sum() OVER (PARTITION BY source ORDER BY doc_id).
+    QueryDef(
+      "q121_pack_by_source",
+      (s, dir) => TrainingPrep.packSequencesBy(T.documents(s, dir), 128, "source"),
+      Some("""WITH t AS (
+             |  SELECT source, doc_id,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, doc_id, ntok,
+             |         CAST(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_end
+             |  FROM t),
+             |cs AS (SELECT source, doc_id, cum_end, cum_end - ntok AS cum_start FROM c),
+             |x AS (
+             |  SELECT source, doc_id, cum_start, cum_end,
+             |         unnest(generate_series(cum_start // 128, (cum_end - 1) // 128)) AS seq_id
+             |  FROM cs)
+             |SELECT source, doc_id, seq_id,
+             |  greatest(cum_start, seq_id * 128) - cum_start AS doc_off,
+             |  greatest(cum_start, seq_id * 128) - seq_id * 128 AS seq_off,
+             |  least(cum_end, (seq_id + 1) * 128) - greatest(cum_start, seq_id * 128) AS len
+             |FROM x""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q119: PII scrub — emails / phone numbers / IPv4 literals planted
     // into every document from its key (repeat counts and digits all
     // key-derived), masked to typed placeholders with per-kind counts

@@ -107,6 +107,55 @@ object StreamingOps {
     graft.sources.TableIO.readPartitioned(spark, outDir)
   }
 
+  /** Rolling near-dup dedup over a document stream: every micro-batch
+    * dedups against the ACCUMULATED corpus via
+    * [[graft.operators.Dedup.minhashPairsIncremental]] — candidates from
+    * the batch-vs-store signature join only — then appends its own
+    * signatures (and raw docs, for candidate verification) to the state
+    * directories the next batch reads. State is plain parquet, not a
+    * streaming state store: restart-safe, queryable, and identical to
+    * what a batch backfill would produce. Each near-dup pair surfaces
+    * exactly once — when its later endpoint arrives (TextStreamSpec
+    * holds the union over batches equal to the full batch run).
+    */
+  def streamingIncrementalDedup(spark: SparkSession, inDir: String,
+      stateDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(inDir).schema
+    val sigDir = s"$stateDir/sigs"
+    val corpusDir = s"$stateDir/corpus"
+    val pairsDir = s"$stateDir/pairs"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s2 = batch.sparkSession
+        import s2.implicits._
+        // the batch feeds three consumers (pairs, signatures, corpus
+        // append) — pin it rather than re-pull the source three times
+        val b = batch.localCheckpoint()
+        val oldSigs =
+          if (fs.exists(new org.apache.hadoop.fs.Path(sigDir))) s2.read.parquet(sigDir)
+          else Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "bucket")
+        val oldDocs =
+          if (fs.exists(new org.apache.hadoop.fs.Path(corpusDir))) s2.read.parquet(corpusDir)
+          else Seq.empty[(Long, String)].toDF("doc_id", "text")
+        // pairs first: their lazy reads must see the PRE-batch state
+        graft.operators.Dedup.minhashPairsIncremental(b, oldDocs, oldSigs)
+          .write.mode("append").parquet(pairsDir)
+        graft.operators.Dedup.minhashSignatures(b)
+          .write.mode("append").parquet(sigDir)
+        b.select(col("doc_id"), col("text")).write.mode("append").parquet(corpusDir)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(pairsDir)
+  }
+
   /** Watermarked append-mode variant (the production shape): 1-hour
     * tumbling windows with a 2-hour watermark. Only windows the watermark
     * has passed are emitted, so the tail window stays in state — callers

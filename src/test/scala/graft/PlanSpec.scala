@@ -166,6 +166,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q118_sample_exact").contains("TakeOrderedAndProject"))
   }
 
+  test("q115: the composed mix keeps every stage's contract (broadcasts, no product, parallel window)") {
+    val p = plan("q115_training_mix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), "bench gram set / flagged set not broadcast")
+    assert(p.contains("windowspecdefinition(__pid"),
+      "packing stage lost the partitioned prefix sum")
+    assert(!p.contains("SinglePartition"), "a stage collapsed to one partition")
+  }
+
   test("q114: the running sum is a partitioned window, never a single-partition sort") {
     val p = plan("q114_pack_sequences")
     // the cumsum window must be keyed by the range-partition id (parallel),

@@ -164,6 +164,31 @@ class TextStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("rolling streaming dedup: pairs accumulated over micro-batches equal the full batch run") {
+    val s = spark
+    import s.implicits._
+    val base = "/tmp/graft_incr_stream"
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val docs = Tables.documents(s, sf0001).select($"doc_id", $"text")
+    // two arrival waves with distinct mod times → two micro-batches
+    docs.filter($"doc_id" % 3 =!= 0).repartition(1)
+      .write.parquet(s"$base/in")
+    Thread.sleep(1100)
+    docs.filter($"doc_id" % 3 === 0).repartition(1)
+      .write.mode("append").parquet(s"$base/in")
+    val streamed = StreamingOps.streamingIncrementalDedup(s, s"$base/in", s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = graft.operators.Dedup.minhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == full, s"streamed ${streamed.size} vs batch ${full.size}")
+    assert(full.nonEmpty)
+    // exactly-once: no pair may have been emitted by two batches
+    val streamedList = s.read.parquet(s"$base/state/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamedList.length == streamedList.distinct.length, "pair emitted twice")
+  }
+
   test("streaming publish lands the layout contract (string keys, readable tree)") {
     val out = "/tmp/graft_stream_publish_spec"
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
