@@ -459,6 +459,35 @@ object PipelineQueries extends QueryPack {
               |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q122: the DEDUPLICATED CORPUS — the user-facing end of the dedup
+    // story: near-dup pairs (q41) → connected components (q90) → drop
+    // every non-canonical cluster member, keep the min-id survivor.
+    // The loser set is dup-scale (small), so the removal is a broadcast
+    // anti-join; the full corpus never shuffles.
+    QueryDef(
+      "q122_deduped_corpus",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val clusters = Dedup.connectedComponents(Dedup.minhashPairs(docs))
+        val losers = clusters.filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id"))
+        docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("lang"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS ($ngramPairsSql),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |          UNION ALL SELECT id_b, id_a FROM pairs),
+              |nodes AS (SELECT DISTINCT src AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+              |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+              |losers AS (SELECT id FROM cl WHERE id <> cluster)
+              |SELECT doc_id, source, lang FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q43: exact n-gram Jaccard via shingle equi-join.
     QueryDef(
       "q43_ngram_jaccard",

@@ -144,4 +144,27 @@ object TrainingPrepProps extends Properties("TrainingPrep") {
         } &&
         (ivs.last._1 + ivs.last._2 == total)
     }
+
+  property("packSequencesBy tiles each group's stream independently") =
+    Prop.forAll(genLens) { ls =>
+      val s = spark
+      import s.implicits._
+      val df = ls.zipWithIndex
+        .map { case (n, i) => (i.toLong, s"g${i % 3}", Seq.fill(n)("t").mkString(" ")) }
+        .toDF("doc_id", "source", "text")
+      val packed = TrainingPrep.packSequencesBy(df, 64, "source")
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      packed.groupBy(_._1).forall { case (grp, slices) =>
+        val ivs = slices.map(p => (p._3 * 64 + p._5, p._6)).sortBy(_._1)
+        val total = ls.zipWithIndex
+          .filter { case (_, i) => s"g${i % 3}" == grp }
+          .map(_._1.toLong).sum
+        ivs.head._1 == 0L &&
+          ivs.sliding(2).forall {
+            case Array(a, b) => a._1 + a._2 == b._1
+            case _ => true
+          } &&
+          (ivs.last._1 + ivs.last._2 == total)
+      }
+    }
 }
