@@ -58,9 +58,9 @@ object Sessionize {
     */
   def streaming(spark: SparkSession, sfDir: String, queryName: String = "graft_sessions"): DataFrame = {
     import spark.implicits._
-    val schema = graft.Tables.events(spark, sfDir).schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val schema = graft.Tables.eventsRawSchema(spark, sfDir)
+    val src = graft.Tables.normalizeEventTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
       .select(
         col("user_id"), col("event_id"),
         expr("ts div 1000").as("us"),
@@ -112,9 +112,9 @@ object Sessionize {
       spark: SparkSession, sfDir: String,
       queryName: String = "graft_sessions_ttl"): DataFrame = {
     import spark.implicits._
-    val schema = graft.Tables.events(spark, sfDir).schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val schema = graft.Tables.eventsRawSchema(spark, sfDir)
+    val src = graft.Tables.normalizeEventTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
       .select(
         col("user_id"), col("event_id"),
         expr("ts div 1000").as("us"),

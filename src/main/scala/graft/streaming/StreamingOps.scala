@@ -21,11 +21,11 @@ object StreamingOps {
     */
   def hourlyCounts(spark: SparkSession, sfDir: String, queryName: String = "graft_stream_hourly"): DataFrame = {
     import spark.implicits._
-    val schema = T.events(spark, sfDir).schema // also sets nanosAsLong
-    val stream = spark.readStream
+    val schema = T.eventsRawSchema(spark, sfDir)
+    val stream = T.normalizeEventTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .parquet(sfDir))
     val agg = stream
       .groupBy((expr("ts div 3600000000000") * 3600).as("hour_epoch"), $"event_type")
       .agg(count(lit(1)).as("n"))
@@ -47,10 +47,10 @@ object StreamingOps {
     */
   def streamStreamFunnel(spark: SparkSession, sfDir: String, queryName: String = "graft_ss_join"): DataFrame = {
     import spark.implicits._
-    val schema = T.events(spark, sfDir).schema
-    def side(eventType: String, idAs: String, tsAs: String) = spark.readStream
+    val schema = T.eventsRawSchema(spark, sfDir)
+    def side(eventType: String, idAs: String, tsAs: String) = T.normalizeEventTs(spark.readStream
       .schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
       .filter($"event_type" === eventType)
       .select(
         $"user_id".as(s"${idAs}_user"),
@@ -82,11 +82,11 @@ object StreamingOps {
     */
   def streamingPublish(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
     import spark.implicits._
-    val schema = T.events(spark, sfDir).schema
-    val stream = spark.readStream
+    val schema = T.eventsRawSchema(spark, sfDir)
+    val stream = T.normalizeEventTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .parquet(sfDir))
       .select(
         $"event_id", $"user_id", $"value",
         $"event_type",
@@ -164,11 +164,11 @@ object StreamingOps {
     */
   def hourlyCountsWatermarked(spark: SparkSession, sfDir: String, queryName: String = "graft_stream_wm"): DataFrame = {
     import spark.implicits._
-    val schema = T.events(spark, sfDir).schema
-    val stream = spark.readStream
+    val schema = T.eventsRawSchema(spark, sfDir)
+    val stream = T.normalizeEventTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .parquet(sfDir))
     val agg = stream
       .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
       .withWatermark("tsc", "2 hours")

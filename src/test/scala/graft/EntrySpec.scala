@@ -19,6 +19,19 @@ class EntrySpec extends AnyFunSuite {
     assert(q.forall(_.matches("q[0-9]{2,3}_[a-z0-9_]+")))
   }
 
+  // Round-4 lesson: a dropped registration silently shrank the oracle
+  // report while every surviving entry stayed green. The declared surface
+  // is pinned to a literal so ANY disappearance — a query, or its oracle —
+  // is a red test, not a quietly smaller CORRECTNESS file. Bump BOTH
+  // literals when adding queries.
+  test("declared query surface is exact (no silent shrink)") {
+    assert(SparkEntry.queries.size == 122,
+      s"query count changed: ${SparkEntry.queries.size} (update the literal ONLY for intentional adds/removals)")
+    assert(SparkEntry.oracleSql.size == 122,
+      s"oracle count changed: ${SparkEntry.oracleSql.size}; missing oracles for: " +
+        SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).toSeq.sorted.mkString(", "))
+  }
+
   test("every query runs at sf0.001 and returns a readable result") {
     val failures = SparkEntry.all.flatMap { qd =>
       try {

@@ -208,7 +208,7 @@ class TextStreamSpec extends AnyFunSuite {
   }
 
   test("streaming dedup: dropDuplicates on the stream matches batch distinct") {
-    val schema = Tables.events(spark, sf0001).schema
+    val schema = Tables.eventsRawSchema(spark, sf0001)
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sf0001)
       .select(col("user_id"), col("event_type"))
