@@ -198,7 +198,8 @@ object NetworkQueries extends QueryPack {
     * snapped nodes × 1739.375 s/hop. The island predicates mark points
     * the island pruning makes unroutable → NULL duration.
     */
-  private def matrixSql(islandO: String, islandD: String): String =
+  private def matrixSql(islandO: String, islandD: String,
+      stepSec: Double = StepSec): String =
     s"""o AS (
        |  SELECT 'O' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS id,
        |         ((c_custkey * 7) % ${W * H}) // $W AS r,
@@ -213,7 +214,7 @@ object NetworkQueries extends QueryPack {
        |  FROM supplier WHERE s_suppkey < $DCap)
        |SELECT o.id AS origin_id, d.id AS destination_id,
        |       CASE WHEN ($islandO) OR ($islandD) THEN NULL
-       |            ELSE (abs(o.r - d.r) + abs(o.c - d.c)) * $StepSec END AS duration_sec
+       |            ELSE (abs(o.r - d.r) + abs(o.c - d.c)) * $stepSec END AS duration_sec
        |FROM o CROSS JOIN d""".stripMargin
 
   // ------------------------------------------------------------------
@@ -477,6 +478,78 @@ object NetworkQueries extends QueryPack {
           matrixDests(s, dir, 0).as[RoutePoint],
           rt, oSplit = 1000, dSplit = 500, maxDepth = 3).toDF()
       },
-      Some(s"WITH ${matrixSql("FALSE", "FALSE")}"))
+      Some(s"WITH ${matrixSql("FALSE", "FALSE")}")),
+
+    // q123: the FOOT profile end-to-end (the reference's second `mode`,
+    // data/params.yaml:40-45) — same grid, every way forced oneway=yes.
+    // A car matrix would be right/down-only; pedestrians ignore oneway,
+    // so the walking matrix is the full bidirectional Manhattan closed
+    // form at 1.25 m/s: 0.125° × 111320 / 1.25 = 11132.0 s per hop,
+    // dyadic so path sums are bit-exact.
+    QueryDef(
+      "q123_foot_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val e = RoadNetwork.edges(
+          gridNodes(s, dir), gridWays(s, dir, mixed = false, dagOnly = true),
+          RoadNetwork.Foot)
+        val rt = RoadNetwork.router(s, e)
+        TravelTimeMatrix.run(s,
+          matrixOrigins(s, dir, 0).as[RoutePoint],
+          matrixDests(s, dir, 0).as[RoutePoint],
+          rt, oSplit = 1000, dSplit = 500, maxDepth = 3).toDF()
+      },
+      Some(s"WITH ${matrixSql("FALSE", "FALSE", stepSec = 11132.0)}")),
+
+    // q124: the BICYCLE profile's routability delta — one planted way per
+    // access rule. A bare footway is excluded but `bicycle=yes` admits
+    // one (specific-beats-generic, overriding the class exclusion); a
+    // cycleway routes (a car never would); `bicycle=no` vetoes a
+    // residential; `oneway:bicycle=no` restores contraflow on a
+    // oneway=yes street; and a posted maxspeed does NOT scale cycling
+    // speed (class speed stands). Oracle reconstructs the surviving
+    // directed edges + weights from the node grid.
+    QueryDef(
+      "q124_bicycle_edges",
+      (s, dir) => {
+        import s.implicits._
+        val ways = T.customer(s, dir).filter($"c_custkey" < 6)
+          .select($"c_custkey".as("k"))
+          .select(
+            ($"k" + 7000L).as("id"),
+            array($"k", $"k" + 1L).as("refs"),
+            element_at(array(
+              map(lit("highway"), lit("footway")),
+              map(lit("highway"), lit("footway"), lit("bicycle"), lit("yes")),
+              map(lit("highway"), lit("cycleway")),
+              map(lit("highway"), lit("residential"), lit("bicycle"), lit("no")),
+              map(lit("highway"), lit("residential"), lit("oneway"), lit("yes"),
+                lit("oneway:bicycle"), lit("no")),
+              map(lit("highway"), lit("secondary"), lit("oneway"), lit("yes"),
+                lit("maxspeed"), lit("25"))), ($"k" + 1).cast("int")).as("tags"))
+        RoadNetwork.edges(gridNodes(s, dir), ways, RoadNetwork.Bicycle)
+          .select("src", "dst", "highway", "meters", "sec")
+      },
+      Some(s"""WITH nodes AS (
+              |  SELECT c_custkey AS id,
+              |         $Lat0 + CAST(c_custkey // $W AS DOUBLE) * $Step AS lat,
+              |         $Lon0 + CAST(c_custkey % $W AS DOUBLE) * $Step AS lon
+              |  FROM customer WHERE c_custkey < ${W * H}),
+              |expect AS (
+              |  SELECT 1 AS src, 2 AS dst, 'footway' AS highway, 2.0 AS mps
+              |  UNION ALL SELECT 2, 1, 'footway', 2.0
+              |  UNION ALL SELECT 2, 3, 'cycleway', 6.0
+              |  UNION ALL SELECT 3, 2, 'cycleway', 6.0
+              |  UNION ALL SELECT 4, 5, 'residential', 5.0
+              |  UNION ALL SELECT 5, 4, 'residential', 5.0
+              |  UNION ALL SELECT 5, 6, 'secondary', 5.0)
+              |SELECT e.src, e.dst, e.highway,
+              |       sqrt((n2.lon - n1.lon) * (n2.lon - n1.lon)
+              |          + (n2.lat - n1.lat) * (n2.lat - n1.lat)) * 111320.0 AS meters,
+              |       sqrt((n2.lon - n1.lon) * (n2.lon - n1.lon)
+              |          + (n2.lat - n1.lat) * (n2.lat - n1.lat)) * 111320.0 / e.mps AS sec
+              |FROM expect e
+              |JOIN nodes n1 ON n1.id = e.src
+              |JOIN nodes n2 ON n2.id = e.dst""".stripMargin))
   )
 }

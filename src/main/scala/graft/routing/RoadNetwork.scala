@@ -36,6 +36,36 @@ import org.apache.spark.sql.functions._
   */
 object RoadNetwork {
 
+  /** A routing mode's way-interpretation rules — the knob OSRM exposes as
+    * its Lua profiles and the reference sweeps as `mode: [car, bicycle,
+    * foot]` (/root/reference/data/params.yaml:40-45; the workflow loops
+    * `osrm-extract -p {mode}.lua`). Encodes public OSM access semantics:
+    *
+    *  - `excluded` highway classes are unroutable *by default*, but the
+    *    mode-specific access tag overrides in BOTH directions: a
+    *    `bicycle=yes` footway routes, a `bicycle=no` residential doesn't.
+    *    The mode tag also overrides a generic `access=no` (OSM's access
+    *    hierarchy: the more specific tag wins).
+    *  - `honorsOneway=false` (foot): pedestrians ignore oneway entirely.
+    *  - `onewayOverrideTag` (bicycle): `oneway:bicycle` beats `oneway`,
+    *    so contraflow cycle lanes (`oneway=yes` + `oneway:bicycle=no`)
+    *    route both ways.
+    *  - `useMaxspeed` (car): an explicit maxspeed tag replaces the class
+    *    speed; walking/cycling speeds don't scale with the posted limit.
+    *
+    * All speeds are m/s doubles chosen dyadic-friendly so the SQL oracles
+    * reproduce hop times bit-for-bit.
+    */
+  final case class Profile(
+      name: String,
+      accessTag: String,
+      speeds: Map[String, Double],
+      defaultSpeed: Double,
+      excluded: Seq[String],
+      honorsOneway: Boolean,
+      onewayOverrideTag: Option[String],
+      useMaxspeed: Boolean)
+
   /** Car-profile speeds in m/s by OSM highway class — same shape as the
     * reference's OSRM car profile (public OSRM semantics), values chosen
     * for clean SQL reproducibility.
@@ -56,6 +86,54 @@ object RoadNetwork {
     "footway", "cycleway", "path", "pedestrian", "steps", "bridleway",
     "corridor", "construction", "proposed")
 
+  val Car: Profile = Profile(
+    name = "car",
+    accessTag = "motor_vehicle",
+    speeds = CarSpeedsMps,
+    defaultSpeed = DefaultSpeedMps,
+    excluded = NonRoutable,
+    honorsOneway = true,
+    onewayOverrideTag = None,
+    useMaxspeed = true)
+
+  /** Bicycle: ~18 km/h (5.0 m/s — dyadic) on roads, faster on dedicated
+    * cycleways, walking pace on a footway explicitly opened by
+    * `bicycle=yes` (the dismount speed); pedestrian-only and
+    * motorway-class ways excluded by default; `oneway:bicycle`
+    * contraflow override.
+    */
+  val Bicycle: Profile = Profile(
+    name = "bicycle",
+    accessTag = "bicycle",
+    speeds = Map(
+      "cycleway" -> 6.0,
+      "primary" -> 5.0, "secondary" -> 5.0, "tertiary" -> 5.0,
+      "unclassified" -> 5.0, "residential" -> 5.0, "service" -> 4.0,
+      "path" -> 3.0, "footway" -> 2.0, "pedestrian" -> 2.0),
+    defaultSpeed = 5.0,
+    excluded = Seq(
+      "motorway", "trunk", "steps", "footway", "pedestrian", "bridleway",
+      "corridor", "construction", "proposed"),
+    honorsOneway = true,
+    onewayOverrideTag = Some("oneway:bicycle"),
+    useMaxspeed = false)
+
+  /** Foot: flat 1.25 m/s (4.5 km/h — dyadic) everywhere walkable;
+    * motorways/trunks are the only hard exclusions; oneway ignored.
+    */
+  val Foot: Profile = Profile(
+    name = "foot",
+    accessTag = "foot",
+    speeds = Map.empty,
+    defaultSpeed = 1.25,
+    excluded = Seq("motorway", "trunk", "construction", "proposed"),
+    honorsOneway = false,
+    onewayOverrideTag = None,
+    useMaxspeed = false)
+
+  val Profiles: Map[String, Profile] =
+    Seq(Car, Bicycle, Foot).map(p => p.name -> p).toMap
+
   /** Planar degree metric used across the engine's synthetic profiles:
     * sqrt(dLon² + dLat²) × 111320 m/deg. Every op is a single correctly
     * rounded IEEE operation, so ANSI SQL reproduces it bit-for-bit (the
@@ -67,20 +145,27 @@ object RoadNetwork {
 
   /** Directed weighted edge list from OSM frames.
     *
-    * @param nodes (id: Long, lat: Double, lon: Double, ...) as produced
-    *              by [[graft.sources.OsmPbf.nodes]]
-    * @param ways  (id: Long, refs: Array[Long], tags: Map[String,String])
-    *              as produced by [[graft.sources.OsmPbf.ways]]
+    * @param nodes   (id: Long, lat: Double, lon: Double, ...) as produced
+    *                by [[graft.sources.OsmPbf.nodes]]
+    * @param ways    (id: Long, refs: Array[Long], tags: Map[String,String])
+    *                as produced by [[graft.sources.OsmPbf.ways]]
+    * @param profile the routing mode ([[Car]] default; [[Bicycle]],
+    *                [[Foot]] — the reference's three `mode` values)
     *
-    * Keeps ways carrying a routable `highway` tag — the OSRM car
-    * profile's predicate: class not in [[NonRoutable]], and neither
-    * `access=no` nor `motor_vehicle=no`. Consecutive ref pairs become
-    * edges; a reverse edge is emitted unless `oneway=yes` (and only the
-    * reverse for `oneway=-1`). Weight = [[planarMeters]] / speed, where
-    * an explicit `maxspeed` tag (plain km/h number, or `N mph`)
-    * overrides the class speed; unparseable values fall back to the
-    * class (OSRM's own lenient behavior). All conversions are single
-    * correctly rounded IEEE ops, SQL-replayable.
+    * Keeps ways carrying a routable `highway` tag under the profile's
+    * access rules: the mode tag (`motor_vehicle` / `bicycle` / `foot`)
+    * wins when present (`no` vetoes anything, any other value admits even
+    * an excluded class or `access=no` — OSM's specific-beats-generic
+    * hierarchy); otherwise class not in `profile.excluded` and not
+    * `access=no`. Consecutive ref pairs become edges; a reverse edge is
+    * emitted unless the effective oneway is `yes` (only the reverse for
+    * `-1`), where "effective" means: `no` for profiles that ignore oneway
+    * (foot), else the profile's override tag (`oneway:bicycle`) if set,
+    * else `oneway`. Weight = [[planarMeters]] / speed, where for
+    * maxspeed-sensitive profiles an explicit `maxspeed` tag (plain km/h
+    * number, or `N mph`) overrides the class speed; unparseable values
+    * fall back to the class (OSRM's own lenient behavior). All
+    * conversions are single correctly rounded IEEE ops, SQL-replayable.
     *
     * Scale: the pair expansion is a per-row `transform` + `explode`
     * (no shuffle); the two coordinate lookups are equi-joins on a long
@@ -91,26 +176,36 @@ object RoadNetwork {
   def edges(
       nodes: DataFrame,
       ways: DataFrame,
-      speeds: Map[String, Double] = CarSpeedsMps,
-      defaultSpeed: Double = DefaultSpeedMps): DataFrame = {
-    val classSpeed = speeds.foldLeft(lit(defaultSpeed)) { case (acc, (cls, v)) =>
-      when(col("highway") === cls, lit(v)).otherwise(acc)
+      profile: Profile = Car): DataFrame = {
+    val classSpeed = profile.speeds.foldLeft(lit(profile.defaultSpeed)) {
+      case (acc, (cls, v)) => when(col("highway") === cls, lit(v)).otherwise(acc)
     }
     // maxspeed override: "50" is km/h, "30 mph" imperial; junk → class
     val ms = element_at(col("tags"), "maxspeed")
-    val msMps = when(ms.isNull, lit(null).cast("double"))
-      .when(ms.endsWith(" mph"),
-        expr("try_cast(substring(element_at(tags, 'maxspeed'), 1, length(element_at(tags, 'maxspeed')) - 4) AS double)") * 0.44704)
-      .otherwise(expr("try_cast(element_at(tags, 'maxspeed') AS double)") / 3.6)
+    val msMps =
+      if (!profile.useMaxspeed) lit(null).cast("double")
+      else when(ms.isNull, lit(null).cast("double"))
+        .when(ms.endsWith(" mph"),
+          expr("try_cast(substring(element_at(tags, 'maxspeed'), 1, length(element_at(tags, 'maxspeed')) - 4) AS double)") * 0.44704)
+        .otherwise(expr("try_cast(element_at(tags, 'maxspeed') AS double)") / 3.6)
+    val modeVal = element_at(col("tags"), profile.accessTag)
+    val defaultRoutable =
+      !element_at(col("tags"), "highway").isin(profile.excluded: _*) &&
+        coalesce(element_at(col("tags"), "access"), lit("yes")) =!= "no"
+    val effOneway =
+      if (!profile.honorsOneway) lit("no")
+      else profile.onewayOverrideTag match {
+        case Some(t) => coalesce(element_at(col("tags"), t),
+          element_at(col("tags"), "oneway"), lit("no"))
+        case None => coalesce(element_at(col("tags"), "oneway"), lit("no"))
+      }
     val hw = ways
       .filter(map_contains_key(col("tags"), lit("highway")) &&
-        !element_at(col("tags"), "highway").isin(NonRoutable: _*) &&
-        coalesce(element_at(col("tags"), "access"), lit("yes")) =!= "no" &&
-        coalesce(element_at(col("tags"), "motor_vehicle"), lit("yes")) =!= "no")
+        when(modeVal.isNotNull, modeVal =!= "no").otherwise(defaultRoutable))
       .select(
         col("id").as("way_id"),
         element_at(col("tags"), "highway").as("highway"),
-        coalesce(element_at(col("tags"), "oneway"), lit("no")).as("oneway"),
+        effOneway.as("oneway"),
         msMps.as("maxspeed_mps"),
         col("refs"))
     // consecutive (refs[i], refs[i+1]) pairs, built inside the row

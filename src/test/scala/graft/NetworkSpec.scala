@@ -204,6 +204,72 @@ class NetworkSpec extends AnyFunSuite {
       (2L, 3L, "motorway", mwy)))
   }
 
+  test("profiles: foot ignores oneway, bicycle honors oneway:bicycle and access overrides") {
+    import spark.implicits._
+    val nodes = Seq(
+      (1L, 10.0, 0.0), (2L, 10.0, 0.125), (3L, 10.0, 0.25), (4L, 10.125, 0.0))
+      .toDF("id", "lat", "lon")
+    val ways = Seq(
+      (200L, Array(1L, 2L), Map("highway" -> "residential", "oneway" -> "yes")),
+      (201L, Array(2L, 3L), Map("highway" -> "residential", "oneway" -> "yes",
+        "oneway:bicycle" -> "no")),
+      (202L, Array(1L, 4L), Map("highway" -> "footway")),
+      (203L, Array(2L, 4L), Map("highway" -> "footway", "bicycle" -> "yes")),
+      (204L, Array(3L, 4L), Map("highway" -> "cycleway")),
+      (205L, Array(1L, 3L), Map("highway" -> "residential", "bicycle" -> "no")),
+      (206L, Array(2L, 3L), Map("highway" -> "motorway", "oneway" -> "yes")),
+      (207L, Array(1L, 2L), Map("highway" -> "steps")),
+      (208L, Array(3L, 4L), Map("highway" -> "residential", "access" -> "no",
+        "foot" -> "yes")),
+      (209L, Array(1L, 4L), Map("highway" -> "residential", "maxspeed" -> "36")))
+      .toDF("id", "refs", "tags")
+
+    def dirs(p: RoadNetwork.Profile) = RoadNetwork.edges(nodes, ways, p)
+      .select("src", "dst", "highway", "sec").as[(Long, Long, String, Double)]
+      .collect().groupBy(t => (t._1, t._2, t._3)).view.mapValues(_.map(_._4).toSet).toMap
+
+    val foot = dirs(RoadNetwork.Foot)
+    // oneway ignored: both directions on a oneway=yes street, flat 1.25 m/s
+    val fsec = 0.125 * 111320.0 / 1.25
+    assert(foot(((1L, 2L, "residential"))).contains(fsec))
+    assert(foot(((2L, 1L, "residential"))).contains(fsec))
+    // walkable on footway, steps, cycleway; access=no + foot=yes admits
+    assert(foot.contains((1L, 4L, "footway")))
+    assert(foot.contains((2L, 1L, "steps")))
+    assert(foot.contains((3L, 4L, "cycleway")))
+    assert(foot.contains((4L, 3L, "residential"))) // way 208
+    // motorway excluded for pedestrians
+    assert(!foot.keys.exists(_._3 == "motorway"))
+    // maxspeed does not scale walking speed
+    assert(foot(((1L, 4L, "residential"))).contains(fsec))
+
+    val bike = dirs(RoadNetwork.Bicycle)
+    // plain oneway honored (forward only) at 5.0 m/s
+    val bres = 0.125 * 111320.0 / 5.0
+    assert(bike(((1L, 2L, "residential"))).contains(bres))
+    assert(!bike.contains((2L, 1L, "residential")))
+    // oneway:bicycle=no restores contraflow
+    assert(bike.contains((2L, 3L, "residential")) && bike.contains((3L, 2L, "residential")))
+    // footway excluded unless bicycle=yes; cycleway routable; bicycle=no vetoes
+    assert(!bike.contains((1L, 4L, "footway")))
+    assert(bike.contains((2L, 4L, "footway")) && bike.contains((4L, 2L, "footway")))
+    assert(bike.contains((3L, 4L, "cycleway")))
+    assert(!bike.contains((1L, 3L, "residential")) && !bike.contains((3L, 1L, "residential")))
+    // steps/motorway excluded; maxspeed ignored (class speed stands)
+    assert(!bike.keys.exists(_._3 == "steps") && !bike.keys.exists(_._3 == "motorway"))
+    assert(bike(((1L, 4L, "residential"))).contains(bres))
+    // access=no with no bicycle tag vetoes (way 208 is foot-only)
+    assert(!bike.contains((3L, 4L, "residential")))
+
+    val car = dirs(RoadNetwork.Car)
+    // car unchanged by the profile refactor: no cycleway/footway/steps,
+    // oneway:bicycle is noise, maxspeed still overrides
+    assert(!car.keys.exists(k => Set("cycleway", "footway", "steps").contains(k._3)))
+    assert(!car.contains((3L, 2L, "residential"))) // oneway:bicycle doesn't apply
+    assert(car(((1L, 4L, "residential"))).contains(0.125 * 111320.0 / 10.0))
+    assert(car.contains((2L, 3L, "motorway")))
+  }
+
   test("largestComponent drops islands, ties break deterministically") {
     import spark.implicits._
     // main component 1-2-3-4 (6 directed edges), island 10-11 (2 edges)
