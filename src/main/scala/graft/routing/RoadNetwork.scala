@@ -679,6 +679,25 @@ object RoadNetwork {
       maxSnapMeters: Double = 300000.0, cellDeg: Double = 0.5): NetworkRouter =
     new NetworkRouter(spark.sparkContext.broadcast(buildCsr(edgeDf, cellDeg)), maxSnapMeters)
 
+  /** Network-backed [[Snapper]] — the in-engine form of the reference's
+    * per-point OSRM `/nearest` call (times.py:645-683): each point snaps
+    * to the nearest network node of the broadcast graph, or None beyond
+    * `maxMeters` (the caller's coalesce-to-original then applies, P6).
+    * Share the broadcast with the job's [[NetworkRouter]] so the graph
+    * ships once per executor for both roles.
+    */
+  final class NetworkSnapper(
+      graph: Broadcast[CsrGraph],
+      maxMeters: Double = 300000.0) extends Snapper {
+    override def snap(batch: Seq[(Double, Double)]): Seq[Option[(Double, Double)]] = {
+      val g = graph.value
+      batch.map { case (lon, lat) =>
+        val i = g.snap(lon, lat, maxMeters)
+        if (i < 0) None else Some((g.lons(i), g.lats(i)))
+      }
+    }
+  }
+
   /** [[router]] with island pruning fused into the broadcast build
     * (driver-side union-find over the collected edges) — semantically
     * identical to `router(s, largestComponent(e))` (NetworkSpec proves

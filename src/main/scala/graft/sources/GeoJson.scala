@@ -124,4 +124,50 @@ object GeoJson {
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(p, doc)
   }
+
+  /** Read back a (Multi)Polygon FeatureCollection artifact as
+    * (id, polygon) — the consumer side of [[writeFeatureCollection]],
+    * mirroring how the reference's destpoint stage loads the osmclip
+    * boundary (`gpd.read_file` in create_destpoint.py). Spark's JSON
+    * reader does the parsing against an explicit schema (coordinates as
+    * the 3-deep Polygon nesting; MultiPolygon parts surface as extra
+    * rings, which the engine's even-odd containment treats identically).
+    * Driver-side result by design: boundary artifacts are one-per-state,
+    * bounded like the writer.
+    */
+  def readFeatureCollection(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, graft.geo.Geometry.Polygon)] = {
+    import org.apache.spark.sql.types._
+    val polyCoords = ArrayType(ArrayType(ArrayType(DoubleType)))
+    def read(coords: DataType) = spark.read.option("multiLine", "true")
+      .schema(StructType(Seq(StructField("features", ArrayType(StructType(Seq(
+        StructField("properties", StructType(Seq(StructField("id", StringType)))),
+        StructField("geometry", StructType(Seq(
+          StructField("type", StringType),
+          StructField("coordinates", coords)))))))))))
+      .json(path)
+      .selectExpr("explode(features) AS f")
+      .selectExpr("f.properties.id AS id", "f.geometry.type AS gtype",
+        "f.geometry.coordinates AS coords")
+      .collect()
+    // two passes against the two nestings; a coordinates value that does
+    // not match the requested depth parses as null, so gtype selects the
+    // valid one per feature
+    val raw = read(polyCoords)
+    val rawMulti = read(ArrayType(polyCoords))
+    import scala.collection.{Seq => CSeq}
+    def rings(seq: CSeq[CSeq[CSeq[Double]]]): Array[Array[(Double, Double)]] =
+      seq.map(_.map(pt => (pt.head, pt(1))).toArray).toArray
+    raw.indices.map { i =>
+      val r = raw(i)
+      val id = r.getString(0)
+      if (r.getString(1) == "MultiPolygon") {
+        val parts = rawMulti(i).getSeq[CSeq[CSeq[CSeq[Double]]]](2)
+        id -> graft.geo.Geometry.Polygon(parts.iterator.flatMap(rings).toArray)
+      } else {
+        id -> graft.geo.Geometry.Polygon(rings(r.getSeq[CSeq[CSeq[Double]]](2)))
+      }
+    }.toSeq
+  }
 }

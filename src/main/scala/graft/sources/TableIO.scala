@@ -37,18 +37,22 @@ object TableIO {
       orderCols: Seq[String],
       partitionKeys: Seq[String] = PartitionKeys,
       maxRecordsPerFile: Long = 10000000L,
-      bloomCols: Seq[(String, Long)] = Nil): Unit = {
+      bloomCols: Seq[(String, Long)] = Nil,
+      mode: String = "overwrite"): Unit = {
     // explicit partition count: a bare repartition(cols) is advisory, so
     // AQE coalesces the shuffle toward 64 MB partitions and the zstd
     // encode runs on a handful of tasks; pinning to the cluster's
     // parallelism keeps every core compressing while each key group
     // still lands whole in exactly one partition (hash on the key tuple)
     // → still one file per Hive partition.
+    // mode="append" accretes new ordered files into an existing tree (the
+    // incremental-merge path — each appended file keeps its own row-group
+    // order, and compact() folds the accretion when file counts matter).
     val n = df.sparkSession.sparkContext.defaultParallelism
     val w = df.repartition(n, partitionKeys.map(col): _*)
       .sortWithinPartitions((partitionKeys ++ orderCols).map(col): _*)
       .write
-      .mode("overwrite")
+      .mode(mode)
       .option("compression", "zstd")
       .option("maxRecordsPerFile", maxRecordsPerFile)
     val wb = bloomCols.foldLeft(w) { case (acc, (c, ndv)) =>
