@@ -245,24 +245,39 @@ object Dedup {
       n: Int = 3,
       nHashes: Int = 64,
       nBands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      checkpointDir: Option[String] = None): DataFrame = {
     // Both narrow frames feed multiple consumers on DIFFERENT join sides
     // (newSigs: probe side AND inside the union store; candidates: the
     // id extraction twice plus the verify join), so unlike minhashPairs'
     // symmetric self-join there is no ReusedExchange to ride —
     // re-evaluation would re-run the signature aggregate ~6×. Both are
-    // (id, band, bucket)/(id, id) narrow: checkpoint, don't recompute.
-    val newSigs = minhashSignatures(newDocs, n, nHashes, nBands).localCheckpoint()
+    // (id, band, bucket)/(id, id) narrow: pin, don't recompute.
+    //
+    // Two pinning modes: localCheckpoint (default — executor-storage,
+    // right for single-node and short-lived jobs) vs a parquet round-trip
+    // through `checkpointDir` (the signature store's filesystem). On a
+    // real cluster prefer the directory: localCheckpoint blocks lose
+    // lineage, so one executor loss kills the job, and pinned blocks
+    // squat on executor storage for the session; the store-side copy is
+    // recomputable-from-disk, survives executor churn, and lands next to
+    // the state the rolling ingest already maintains.
+    def pin(df: DataFrame, name: String): DataFrame = checkpointDir match {
+      case None => df.localCheckpoint()
+      case Some(dir) =>
+        df.write.mode("overwrite").parquet(s"$dir/$name")
+        df.sparkSession.read.parquet(s"$dir/$name")
+    }
+    val newSigs = pin(minhashSignatures(newDocs, n, nHashes, nBands), "_ckpt_sigs")
     val allSigs = oldSigs.select(col("doc_id"), col("band"), col("bucket"))
       .unionByName(newSigs)
-    val candidates = newSigs.as("sa").join(allSigs.as("sb"),
+    val candidates = pin(newSigs.as("sa").join(allSigs.as("sb"),
         col("sa.band") === col("sb.band") && col("sa.bucket") === col("sb.bucket") &&
           col("sa.doc_id") =!= col("sb.doc_id"))
       .select(
         least(col("sa.doc_id"), col("sb.doc_id")).as("id_a"),
         greatest(col("sa.doc_id"), col("sb.doc_id")).as("id_b"))
-      .distinct()
-      .localCheckpoint()
+      .distinct(), "_ckpt_candidates")
     val candIds = candidates.select(col("id_a").as("doc_id"))
       .union(candidates.select(col("id_b").as("doc_id")))
       .distinct()

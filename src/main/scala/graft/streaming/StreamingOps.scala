@@ -143,8 +143,12 @@ object StreamingOps {
         val oldDocs =
           if (fs.exists(new org.apache.hadoop.fs.Path(corpusDir))) s2.read.parquet(corpusDir)
           else Seq.empty[(Long, String)].toDF("doc_id", "text")
-        // pairs first: their lazy reads must see the PRE-batch state
-        graft.operators.Dedup.minhashPairsIncremental(b, oldDocs, oldSigs)
+        // pairs first: their lazy reads must see the PRE-batch state.
+        // Pins ride the state directory (reliable mode): the stream's
+        // narrow frames survive executor churn alongside the signature
+        // store instead of squatting on executor storage batch after batch
+        graft.operators.Dedup.minhashPairsIncremental(b, oldDocs, oldSigs,
+            checkpointDir = Some(s"$stateDir/ckpt"))
           .write.mode("append").parquet(pairsDir)
         graft.operators.Dedup.minhashSignatures(b)
           .write.mode("append").parquet(sigDir)

@@ -148,5 +148,15 @@ class DedupSpec extends AnyFunSuite {
     assert(incr.nonEmpty, "fixture must plant near-dups across the batch split")
     // and nothing leaks from the old×old side
     assert(incr.forall { case (a, b, _) => a % 3 == 0 || b % 3 == 0 })
+
+    // reliable-checkpoint mode (cluster shape: pins go to the store's
+    // filesystem, lineage-safe under executor loss) — identical output
+    val ckpt = "/tmp/graft_incr_ckpt"
+    val reliable = Dedup.minhashPairsIncremental(
+        newDocs, oldDocs, s.read.parquet(store), checkpointDir = Some(ckpt))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(reliable == full)
+    // the pinned frames landed in the store directory
+    assert(new java.io.File(s"$ckpt/_ckpt_candidates").exists())
   }
 }
