@@ -50,8 +50,13 @@ object Bench {
         "\"" + k + "\":" + f"""{"min":$mn%.3f,"max":$mx%.3f}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
+    // min_total: sum of per-query minima — the contention-robust number
+    // for ROUND-OVER-ROUND comparison (this sandbox shows up to 17x
+    // write-path dispersion even when idle; the min of 3 passes is the
+    // best available estimate of uncontended cost)
+    val minTotal = results.map(_._2._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"dispersion":$disp,"passes":$Passes,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"queries":$qs,"dispersion":$disp,"passes":$Passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

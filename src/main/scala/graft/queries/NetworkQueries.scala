@@ -370,7 +370,10 @@ object NetworkQueries extends QueryPack {
           matrixDests(s, dir, 0).as[RoutePoint],
           rt, oSplit = 1000, dSplit = 500, maxDepth = 3).toDF()
       },
-      Some(s"WITH ${matrixSql("FALSE", "FALSE")}")),
+      Some(s"WITH ${matrixSql("FALSE", "FALSE")}"),
+      // headline: the CH router is the reference's production algorithm
+      // (osrm-routed --algorithm ch) — steady-state timing tracked per round
+      headline = true),
 
     // q108: via-node turn restrictions honored end-to-end — relation
     // frame → (from, via, to) triples → banned set → edge-state
