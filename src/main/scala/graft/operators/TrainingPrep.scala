@@ -119,6 +119,48 @@ object TrainingPrep {
   def sampleExact(docs: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame =
     docs.orderBy(u32(col(idCol)).asc, col(idCol).asc).limit(k)
 
+  /** Leakage-safe train/validation split. Assignment is the seedless
+    * [[mixtureSample]] hash (`u32(id) < valFrac·2³²` → val, else train),
+    * then every TRAIN document that is a verified near-duplicate of any
+    * VAL document is moved to `quarantine` — keeping it would leak the
+    * held-out set into training through its near-copies, the failure
+    * mode benchmark decontamination (q112) guards against *between*
+    * corpora, applied here *within* one.
+    *
+    * `pairs` is any verified dup-pair frame (id_a, id_b, …) — at corpus
+    * scale the banded [[Dedup.minhashPairs]] / incremental store. Scale
+    * shape: the leak set is dup-scale (≪ corpus) and reaches the corpus
+    * as a broadcast left join; the corpus itself never shuffles, so the
+    * op composes map-only with the rest of the prep pipeline.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      pairs: DataFrame,
+      valFrac: Double = 0.125,
+      idCol: String = "doc_id"): DataFrame = {
+    val thresh = math.floor(valFrac * 4294967296.0).toLong
+    def isVal(c: Column): Column = u32(c) < thresh
+    // The split is a PURE FUNCTION of the id, so the leak set needs no
+    // corpus join at all: evaluate both endpoints' assignments inside the
+    // (dup-scale) pairs frame, keep the train endpoint of every
+    // train×val pair. The corpus is touched exactly once, by the final
+    // broadcast left join — zero corpus shuffles.
+    val leaky = pairs
+      .filter(isVal(col("id_a")) && !isVal(col("id_b")))
+      .select(col("id_b").as(idCol))
+      .unionByName(pairs
+        .filter(isVal(col("id_b")) && !isVal(col("id_a")))
+        .select(col("id_a").as(idCol)))
+      .distinct()
+      .withColumn("__leak", lit(1))
+    docs.join(broadcast(leaky), Seq(idCol), "left")
+      .withColumn("split",
+        when(isVal(col(idCol)), "val")
+          .when(col("__leak").isNotNull, "quarantine")
+          .otherwise("train"))
+      .drop("__leak")
+  }
+
   /** Adds `outCol` = running sum of `valueCol` in `orderCol` order, as a
     * distributed two-phase prefix sum: range-partition by the order key,
     * cumsum inside each partition (parallel windows), then shift each

@@ -488,6 +488,36 @@ object PipelineQueries extends QueryPack {
               |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q125: leakage-safe train/val split — the deterministic hash split
+    // (q113's u32 machinery, valFrac 0.125 dyadic) with every train doc
+    // that near-duplicates a val doc moved to quarantine. Pairs come
+    // from the banded minhash path (exact after verification, = q41),
+    // so the oracle replays the split arithmetic + the exact pair set.
+    QueryDef(
+      "q125_leakage_split",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        TrainingPrep.leakageSafeSplit(docs, Dedup.minhashPairs(docs),
+            valFrac = 0.125)
+          .select(col("doc_id"), col("split"))
+      },
+      Some(s"""WITH pairs AS ($ngramPairsSql),
+              |s0 AS (SELECT doc_id,
+              |  CASE WHEN ${u32Sql("CAST(doc_id AS VARCHAR)")} < 536870912
+              |       THEN 'val' ELSE 'train' END AS split0
+              |  FROM documents),
+              |leaky AS (
+              |  SELECT p.id_b AS doc_id FROM pairs p
+              |  JOIN s0 a ON a.doc_id = p.id_a AND a.split0 = 'val'
+              |  UNION
+              |  SELECT p.id_a FROM pairs p
+              |  JOIN s0 b ON b.doc_id = p.id_b AND b.split0 = 'val')
+              |SELECT s0.doc_id,
+              |  CASE WHEN s0.split0 = 'train' AND l.doc_id IS NOT NULL
+              |       THEN 'quarantine' ELSE s0.split0 END AS split
+              |FROM s0 LEFT JOIN leaky l ON l.doc_id = s0.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q43: exact n-gram Jaccard via shingle equi-join.
     QueryDef(
       "q43_ngram_jaccard",

@@ -71,6 +71,43 @@ class TrainingPrepSpec extends AnyFunSuite {
       "0.5 weight should keep a strict nonempty subset")
   }
 
+  test("leakageSafeSplit: only train-side near-dups of val docs are quarantined") {
+    val d = Seq(
+      (1L, "doc one"), (2L, "doc two"), (3L, "doc three"),
+      (4L, "doc four"), (5L, "doc five"), (6L, "doc six"))
+      .toDF("doc_id", "text")
+    // dup graph: 1~2, 3~4, 5~6
+    val pairs = Seq((1L, 2L, 1.0), (3L, 4L, 1.0), (5L, 6L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    // valFrac 0.5: split by hash — derive the realized split first, then
+    // check quarantine semantics against it
+    val got = TrainingPrep.leakageSafeSplit(d, pairs, valFrac = 0.5)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    val partner = Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L, 5L -> 6L, 6L -> 5L)
+    got.foreach { case (id, split) =>
+      split match {
+        case "val" => () // val docs never move
+        case "train" => assert(got(partner(id)) != "val", s"doc $id leaks")
+        case "quarantine" =>
+          assert(got(partner(id)) == "val", s"doc $id quarantined without a val partner")
+        case other => fail(s"unknown split $other")
+      }
+    }
+    // a val doc's train partner is ALWAYS quarantined
+    got.collect { case (id, "val") => id }.foreach { v =>
+      assert(got(partner(v)) != "train", s"val $v's partner stayed in train")
+    }
+    // deterministic: same input, same split
+    val again = TrainingPrep.leakageSafeSplit(d, pairs, valFrac = 0.5)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again == got)
+    // valFrac 0: everything trains, nothing quarantines
+    val none = TrainingPrep.leakageSafeSplit(d, pairs, valFrac = 0.0)
+      .select("split").distinct().as[String].collect().toSet
+    assert(none == Set("train"))
+  }
+
   test("prefixSum equals the single-partition window cumsum") {
     val toks = Tables.documents(spark, sf0001)
       .select($"doc_id", size(split($"text", " ")).cast("long").as("ntok"))
