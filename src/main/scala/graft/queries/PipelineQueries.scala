@@ -550,6 +550,41 @@ object PipelineQueries extends QueryPack {
       headline = true),
 
     // ------------------------------------------------------------------
+    // q126: int8-quantized top-k — the storage/scan scale path (4× smaller
+    // corpus scan; integer dot products). Codes, integer dots, and the
+    // fixed-order rescale are all deterministic, so the approximate
+    // operator hash-verifies: the oracle replays quantization and scoring
+    // op for op.
+    QueryDef(
+      "q126_ann_quantized",
+      (s, dir) => {
+        import s.implicits._
+        val emb = T.embeddings(s, dir)
+        Similarity.quantizedTopK(emb, emb.filter($"vec_id" < 10), k = 5)
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS nrm,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+             |    list_transform(embedding, x ->
+             |      CAST(round(CAST(x AS DOUBLE) /
+             |        list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) * 127.0)
+             |        AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |sims AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+             |          i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+             |      * q.mx * c.mx / 16129.0 / q.nrm / c.nrm AS score
+             |  FROM base q JOIN base c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, score,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY score DESC, neighbor_id) AS rnk
+             |  FROM sims)
+             |SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q45: LSH-bucketed ANN — the scale path (candidates via bucket
     // equi-join, exact rerank of candidates only). The ±1 hyperplanes are
     // integer-arithmetic-derived and the signature dot is the float32

@@ -176,6 +176,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), "a stage collapsed to one partition")
   }
 
+  test("q125: the leak set reaches the corpus as a broadcast left join (corpus side unshuffled)") {
+    val p = plan("q125_leakage_split")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the OUTERMOST join (first in the plan dump) is the corpus⨝leak-set
+    // join: it must be a broadcast LeftOuter — a sort-merge here would
+    // mean the whole corpus shuffled for a dup-scale right side
+    val firstJoin = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+      .map(k => (p.indexOf(k), k)).filter(_._1 >= 0).minBy(_._1)
+    assert(firstJoin._2 == "BroadcastHashJoin", s"outermost join is ${firstJoin._2}:\n" + p.take(1500))
+    assert(p.substring(firstJoin._1, math.min(p.length, firstJoin._1 + 200))
+      .contains("LeftOuter"), "outermost broadcast join is not the left-outer split join")
+  }
+
   test("q114: the running sum is a partitioned window, never a single-partition sort") {
     val p = plan("q114_pack_sequences")
     // the cumsum window must be keyed by the range-partition id (parallel),

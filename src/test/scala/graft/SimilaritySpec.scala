@@ -32,6 +32,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("int8-quantized top-k: planted duplicate recalled, high recall vs exact cosine") {
+    // plant: an exact copy must still be the quantized top-1 (identical
+    // codes → maximal integer dot)
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 8993).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(planted)
+    val top1 = Similarity.quantizedTopK(corpus, corpus.filter(col("vec_id") === 9000), 1)
+      .collect()
+    assert(top1.length == 1 && top1.head.getAs[Long]("neighbor_id") == 7L)
+
+    // 8-bit codes lose little ranking fidelity: recall@5 vs exact cosine
+    val brute = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 20), 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val quant = Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 20), 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.count(quant.contains).toDouble / brute.size
+    info(s"quantized recall@5 vs exact: $recall")
+    assert(recall >= 0.8, s"recall $recall")
+    // scores approximate cosine closely on the overlap
+    val cosByPair = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 20), 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 20), 5).collect().foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      cosByPair.get(k).foreach { c =>
+        assert(math.abs(r.getAs[Double]("score") - c) < 0.02, s"$k: ${r.getAs[Double]("score")} vs $c")
+      }
+    }
+  }
+
   test("codegen vec_dot equals interpreted eval") {
     val s = spark
     import s.implicits._
