@@ -50,32 +50,47 @@ object Pipeline {
     try TableIO.readPartitioned(spark, dir).count()
     catch { case _: org.apache.spark.sql.AnalysisException => 0L }
 
-  /** Stable content digest of a path (file or directory): every
-    * non-hidden file's (relative path, content md5), sorted, folded into
-    * one md5. A missing path digests as "absent" — so a stage whose dep
-    * appears later re-runs. Mirrors DVC's dir-hash (md5 of the file
-    * manifest).
+  /** Stable digest of a path (file or directory) for change detection.
+    *
+    * Default (`deep = false`): md5 over the sorted manifest of every
+    * non-hidden file's (relative path, size, mtime) — METADATA scale,
+    * one recursive listing, no data read. The only shape that survives
+    * 100 TB dep trees: a per-repro full content read of every stage's
+    * inputs would cost more than the stages themselves. It is the same
+    * bet DVC's hash cache makes (a file whose size and mtime are
+    * unchanged is unchanged); a rewrite never evades it (new part-file
+    * names and mtimes).
+    *
+    * `deep = true` folds each file's full content md5 instead (F7) —
+    * for small critical inputs or audit runs.
+    *
+    * A missing path digests as "absent" — so a stage whose dep appears
+    * later re-runs.
     */
-  def contentMd5(spark: SparkSession, path: String): String = {
+  def contentMd5(spark: SparkSession, path: String, deep: Boolean = false): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val f = fs(spark, path)
     if (!f.exists(p)) return "absent"
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
     def walk(dir: org.apache.hadoop.fs.Path): Unit =
       f.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
         if (!n.startsWith(".") && !n.startsWith("_")) {
           if (st.isDirectory) walk(st.getPath)
-          else files += st.getPath.toUri.getPath
+          else files += st
         }
       }
     if (f.getFileStatus(p).isDirectory) walk(p)
-    else files += p.toUri.getPath
+    else files += f.getFileStatus(p)
     val base = p.toUri.getPath
     val md = java.security.MessageDigest.getInstance("MD5")
-    files.sorted.foreach { fp =>
+    files.sortBy(_.getPath.toUri.getPath).foreach { st =>
+      val fp = st.getPath.toUri.getPath
       val rel = fp.stripPrefix(base).stripPrefix("/")
-      md.update(s"$rel:${TableIO.fileMd5(spark, fp)}\n".getBytes("UTF-8"))
+      val sig =
+        if (deep) TableIO.fileMd5(spark, fp)
+        else s"${st.getLen}:${st.getModificationTime}"
+      md.update(s"$rel:$sig\n".getBytes("UTF-8"))
     }
     md.digest().map("%02x".format(_)).mkString
   }
