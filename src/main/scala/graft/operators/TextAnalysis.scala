@@ -150,4 +150,45 @@ object TextAnalysis {
     while (i < text.length) { h = 31 * h + text.charAt(i); i += 1 }
     h
   }
+
+  /** Content-defined chunking (CDC): cut after token `i` iff the hash of
+    * the `window`-token span ending at `i` is ≡ 0 mod `divisor` — so
+    * chunk boundaries are a function of LOCAL content, and an insertion
+    * shifts only the chunks whose windows overlap the edit (fixed-size
+    * chunking re-keys everything downstream). This is the dedup-stable
+    * chunking of large-corpus pipelines (the FastCDC/LBFS idea on
+    * tokens): chunk hashes feed exact dedup (q40) so near-identical
+    * documents dedup chunk-wise even when they disagree by one early
+    * edit. Mean chunk length ≈ `divisor` tokens; documents shorter than
+    * `window` form one chunk.
+    *
+    * The boundary hash is the engine-portable md5-u32 (q113's machinery)
+    * so the operator hash-verifies in SQL (q127). Entirely built-in
+    * higher-order functions — map-only, codegen-friendly, no UDF, no
+    * shuffle.
+    *
+    * Output: (doc_id, chunk_idx, start_token, n_tokens, chunk_md5).
+    */
+  def contentDefinedChunks(
+      docs: DataFrame, window: Int = 4, divisor: Int = 16): DataFrame = {
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("cuts", expr(
+        s"""IF(size(w) >= $window,
+           |  filter(sequence($window, size(w)), i ->
+           |    CAST(conv(substring(md5(array_join(slice(w, i - ${window - 1}, $window), ' ')), 1, 8), 16, 10) AS LONG) % $divisor = 0),
+           |  array())""".stripMargin))
+      .withColumn("bs", expr(
+        """concat(array(0), cuts,
+          |  IF(size(cuts) = 0 OR element_at(cuts, -1) <> size(w), array(size(w)), array()))""".stripMargin))
+      .withColumn("chunk", explode(expr(
+        """transform(sequence(1, size(bs) - 1), j -> struct(
+          |  CAST(j - 1 AS LONG) AS chunk_idx,
+          |  CAST(element_at(bs, j) + 1 AS LONG) AS start_token,
+          |  CAST(element_at(bs, j + 1) - element_at(bs, j) AS LONG) AS n_tokens,
+          |  md5(array_join(slice(w, element_at(bs, j) + 1,
+          |      element_at(bs, j + 1) - element_at(bs, j)), ' ')) AS chunk_md5))""".stripMargin)))
+      .select(col("doc_id"), col("chunk.chunk_idx"), col("chunk.start_token"),
+        col("chunk.n_tokens"), col("chunk.chunk_md5"))
+  }
 }

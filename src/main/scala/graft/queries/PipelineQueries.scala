@@ -585,6 +585,39 @@ object PipelineQueries extends QueryPack {
              |SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q127: content-defined chunking — cut where the 4-token window's
+    // md5-u32 ≡ 0 mod 16, so boundaries are local content and an early
+    // edit re-keys only the chunks it touches (fixed-size chunking
+    // shifts everything; TextStreamSpec measures the stability delta).
+    // All built-in higher-order functions; the oracle replays windows,
+    // cuts, and chunk assembly in SQL.
+    QueryDef(
+      "q127_cdc_chunks",
+      (s, dir) => TextAnalysis.contentDefinedChunks(T.documents(s, dir)),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |c AS (
+              |  SELECT doc_id, w,
+              |    CASE WHEN len(w) >= 4 THEN
+              |      list_filter(generate_series(4, len(w)), i ->
+              |        ${u32Sql("array_to_string(list_slice(w, i - 3, i), ' ')")} % 16 = 0)
+              |    ELSE [] END AS cuts
+              |  FROM t),
+              |b AS (
+              |  SELECT doc_id, w,
+              |    list_concat(list_concat([0], cuts),
+              |      CASE WHEN len(cuts) = 0 OR cuts[-1] <> len(w)
+              |           THEN [len(w)] ELSE [] END) AS bs
+              |  FROM c),
+              |e AS (SELECT doc_id, w, bs,
+              |        unnest(generate_series(1, len(bs) - 1)) AS j FROM b)
+              |SELECT doc_id,
+              |  CAST(j - 1 AS BIGINT) AS chunk_idx,
+              |  CAST(bs[j] + 1 AS BIGINT) AS start_token,
+              |  CAST(bs[j + 1] - bs[j] AS BIGINT) AS n_tokens,
+              |  md5(array_to_string(list_slice(w, bs[j] + 1, bs[j + 1]), ' ')) AS chunk_md5
+              |FROM e""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q45: LSH-bucketed ANN — the scale path (candidates via bucket
     // equi-join, exact rerank of candidates only). The ±1 hyperplanes are
     // integer-arithmetic-derived and the signature dot is the float32

@@ -38,6 +38,38 @@ class TextStreamSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_subtokens") == 1 + 2 + 1) // ceil(4/4)+ceil(5/4)+ceil(1/4)
   }
 
+  test("content-defined chunking: edits re-key only local chunks; fixed-size re-keys everything") {
+    val s = spark
+    import s.implicits._
+    // deterministic 400-token document; insert one token near the front
+    val words = (0 until 400).map(i => s"w${(i * 2654435761L) % 977}")
+    val edited = (words.take(5) :+ "INSERTED") ++ words.drop(5)
+    val df = Seq((1L, words.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.contentDefinedChunks(df)
+      .select("doc_id", "chunk_md5").as[(Long, String)].collect()
+    val orig = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val edit = chunks.filter(_._1 == 2L).map(_._2).toSet
+    assert(orig.size > 10, s"expected many chunks, got ${orig.size}")
+    // CDC: everything after the first boundary past the edit is identical —
+    // at most a couple of chunks (those overlapping the insertion) differ
+    val lost = orig.diff(edit).size
+    assert(lost <= 3, s"CDC lost $lost of ${orig.size} chunks to a 1-token edit")
+    // fixed-size chunking of the same edit re-keys nearly every chunk
+    def fixed(ws: Seq[String]) = ws.grouped(16).map(_.mkString(" ")).toSet
+    val fixedKept = fixed(words).intersect(fixed(edited)).size
+    assert(fixedKept <= 1, s"fixed-size unexpectedly kept $fixedKept chunks")
+    // chunk spans tile the document exactly (no gaps, no overlaps)
+    val spans = TextAnalysis.contentDefinedChunks(df).filter($"doc_id" === 1L)
+      .select("start_token", "n_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    assert(spans.head._1 == 1L)
+    assert(spans.map(_._2).sum == 400L)
+    spans.sliding(2).foreach {
+      case Array((s1, n1), (s2, _)) => assert(s1 + n1 == s2)
+      case _ => ()
+    }
+  }
+
   test("PII redaction: masking order, adjacency, and count independence") {
     val s = spark
     import s.implicits._
