@@ -1,7 +1,7 @@
 package graft.jobs
 
 import graft.etl.{Centroids, Destpoint, OsmClip}
-import graft.geo.Geometry
+import graft.geo.{Geometry, Tiles}
 import graft.routing._
 import graft.sources.{GeoJson, OsmPbf, Shapefile, TableIO}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -358,6 +358,57 @@ object Pipeline {
           if (countPartitioned(spark, s"$out/missing_pairs") > 0)
             TableIO.writeConsumerIndex(spark, s"$out/missing_pairs",
               s"$out/index/missing_pairs.json")
+        }),
+
+      // The reference's tippecanoe stage (create_tiles.sh): a zoom
+      // pyramid over the cenloc points (weight = population, densest
+      // tiles thinned) written zoom-partitioned for tile-server pruning,
+      // plus the per-mode parquet-file-count index JSON its map JS
+      // iterates (create_tiles.sh:27-63) derived from the published
+      // times partition tree.
+      Stage(
+        name = "create_tiles",
+        deps = Seq(cenlocDir, s"$out/times"),
+        outs = Seq(s"$out/tiles", s"$out/tiles_index.json"),
+        run = () => {
+          val cl = spark.read.parquet(cenlocDir).select(
+            $"geoid".as("id"), $"x_wt".as("lon"), $"y_wt".as("lat"),
+            $"population".cast("double").as("weight"))
+          Tiles.pyramid(cl, "id", "lon", "lat", "weight",
+            minZ = 2, maxZ = 10, cap = 64)
+            .filter($"kept")
+            .write.mode("overwrite").partitionBy("zoom")
+            .parquet(s"$out/tiles")
+          // {"<mode>": {"<state>": n_parquet_files}} over the published tree
+          val f2 = fs(spark, s"$out/times")
+          def countFiles(dir: org.apache.hadoop.fs.Path): Map[String, Int] = {
+            val it = f2.listFiles(dir, true)
+            val counts = scala.collection.mutable.Map.empty[String, Int]
+            while (it.hasNext) {
+              val p = it.next().getPath.toString
+              if (p.endsWith(".parquet"))
+                """state=([^/]+)""".r.findFirstMatchIn(p).foreach { m =>
+                  counts(m.group(1)) = counts.getOrElse(m.group(1), 0) + 1
+                }
+            }
+            counts.toMap
+          }
+          val states = countFiles(new org.apache.hadoop.fs.Path(s"$out/times"))
+          val inner = states.toSeq.sortBy(_._1)
+            .map { case (s0, n) => s""""$s0": $n""" }.mkString("{", ", ", "}")
+          val outP = f2.create(
+            new org.apache.hadoop.fs.Path(s"$out/tiles_index.json"), true)
+          try outP.write(s"""{"${cfg.mode}": $inner}""".getBytes("UTF-8"))
+          finally outP.close()
+        },
+        check = () => {
+          val tiles = spark.read.parquet(s"$out/tiles")
+          val cl = spark.read.parquet(cenlocDir)
+          // every cenloc point survives at the deepest zoom (tiles are
+          // ~40m there; fixture points are ≥0.25° apart, far under cap)
+          require(tiles.filter($"zoom" === 10).count() == cl.count(),
+            "deep-zoom tile conservation")
+          require(tiles.filter($"rnk" > 64).isEmpty, "cap violated")
         })
     )
   }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryPack, Tables => T}
 import graft.etl.{Centroids, Destpoint}
-import graft.geo.{Albers, Geometry}
+import graft.geo.{Albers, Geometry, Tiles}
 import graft.jobs.CalculateTimes
 import graft.routing._
 import graft.sources.TableIO
@@ -758,6 +758,107 @@ object DomainQueries extends QueryPack {
              |  1e-9 * (30000000000 + (c_custkey % 1000) * 1000000) AS lat,
              |  1e-9 * (-100000000000 + (c_custkey % 500) * 2000000) AS lon,
              |  'n' || CAST(c_custkey AS VARCHAR) AS name
-             |FROM customer""".stripMargin))
+             |FROM customer""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q128: tile pyramid with densest-coalesce retention — the in-engine
+    // analog of the reference's tippecanoe stage (create_tiles.sh:20-24).
+    // Slippy z/x/y + quadkey are pure double arithmetic (exact tile
+    // indices for z ≤ 30) replayed verbatim in SQL; per-tile thinning is
+    // a rank window (weight desc, id asc), tippecanoe's
+    // --coalesce-densest-as-needed as a declarative plan. One explode
+    // (5 zooms), one shuffle on the tile key.
+    QueryDef(
+      "q128_tile_pyramid",
+      (s, dir) => {
+        import s.implicits._
+        val pts = T.customer(s, dir).select(
+          $"c_custkey".as("id"),
+          (lit(120.0) + ($"c_custkey" % 97) * 0.25).as("lon"),
+          (lit(28.0) + ($"c_custkey" % 89) * 0.25).as("lat"),
+          $"c_acctbal".as("weight"))
+        Tiles.pyramid(pts, "id", "lon", "lat", "weight",
+          minZ = 4, maxZ = 8, cap = 8)
+      },
+      Some(s"""WITH pts AS (
+              |  SELECT c_custkey AS id,
+              |         120.0 + (c_custkey % 97) * 0.25 AS lon,
+              |         28.0 + (c_custkey % 89) * 0.25 AS lat,
+              |         c_acctbal AS weight
+              |  FROM customer),
+              |t AS (
+              |  SELECT id, lon, lat, weight,
+              |         unnest(generate_series(4, 8)) AS zoom FROM pts),
+              |$tileXySql,
+              |r AS (
+              |  SELECT zoom, tile_x, tile_y, id, weight,
+              |    CAST(row_number() OVER (PARTITION BY zoom, tile_x, tile_y
+              |                            ORDER BY weight DESC, id) AS BIGINT) AS rnk,
+              |    count(*) OVER (PARTITION BY zoom, tile_x, tile_y) AS n_in_tile
+              |  FROM xy)
+              |SELECT CAST(zoom AS BIGINT) AS zoom, tile_x, tile_y,
+              |  $quadkeySql AS quadkey,
+              |  id, weight, rnk, rnk <= 8 AS kept, n_in_tile
+              |FROM r""".stripMargin),
+      headline = true),
+
+    // q129: tile-level manifest rollup over the q128 pyramid (counts +
+    // kept counts + weight mass per tile) — what the reference's tile
+    // index JSON is derived from. Weight sums are exact: acctbal is
+    // 2-decimal fixed-point, so summing in cents and dividing once keeps
+    // the oracle bit-identical.
+    QueryDef(
+      "q129_tile_stats",
+      (s, dir) => {
+        import s.implicits._
+        val pts = T.customer(s, dir).select(
+          $"c_custkey".as("id"),
+          (lit(120.0) + ($"c_custkey" % 97) * 0.25).as("lon"),
+          (lit(28.0) + ($"c_custkey" % 89) * 0.25).as("lat"),
+          round($"c_acctbal" * 100).cast("long").as("weight"))
+        Tiles.tileStats(
+          Tiles.pyramid(pts, "id", "lon", "lat", "weight",
+            minZ = 4, maxZ = 8, cap = 8), "weight")
+      },
+      Some(s"""WITH pts AS (
+              |  SELECT c_custkey AS id,
+              |         120.0 + (c_custkey % 97) * 0.25 AS lon,
+              |         28.0 + (c_custkey % 89) * 0.25 AS lat,
+              |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS weight
+              |  FROM customer),
+              |t AS (
+              |  SELECT id, lon, lat, weight,
+              |         unnest(generate_series(4, 8)) AS zoom FROM pts),
+              |$tileXySql,
+              |r AS (
+              |  SELECT zoom, tile_x, tile_y, id, weight,
+              |    CAST(row_number() OVER (PARTITION BY zoom, tile_x, tile_y
+              |                            ORDER BY weight DESC, id) AS BIGINT) AS rnk
+              |  FROM xy)
+              |SELECT CAST(zoom AS BIGINT) AS zoom, tile_x, tile_y,
+              |  $quadkeySql AS quadkey,
+              |  count(*) AS n_features,
+              |  CAST(sum(CASE WHEN rnk <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  CAST(sum(weight) AS BIGINT) AS weight
+              |FROM r
+              |GROUP BY 1, 2, 3, 4""".stripMargin))
   )
+
+  /** Shared oracle fragment: slippy tile x/y from (lon, lat, zoom) —
+    * mirrors [[Tiles.tileX]]/[[Tiles.tileY]] exactly.
+    */
+  private val tileXySql =
+    """xy AS (
+      |  SELECT id, weight, zoom,
+      |    CAST(floor((lon + 180.0) / 360.0 * pow(2.0, zoom)) AS BIGINT) AS tile_x,
+      |    CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+      |         / 2.0 * pow(2.0, zoom)) AS BIGINT) AS tile_y
+      |  FROM t)""".stripMargin
+
+  /** Shared oracle fragment: base-4 quadkey — mirrors [[Tiles.quadkey]]. */
+  private val quadkeySql =
+    """array_to_string(list_transform(generate_series(zoom - 1, 0, -1),
+      |    i -> CAST(CAST(floor(tile_x / pow(2.0, i)) AS BIGINT) % 2
+      |              + 2 * (CAST(floor(tile_y / pow(2.0, i)) AS BIGINT) % 2) AS VARCHAR)),
+      |    '')""".stripMargin
 }

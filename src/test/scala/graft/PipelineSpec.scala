@@ -32,7 +32,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(firstRun.map(_.name) == Seq(
       "fetch_tiger", "fetch_blockpop", "fetch_osm", "create_blockloc",
       "create_cenloc", "create_osmclip", "create_osmextract",
-      "create_destpoint", "calculate_times", "publish_index"))
+      "create_destpoint", "calculate_times", "publish_index",
+      "create_tiles"))
   }
 
   test("second repro skips every stage (content-addressed, dvc semantics)") {
@@ -53,7 +54,7 @@ class PipelineSpec extends AnyFunSuite {
     val third = Pipeline.repro(spark, s"$root/_stages", stages)
     val ran = third.filter(_.ran).map(_.name).toSet
     assert(ran == Set("create_blockloc", "create_cenloc", "create_destpoint",
-      "calculate_times", "publish_index"), ran.toString)
+      "calculate_times", "publish_index", "create_tiles"), ran.toString)
   }
 
   test("force re-runs the named stage even when clean") {
@@ -84,6 +85,29 @@ class PipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$root/output/index/times.json")), "UTF-8")
     val idxRows = """"rows":(\d+)""".r.findFirstMatchIn(idx).map(_.group(1).toLong)
     assert(idxRows.contains(times.count()))
+  }
+
+  test("create_tiles: zoom-partitioned pyramid + per-mode file-count index") {
+    firstRun
+    val tiles = spark.read.parquet(s"$root/output/tiles")
+    // zoom is the physical partition key (tile-server pruning)
+    assert(tiles.columns.contains("zoom"))
+    assert(tiles.select("zoom").distinct().count() == 9) // z2..z10
+    // kept-only rows, cap respected
+    assert(tiles.filter(!col("kept")).isEmpty)
+    assert(tiles.filter(col("rnk") > 64).isEmpty)
+    // quadkey depth == zoom
+    assert(tiles.filter(length(col("quadkey")) =!= col("zoom")).isEmpty)
+    // index JSON: mode -> state -> parquet file count over the published tree
+    val idx = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/output/tiles_index.json")), "UTF-8")
+    assert(idx.startsWith("""{"car": {"""), idx)
+    val total = """: (\d+)""".r.findAllMatchIn(idx).map(_.group(1).toInt).sum
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$root/output/times"), true)
+    var nParquet = 0
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) nParquet += 1 }
+    assert(total == nParquet, s"index total $total vs $nParquet files")
   }
 
   test("mode sweep: the foot pipeline publishes walking times (exact 6.4x car, dyadic)") {
