@@ -1186,6 +1186,47 @@ object PipelineQueries extends QueryPack {
              |  CAST(c_custkey % 1000 + 1 AS INT) AS peak_abs,
              |  CAST((c_custkey % 50 + 20)
              |     * (c_custkey % 1000 + 1) * (c_custkey % 1000 + 1) AS BIGINT) AS energy
-             |FROM customer""".stripMargin))
+             |FROM customer""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q130: SemDeDup semantic dedup (Abbas et al. 2023) — seeded coarse
+    // quantizer (q53's deterministic cells), then within-cluster cosine
+    // shadowing with keep-lowest-id. Assignment + pairing + verdicts all
+    // replay in SQL (float dots = list_dot_product bit-for-bit), so the
+    // whole cluster-then-prune pipeline hash-verifies. The quadratic step
+    // is cluster-confined: one shuffle on cell, never an all-pairs plan.
+    QueryDef(
+      "q130_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(
+        T.embeddings(s, dir), threshold = 0.85, nCells = 16),
+      Some("""WITH seeds AS (
+             |  SELECT vec_id AS cell, embedding AS sv FROM embeddings WHERE vec_id < 16),
+             |asg AS (
+             |  SELECT e.vec_id, e.embedding, s.cell,
+             |    CAST(list_dot_product(e.embedding, e.embedding) AS DOUBLE) +
+             |    CAST(list_dot_product(s.sv, s.sv) AS DOUBLE) -
+             |    2.0 * CAST(list_dot_product(e.embedding, s.sv) AS DOUBLE) AS d2
+             |  FROM embeddings e CROSS JOIN seeds s),
+             |cells AS (
+             |  SELECT vec_id, embedding, cell FROM (
+             |    SELECT vec_id, embedding, cell,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS r
+             |    FROM asg) t WHERE r = 1),
+             |shadows AS (
+             |  SELECT vec_id, dup_of, cos_dup FROM (
+             |    SELECT b.vec_id, a.vec_id AS dup_of,
+             |      CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE) /
+             |        (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE)) *
+             |         sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))) AS cos_dup,
+             |      row_number() OVER (PARTITION BY b.vec_id ORDER BY a.vec_id) AS rd
+             |    FROM cells a JOIN cells b
+             |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |    WHERE CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE) /
+             |        (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE)) *
+             |         sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))) >= 0.85
+             |    ) t WHERE rd = 1)
+             |SELECT c.vec_id, c.cell,
+             |  s.dup_of IS NULL AS kept, s.dup_of, s.cos_dup
+             |FROM cells c LEFT JOIN shadows s ON c.vec_id = s.vec_id""".stripMargin))
   )
 }

@@ -175,4 +175,30 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(sharded == want.collect { case (a, b, _) if a % 2 == 0 => (a, b) }.toSet)
   }
+
+  test("semanticDedup: exact copies collapse to keep-lowest; kept set is shadow-free") {
+    import spark.implicits._
+    // plant exact copies of vectors 7 and 11 (cosine 1.0 to their source,
+    // same cell by construction — identical vectors share an argmin cell)
+    val planted = emb.filter(col("vec_id").isin(7, 11))
+      .select((col("vec_id") + 9000).as("vec_id"), col("embedding"))
+    val all = emb.select("vec_id", "embedding").union(planted)
+    val out = Similarity.semanticDedup(all, threshold = 0.999, nCells = 16).cache()
+    val drops = out.filter(!col("kept"))
+      .select("vec_id", "dup_of").as[(Long, Long)].collect().toMap
+    assert(drops.get(9007L).contains(7L), s"9007 should shadow to 7: $drops")
+    assert(drops.get(9011L).contains(11L))
+    // sources stay kept
+    assert(out.filter(col("vec_id").isin(7, 11) && !col("kept")).isEmpty)
+    // every row accounted for; kept + dropped partitions the corpus
+    assert(out.count() == all.count())
+    // shadow-free invariant: a dropped vector's dup_of is itself kept OR
+    // transitively shadows to a kept lower id within the same cell —
+    // with keep-lowest the chosen dup_of (lowest lower-id mate) can
+    // itself be dropped only by an even lower mate, so chains terminate;
+    // here cosine 0.999 shadows are only the planted copies, so dup_of
+    // is always kept
+    val keptIds = out.filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    drops.values.foreach(d => assert(keptIds.contains(d), s"dup_of $d not kept"))
+  }
 }
