@@ -13,6 +13,10 @@ Test / fork := true
 // -oD: per-test durations, so slow suites are visible in CI logs
 Test / testOptions += Tests.Argument("-oD")
 run / fork := true
+// Forked run output goes straight to this process's stdout, NOT through
+// sbt's logger: the bench/verify mains print machine-read JSON lines and
+// an [info] prefix breaks downstream parsers.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,8 +55,14 @@ object Bench {
     // write-path dispersion even when idle; the min of 3 passes is the
     // best available estimate of uncontended cost)
     val minTotal = results.map(_._2._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"queries":$qs,"dispersion":$disp,"passes":$Passes,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"queries":$qs,"dispersion":$disp,"passes":$Passes,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces for log-scraping harnesses: the same line as a file
+    // (sbt/log4j prefixes have broken JSON extraction from captured logs).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
     spark.stop()
   }
 }

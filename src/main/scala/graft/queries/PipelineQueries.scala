@@ -1227,6 +1227,7 @@ object PipelineQueries extends QueryPack {
              |    ) t WHERE rd = 1)
              |SELECT c.vec_id, c.cell,
              |  s.dup_of IS NULL AS kept, s.dup_of, s.cos_dup
-             |FROM cells c LEFT JOIN shadows s ON c.vec_id = s.vec_id""".stripMargin))
+             |FROM cells c LEFT JOIN shadows s ON c.vec_id = s.vec_id""".stripMargin),
+      headline = true)
   )
 }
