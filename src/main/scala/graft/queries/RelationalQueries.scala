@@ -962,6 +962,59 @@ object RelationalQueries extends QueryPack {
            |    CAST((o_orderkey % 100000) % 60 AS VARCHAR) || 's' AS elapsed,
            |  CAST((year(o_orderdate) // 10) * 10 AS INT) AS pop_year
            |FROM orders""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q131: KMV distinct-count sketch (custom TypedImperativeAggregate,
+    // plans/KmvSketch.scala) — per-group state bounded at k longs with
+    // map-side partial merge, vs count(distinct)'s shuffle of every
+    // distinct value. The md5-u32 hash makes the SKETCH itself
+    // engine-portable: the oracle rebuilds the k-minimum set in SQL and
+    // reproduces the (k−1)/u estimate bit-for-bit — an approximate
+    // operator that hash-verifies. est_cust exercises the estimator path
+    // (>128 distinct custkeys per status), est_prio the exact path
+    // (5 priorities < k=8); the exact distinct counts ride along.
+    QueryDef(
+      "q131_kmv_distinct",
+      (s, dir) => {
+        import s.implicits._
+        import graft.plans.KmvSketchAgg.kmvEstimate
+        T.orders(s, dir)
+          .groupBy($"o_orderstatus")
+          .agg(
+            kmvEstimate($"o_custkey", 128).as("est_cust"),
+            kmvEstimate($"o_orderpriority", 8).as("est_prio"),
+            countDistinct($"o_custkey").as("n_cust"),
+            countDistinct($"o_orderpriority").as("n_prio"))
+      },
+      Some {
+        def u32(e: String) =
+          (0 until 8).map { i =>
+            val mul = 1L << (4 * (7 - i))
+            s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1) * $mul"
+          }.mkString("(", " + ", ")")
+        def est(hashExpr: String, k: Int, as: String) =
+          s"""(SELECT o_orderstatus,
+             |  CASE WHEN max(n) < $k THEN CAST(max(n) AS DOUBLE)
+             |       ELSE (${k - 1} * 4294967296.0) /
+             |            CAST(max(CASE WHEN rn = $k THEN h END) AS DOUBLE) END AS $as
+             |FROM (
+             |  SELECT o_orderstatus, h,
+             |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn,
+             |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+             |  FROM (SELECT DISTINCT o_orderstatus, $hashExpr AS h FROM orders) d) r
+             |GROUP BY 1)""".stripMargin
+        s"""WITH ec AS ${est(u32("CAST(o_custkey AS VARCHAR)"), 128, "est_cust")},
+           |ep AS ${est(u32("o_orderpriority"), 8, "est_prio")},
+           |x AS (
+           |  SELECT o_orderstatus,
+           |    count(DISTINCT o_custkey) AS n_cust,
+           |    count(DISTINCT o_orderpriority) AS n_prio
+           |  FROM orders GROUP BY 1)
+           |SELECT x.o_orderstatus, ec.est_cust, ep.est_prio, x.n_cust, x.n_prio
+           |FROM x
+           |JOIN ec ON x.o_orderstatus = ec.o_orderstatus
+           |JOIN ep ON x.o_orderstatus = ep.o_orderstatus""".stripMargin
       })
   )
 }

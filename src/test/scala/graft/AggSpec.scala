@@ -44,4 +44,26 @@ class AggSpec extends AnyFunSuite {
     val out = AsOfJoin.backward(purchases, signups, "user_id", "us", tolerance = 10000L).head
     assert(out.isNullAt(out.fieldIndex("asof_ts")))
   }
+
+  test("KMV sketch: within 15% at k=128, exact below k, partitioning-invariant") {
+    import graft.plans.KmvSketchAgg.kmvEstimate
+    val li = Tables.lineitem(spark, sf001)
+    def runWith(parts: Int) = li.repartition(parts)
+      .agg(
+        kmvEstimate(col("l_partkey"), 128).as("est"),
+        kmvEstimate(col("l_linestatus"), 64).as("est_small"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .head
+    val r = runWith(4)
+    val exact = r.getAs[Long]("exact").toDouble
+    val est = r.getAs[Double]("est")
+    assert(math.abs(est - exact) / exact < 0.15, s"exact=$exact est=$est")
+    // below-k groups are exact (l_linestatus has 2 values)
+    assert(r.getAs[Double]("est_small") == 2.0)
+    // the sketch is a deterministic function of the value SET: any
+    // partitioning/merge order yields the identical estimate
+    val r13 = runWith(13)
+    assert(r13.getAs[Double]("est") == est)
+    assert(r13.getAs[Double]("est_small") == 2.0)
+  }
 }
