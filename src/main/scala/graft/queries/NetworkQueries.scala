@@ -553,6 +553,47 @@ object NetworkQueries extends QueryPack {
               |          + (n2.lat - n1.lat) * (n2.lat - n1.lat)) * 111320.0 / e.mps AS sec
               |FROM expect e
               |JOIN nodes n1 ON n1.id = e.src
-              |JOIN nodes n2 ON n2.id = e.dst""".stripMargin))
+              |JOIN nodes n2 ON n2.id = e.dst""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q132: fixed-point PageRank (operators/GraphOps.scala) — 5 Pregel
+    // rounds over a deterministic fixture digraph. Ranks are 1e9-scaled
+    // longs, contributions integer-divide, damping is (mass·85) div 100:
+    // all-integer message sums are order-independent, so the result is
+    // identical across partition counts AND engines — the oracle replays
+    // the rounds as chained CTEs. One shuffle-join + one groupBy per
+    // round; edges re-join on the same key every round (ReusedExchange /
+    // co-partition territory at scale).
+    QueryDef(
+      "q132_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.GraphOps.pageRank(
+          T.orders(s, dir).select(
+            ($"o_custkey" % 311).as("src"),
+            ($"o_orderkey" % 311).as("dst")),
+          iters = 5)
+      },
+      Some {
+        val rounds = (1 to 5).map { i =>
+          s"""r$i AS (
+             |  SELECT n.node,
+             |    150000000 + COALESCE(m.inmass, 0) * 85 // 100 AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inmass
+             |    FROM e
+             |    JOIN deg d ON e.src = d.src
+             |    JOIN r${i - 1} r ON r.node = e.src
+             |    GROUP BY 1) m ON n.node = m.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+           |  SELECT DISTINCT o_custkey % 311 AS src, o_orderkey % 311 AS dst
+           |  FROM orders),
+           |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+           |$rounds
+           |SELECT node, rank FROM r5""".stripMargin
+      })
   )
 }

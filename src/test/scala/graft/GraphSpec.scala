@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("pageRank: 2-cycle is a fixed point at rank 1.0 exactly") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(e, iters = 7).collect()
+    assert(r.length == 2)
+    r.foreach(row => assert(row.getAs[Long]("rank") == GraphOps.Scale))
+  }
+
+  test("pageRank: star graph — hub absorbs leaf mass, leaves decay to base") {
+    // 4 leaves -> hub, hub -> leaf1 (so the hub isn't dangling)
+    val e = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(e, iters = 5)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("rank")).toMap
+    val base = (15L * GraphOps.Scale) / 100L
+    // leaves 2..4 get no in-edges: exactly the teleport base after round 1
+    Seq(2L, 3L, 4L).foreach(n => assert(r(n) == base, s"leaf $n: ${r(n)}"))
+    // hub outranks every leaf; leaf 1 (fed by hub) outranks the bare leaves
+    assert(r(0L) > r(1L) && r(1L) > r(2L))
+  }
+
+  test("pageRank: bit-identical across partition counts (integer determinism)") {
+    val e = Tables.orders(spark, sf0001).select(
+      ($"o_custkey" % 97).as("src"), ($"o_orderkey" % 97).as("dst"))
+    def run(parts: Int) = GraphOps.pageRank(e.repartition(parts), iters = 4)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("rank")).toMap
+    assert(run(2) == run(11))
+  }
+
+  test("pageRank: mass envelope — every rank in [base, n·scale]") {
+    val e = Tables.orders(spark, sf0001).select(
+      ($"o_custkey" % 97).as("src"), ($"o_orderkey" % 97).as("dst"))
+    val r = GraphOps.pageRank(e, iters = 5)
+    val base = (15L * GraphOps.Scale) / 100L
+    val n = r.count()
+    assert(r.filter($"rank" < base || $"rank" > lit(n) * GraphOps.Scale).isEmpty)
+  }
+}
