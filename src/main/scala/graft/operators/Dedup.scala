@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator family for document corpora, designed
@@ -130,6 +131,54 @@ object Dedup {
       .withColumn("jaccard", col("both").cast("double") / (col("na") + col("nb") - col("both")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** EXACT token-set Jaccard join via prefix filtering (the PPJoin
+    * family — Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008): order
+    * each document's distinct tokens by ascending global frequency
+    * (rarest first), keep only the first |d| − ⌈t·|d|⌉ + 1 as its
+    * PREFIX, and generate candidates by an equi-join on prefix tokens.
+    * Completeness is a pigeonhole guarantee, not probability: two sets
+    * with Jaccard ≥ t overlap in ≥ ⌈t·max(|A|,|B|)⌉ tokens, so skipping
+    * the prefix on either side cannot skip every shared token — every
+    * qualifying pair collides on at least one prefix token. Candidates
+    * then pay one exact intersection; output = ALL pairs with Jaccard
+    * ≥ t, bit-equal to brute force (which is exactly what the oracle
+    * computes), with zero false negatives — the deterministic
+    * counterpart of [[minhashPairs]] for exact-threshold dedup.
+    *
+    * Scale shape: the prefix join shuffles (token, doc_id) pairs for
+    * prefix tokens ONLY — rare tokens by construction, so bucket lists
+    * are short and the hot-token quadratic never materializes (frequent
+    * tokens land at the END of the ordering, outside every prefix). The
+    * frequency ranking is one groupBy; candidate dedup is a distinct on
+    * ids; the verify join carries token arrays only to candidate rows.
+    */
+  def prefixJaccardJoin(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"bad threshold $threshold")
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val bySize = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val pre = toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(bySize))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ts"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jac",
+        col("inter").cast("double") / (size(col("ta")) + size(col("tb")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
   /** MinHash+LSH candidates, exact-verified. Output identical to

@@ -1228,6 +1228,30 @@ object PipelineQueries extends QueryPack {
              |SELECT c.vec_id, c.cell,
              |  s.dup_of IS NULL AS kept, s.dup_of, s.cos_dup
              |FROM cells c LEFT JOIN shadows s ON c.vec_id = s.vec_id""".stripMargin),
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q133: EXACT token-Jaccard join via prefix filtering (PPJoin
+    // family) — the deterministic counterpart of the MinHash path: zero
+    // false negatives by pigeonhole, candidates only from RARE (prefix)
+    // tokens so the hot-token quadratic never forms. The oracle is
+    // brute-force all-pairs — exactly the set the operator must
+    // reproduce — so completeness itself is what's hash-verified.
+    QueryDef(
+      "q133_prefix_jaccard",
+      (s, dir) => Dedup.prefixJaccardJoin(T.documents(s, dir), threshold = 0.5),
+      Some("""WITH s AS (
+             |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+             |  FROM documents),
+             |p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    len(list_intersect(a.ts, b.ts)) AS inter,
+             |    len(a.ts) AS sa, len(b.ts) AS sb
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b,
+             |  CAST(inter AS DOUBLE) / (sa + sb - inter) AS jac
+             |FROM p
+             |WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.5""".stripMargin),
       headline = true)
   )
 }

@@ -1015,6 +1015,46 @@ object RelationalQueries extends QueryPack {
            |FROM x
            |JOIN ec ON x.o_orderstatus = ec.o_orderstatus
            |JOIN ep ON x.o_orderstatus = ep.o_orderstatus""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q134: interval-overlap join (operators/IntervalJoin.scala) —
+    // variable-length ranges bucketized into fixed-width cells so
+    // candidates come from a bucket equi-join, never a nested loop
+    // (PlanSpec asserts no CartesianProduct/BNLJ). Generalizes
+    // BandJoinRule's fixed band to per-row intervals (SCD2 validity,
+    // event spans). The oracle is the brute-force overlap predicate —
+    // the exact pair set the bucketed plan must reproduce.
+    QueryDef(
+      "q134_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        val a = T.lineitem(s, dir)
+          .filter($"l_orderkey" % 50 === 0)
+          .select(
+            ($"l_orderkey" * 10 + $"l_linenumber").cast("long").as("id"),
+            (($"l_partkey" % 997) * 7).cast("long").as("start"),
+            (($"l_partkey" % 997) * 7 + $"l_quantity".cast("long")).cast("long").as("end"))
+        val b = T.part(s, dir).select(
+          $"p_partkey".cast("long").as("id"),
+          (($"p_partkey" % 900) * 8).cast("long").as("start"),
+          (($"p_partkey" % 900) * 8 + $"p_size" * 2).cast("long").as("end"))
+        graft.operators.IntervalJoin.overlap(a, b, bucketWidth = 64)
+      },
+      Some("""WITH a AS (
+             |  SELECT l_orderkey * 10 + l_linenumber AS a_id,
+             |    (l_partkey % 997) * 7 AS a_start,
+             |    (l_partkey % 997) * 7 + CAST(l_quantity AS BIGINT) AS a_end
+             |  FROM lineitem WHERE l_orderkey % 50 = 0),
+             |b AS (
+             |  SELECT p_partkey AS b_id,
+             |    (p_partkey % 900) * 8 AS b_start,
+             |    (p_partkey % 900) * 8 + p_size * 2 AS b_end
+             |  FROM part)
+             |SELECT a_id, b_id,
+             |  GREATEST(a_start, b_start) AS ov_start,
+             |  LEAST(a_end, b_end) AS ov_end,
+             |  LEAST(a_end, b_end) - GREATEST(a_start, b_start) + 1 AS ov_len
+             |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end""".stripMargin))
   )
 }

@@ -159,4 +159,28 @@ class DedupSpec extends AnyFunSuite {
     // the pinned frames landed in the store directory
     assert(new java.io.File(s"$ckpt/_ckpt_candidates").exists())
   }
+
+  test("prefixJaccardJoin equals brute force on a planted corpus") {
+    import spark.implicits._
+    // docs: heavy shared vocabulary + two true near-dup pairs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),      // jac 5/7 with 1
+      (3L, "alpha beta gamma theta iota kappa"),
+      (4L, "lambda mu nu xi omicron pi"),
+      (5L, "lambda mu nu xi omicron rho"),             // jac 5/7 with 4
+      (6L, "sigma tau upsilon phi chi psi")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.prefixJaccardJoin(docs, 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force at the same threshold
+    val sets = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").toSet }
+    val want = (for {
+      (a, ta) <- sets; (b, tb) <- sets if a < b
+      inter = (ta & tb).size
+      if inter.toDouble / (ta.size + tb.size - inter) >= 0.6
+    } yield (a, b)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want == Set((1L, 2L), (4L, 5L))) // the planted pairs, nothing else
+  }
 }

@@ -200,4 +200,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning(doc_id"),
       "prefix sum is not range-partitioned by the order key")
   }
+
+  test("q133/q134: similarity and interval joins never plan a nested loop") {
+    Seq("q133_prefix_jaccard", "q134_interval_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested loop")
+    }
+  }
 }
