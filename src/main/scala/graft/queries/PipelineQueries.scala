@@ -1252,6 +1252,33 @@ object PipelineQueries extends QueryPack {
              |  CAST(inter AS DOUBLE) / (sa + sb - inter) AS jac
              |FROM p
              |WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.5""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q135: exact heavy-hitter vocabulary (Misra–Gries candidates →
+    // exact verify; plans/FreqSketch.scala) — ≤k (item,count) pairs per
+    // partition shuffle in the sketch pass instead of a full groupBy of
+    // the long-tail vocabulary, then exact counts for candidates only.
+    // The sketch is merge-order-dependent and is ONLY a superset
+    // generator; the emitted rows are exact, so the oracle is the plain
+    // GROUP BY / HAVING ground truth. Threshold arithmetic is forced to
+    // doubles on both engines (a DECIMAL 0.004 would compare exactly
+    // where doubles round).
+    QueryDef(
+      "q135_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        graft.plans.FreqSketchAgg.heavyHitters(
+          T.documents(s, dir).select(explode(split($"text", " ")).as("tok")),
+          col("tok"), minShare = 0.004)
+      },
+      Some("""WITH t AS (
+             |  SELECT unnest(string_split(text, ' ')) AS value FROM documents),
+             |n AS (SELECT count(*) AS total FROM t),
+             |c AS (SELECT value, count(*) AS cnt FROM t GROUP BY 1)
+             |SELECT c.value, c.cnt,
+             |  CAST(c.cnt AS DOUBLE) / CAST(n.total AS DOUBLE) AS share
+             |FROM c, n
+             |WHERE c.cnt >= CAST(0.004 AS DOUBLE) * n.total""".stripMargin))
   )
 }

@@ -66,4 +66,28 @@ class AggSpec extends AnyFunSuite {
     assert(r13.getAs[Double]("est") == est)
     assert(r13.getAs[Double]("est_small") == 2.0)
   }
+
+  test("Misra-Gries heavy hitters: exact output, candidate superset, partitioning-invariant") {
+    import graft.plans.FreqSketchAgg
+    import spark.implicits._
+    // skewed stream: 'a' 40%, 'b' 25%, 'c' 10%, 50-value long tail
+    val rows = (Seq.fill(400)("a") ++ Seq.fill(250)("b") ++ Seq.fill(100)("c") ++
+      (0 until 250).map(i => s"t${i % 50}"))
+    def run(parts: Int) = FreqSketchAgg.heavyHitters(
+        rows.toDF("v").repartition(parts), col("v"), minShare = 0.05)
+      .collect().map(r => r.getAs[String]("value") ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("share"))).toMap
+    val got = run(4)
+    assert(got.keySet == Set("a", "b", "c"), got.toString)
+    assert(got("a")._1 == 400L && got("b")._1 == 250L && got("c")._1 == 100L)
+    assert(got("a")._2 == 0.4)
+    // exactness must not depend on how the sketch was merged
+    assert(run(17) == got)
+    // tail items (share 0.005 each) never appear even with a tiny minShare
+    // that keeps them under the MG guarantee bound
+    val fine = FreqSketchAgg.heavyHitters(
+      rows.toDF("v"), col("v"), minShare = 0.09)
+      .select("value").as[String].collect().toSet
+    assert(fine == Set("a", "b", "c"))
+  }
 }
