@@ -32,5 +32,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("albers_inv"),
       new ExpressionInfo(classOf[graft.plans.AlbersInverse].getName, "albers_inv"),
       (exprs: Seq[Expression]) => graft.plans.AlbersInverse(exprs.head, exprs(1))))
+    // kmv_distinct(hash_u32, k): bounded-state distinct estimate
+    e.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[graft.plans.KmvSketchAgg].getName, "kmv_distinct"),
+      (exprs: Seq[Expression]) => graft.plans.KmvSketchAgg(
+        exprs.head, intLit(exprs(1), "kmv_distinct")).toAggregateExpression()))
+    // mg_heavy_candidates(value, k): Misra-Gries candidate superset
+    e.injectFunction((
+      FunctionIdentifier("mg_heavy_candidates"),
+      new ExpressionInfo(classOf[graft.plans.FreqSketchAgg].getName, "mg_heavy_candidates"),
+      (exprs: Seq[Expression]) => graft.plans.FreqSketchAgg(
+        exprs.head, intLit(exprs(1), "mg_heavy_candidates")).toAggregateExpression()))
+  }
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int k, got $other")
   }
 }

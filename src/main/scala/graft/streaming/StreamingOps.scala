@@ -39,6 +39,37 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming per-hour distinct-user estimate via the KMV sketch
+    * (plans/KmvSketch.scala) — proves the bounded-state
+    * TypedImperativeAggregate composes with Structured Streaming's
+    * partial/merge state protocol: each micro-batch updates k-long
+    * sketch buffers, complete mode re-emits the merged estimate. The
+    * sketch is a deterministic function of the value SET, so the
+    * streaming result equals the batch aggregation bit-for-bit
+    * (TextStreamSpec asserts equality).
+    */
+  def hourlyDistinctUsers(spark: SparkSession, sfDir: String, queryName: String = "graft_stream_kmv"): DataFrame = {
+    import spark.implicits._
+    val schema = T.eventsRawSchema(spark, sfDir)
+    val stream = T.normalizeEventTs(spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir))
+    val agg = stream
+      .groupBy((expr("ts div 3600000000000") * 3600).as("hour_epoch"))
+      .agg(
+        graft.plans.KmvSketchAgg.kmvEstimate($"user_id", 32).as("est_users"),
+        count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Stream-stream interval join: purchases joined to signups by the same
     * user within [0, 1h] — the streaming form of the as-of/funnel
     * attribution (AsOfJoin.backward is the batch form). Both sides are

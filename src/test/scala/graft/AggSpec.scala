@@ -90,4 +90,23 @@ class AggSpec extends AnyFunSuite {
       .select("value").as[String].collect().toSet
     assert(fine == Set("a", "b", "c"))
   }
+
+  test("kmv_distinct and mg_heavy_candidates are callable from SQL (extensions)") {
+    import graft.plans.KmvSketchAgg
+    Tables.orders(spark, sf0001).createOrReplaceTempView("agg_sql_orders")
+    val viaSql = spark.sql(
+      """SELECT o_orderstatus,
+        |  kmv_distinct(CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 8), 16, 10) AS LONG), 64) AS est
+        |FROM agg_sql_orders GROUP BY o_orderstatus""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaApi = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderstatus"))
+      .agg(KmvSketchAgg.kmvEstimate(col("o_custkey"), 64).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaApi)
+    val cand = spark.sql(
+      "SELECT mg_heavy_candidates(o_orderstatus, 4) AS c FROM agg_sql_orders")
+      .head.getSeq[String](0).toSet
+    assert(cand.subsetOf(Set("F", "O", "P")) && cand.nonEmpty, cand.toString)
+  }
 }

@@ -102,6 +102,19 @@ class TextStreamSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("streaming KMV distinct estimate equals the batch sketch (custom agg under streaming state)") {
+    val batch = Tables.events(spark, sf0001)
+      .groupBy((expr("ts div 3600000000000") * 3600).as("hour_epoch"))
+      .agg(
+        graft.plans.KmvSketchAgg.kmvEstimate(col("user_id"), 32).as("est_users"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val stream = StreamingOps.hourlyDistinctUsers(spark, sf0001, "spec_stream_kmv")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful streaming sessionization matches batch sessions (modulo the open tail session)") {
     val batch = graft.operators.Sessionize.batch(Tables.events(spark, sf0001))
       .collect()
