@@ -154,10 +154,17 @@ object Dedup {
     * frequency ranking is one groupBy; candidate dedup is a distinct on
     * ids; the verify join carries token arrays only to candidate rows.
     */
-  def prefixJaccardJoin(docs: DataFrame, threshold: Double): DataFrame = {
+  def prefixJaccardJoin(docs: DataFrame, threshold: Double, n: Int = 1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"bad threshold $threshold")
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    // Set elements: distinct unigram tokens (n=1) or n-gram shingles.
+    // On low-entropy corpora (tiny shared vocabulary) unigram sets are
+    // degenerate — nearly every pair qualifies and no token is rare
+    // enough to prune — so shingle sets are the scale-realistic input.
+    val toks =
+      if (n <= 1)
+        docs.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      else shingles(docs, n).withColumnRenamed("gram", "tok")
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val bySize = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
     val pre = toks.join(dfreq, "tok")
@@ -169,9 +176,17 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("ts"))
+    val sets = toks.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("ts"))
+    // The candidate frame is tiny in BYTES (two longs per row) but each
+    // row costs an exact set intersection downstream — exactly the shape
+    // AQE's byte-based coalescing mispredicts, collapsing the verify
+    // stage to one task. An EXPLICIT partition count is exempt from AQE
+    // coalescing, so the verify work stays spread across the cluster.
+    val shufflePartitions =
+      docs.sparkSession.sessionState.conf.numShufflePartitions
     cand
+      .repartition(shufflePartitions, col("doc_a"), col("doc_b"))
       .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))

@@ -119,6 +119,28 @@ object TrainingPrep {
   def sampleExact(docs: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame =
     docs.orderBy(u32(col(idCol)).asc, col(idCol).asc).limit(k)
 
+  /** Deterministic stratified exact-size sample: the k smallest-hash
+    * documents of EVERY stratum (source, language, domain …) — the
+    * balanced-quota cut [[sampleExact]] can't give when one stratum
+    * dominates the hash order. Same seedless engine-portable hash, so
+    * membership is retry-stable and replayable in SQL.
+    *
+    * Scale shape: one shuffle on the stratum key; the per-stratum top-k
+    * plans as WindowGroupLimit (Spark 3.5+), which pushes the k-row cut
+    * INTO each map task before the shuffle — a skewed mega-stratum
+    * arrives at its reducer already cut to k rows per upstream partition,
+    * not as the whole stratum.
+    */
+  def sampleStratified(docs: DataFrame, k: Int,
+      strataCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"bad per-stratum quota $k")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(u32(col(idCol)).asc, col(idCol).asc)
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Leakage-safe train/validation split. Assignment is the seedless
     * [[mixtureSample]] hash (`u32(id) < valFrac·2³²` → val, else train),
     * then every TRAIN document that is a verified near-duplicate of any

@@ -1231,27 +1231,34 @@ object PipelineQueries extends QueryPack {
       headline = true),
 
     // ------------------------------------------------------------------
-    // q133: EXACT token-Jaccard join via prefix filtering (PPJoin
+    // q133: EXACT shingle-set Jaccard join via prefix filtering (PPJoin
     // family) — the deterministic counterpart of the MinHash path: zero
     // false negatives by pigeonhole, candidates only from RARE (prefix)
-    // tokens so the hot-token quadratic never forms. The oracle is
-    // brute-force all-pairs — exactly the set the operator must
-    // reproduce — so completeness itself is what's hash-verified.
+    // shingles so the hot-element quadratic never forms. Runs over
+    // 3-gram shingle sets (n=3): the corpus' 31-token vocabulary makes
+    // unigram sets degenerate (≈40% of ALL pairs qualify at t=0.7 — a
+    // multi-million-row answer with nothing to prune), while shingles
+    // have the long-tailed df distribution prefix filtering exists for.
+    // The oracle is brute-force all-pairs over the same sets — exactly
+    // the set the operator must reproduce — so completeness itself is
+    // what's hash-verified.
     QueryDef(
       "q133_prefix_jaccard",
-      (s, dir) => Dedup.prefixJaccardJoin(T.documents(s, dir), threshold = 0.5),
-      Some("""WITH s AS (
-             |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
-             |  FROM documents),
-             |p AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |    len(list_intersect(a.ts, b.ts)) AS inter,
-             |    len(a.ts) AS sa, len(b.ts) AS sb
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-             |SELECT doc_a, doc_b,
-             |  CAST(inter AS DOUBLE) / (sa + sb - inter) AS jac
-             |FROM p
-             |WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.5""".stripMargin),
+      (s, dir) => Dedup.prefixJaccardJoin(T.documents(s, dir), threshold = 0.5, n = 3),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id, gram FROM (
+             |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+             |  FROM w) t),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ovl
+             |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, CAST(ovl AS DOUBLE) / (sa.sz + sb.sz - ovl) AS jac
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = doc_a
+             |JOIN sizes sb ON sb.doc_id = doc_b
+             |WHERE CAST(ovl AS DOUBLE) / (sa.sz + sb.sz - ovl) >= 0.5""".stripMargin),
       headline = true),
 
     // ------------------------------------------------------------------

@@ -15,6 +15,14 @@ class DedupSpec extends AnyFunSuite {
     assert(exactPairs.nonEmpty)
   }
 
+  test("prefixJaccardJoin over 3-gram shingles equals the exact n-gram pair set") {
+    // PPJoin completeness is a pigeonhole guarantee, not probability:
+    // over the SAME shingle sets it must reproduce brute force exactly.
+    val pp = Dedup.prefixJaccardJoin(docs, threshold = 0.5, n = 3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pp == exactPairs)
+  }
+
   test("minhash+verify output equals the exact n-gram pair set") {
     val mh = Dedup.minhashPairs(docs, 3, 64, 16, 0.5).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
