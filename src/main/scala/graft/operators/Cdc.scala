@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture merge: apply a batch of keyed INSERT / UPDATE /
+  * DELETE rows to a base table — the incremental-publish step a rolling
+  * corpus needs between full rebuilds (the same niche the reference's
+  * missing-pairs merge in `data/scripts/fix_missing.sh` fills for route
+  * chunks, generalized to row-level ops; see also [[graft.jobs.Reconcile]]).
+  *
+  * Semantics (MERGE INTO, last-writer-wins):
+  *  - `changes` carries the full row schema of `base` plus `opCol`
+  *    ('I' | 'U' | 'D') and `seqCol` (a monotone change sequence);
+  *  - when several changes share a key, only the one with the highest
+  *    (seq, op) wins — op breaks exact seq ties deterministically;
+  *  - winner 'D' drops the key; 'I'/'U' upsert the change row; base rows
+  *    with no change pass through.
+  *
+  * Scale shape: a change batch is ≪ the base table (GB vs TB), so the
+  * base side is touched by exactly ONE broadcast anti-join on the
+  * winning-change keys — the base never shuffles and stays partition-
+  * pruned/bucketed however it was stored. Only the (small) change batch
+  * pays a shuffle for its per-key window. With a change batch too big to
+  * broadcast, Spark falls back to a sort-merge anti-join on its own —
+  * same plan a warehouse MERGE compiles to.
+  */
+object Cdc {
+
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    val dataCols = base.columns.toSeq
+    require(!dataCols.contains(opCol) && !dataCols.contains(seqCol),
+      s"base must not already carry '$opCol'/'$seqCol'")
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val winner = changes
+      .withColumn("__rk", row_number().over(byKey))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+    val touched = winner.select(col(keyCol))
+    val kept = base.join(broadcast(touched), Seq(keyCol), "left_anti")
+    kept.unionByName(
+      winner.filter(col(opCol) =!= "D")
+        .select(dataCols.map(col): _*))
+  }
+}

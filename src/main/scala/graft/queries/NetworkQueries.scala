@@ -594,6 +594,33 @@ object NetworkQueries extends QueryPack {
            |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
            |$rounds
            |SELECT node, rank FROM r5""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q136: exact triangle enumeration (operators/GraphOps.triangles) —
+    // degree-oriented wedge join (Suri & Vassilvitskii 2011), so a hub of
+    // degree D never fans out D² wedges: orientation bounds every
+    // out-degree at O(√m). The oracle enumerates each triangle once via
+    // the canonical a<b<c triple join over the same derived graph, so
+    // BOTH completeness and non-duplication hash-verify.
+    QueryDef(
+      "q136_triangles",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.GraphOps.triangles(
+          T.orders(s, dir).select(
+            ($"o_custkey" % 997).as("src"),
+            ($"o_orderkey" % 997).as("dst")))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |    least(o_custkey % 997, o_orderkey % 997) AS u,
+             |    greatest(o_custkey % 997, o_orderkey % 997) AS v
+             |  FROM orders
+             |  WHERE o_custkey % 997 <> o_orderkey % 997)
+             |SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |FROM e e1
+             |JOIN e e2 ON e2.u = e1.v
+             |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin))
   )
 }

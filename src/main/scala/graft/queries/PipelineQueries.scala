@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, QueryPack, Tables => T}
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TrainingPrep}
 import graft.streaming.StreamingOps
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operator pack: dedup family, similarity search,
@@ -1286,6 +1287,72 @@ object PipelineQueries extends QueryPack {
              |SELECT c.value, c.cnt,
              |  CAST(c.cnt AS DOUBLE) / CAST(n.total AS DOUBLE) AS share
              |FROM c, n
-             |WHERE c.cnt >= CAST(0.004 AS DOUBLE) * n.total""".stripMargin))
+             |WHERE c.cnt >= CAST(0.004 AS DOUBLE) * n.total""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q137: stratified exact-size sample — k smallest-u32 docs per
+    // source stratum (TrainingPrep.sampleStratified). Membership is a
+    // pure function of doc_id, replayed digit-by-digit in the oracle, so
+    // the quota cut itself hash-verifies. Plans as WindowGroupLimit: the
+    // per-stratum k-row cut happens map-side BEFORE the stratum shuffle.
+    QueryDef(
+      "q137_stratified_sample",
+      (s, dir) => graft.operators.TrainingPrep.sampleStratified(
+        T.documents(s, dir), k = 20),
+      Some(s"""SELECT doc_id, text, lang, source, n_chars FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY source
+             |    ORDER BY ${u32Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+             |  FROM documents) t
+             |WHERE rk <= 20""".stripMargin),
+      headline = false),
+
+    // ------------------------------------------------------------------
+    // q138: CDC merge (operators/Cdc.applyChanges) — a deterministic
+    // I/U/D change batch applied to the documents base with
+    // last-writer-wins per key (a seq-2 delete overrides the seq-1
+    // update on doc_id % 100 = 1, exercising the conflict window). The
+    // base table is touched by ONE broadcast anti-join; only the change
+    // batch shuffles for its per-key window.
+    QueryDef(
+      "q138_merge_upsert",
+      (s, dir) => {
+        import s.implicits._
+        val base = T.documents(s, dir)
+        def ch(pred: Column, op: String, seq: Int,
+               id: Column => Column = identity,
+               tx: Column => Column = identity) =
+          base.filter(pred).select(
+            id($"doc_id").as("doc_id"), tx($"text").as("text"),
+            $"lang", $"source", $"n_chars",
+            lit(op).as("op"), lit(seq).as("seq"))
+        val changes =
+          ch($"doc_id" % 10 === 0, "D", 1)
+            .unionByName(ch($"doc_id" % 10 === 1, "U", 1, tx = upper))
+            .unionByName(ch($"doc_id" % 10 === 2, "I", 1, id = _ + 1000000L))
+            .unionByName(ch($"doc_id" % 100 === 1, "D", 2))
+        graft.operators.Cdc.applyChanges(base, changes, "doc_id")
+      },
+      Some("""WITH ch AS (
+             |  SELECT doc_id, text, lang, source, n_chars, 'D' AS op, 1 AS seq
+             |    FROM documents WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id, upper(text), lang, source, n_chars, 'U', 1
+             |    FROM documents WHERE doc_id % 10 = 1
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, lang, source, n_chars, 'I', 1
+             |    FROM documents WHERE doc_id % 10 = 2
+             |  UNION ALL
+             |  SELECT doc_id, text, lang, source, n_chars, 'D', 2
+             |    FROM documents WHERE doc_id % 100 = 1),
+             |w AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY seq DESC, op DESC) AS rk FROM ch) t
+             |  WHERE rk = 1)
+             |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+             |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+             |WHERE w.doc_id IS NULL
+             |UNION ALL
+             |SELECT doc_id, text, lang, source, n_chars FROM w WHERE op <> 'D'""".stripMargin))
   )
 }

@@ -35,6 +35,38 @@ class GraphSpec extends AnyFunSuite {
     assert(run(2) == run(11))
   }
 
+  test("triangles: K4 plus a pendant edge, robust to direction/dups/self-loops") {
+    // K4 on {1,2,3,4} = 4 triangles; node 5 hangs off 4 and closes none.
+    // Edges arrive with duplicates, reversed copies, and a self-loop —
+    // all must collapse before orientation.
+    val e = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 2L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (3L, 3L)).toDF("src", "dst")
+    val got = GraphOps.triangles(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    // exactly once each — no duplicate enumeration
+    assert(GraphOps.triangles(e).count() == 4)
+  }
+
+  test("triangles: equals brute force on the fixture-derived graph") {
+    val e = Tables.orders(spark, sf0001).select(
+      ($"o_custkey" % 97).as("src"), ($"o_orderkey" % 97).as("dst"))
+    val got = GraphOps.triangles(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val adj = e.select(least($"src", $"dst").cast("long"), greatest($"src", $"dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(p => p._1 != p._2).toSet
+    val nodes = adj.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val want = (for {
+      i <- nodes.indices.iterator
+      j <- (i + 1) until nodes.length
+      if adj((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.length
+      if adj((nodes(j), nodes(k))) && adj((nodes(i), nodes(k)))
+    } yield (nodes(i), nodes(j), nodes(k))).toSet
+    assert(got == want, s"missing ${want.diff(got).size} / extra ${got.diff(want).size}")
+  }
+
   test("pageRank: mass envelope — every rank in [base, n·scale]") {
     val e = Tables.orders(spark, sf0001).select(
       ($"o_custkey" % 97).as("src"), ($"o_orderkey" % 97).as("dst"))

@@ -71,6 +71,31 @@ class TrainingPrepSpec extends AnyFunSuite {
       "0.5 weight should keep a strict nonempty subset")
   }
 
+  test("sampleStratified: exact per-stratum quota, smallest-hash members, deterministic") {
+    val d = Tables.documents(spark, sf0001)
+    val k = 7
+    val got = TrainingPrep.sampleStratified(d, k)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    // exact quota per stratum (every fixture source has ≥ k docs)
+    val perSrc = got.groupBy(_._1).view.mapValues(_.length).toMap
+    val srcSizes = d.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    srcSizes.foreach { case (src, n) =>
+      assert(perSrc.getOrElse(src, 0) == math.min(k.toLong, n),
+        s"stratum $src quota: ${perSrc.getOrElse(src, 0)} of $n")
+    }
+    // membership = globally smallest u32 per stratum (brute-force replay)
+    def u32(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    val all = d.select("source", "doc_id").as[(String, Long)].collect()
+    val want = all.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.map(_._2).sortBy(id => (u32(id), id)).take(k).map(src -> _)
+    }.toSet
+    assert(got.toSet == want)
+  }
+
   test("leakageSafeSplit: only train-side near-dups of val docs are quarantined") {
     val d = Seq(
       (1L, "doc one"), (2L, "doc two"), (3L, "doc three"),
