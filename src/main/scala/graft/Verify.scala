@@ -23,7 +23,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): both give the single file the
+      // oracle compare wants, but coalesce PROPAGATES the 1-partition
+      // constraint up to the previous shuffle boundary — for queries
+      // whose final stage is CPU-heavy (levenshtein / set-intersection
+      // verifies after a broadcast join) that serialized the whole
+      // verify onto one core. repartition inserts its own exchange
+      // AFTER the computation, preserving upstream parallelism.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

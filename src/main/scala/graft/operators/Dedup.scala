@@ -196,6 +196,68 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Exact edit-distance self-join (the ED-join family — Gravano et al.
+    * 2001 q-gram filters, Xiao et al. VLDB'08 location-based prefix
+    * filtering): ALL pairs with `levenshtein(a, b) <= d`, zero false
+    * negatives, bit-equal to brute force.
+    *
+    * Candidates: positional q-grams, each doc keeps only its `q*d + 1`
+    * RAREST gram instances (global (df, gram) order) as its prefix —
+    * one character edit destroys at most q overlapping grams, so d edits
+    * destroy at most q*d, and a qualifying pair must share a surviving
+    * gram from both prefixes with positions differing by at most d (d
+    * insertions/deletions shift later positions by at most d). The
+    * candidate equi-join therefore touches rare grams only, inside a
+    * +-d position window. Sub-q-length strings carry no grams; their
+    * qualifying partners are themselves short (len <= q-1+d), handled by
+    * a broadcast join over that (tiny by assumption) subset.
+    *
+    * Verify: length filter then one exact `levenshtein` per candidate —
+    * same explicit-partition-count spread as [[prefixJaccardJoin]]
+    * (tiny-bytes / heavy-CPU frames defeat AQE's byte-based coalescing).
+    */
+  def editDistanceJoin(docs: DataFrame, d: Int, q: Int = 4): DataFrame = {
+    require(d >= 1 && q >= 2, s"bad params d=$d q=$q")
+    val txt = docs.select(col("doc_id"), col("text"))
+    val grams = txt
+      .filter(length(col("text")) >= q)
+      .select(col("doc_id"), length(col("text")).as("len"), explode(expr(
+        s"""transform(sequence(1, length(text) - $q + 1),
+           |  i -> struct(substring(text, i, $q) AS gram, i AS pos))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("len"), col("g.gram").as("gram"), col("g.pos").as("pos"))
+    val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("gram"), col("pos"))
+    val pre = grams.join(dfreq, "gram")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= q * d + 1)
+      .select(col("doc_id"), col("len"), col("gram"), col("pos"))
+    val candLong = pre.as("a").join(pre.as("b"),
+        col("a.gram") === col("b.gram") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.pos") - col("b.pos")) <= d &&
+        abs(col("a.len") - col("b.len")) <= d)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shorts = txt.filter(length(col("text")) < q)
+    val shortPartners = txt.filter(length(col("text")) <= q - 1 + d)
+    val candShort = shorts.as("a")
+      .join(broadcast(shortPartners.as("b")), col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val shufflePartitions =
+      docs.sparkSession.sessionState.conf.numShufflePartitions
+    candLong.unionByName(candShort).distinct()
+      .repartition(shufflePartitions, col("doc_a"), col("doc_b"))
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= d)
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= d)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
   /** MinHash+LSH candidates, exact-verified. Output identical to
     * [[ngramPairs]] at the same threshold (up to the negligible LSH miss
     * probability), but candidate generation touches only signatures.

@@ -1353,6 +1353,24 @@ object PipelineQueries extends QueryPack {
              |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
              |WHERE w.doc_id IS NULL
              |UNION ALL
-             |SELECT doc_id, text, lang, source, n_chars FROM w WHERE op <> 'D'""".stripMargin))
+             |SELECT doc_id, text, lang, source, n_chars FROM w WHERE op <> 'D'""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q139: exact edit-distance join (Dedup.editDistanceJoin) — the
+    // ED-join family: positional q-gram prefix filtering (rarest q·d+1
+    // gram instances, ±d position window) generates candidates, one
+    // exact levenshtein per candidate verifies. The oracle is the
+    // brute-force all-pairs scan, so zero-false-negative completeness is
+    // itself the hash-verified property (levenshtein is an integer —
+    // bit-identical across engines).
+    QueryDef(
+      "q139_edit_distance_join",
+      (s, dir) => Dedup.editDistanceJoin(T.documents(s, dir), d = 8, q = 6),
+      Some("""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  levenshtein(a.text, b.text) AS dist
+             |FROM documents a JOIN documents b
+             |  ON a.doc_id < b.doc_id
+             | AND abs(len(a.text) - len(b.text)) <= 8
+             |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin))
   )
 }

@@ -23,6 +23,44 @@ class DedupSpec extends AnyFunSuite {
     assert(pp == exactPairs)
   }
 
+  test("editDistanceJoin equals brute-force levenshtein, including sub-q shorts") {
+    val s = spark
+    import s.implicits._
+    // near pairs (1,2) ed=2 and (4,5) ed=3; shorts 6/7 (len < q) with
+    // ed=1 between them — the no-gram fallback path; 3 and 8 are far
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fax jumps over the lazy do"),
+      (3L, "completely different text with nothing shared at all"),
+      (4L, "pack my box with five dozen liquor jugs"),
+      (5L, "pack my box with nine dozen liquor jug"),
+      (6L, "abc"), (7L, "abd"), (8L, "zzzzzzzzzzzzzzzzzzzzzz"))
+      .toDF("doc_id", "text")
+    val d = 4
+    val got = graft.operators.Dedup.editDistanceJoin(docs, d = d, q = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val raw = docs.as[(Long, String)].collect()
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val want = (for {
+      i <- raw.indices.iterator; j <- (i + 1) until raw.length
+      dist = lev(raw(i)._2, raw(j)._2) if dist <= d
+      (x, y) = if (raw(i)._1 < raw(j)._1) (raw(i)._1, raw(j)._1) else (raw(j)._1, raw(i)._1)
+    } yield (x, y, dist)).toSet
+    assert(got == want, s"missing ${want.diff(got)} / extra ${got.diff(want)}")
+  }
+
   test("minhash+verify output equals the exact n-gram pair set") {
     val mh = Dedup.minhashPairs(docs, 3, 64, 16, 0.5).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -208,4 +208,15 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested loop")
     }
   }
+
+  test("q136: the triangle wedge join is a hash equi-join, never a product") {
+    val p = plan("q136_triangles")
+    assert(!p.contains("CartesianProduct"), "wedge join planned a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "wedge join planned a nested loop")
+  }
+
+  test("q137: the per-stratum quota cut pushes down as WindowGroupLimit") {
+    assert(plan("q137_stratified_sample").contains("WindowGroupLimit"),
+      "stratified sample did not plan the map-side k-row cut")
+  }
 }
