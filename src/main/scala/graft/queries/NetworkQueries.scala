@@ -621,6 +621,53 @@ object NetworkQueries extends QueryPack {
              |SELECT e1.u AS a, e1.v AS b, e2.v AS c
              |FROM e e1
              |JOIN e e2 ON e2.u = e1.v
-             |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin))
+             |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q140: k-core decomposition (GraphOps.kCore) — 6 synchronous peel
+    // rounds at k=8 over the mod-2011 orders graph (511 of 2011 nodes
+    // peel at sf0.01; observed convergence depth 2, so 6 rounds IS the
+    // fixed point — GraphSpec asserts rounds/rounds+1 equality). Pure
+    // set operations, so the result is partition- and engine-
+    // independent; the oracle replays the identical rounds as chained
+    // CTEs and hash-verifies surviving nodes AND their in-core degrees.
+    QueryDef(
+      "q140_kcore",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.GraphOps.kCore(
+          T.orders(s, dir).select(
+            ($"o_custkey" % 2011).as("src"),
+            ($"o_orderkey" % 2011).as("dst")),
+          k = 8, rounds = 6)
+      },
+      Some {
+        // AS MATERIALIZED: round i references round i−1 three times, so
+        // an inlining engine would expand the chain into a 3^rounds
+        // plan (DuckDB hit EMFILE re-opening the parquet). Same blowup
+        // the Spark side avoids by checkpointing each round.
+        val rounds = (1 to 6).map { i =>
+          s"""k$i AS MATERIALIZED (
+             |  SELECT node FROM (
+             |    SELECT node, count(*) AS deg FROM (
+             |      SELECT u AS node FROM e${i - 1}
+             |      UNION ALL SELECT v FROM e${i - 1}) t GROUP BY 1) d
+             |  WHERE deg >= 8),
+             |e$i AS MATERIALIZED (
+             |  SELECT e.u, e.v FROM e${i - 1} e
+             |  JOIN k$i a ON e.u = a.node
+             |  JOIN k$i b ON e.v = b.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT
+           |    least(o_custkey % 2011, o_orderkey % 2011) AS u,
+           |    greatest(o_custkey % 2011, o_orderkey % 2011) AS v
+           |  FROM orders
+           |  WHERE o_custkey % 2011 <> o_orderkey % 2011),
+           |$rounds
+           |SELECT node, count(*) AS core_deg FROM (
+           |  SELECT u AS node FROM e6 UNION ALL SELECT v FROM e6) t
+           |GROUP BY 1""".stripMargin
+      })
   )
 }

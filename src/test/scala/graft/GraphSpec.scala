@@ -67,6 +67,27 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want, s"missing ${want.diff(got).size} / extra ${got.diff(want).size}")
   }
 
+  test("kCore: peels a planted lollipop exactly; k+1 rounds = fixed point") {
+    // K5 on {1..5} (degree 4 each) + a tail 5-6-7: at k=3 the tail peels
+    // over two rounds and K5 survives with in-core degree 4
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L), (2L, 5L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val got = GraphOps.kCore(e, k = 3, rounds = 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+    // empty core when k exceeds every degree
+    assert(GraphOps.kCore(e, k = 6, rounds = 4).isEmpty)
+  }
+
+  test("kCore: q140's round budget reaches the fixed point on the fixture graph") {
+    val e = Tables.orders(spark, sf0001).select(
+      ($"o_custkey" % 2011).as("src"), ($"o_orderkey" % 2011).as("dst"))
+    def run(r: Int) = GraphOps.kCore(e, k = 8, rounds = r).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("core_deg")).toMap
+    assert(run(6) == run(7), "6 rounds is not yet the fixed point at k=8")
+  }
+
   test("pageRank: mass envelope — every rank in [base, n·scale]") {
     val e = Tables.orders(spark, sf0001).select(
       ($"o_custkey" % 97).as("src"), ($"o_orderkey" % 97).as("dst"))
