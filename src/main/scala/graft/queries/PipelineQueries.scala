@@ -52,6 +52,51 @@ object PipelineQueries extends QueryPack {
       | WHEN 'src6' THEN 1073741824 WHEN 'src7' THEN 536870912
       | WHEN 'src8' THEN 268435456 ELSE 0 END""".stripMargin
 
+  /** The deterministic CDC batch q138/q142 apply to `documents`:
+    * doc_id%10==0 delete, %10==1 uppercase update, %10==2 insert at
+    * doc_id+1e6 — plus a seq-2 delete on %100==1 that overrides the
+    * update (the last-writer-wins conflict path).
+    */
+  private def docChanges(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def ch(pred: Column, op: String, seq: Int,
+           id: Column => Column = identity,
+           tx: Column => Column = identity) =
+      base.filter(pred).select(
+        id(col("doc_id")).as("doc_id"), tx(col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"),
+        lit(op).as("op"), lit(seq).as("seq"))
+    ch(col("doc_id") % 10 === 0, "D", 1)
+      .unionByName(ch(col("doc_id") % 10 === 1, "U", 1, tx = upper))
+      .unionByName(ch(col("doc_id") % 10 === 2, "I", 1, id = _ + 1000000L))
+      .unionByName(ch(col("doc_id") % 100 === 1, "D", 2))
+  }
+
+  /** The q138 change batch as SQL — shared by the q138 and q142 oracles. */
+  private val docChangesSql =
+    """ch AS (
+      |  SELECT doc_id, text, lang, source, n_chars, 'D' AS op, 1 AS seq
+      |    FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id, upper(text), lang, source, n_chars, 'U', 1
+      |    FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source, n_chars, 'I', 1
+      |    FROM documents WHERE doc_id % 10 = 2
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars, 'D', 2
+      |    FROM documents WHERE doc_id % 100 = 1),
+      |w AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY seq DESC, op DESC) AS rk FROM ch) t
+      |  WHERE rk = 1),
+      |merged AS (
+      |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+      |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+      |  WHERE w.doc_id IS NULL
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars FROM w WHERE op <> 'D')""".stripMargin
+
   /** DuckDB replay of [[TrainingPrep]]'s engine-portable u32 hash: the
     * first 8 hex digits of md5, assembled nibble by nibble (DuckDB has no
     * hex→int cast).
@@ -1316,44 +1361,32 @@ object PipelineQueries extends QueryPack {
     QueryDef(
       "q138_merge_upsert",
       (s, dir) => {
-        import s.implicits._
         val base = T.documents(s, dir)
-        def ch(pred: Column, op: String, seq: Int,
-               id: Column => Column = identity,
-               tx: Column => Column = identity) =
-          base.filter(pred).select(
-            id($"doc_id").as("doc_id"), tx($"text").as("text"),
-            $"lang", $"source", $"n_chars",
-            lit(op).as("op"), lit(seq).as("seq"))
-        val changes =
-          ch($"doc_id" % 10 === 0, "D", 1)
-            .unionByName(ch($"doc_id" % 10 === 1, "U", 1, tx = upper))
-            .unionByName(ch($"doc_id" % 10 === 2, "I", 1, id = _ + 1000000L))
-            .unionByName(ch($"doc_id" % 100 === 1, "D", 2))
-        graft.operators.Cdc.applyChanges(base, changes, "doc_id")
+        graft.operators.Cdc.applyChanges(base, docChanges(base), "doc_id")
       },
-      Some("""WITH ch AS (
-             |  SELECT doc_id, text, lang, source, n_chars, 'D' AS op, 1 AS seq
-             |    FROM documents WHERE doc_id % 10 = 0
-             |  UNION ALL
-             |  SELECT doc_id, upper(text), lang, source, n_chars, 'U', 1
-             |    FROM documents WHERE doc_id % 10 = 1
-             |  UNION ALL
-             |  SELECT doc_id + 1000000, text, lang, source, n_chars, 'I', 1
-             |    FROM documents WHERE doc_id % 10 = 2
-             |  UNION ALL
-             |  SELECT doc_id, text, lang, source, n_chars, 'D', 2
-             |    FROM documents WHERE doc_id % 100 = 1),
-             |w AS (
-             |  SELECT * FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY doc_id
-             |      ORDER BY seq DESC, op DESC) AS rk FROM ch) t
-             |  WHERE rk = 1)
-             |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
-             |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
-             |WHERE w.doc_id IS NULL
-             |UNION ALL
-             |SELECT doc_id, text, lang, source, n_chars FROM w WHERE op <> 'D'""".stripMargin)),
+      Some(s"""WITH $docChangesSql
+             |SELECT doc_id, text, lang, source, n_chars FROM merged""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q142: incremental aggregate maintenance (Cdc.incrementalAgg) — the
+    // materialized-view delta path: the per-source (count, sum n_chars)
+    // view is updated from the stored aggregate + the change batch +
+    // point-lookups of touched keys, never a base rescan. The oracle is
+    // the FULL recompute over the merged table, so "incremental equals
+    // batch" — the whole point of the operator — is the hash-verified
+    // property.
+    QueryDef(
+      "q142_incremental_agg",
+      (s, dir) => {
+        val base = T.documents(s, dir)
+        val view = base.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total"))
+        graft.operators.Cdc.incrementalAgg(
+          view, base, docChanges(base), "doc_id", "source", "n_chars")
+      },
+      Some(s"""WITH $docChangesSql
+             |SELECT source, count(*) AS n, sum(n_chars) AS total
+             |FROM merged GROUP BY 1""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q139: exact edit-distance join (Dedup.editDistanceJoin) — the

@@ -1055,6 +1055,36 @@ object RelationalQueries extends QueryPack {
              |  GREATEST(a_start, b_start) AS ov_start,
              |  LEAST(a_end, b_end) AS ov_end,
              |  LEAST(a_end, b_end) - GREATEST(a_start, b_start) + 1 AS ov_len
-             |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end""".stripMargin))
+             |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q141: HOPPING (sliding) window aggregation via Spark's native
+    // `window(ts, "1 hour", "15 minutes")` — each event lands in exactly
+    // windowDuration/slide = 4 windows, epoch-aligned. The oracle
+    // enumerates the same 4 window starts arithmetically (an event at
+    // micros t belongs to starts (t div 900e6 − k)·900, k = 0..3), so
+    // Spark's window-assignment semantics are themselves what is
+    // hash-verified. Counts and distinct counts only — integers, no
+    // cross-engine float risk.
+    QueryDef(
+      "q141_hopping_window",
+      (s, dir) => {
+        import s.implicits._
+        T.events(s, dir)
+          .withColumn("t", timestamp_micros(expr("ts div 1000")))
+          .groupBy(window($"t", "1 hour", "15 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("users"))
+          .select(unix_timestamp($"window.start").as("win_start"),
+            $"event_type", $"n", $"users")
+      },
+      Some("""WITH ev AS (
+             |  SELECT epoch_us(ts) AS tus, event_type, user_id FROM events),
+             |w AS (
+             |  SELECT (tus // 900000000 - k) * 900 AS win_start,
+             |         event_type, user_id
+             |  FROM ev, (SELECT unnest([0, 1, 2, 3]) AS k) ks)
+             |SELECT win_start, event_type, count(*) AS n,
+             |  count(DISTINCT user_id) AS users
+             |FROM w GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Cdc
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class CdcSpec extends AnyFunSuite {
@@ -44,6 +45,28 @@ class CdcSpec extends AnyFunSuite {
     val twice = Cdc.applyChanges(once, ch, "id")
     assert(once.as[(Long, String, Int)].collect().sortBy(_._1).toSeq ==
       twice.as[(Long, String, Int)].collect().sortBy(_._1).toSeq)
+  }
+
+  test("incrementalAgg equals the full recompute over applyChanges output") {
+    val b = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L), (5L, "c", 50L))
+      .toDF("id", "grp", "v")
+    val ch = Seq(
+      (2L, "a", 21L, "U", 1),   // update in place
+      (3L, "b", 0L, "D", 1),    // delete from b
+      (5L, "c", 0L, "D", 1),    // delete the ONLY c row -> group must vanish
+      (9L, "d", 90L, "I", 1),   // insert creating a brand-new group
+      (4L, "a", 41L, "U", 1))   // update MOVES row 4 from group b to a
+      .toDF("id", "grp", "v", "op", "seq")
+    val view = b.groupBy($"grp").agg(count(lit(1)).as("n"), sum($"v").as("total"))
+    val inc = Cdc.incrementalAgg(view, b, ch, "id", "grp", "v")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val full = Cdc.applyChanges(b, ch, "id")
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"v").as("total"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(inc.toSeq == full.toSeq)
+    // hand-check: a = {1:10, 2:21, 4:41}, d = {9:90}; b and c vanish
+    assert(inc.toSeq == Seq(("a", 3L, 72L), ("d", 1L, 90L)), s"got ${inc.toSeq}")
   }
 
   test("applyChanges: base side plans a broadcast anti-join (no base shuffle)") {
