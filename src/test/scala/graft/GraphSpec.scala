@@ -80,6 +80,39 @@ class GraphSpec extends AnyFunSuite {
     assert(GraphOps.kCore(e, k = 6, rounds = 4).isEmpty)
   }
 
+  test("kCore equals driver-side peeling to fixed point on seeded random graphs") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val n = 6 + rng.nextInt(25)
+      val m = 4 + rng.nextInt(40)
+      val edges = (1 to m).map { _ =>
+        val a = rng.nextInt(n); val b = rng.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      if (edges.nonEmpty) {
+        val k = 2 + rng.nextInt(3)
+        // driver-side peel, tracking the depth to size the round budget
+        var adj = edges.toSet
+        var depth = 0
+        var done = false
+        while (!done) {
+          val deg = adj.toSeq.flatMap(p => Seq(p._1, p._2))
+            .groupBy(identity).view.mapValues(_.size).toMap
+          val keep = deg.filter(_._2 >= k).keySet
+          val next = adj.filter(p => keep(p._1) && keep(p._2))
+          done = next == adj
+          adj = next
+          depth += 1
+        }
+        val want = adj.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val got = GraphOps.kCore(edges.toDF("src", "dst"), k, rounds = depth)
+          .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+        assert(got == want, s"trial $trial n=$n m=${edges.size} k=$k depth=$depth")
+      }
+    }
+  }
+
   test("kCore: q140's round budget reaches the fixed point on the fixture graph") {
     val e = Tables.orders(spark, sf0001).select(
       ($"o_custkey" % 2011).as("src"), ($"o_orderkey" % 2011).as("dst"))

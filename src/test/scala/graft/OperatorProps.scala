@@ -116,4 +116,63 @@ object OperatorProps extends Properties("Operators") {
         got == unionFind(edges)
       }
     }
+
+  property("triangles equals driver-side enumeration on random graphs") =
+    Prop.forAll(genGraph) { edges =>
+      edges.isEmpty || {
+        val s = spark
+        import s.implicits._
+        val df = edges.toDF("src", "dst")
+        val got = graft.operators.GraphOps.triangles(df).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val adj = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+          .filter(p => p._1 != p._2).toSet
+        val nodes = adj.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+        val want = (for {
+          i <- nodes.indices.iterator
+          j <- (i + 1) until nodes.length
+          if adj((nodes(i), nodes(j)))
+          k <- (j + 1) until nodes.length
+          if adj((nodes(j), nodes(k))) && adj((nodes(i), nodes(k)))
+        } yield (nodes(i), nodes(j), nodes(k))).toSet
+        got == want
+      }
+    }
+
+  private val genCdc = for {
+    nBase <- Gen.choose(0, 30)
+    nCh <- Gen.choose(0, 25)
+    baseKeys <- Gen.listOfN(nBase, Gen.choose(0L, 20L))
+    chRows <- Gen.listOfN(nCh, for {
+      key <- Gen.choose(0L, 25L)
+      op <- Gen.oneOf("I", "U", "D")
+      seq <- Gen.choose(1, 5)
+      v <- Gen.choose(0L, 99L)
+    } yield (key, op, seq, v))
+    // (key, op, seq) must be unique: with an exact tie on BOTH sort keys
+    // the winning row is arbitrary in either engine
+  } yield (baseKeys.distinct,
+    chRows.groupBy(r => (r._1, r._2, r._3)).values.map(_.head).toList)
+
+  property("Cdc.applyChanges equals driver-side last-writer-wins merge") =
+    Prop.forAll(genCdc) { case (baseKeys, chRows) =>
+      (baseKeys.isEmpty && chRows.isEmpty) || {
+        val s = spark
+        import s.implicits._
+        val base = baseKeys.map(k => (k, s"t$k", k * 10)).toDF("id", "text", "v")
+        val ch = chRows.map { case (k, op, seq, v) => (k, s"c$k-$seq", v, op, seq) }
+        val chDf = ch.toDF("id", "text", "v", "op", "seq")
+        val got = graft.operators.Cdc.applyChanges(base, chDf, "id")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        // driver-side replay: winner per key by (seq desc, op desc)
+        val winners = chRows.groupBy(_._1).view.mapValues(
+          _.maxBy { case (_, op, seq, _) => (seq, op) }).toMap
+        val kept = baseKeys.filterNot(winners.contains)
+          .map(k => (k, s"t$k", k * 10))
+        val upserts = winners.values.collect {
+          case (k, op, seq, v) if op != "D" => (k, s"c$k-$seq", v)
+        }
+        got == (kept ++ upserts).toSet
+      }
+    }
 }
