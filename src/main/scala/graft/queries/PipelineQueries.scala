@@ -1389,6 +1389,44 @@ object PipelineQueries extends QueryPack {
              |FROM merged GROUP BY 1""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q143: STREAMING CDC upsert — the q138 change batch arrives as a
+    // two-file stream (seq-1 changes, then the seq-2 conflict deletes;
+    // names force arrival order), maintaining a key-bucketed state table
+    // by dynamic partition overwrite of touched buckets only. The final
+    // state must equal the one-shot batch merge, so the oracle is
+    // q138's merged-table SQL verbatim — "streamed equals batch" is the
+    // hash-verified property.
+    QueryDef(
+      "q143_stream_cdc",
+      (s, dir) => {
+        val sfName = new java.io.File(dir).getName
+        val base = s"${graft.GraftSession.scratchBase}/graft_scdc_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val docs = T.documents(s, dir)
+        // seed state: the initial full load of the base table
+        docs.withColumn("__bucket",
+            pmod(xxhash64(col("doc_id")), lit(8)).cast("string"))
+          .write.partitionBy("__bucket").parquet(s"$base/state")
+        // change feed: seq-1 file must sort before seq-2 (name + mtime)
+        val ch = docChanges(docs)
+        ch.filter(col("seq") === 1).repartition(1)
+          .write.parquet(s"$base/in_tmp1")
+        ch.filter(col("seq") === 2).repartition(1)
+          .write.parquet(s"$base/in_tmp2")
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+        Seq(("in_tmp1", "b0.parquet"), ("in_tmp2", "b1.parquet")).foreach {
+          case (tmp, name) =>
+            val part = fs.globStatus(
+              new org.apache.hadoop.fs.Path(s"$base/$tmp/part-*.parquet")).head.getPath
+            fs.rename(part, new org.apache.hadoop.fs.Path(s"$base/in/$name"))
+        }
+        StreamingOps.streamingCdcApply(s, s"$base/in", s"$base/state", "doc_id")
+      },
+      Some(s"""WITH $docChangesSql
+             |SELECT doc_id, text, lang, source, n_chars FROM merged""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q139: exact edit-distance join (Dedup.editDistanceJoin) — the
     // ED-join family: positional q-gram prefix filtering (rarest q·d+1
     // gram instances, ±d position window) generates candidates, one

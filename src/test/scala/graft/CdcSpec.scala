@@ -69,6 +69,41 @@ class CdcSpec extends AnyFunSuite {
     assert(inc.toSeq == Seq(("a", 3L, 72L), ("d", 1L, 90L)), s"got ${inc.toSeq}")
   }
 
+  test("streamingCdcApply: streamed batches equal one-shot merge; untouched buckets untouched") {
+    val base = s"${GraftSession.scratchBase}/graft_scdc_spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val rows = (1L to 40L).map(k => (k, s"t$k", k * 10)).toDF("id", "text", "v")
+    rows.withColumn("__bucket", pmod(xxhash64($"id"), lit(8)).cast("string"))
+      .write.partitionBy("__bucket").parquet(s"$base/state")
+    // one change file touching three keys only
+    val ch = Seq((2L, "TWO", 21L, "U", 1), (3L, "x", 0L, "D", 1), (99L, "new", 990L, "I", 1))
+      .toDF("id", "text", "v", "op", "seq")
+    ch.repartition(1).write.parquet(s"$base/in")
+    val touchedBuckets = ch.select(pmod(xxhash64($"id"), lit(8)).cast("string"))
+      .distinct().as[String].collect().toSet
+    val before = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/state"))
+      .filter(_.isDirectory)
+      .map(d => d.getPath.getName -> fs.listStatus(d.getPath)
+        .map(f => (f.getPath.getName, f.getModificationTime)).toSet).toMap
+    val got = graft.streaming.StreamingOps
+      .streamingCdcApply(spark, s"$base/in", s"$base/state", "id")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val want = Cdc.applyChanges(rows, ch, "id")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // scale contract: buckets no change touched keep their exact files
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/state"))
+      .filter(_.isDirectory)
+      .map(d => d.getPath.getName -> fs.listStatus(d.getPath)
+        .map(f => (f.getPath.getName, f.getModificationTime)).toSet).toMap
+    before.foreach { case (dir, files) =>
+      val bucket = dir.stripPrefix("__bucket=")
+      if (!touchedBuckets.contains(bucket))
+        assert(after(dir) == files, s"untouched bucket $dir was rewritten")
+    }
+  }
+
   test("applyChanges: base side plans a broadcast anti-join (no base shuffle)") {
     val ch = Seq((2L, "TWO", 21, "U", 1)).toDF("id", "text", "v", "op", "seq")
     val plan = Cdc.applyChanges(base, ch, "id")
