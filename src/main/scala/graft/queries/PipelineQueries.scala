@@ -1427,6 +1427,60 @@ object PipelineQueries extends QueryPack {
              |SELECT doc_id, text, lang, source, n_chars FROM merged""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q144: data-quality audit (operators/Quality) — the between-stage
+    // constraint gate: N row-level checks in ONE scan per table
+    // (map-side partial sums), key-uniqueness as a groupBy, referential
+    // integrity as an anti-join count. Pure integer counts, so every
+    // violation tally hash-verifies.
+    QueryDef(
+      "q144_quality_audit",
+      (s, dir) => {
+        import s.implicits._
+        val li = T.lineitem(s, dir)
+        val docs = T.documents(s, dir)
+        val liAudit = graft.operators.Quality.audit(li, Seq(
+          "l_quantity_range" -> !($"l_quantity".between(1, 50)),
+          "l_discount_range" -> !($"l_discount".between(0.0, 0.1)),
+          "l_shipdate_null" -> $"l_shipdate".isNull))
+        val docAudit = graft.operators.Quality.audit(docs, Seq(
+          "doc_lang_domain" -> !$"lang".isin("en", "de", "fr", "es", "zh"),
+          "doc_nchars_consistent" -> ($"n_chars" =!= length($"text"))))
+        val uniq = graft.operators.Quality.duplicateKeys(
+          T.orders(s, dir), "orders_pk_unique", Seq("o_orderkey"))
+        val fk = graft.operators.Quality.orphans(
+          li, T.orders(s, dir), "lineitem_orders_fk", "l_orderkey", "o_orderkey")
+        liAudit.unionByName(docAudit).unionByName(uniq).unionByName(fk)
+      },
+      Some("""SELECT 'l_quantity_range' AS check_name,
+             |  sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS violations,
+             |  count(*) AS total FROM lineitem
+             |UNION ALL
+             |SELECT 'l_discount_range',
+             |  sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END),
+             |  count(*) FROM lineitem
+             |UNION ALL
+             |SELECT 'l_shipdate_null',
+             |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+             |  count(*) FROM lineitem
+             |UNION ALL
+             |SELECT 'doc_lang_domain',
+             |  sum(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es', 'zh') THEN 1 ELSE 0 END),
+             |  count(*) FROM documents
+             |UNION ALL
+             |SELECT 'doc_nchars_consistent',
+             |  sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END),
+             |  count(*) FROM documents
+             |UNION ALL
+             |SELECT 'orders_pk_unique',
+             |  COALESCE(sum(cnt - 1), 0), COALESCE(sum(cnt), 0)
+             |FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey) t
+             |UNION ALL
+             |SELECT 'lineitem_orders_fk',
+             |  (SELECT count(*) FROM lineitem l
+             |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+             |  count(*) FROM lineitem""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q139: exact edit-distance join (Dedup.editDistanceJoin) — the
     // ED-join family: positional q-gram prefix filtering (rarest q·d+1
     // gram instances, ±d position window) generates candidates, one
