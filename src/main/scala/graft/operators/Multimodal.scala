@@ -86,6 +86,40 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL image resize: decode → Graphics2D bilinear rescale to
+    * (targetW, targetH) → lossless PNG re-encode. Map-only like
+    * [[decodeImages]]; the output column is again an opaque binary
+    * payload, so resizes compose with decode/quarantine/frame-sample in
+    * the same pipeline algebra. On solid-color inputs any interpolation
+    * is exact (a convex combination of a constant is the constant), so
+    * the whole decode→resize→re-decode roundtrip is oracle-checkable
+    * arithmetic — which is what q146 pins.
+    */
+  def resizeImages(spark: SparkSession, imgs: DataFrame,
+      targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, s"bad target ${targetW}x$targetH")
+    import spark.implicits._
+    imgs.select(col("doc_id").cast("long"), col("img"))
+      .as[ImageRow]
+      .mapPartitions(_.map { row =>
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.img))
+        require(src != null, s"undecodable payload for doc ${row.doc_id}")
+        val dst = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = dst.createGraphics()
+        try {
+          g2.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(src, 0, 0, targetW, targetH, null)
+        } finally g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        ImageRow(row.doc_id, bos.toByteArray)
+      })
+      .toDF()
+  }
+
   final case class SafeImageMeta(
       doc_id: Long, status: String, width: Option[Int], height: Option[Int],
       format: Option[String], mean_r: Option[Int], mean_g: Option[Int],

@@ -160,4 +160,31 @@ object FreqSketchAgg {
       .filter($"cnt" >= lit(minShare) * n)
       .withColumn("share", $"cnt".cast("double") / n.toDouble)
   }
+
+  /** PER-GROUP exact heavy hitters: values whose share WITHIN their
+    * group is ≥ `minShare`. Same two-phase shape as [[heavyHitters]],
+    * but the candidate supersets stay distributed — one `groupBy(grp)`
+    * builds an MG sketch + exact total per group (≤k strings each,
+    * map-side partial merges), candidates explode to a (grp, value)
+    * broadcast semi-filter, and only candidate rows are re-counted. No
+    * driver-side collect at all, so the group count can itself be large
+    * (per-domain vocabularies over a TB corpus); the per-group MG bound
+    * (k ≥ 2/minShare) makes false negatives impossible per group.
+    */
+  def heavyHittersBy(df: DataFrame, groupCol: Column, valueCol: Column,
+      minShare: Double): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0, s"bad minShare $minShare")
+    val k = math.max(math.ceil(2.0 / minShare).toInt, 8)
+    val perGroup = df.groupBy(groupCol.as("grp"))
+      .agg(mgCandidates(valueCol, k).as("cand"), count(valueCol).as("n"))
+    val candDf = perGroup.select(col("grp"), explode(col("cand")).as("value"))
+    df.select(groupCol.as("grp"), valueCol.cast("string").as("value"))
+      .join(broadcast(candDf), Seq("grp", "value"), "left_semi")
+      .groupBy(col("grp"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(perGroup.select(col("grp"), col("n"))), Seq("grp"))
+      .filter(col("cnt") >= lit(minShare) * col("n"))
+      .select(col("grp"), col("value"), col("cnt"),
+        (col("cnt").cast("double") / col("n").cast("double")).as("share"))
+  }
 }

@@ -1181,6 +1181,36 @@ object PipelineQueries extends QueryPack {
              |FROM customer""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q146: REAL image resize — decode → bilinear Graphics2D rescale to
+    // 16×16 → lossless PNG re-encode → re-decode. Solid-color planted
+    // images make every stage arithmetic: interpolating a constant is
+    // the constant, so target dims AND per-channel means hash-verify.
+    QueryDef(
+      "q146_image_resize",
+      (s, dir) => {
+        import s.implicits._
+        val gen = T.customer(s, dir).select(
+          $"c_custkey".cast("long").as("doc_id"),
+          ($"c_custkey" % 24 + 8).cast("int").as("w"),
+          ($"c_custkey" % 16 + 8).cast("int").as("h"),
+          ($"c_custkey" % 256).cast("int").as("r"),
+          (($"c_custkey" * 7) % 256).cast("int").as("g"),
+          (($"c_custkey" * 13) % 256).cast("int").as("b"))
+        val imgs = gen.as[(Long, Int, Int, Int, Int, Int)]
+          .map { case (id, w, h, r, g, b) => (id, Multimodal.encodePng(w, h, r, g, b)) }
+          .toDF("doc_id", "img")
+        Multimodal.decodeImages(s, Multimodal.resizeImages(s, imgs, 16, 16))
+      },
+      Some("""SELECT c_custkey AS doc_id,
+             |  CAST(16 AS INT) AS width,
+             |  CAST(16 AS INT) AS height,
+             |  'png' AS format,
+             |  CAST(c_custkey % 256 AS INT) AS mean_r,
+             |  CAST(c_custkey * 7 % 256 AS INT) AS mean_g,
+             |  CAST(c_custkey * 13 % 256 AS INT) AS mean_b
+             |FROM customer""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q117: INCREMENTAL MinHash dedup — the rolling-ingest shape: docs
     // with doc_id % 3 == 0 arrive as the new batch; the rest is the old
     // corpus represented only by its persisted signature artifact. Only
@@ -1333,6 +1363,32 @@ object PipelineQueries extends QueryPack {
              |  CAST(c.cnt AS DOUBLE) / CAST(n.total AS DOUBLE) AS share
              |FROM c, n
              |WHERE c.cnt >= CAST(0.004 AS DOUBLE) * n.total""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q145: PER-GROUP heavy hitters (FreqSketchAgg.heavyHittersBy) — one
+    // MG sketch per source (≤k strings each, map-side merged), exploded
+    // to a distributed candidate semi-filter, exact counts of candidate
+    // rows only. Unlike q135 there is NO driver collect: the candidate
+    // frame itself broadcasts, so the group count can be corpus-scale.
+    // Oracle is the per-group GROUP BY / HAVING ground truth.
+    QueryDef(
+      "q145_heavy_hitters_by",
+      (s, dir) => {
+        import s.implicits._
+        graft.plans.FreqSketchAgg.heavyHittersBy(
+          T.documents(s, dir)
+            .select($"source", explode(split($"text", " ")).as("tok")),
+          col("source"), col("tok"), minShare = 0.05)
+      },
+      Some("""WITH t AS (
+             |  SELECT source AS grp, unnest(string_split(text, ' ')) AS value
+             |  FROM documents),
+             |n AS (SELECT grp, count(*) AS total FROM t GROUP BY 1),
+             |c AS (SELECT grp, value, count(*) AS cnt FROM t GROUP BY 1, 2)
+             |SELECT c.grp, c.value, c.cnt,
+             |  CAST(c.cnt AS DOUBLE) / CAST(n.total AS DOUBLE) AS share
+             |FROM c JOIN n ON c.grp = n.grp
+             |WHERE c.cnt >= CAST(0.05 AS DOUBLE) * n.total""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q137: stratified exact-size sample — k smallest-u32 docs per

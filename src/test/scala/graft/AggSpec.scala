@@ -91,6 +91,30 @@ class AggSpec extends AnyFunSuite {
     assert(fine == Set("a", "b", "c"))
   }
 
+  test("heavyHittersBy: per-group exactness with different skew per group") {
+    import graft.plans.FreqSketchAgg
+    import spark.implicits._
+    // g1: 'a' dominates; g2: 'b' dominates and 'a' is tail; g3: uniform tail only
+    val rows =
+      Seq.fill(80)(("g1", "a")) ++ Seq.fill(15)(("g1", "b")) ++
+        (0 until 5).map(i => ("g1", s"t$i")) ++
+      Seq.fill(70)(("g2", "b")) ++ Seq.fill(6)(("g2", "a")) ++
+        (0 until 24).map(i => ("g2", s"u${i % 12}")) ++
+      (0 until 100).map(i => ("g3", s"v${i % 25}"))
+    def run(parts: Int) = FreqSketchAgg.heavyHittersBy(
+        rows.toDF("g", "v").repartition(parts), col("g"), col("v"), minShare = 0.10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("share"))).toMap
+    val got = run(4)
+    // exact ground truth per group at 10%
+    assert(got.keySet == Set(("g1", "a"), ("g1", "b"), ("g2", "b")), got.toString)
+    assert(got(("g1", "a")) == ((80L, 0.8)) && got(("g1", "b")) == ((15L, 0.15)))
+    assert(got(("g2", "b"))._1 == 70L)
+    // g3 has no value at 10% of 100 — whole group absent
+    // merge-order invariance
+    assert(run(13) == got)
+  }
+
   test("kmv_distinct and mg_heavy_candidates are callable from SQL (extensions)") {
     import graft.plans.KmvSketchAgg
     Tables.orders(spark, sf0001).createOrReplaceTempView("agg_sql_orders")

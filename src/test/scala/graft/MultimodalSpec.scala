@@ -28,6 +28,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize is real: target dims exact; solid colors survive; a half-half image averages") {
+    val s = spark
+    import s.implicits._
+    val solid = Seq((1L, Multimodal.encodePng(24, 10, 200, 40, 90)))
+      .toDF("doc_id", "img")
+    val rs = Multimodal.decodeImages(s,
+      Multimodal.resizeImages(s, solid, 7, 13)).collect().head
+    assert((rs.getInt(1), rs.getInt(2)) == ((7, 13)), "target dims")
+    assert((rs.getInt(4), rs.getInt(5), rs.getInt(6)) == ((200, 40, 90)),
+      "solid color must survive any interpolation exactly")
+    // left half black, right half white, width halved: mean stays ~127
+    val img = new java.awt.image.BufferedImage(32, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val half = Seq((2L, bos.toByteArray)).toDF("doc_id", "img")
+    val hm = Multimodal.decodeImages(s,
+      Multimodal.resizeImages(s, half, 16, 8)).collect().head
+    assert(math.abs(hm.getInt(4) - 127) <= 8,
+      s"downscaled half/half image should average near 127, got ${hm.getInt(4)}")
+  }
+
   test("JPEG decode is real: dimensions exact, means near-planted (lossy codec)") {
     val s = spark
     import s.implicits._
