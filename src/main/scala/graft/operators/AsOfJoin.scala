@@ -51,4 +51,38 @@ object AsOfJoin {
         when(col(ts) - col("asof_ts") <= tolerance, col("asof_ts")))
       .select((leftCols.map(col) :+ col("asof_ts")): _*)
   }
+
+  /** Backward as-of join through the NATIVE Catalyst operator
+    * ([[graft.plans.AsOfJoinNode]] → `AsOfJoinExec`): attaches the ENTIRE
+    * matched right row (nulls when no match), which the union-and-sweep
+    * plan above cannot do without one running window per payload column.
+    * Each side shuffles once on its own key and the merge is a single
+    * streaming pass per partition with one buffered row.
+    *
+    * Column names must be disjoint across sides (rename the right
+    * payload first — it is the attached side). Equal-time right rows
+    * resolve by `tieBreak` columns (ascending; the LAST wins), so the
+    * match is deterministic under any partitioning.
+    */
+  def nativeBackward(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTs: String, rightKey: String, rightTs: String,
+      tolerance: Long = Long.MaxValue,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "native as-of join requires disjoint column names; alias the right side")
+    val spark = left.sparkSession
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    // fresh exprIds on the right: a self-join of one source would
+    // otherwise carry duplicate ids into the node's output
+    val r = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val lPlan = SqlBridge.analyzedPlan(left)
+    val rPlan = SqlBridge.analyzedPlan(r)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(sys.error(s"no column $n"))
+    SqlBridge.ofRows(spark, graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, leftKey), attr(lPlan, leftTs),
+      attr(rPlan, rightKey), attr(rPlan, rightTs),
+      tieBreak.map(attr(rPlan, _)), tolerance))
+  }
 }

@@ -547,6 +547,41 @@ object RelationalQueries extends QueryPack {
              |FROM e p WHERE p.event_type = 'purchase'""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q147: NATIVE as-of join — the whole-operator Catalyst extension
+    // (AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec via
+    // GraftExtensions): q25's funnel but attaching the ENTIRE matched
+    // signup row (user, time, event id), which the union-sweep can't do
+    // without a window per payload column. Equal-time signups resolve by
+    // event id (tie-break ordering), so the full payload hash-verifies.
+    QueryDef(
+      "q147_asof_native",
+      (s, dir) => {
+        import s.implicits._
+        val e = T.events(s, dir).select(
+          $"user_id", $"event_id", $"event_type", expr("ts div 1000").as("us"))
+        val p = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"us")
+        val sgn = e.filter($"event_type" === "signup").select(
+          $"user_id".as("s_user"), $"event_id".as("s_event"), $"us".as("s_us"))
+        graft.operators.AsOfJoin.nativeBackward(p, sgn,
+          "user_id", "us", "s_user", "s_us",
+          tolerance = 3600L * 1000000L, tieBreak = Seq("s_event"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+             |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+             |s AS (SELECT user_id AS s_user, event_id AS s_event, us AS s_us
+             |      FROM e WHERE event_type = 'signup'),
+             |m AS (
+             |  SELECT p.event_id AS pe, s.s_user, s.s_event, s.s_us,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |                       ORDER BY s.s_us DESC, s.s_event DESC) AS rn
+             |  FROM p JOIN s ON s.s_user = p.user_id
+             |    AND s.s_us <= p.us AND p.us - s.s_us <= 3600000000)
+             |SELECT p.user_id, p.event_id, p.us, m.s_user, m.s_event, m.s_us
+             |FROM p LEFT JOIN m ON m.pe = p.event_id AND m.rn = 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q26: pivot (wide conditional aggregation); empty cells coalesced to
     // 0 so the shape is engine-independent.
     QueryDef(

@@ -26,6 +26,24 @@ object SqlBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** DataFrame over a hand-built logical plan — the constructor a custom
+    * LogicalPlan node (e.g. [[graft.plans.AsOfJoinNode]]) needs, hidden
+    * behind `private[sql]` as `classic.Dataset.ofRows` in Spark 4.
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (child material for a
+    * custom binary node).
+    */
+  def analyzedPlan(df: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   def registerFunction(
       spark: SparkSession,
       name: String,

@@ -45,6 +45,65 @@ class AggSpec extends AnyFunSuite {
     assert(out.isNullAt(out.fieldIndex("asof_ts")))
   }
 
+  test("native as-of join: same semantics as the composed sweep, full-row payload, tie-break") {
+    val s = spark
+    import s.implicits._
+    val purchases = Seq(
+      (1L, 100L, 1000L), (1L, 101L, 5000L), (2L, 102L, 9000L), (3L, 103L, 500L))
+      .toDF("user_id", "event_id", "us")
+    val signups = Seq((1L, 1000L, 7L), (2L, 2000L, 8L), (1L, 400L, 9L))
+      .toDF("s_user", "s_us", "s_id")
+    val out = AsOfJoin.nativeBackward(purchases, signups,
+        "user_id", "us", "s_user", "s_us",
+        tolerance = 10000L, tieBreak = Seq("s_id"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("s_us")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("s_id")).map(_.toLong)))).toMap
+    assert(out(100L) == ((Some(1000L), Some(7L)))) // exact tie matches, payload attached
+    assert(out(101L) == ((Some(1000L), Some(7L)))) // most recent, not the older 400
+    assert(out(102L) == ((Some(2000L), Some(8L))))
+    assert(out(103L) == ((None, None)))            // no signup: whole right side null
+    // beyond tolerance nulls out
+    val far = AsOfJoin.nativeBackward(
+      Seq((1L, 100L, 50000L)).toDF("user_id", "event_id", "us"),
+      Seq((1L, 1000L)).toDF("s_user", "s_us"),
+      "user_id", "us", "s_user", "s_us", tolerance = 10000L).head
+    assert(far.isNullAt(far.fieldIndex("s_us")))
+    // equal-time right rows: the LAST in tie-break order wins deterministically
+    val tie = AsOfJoin.nativeBackward(
+      Seq((1L, 100L, 2000L)).toDF("user_id", "event_id", "us"),
+      Seq((1L, 1500L, 3L), (1L, 1500L, 11L), (1L, 1500L, 5L)).toDF("s_user", "s_us", "s_id"),
+      "user_id", "us", "s_user", "s_us", tieBreak = Seq("s_id")).head
+    assert(tie.getAs[Long]("s_id") == 11L)
+  }
+
+  test("native as-of join equals the composed sweep on seeded random event sets") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val nL = 30 + rng.nextInt(60)
+      val nR = 20 + rng.nextInt(60)
+      val purchases = (0 until nL).map(i =>
+        (rng.nextInt(8).toLong, i.toLong, rng.nextInt(1000).toLong * 10))
+        .toDF("user_id", "event_id", "us")
+      val signups = (0 until nR).map(_ =>
+        (rng.nextInt(8).toLong, rng.nextInt(1000).toLong * 10)).distinct
+        .toDF("s_user", "s_us")
+      val tol = (1 + rng.nextInt(300)).toLong * 10
+      val composed = AsOfJoin.backward(
+          purchases, signups.select($"s_user".as("user_id"), $"s_us".as("us")),
+          "user_id", "us", tolerance = tol)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("asof_ts")).map(_.toLong)).toMap
+      val native = AsOfJoin.nativeBackward(purchases, signups,
+          "user_id", "us", "s_user", "s_us", tolerance = tol)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("s_us")).map(_.toLong)).toMap
+      assert(native == composed, s"trial $trial mismatch")
+    }
+  }
+
   test("KMV sketch: within 15% at k=128, exact below k, partitioning-invariant") {
     import graft.plans.KmvSketchAgg.kmvEstimate
     val li = Tables.lineitem(spark, sf001)

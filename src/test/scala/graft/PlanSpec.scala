@@ -219,4 +219,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q137_stratified_sample").contains("WindowGroupLimit"),
       "stratified sample did not plan the map-side k-row cut")
   }
+
+  test("q147: the native as-of join plans AsOfJoinExec — no union, no window, no product") {
+    val p = plan("q147_asof_native")
+    assert(p.contains("AsOfJoin"), "custom strategy did not fire")
+    assert(!p.contains("Window"), "native as-of must not fall back to the window sweep")
+    assert(!p.contains("Union"), "native as-of must not union the sides")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "native as-of must never plan a product")
+  }
 }
