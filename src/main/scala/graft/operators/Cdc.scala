@@ -99,4 +99,39 @@ object Cdc {
         (coalesce(col("total"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("total"))
       .filter(col("n") > 0)
   }
+
+  /** Keyed table diff — replica/migration verification: classify every
+    * key of two same-schema tables as `added` (only in `after`),
+    * `removed` (only in `before`), `changed` (both, any non-key column
+    * differs) or `same`. Rows compare by an md5 digest of the JSON
+    * encoding of all non-key columns (JSON quoting makes column
+    * boundaries and NULLs unambiguous), so the shuffle carries
+    * (key, 16-byte digest) — never row payloads — and one full-outer
+    * join on the key does the whole comparison. The digest never leaves
+    * the operator (output is (key, status)), so no cross-engine digest
+    * replay is needed. One row per non-`same` key; per-class counts
+    * ride in [[diffSummary]].
+    */
+  def diff(before: DataFrame, after: DataFrame, keyCol: String): DataFrame = {
+    require(before.columns.sameElements(after.columns),
+      s"schema mismatch: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val dataCols = before.columns.filterNot(_ == keyCol).sorted
+    def digest(df: DataFrame) = df.select(col(keyCol),
+      md5(to_json(struct(dataCols.map(col): _*))).as("h"))
+    digest(before).as("b")
+      .join(digest(after).as("a"), col("b." + keyCol) === col("a." + keyCol), "full_outer")
+      .select(
+        coalesce(col("b." + keyCol), col("a." + keyCol)).as(keyCol),
+        when(col("b.h").isNull, "added")
+          .when(col("a.h").isNull, "removed")
+          .when(col("a.h") =!= col("b.h"), "changed")
+          .otherwise("same").as("status"))
+      .filter(col("status") =!= "same")
+  }
+
+  /** Per-class counts of [[diff]] plus the surviving-key total. */
+  def diffSummary(before: DataFrame, after: DataFrame, keyCol: String): DataFrame = {
+    val d = diff(before, after, keyCol)
+    d.groupBy(col("status")).agg(count(lit(1)).as("n"))
+  }
 }

@@ -1483,6 +1483,35 @@ object PipelineQueries extends QueryPack {
              |SELECT doc_id, text, lang, source, n_chars FROM merged""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q149: keyed table diff (Cdc.diff) — replica/migration verification
+    // between the documents base and its q138-merged successor. Only
+    // digests shuffle; the oracle classifies by direct column compare,
+    // so the digest comparison's added/removed/changed verdicts are what
+    // hash-verifies.
+    QueryDef(
+      "q149_table_diff",
+      (s, dir) => {
+        val base = T.documents(s, dir)
+        graft.operators.Cdc.diff(
+          base,
+          graft.operators.Cdc.applyChanges(base, docChanges(base), "doc_id"),
+          "doc_id")
+      },
+      Some(s"""WITH $docChangesSql
+             |SELECT d.doc_id, 'removed' AS status
+             |FROM documents d LEFT JOIN merged m ON d.doc_id = m.doc_id
+             |WHERE m.doc_id IS NULL
+             |UNION ALL
+             |SELECT m.doc_id, 'added'
+             |FROM merged m LEFT JOIN documents d ON d.doc_id = m.doc_id
+             |WHERE d.doc_id IS NULL
+             |UNION ALL
+             |SELECT d.doc_id, 'changed'
+             |FROM documents d JOIN merged m ON d.doc_id = m.doc_id
+             |WHERE d.text <> m.text OR d.lang <> m.lang
+             |   OR d.source <> m.source OR d.n_chars <> m.n_chars""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q144: data-quality audit (operators/Quality) — the between-stage
     // constraint gate: N row-level checks in ONE scan per table
     // (map-side partial sums), key-uniqueness as a groupBy, referential

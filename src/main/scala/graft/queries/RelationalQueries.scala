@@ -579,7 +579,36 @@ object RelationalQueries extends QueryPack {
              |  FROM p JOIN s ON s.s_user = p.user_id
              |    AND s.s_us <= p.us AND p.us - s.s_us <= 3600000000)
              |SELECT p.user_id, p.event_id, p.us, m.s_user, m.s_event, m.s_us
-             |FROM p LEFT JOIN m ON m.pe = p.event_id AND m.rn = 1""".stripMargin)),
+             |FROM p LEFT JOIN m ON m.pe = p.event_id AND m.rn = 1""".stripMargin),
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q148: lead/lag event gaps — per-user previous/next event time and
+    // a >30-minute inactivity-gap flag (the sessionization primitive
+    // exposed directly). Integer micros end to end; (us, event_id)
+    // ordering makes equal-time neighbors deterministic in both engines.
+    QueryDef(
+      "q148_event_gaps",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        T.events(s, dir)
+          .select($"user_id", $"event_id", $"event_type", expr("ts div 1000").as("us"))
+          .withColumn("prev_us", lag($"us", 1).over(w))
+          .withColumn("next_us", lead($"us", 1).over(w))
+          .withColumn("gap_us", $"us" - $"prev_us")
+          .withColumn("new_session",
+            ($"prev_us".isNull || $"us" - $"prev_us" > 1800L * 1000000L).cast("int"))
+      },
+      Some("""SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             |  lag(epoch_us(ts)) OVER w AS prev_us,
+             |  lead(epoch_us(ts)) OVER w AS next_us,
+             |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+             |  CAST(CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |       THEN 1 ELSE 0 END AS INT) AS new_session
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q26: pivot (wide conditional aggregation); empty cells coalesced to

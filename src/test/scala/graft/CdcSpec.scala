@@ -69,6 +69,25 @@ class CdcSpec extends AnyFunSuite {
     assert(inc.toSeq == Seq(("a", 3L, 72L), ("d", 1L, 90L)), s"got ${inc.toSeq}")
   }
 
+  test("diff: added/removed/changed classified exactly; same rows suppressed; nulls unambiguous") {
+    val before = Seq(
+      (1L, Option("a"), 10), (2L, Option("b"), 20),
+      (3L, Option("c"), 30), (4L, None, 40))
+      .toDF("id", "s", "v")
+    val after = Seq(
+      (1L, Option("a"), 10),  // same
+      (2L, Option("B"), 20),  // changed
+      (4L, Option(""), 40),   // changed: NULL -> empty string must NOT read as same
+      (9L, Option("z"), 90))  // added; 3 removed
+      .toDF("id", "s", "v")
+    val got = Cdc.diff(before, after, "id")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "changed", 9L -> "added"))
+    val counts = Cdc.diffSummary(before, after, "id")
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("changed" -> 2L, "removed" -> 1L, "added" -> 1L))
+  }
+
   test("streamingCdcApply: streamed batches equal one-shot merge; untouched buckets untouched") {
     val base = s"${GraftSession.scratchBase}/graft_scdc_spec"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
