@@ -611,6 +611,69 @@ object RelationalQueries extends QueryPack {
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q150: NATIVE session windows — Spark's `session_window(ts, gap)`
+    // merge-on-overlap aggregation (the built-in counterpart of the
+    // custom flatMapGroupsWithState sessionizer, q22/Sessionize). The
+    // oracle replays the exact merge rule as island detection: a new
+    // session starts when ts − prev ≥ gap (windows [t, t+gap) that do
+    // NOT overlap stay separate), session end = last event + gap.
+    // unix_micros keeps full precision, so boundaries hash-verify.
+    QueryDef(
+      "q150_session_window",
+      (s, dir) => {
+        import s.implicits._
+        T.events(s, dir)
+          .withColumn("t", timestamp_micros(expr("ts div 1000")))
+          .groupBy($"user_id", session_window($"t", "30 minutes"))
+          .agg(count(lit(1)).as("n"), min($"event_id").as("first_event"))
+          .select($"user_id",
+            unix_micros($"session_window.start").as("sess_start"),
+            unix_micros($"session_window.end").as("sess_end"),
+            $"n", $"first_event")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |f AS (
+             |  SELECT user_id, event_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |         OR us - lag(us) OVER w >= 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |g AS (
+             |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM f)
+             |SELECT user_id, min(us) AS sess_start,
+             |  max(us) + 1800000000 AS sess_end,
+             |  count(*) AS n, min(event_id) AS first_event
+             |FROM g GROUP BY user_id, sid""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q151: VARIANT JSON querying (Spark 4 VariantType) — parse_json
+    // into the binary variant encoding, typed variant_get extraction,
+    // filter + aggregate on the extracted path. The semi-structured
+    // counterpart of q18's get_json_object / q28's from_json.
+    QueryDef(
+      "q151_variant_json",
+      (s, dir) => {
+        import s.implicits._
+        T.events(s, dir)
+          .withColumn("v", parse_json($"props"))
+          .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+          .filter($"k" >= 50)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+            max($"k").as("max_k"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+             |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+             |FROM events
+             |WHERE CAST(props->>'$.k' AS BIGINT) >= 50
+             |GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q26: pivot (wide conditional aggregation); empty cells coalesced to
     // 0 so the shape is engine-independent.
     QueryDef(
