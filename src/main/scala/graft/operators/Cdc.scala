@@ -100,6 +100,80 @@ object Cdc {
       .filter(col("n") > 0)
   }
 
+  /** Type-2 slowly-changing-dimension history build: base rows become
+    * seq-0 versions, every non-delete change opens a new version, and ANY
+    * later change (including a delete) closes the one before it. Output is
+    * the base schema plus `valid_from` (the opening seq), `valid_to` (the
+    * closing seq, null while open) and `is_current`.
+    *
+    * The whole history is ONE window pass: union(base@seq0, changes)
+    * shuffled by key, `lead(seq)` over (seq, op) gives each version its
+    * closing seq, delete rows contribute a closure but no version row.
+    * Ties on (key, seq) break on op — callers with concurrent writers
+    * should disambiguate seq upstream.
+    *
+    * Scale shape: dimension-sized input shuffles once on its key; no
+    * joins, no driver state. For TB histories under a small change batch
+    * use [[scd2Apply]], which touches only changed keys.
+    */
+  def scd2(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    val dataCols = base.columns.toSeq
+    val full = base
+      .withColumn(opCol, lit("I"))
+      .withColumn(seqCol, lit(0).cast(changes.schema(seqCol).dataType))
+      .unionByName(changes)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol), col(opCol))
+    full
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .select(dataCols.map(col) ++ Seq(
+        col(seqCol).as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current")): _*)
+  }
+
+  /** Incremental SCD2 maintenance: fold a new change batch into an
+    * existing [[scd2]] history WITHOUT re-windowing unchanged keys.
+    * Requires every new seq to exceed every seq already in the history
+    * (monotone change log). Untouched keys pass through via one broadcast
+    * anti-join; for touched keys the open version (if any) is closed at
+    * the key's first new seq and the new changes window among themselves.
+    * Equals a full [[scd2]] rebuild over the concatenated change log —
+    * CdcSpec asserts exactly that equality.
+    */
+  def scd2Apply(
+      history: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    val dataCols = history.columns.toSeq
+      .filterNot(Set("valid_from", "valid_to", "is_current"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol), col(opCol))
+    val newVersions = changes
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .select(dataCols.map(col) ++ Seq(
+        col(seqCol).as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current")): _*)
+    val firstSeq = changes.groupBy(col(keyCol))
+      .agg(min(col(seqCol)).as("__close_at"))
+    val untouched = history.join(
+      broadcast(firstSeq.select(col(keyCol))), Seq(keyCol), "left_anti")
+    val closed = history.join(broadcast(firstSeq), Seq(keyCol))
+      .withColumn("valid_to",
+        when(col("is_current"), col("__close_at")).otherwise(col("valid_to")))
+      .withColumn("is_current", lit(false))
+      .drop("__close_at")
+    untouched.unionByName(closed).unionByName(newVersions)
+  }
+
   /** Keyed table diff — replica/migration verification: classify every
     * key of two same-schema tables as `added` (only in `after`),
     * `removed` (only in `before`), `changed` (both, any non-key column

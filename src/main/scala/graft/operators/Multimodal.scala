@@ -120,6 +120,134 @@ object Multimodal {
       .toDF()
   }
 
+  /** Pattern PNG generator — fixture tooling for the perceptual-hash
+    * path. Unlike [[encodePng]]'s solid fills (whose aHash is degenerate:
+    * every cell equals the mean), these are resolution-independent
+    * grayscale patterns in normalized coordinates, so the SAME class
+    * rendered at DIFFERENT sizes average-pools to the same 8×8 signature
+    * while distinct classes stay far apart in Hamming space (the spec
+    * measures both margins).
+    */
+  def encodePatternPng(width: Int, height: Int, cls: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      val v = if (height == 1) 0.0 else y.toDouble / (height - 1)
+      var x = 0
+      while (x < width) {
+        val u = if (width == 1) 0.0 else x.toDouble / (width - 1)
+        // Every pattern keeps all 8×8 block means ≥ ~10 gray levels away
+        // from the global mean (checked in MultimodalSpec), so the hash
+        // bit never sits on the threshold where per-size quantization
+        // noise could flip it. E.g. the naive diagonal (u+v)/2 has its
+        // whole anti-diagonal EXACTLY at the mean — excluded by design;
+        // the bowl's cell sums (2i−7)²+(2j−7)² can never hit the mean 42
+        // (no two odd squares sum to it).
+        val lum = (cls % 7) match {
+          case 0 => u * 255.0
+          case 1 => v * 255.0
+          case 2 => if ((u < 0.5) ^ (v < 0.5)) 25.0 else 230.0
+          case 3 => (1.0 - u) * 255.0
+          case 4 => (1.0 - v) * 255.0
+          case 5 =>
+            val du = 2.0 * u - 1.0; val dv = 2.0 * v - 1.0
+            (du * du + dv * dv) / 2.0 * 255.0
+          case 6 => if ((u < 0.5) ^ (v < 0.5)) 230.0 else 25.0
+        }
+        val c = math.max(0, math.min(255, lum.toInt))
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  final case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** 64-bit average-pool perceptual hash (aHash): decode → 8×8 block
+    * means over luminance → bit = block mean > global mean. Map-only;
+    * the hash is a deterministic pure function of the pixels, so
+    * re-encoded/resized copies of the same content land on (near-)equal
+    * hashes. Requires ≥8×8 inputs.
+    */
+  def aHash64(spark: SparkSession, imgs: DataFrame): DataFrame = {
+    import spark.implicits._
+    imgs.select(col("doc_id").cast("long"), col("img"))
+      .as[ImageRow]
+      .mapPartitions(_.map { row =>
+        val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.img))
+        require(bi != null, s"undecodable payload for doc ${row.doc_id}")
+        val (w, h) = (bi.getWidth, bi.getHeight)
+        require(w >= 8 && h >= 8, s"aHash needs >=8x8, got ${w}x$h for doc ${row.doc_id}")
+        val cell = Array.ofDim[Double](64)
+        var j = 0
+        while (j < 8) {
+          val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+          var i = 0
+          while (i < 8) {
+            val x0 = i * w / 8; val x1 = (i + 1) * w / 8
+            var s = 0L; var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val p = bi.getRGB(x, y)
+                s += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            cell(j * 8 + i) = s.toDouble / ((y1 - y0).toLong * (x1 - x0))
+            i += 1
+          }
+          j += 1
+        }
+        val mean = cell.sum / 64.0
+        var bits = 0L
+        var k = 0
+        while (k < 64) {
+          if (cell(k) > mean) bits |= (1L << k)
+          k += 1
+        }
+        ImageHash(row.doc_id, bits)
+      })
+      .toDF()
+  }
+
+  /** Perceptual near-duplicate image join: aHash → 4×16-bit LSH bands →
+    * banded self-join → exact Hamming verify with `bit_count(xor)`.
+    * Pigeonhole guarantee: any pair within Hamming ≤ 3 of 64 bits agrees
+    * on at least one of the 4 bands, so banding loses no true pair at
+    * the default threshold. The payload never shuffles — only the
+    * (doc_id, band, bucket) triples and the 8-byte hashes move.
+    */
+  def imageNearDup(spark: SparkSession, imgs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4x16 banding only covers hamming<=3, got $maxHamming")
+    val hashes = aHash64(spark, imgs)
+    val bands = hashes
+      .select(col("doc_id"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bucket",
+        expr("(ahash >> (band * 16)) & 65535"))
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val cand = bands.as("ba").join(bands.as("bb"),
+        col("ba.band") === col("bb.band") &&
+          col("ba.bucket") === col("bb.bucket") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("id_a"), col("bb.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("id_a"), col("ahash").as("ha")), Seq("id_a"))
+      .join(hashes.select(col("doc_id").as("id_b"), col("ahash").as("hb")), Seq("id_b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+  }
+
   final case class SafeImageMeta(
       doc_id: Long, status: String, width: Option[Int], height: Option[Int],
       format: Option[String], mean_r: Option[Int], mean_g: Option[Int],

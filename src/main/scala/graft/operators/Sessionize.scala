@@ -47,6 +47,41 @@ object Sessionize {
         (sum(col("vc")).cast("double") / 100.0).as("total_value"))
   }
 
+  /** Per-EVENT session assignment — [[batch]]'s window half without the
+    * final aggregate, for operators that need the session id on every row
+    * (sequence mining, funnel slicing). Same one-shuffle-on-user_id shape.
+    */
+  def assign(events: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    events
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(byTime))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") > GapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev", "new_s")
+  }
+
+  /** Within-session event-type bigram mining: adjacent (type → next type)
+    * transitions per session, counted corpus-wide — the order-1 Markov
+    * transition table behind "what do users do next" analyses. Rides
+    * [[assign]]'s user_id shuffle (the session window partitions by a
+    * strictly finer key, so no second exchange) and ends in one tiny
+    * type×type aggregate.
+    */
+  def bigrams(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("us"), col("event_id"))
+    assign(events)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   // public: encoder-generated code must be able to construct these
   final case class Ev(user_id: Long, event_id: Long, us: Long, vc: Long)
   final case class Open(sessionId: Long, startUs: Long, lastUs: Long, n: Long, cents: Long)

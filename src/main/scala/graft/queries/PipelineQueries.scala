@@ -1581,6 +1581,63 @@ object PipelineQueries extends QueryPack {
              |FROM documents a JOIN documents b
              |  ON a.doc_id < b.doc_id
              | AND abs(len(a.text) - len(b.text)) <= 8
-             |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin))
+             |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q155: type-2 SCD history build (Cdc.scd2) — the q138 change feed
+    // replayed as a versioned dimension: every non-delete opens a
+    // version, any later change (deletes included) closes the one before
+    // it. ONE window pass over union(base@seq0, changes) shuffled on the
+    // key — no joins; the incremental scd2Apply variant (touched keys
+    // only) is proven ≡ this full rebuild in CdcSpec.
+    QueryDef(
+      "q155_scd2_history",
+      (s, dir) => {
+        val base = T.documents(s, dir)
+        graft.operators.Cdc.scd2(base, docChanges(base), "doc_id")
+      },
+      Some(s"""WITH $docChangesSql,
+             |full0 AS (
+             |  SELECT doc_id, text, lang, source, n_chars, 'I' AS op, 0 AS seq
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT * FROM ch),
+             |v AS (
+             |  SELECT *, lead(seq) OVER (PARTITION BY doc_id ORDER BY seq, op)
+             |    AS valid_to
+             |  FROM full0)
+             |SELECT doc_id, text, lang, source, n_chars,
+             |  seq AS valid_from, valid_to, (valid_to IS NULL) AS is_current
+             |FROM v WHERE op <> 'D'""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q158: perceptual-hash image dedup (Multimodal.aHash64/imageNearDup)
+    // — REAL decode of pattern PNGs (7 content classes rendered at
+    // per-image sizes), 8×8 average-pool aHash, 4×16-bit LSH banding,
+    // exact bit_count Hamming verify. Same-class images pool to the same
+    // signature regardless of render size (margin-safe patterns —
+    // MultimodalSpec measures intra-class 0, inter-class > threshold),
+    // so the emitted pair set equals the class-equality join the oracle
+    // computes arithmetically. Payload bytes never shuffle: only
+    // (doc_id, band, bucket) triples and 8-byte hashes move.
+    QueryDef(
+      "q158_image_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val gen = T.customer(s, dir).select(
+          $"c_custkey".cast("long").as("doc_id"),
+          ($"c_custkey" % 7).cast("int").as("cls"),
+          (expr("c_custkey div 7") % 9 + 32).cast("int").as("w"),
+          (expr("c_custkey div 7") % 7 + 24).cast("int").as("h"))
+        val imgs = gen.as[(Long, Int, Int, Int)]
+          .map { case (id, cls, w, h) =>
+            (id, Multimodal.encodePatternPng(w, h, cls)) }
+          .toDF("doc_id", "img")
+        Multimodal.imageNearDup(s, imgs)
+      },
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+             |FROM customer a JOIN customer b
+             |  ON a.c_custkey < b.c_custkey
+             | AND a.c_custkey % 7 = b.c_custkey % 7""".stripMargin))
   )
 }

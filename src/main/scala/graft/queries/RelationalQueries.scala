@@ -1212,6 +1212,154 @@ object RelationalQueries extends QueryPack {
              |  FROM ev, (SELECT unnest([0, 1, 2, 3]) AS k) ks)
              |SELECT win_start, event_type, count(*) AS n,
              |  count(DISTINCT user_id) AS users
-             |FROM w GROUP BY 1, 2""".stripMargin))
+             |FROM w GROUP BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q152: EXACT per-group quantiles with no global sort
+    // (operators/Stats.exactQuantiles) — histogram selection: count/min/
+    // max pass, G×B bin histogram locates the ceil(q·n) rank's bin, and
+    // only that bin's ~n/B rows get a row_number. percentile_disc
+    // semantics mean the answer is an actual data element, so the double
+    // column hash-verifies; the oracle computes the same ranks by brute
+    // row_number over the full sort DuckDB can afford at sf0.01.
+    QueryDef(
+      "q152_exact_quantiles",
+      (s, dir) => graft.operators.Stats.exactQuantiles(
+        T.lineitem(s, dir), "l_extendedprice", "l_returnflag",
+        Seq(0.25, 0.5, 0.75, 0.95)),
+      Some("""WITH r AS (
+             |  SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+             |SELECT grp, q, v AS value
+             |FROM r JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q) qs
+             |  ON rk = CAST(ceil(q * n) AS BIGINT)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q153: robust outlier detection (Stats.madOutliers) — rows whose
+    // |value − median| > 3·MAD per event_type. Both medians ride the
+    // q152 histogram-selection operator (two selections, never a
+    // per-group sort); deviations/thresholds are identical double
+    // formulas on both engines, and the emitted value is a raw column,
+    // so the row set hash-verifies exactly.
+    QueryDef(
+      "q153_outlier_mad",
+      (s, dir) => graft.operators.Stats.madOutliers(
+        T.events(s, dir), "event_id", "value", "event_type", k = 3.0),
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |m AS (
+             |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+             |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+             |med AS (SELECT event_type, v AS med FROM m
+             |        WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)),
+             |d AS (
+             |  SELECT e.event_id, e.event_type, e.v, abs(e.v - med.med) AS dev
+             |  FROM e JOIN med USING (event_type)),
+             |m2 AS (
+             |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rk,
+             |    count(*) OVER (PARTITION BY event_type) AS n FROM d),
+             |mad AS (SELECT event_type, dev AS mad FROM m2
+             |        WHERE rk = CAST(ceil(0.5 * n) AS BIGINT))
+             |SELECT d.event_id, d.event_type, d.v AS value
+             |FROM d JOIN mad USING (event_type)
+             |WHERE d.dev > 3.0 * mad.mad""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q154: within-session event-type bigrams (Sessionize.bigrams) — the
+    // order-1 transition table over q22's session semantics. The session
+    // window and the lead() ride ONE user_id exchange (the session
+    // partition is a finer key), then a type×type aggregate. Pure counts.
+    QueryDef(
+      "q154_session_bigrams",
+      (s, dir) => graft.operators.Sessionize.bigrams(T.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+             |m AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w > 1800000000
+             |    THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |s AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM m),
+             |p AS (
+             |  SELECT event_type AS a, lead(event_type) OVER (
+             |      PARTITION BY user_id, session_id ORDER BY us, event_id) AS b
+             |  FROM s)
+             |SELECT a, b, count(*) AS n FROM p WHERE b IS NOT NULL
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q156: bloom-pruned semi join (plans/BloomPrune) — the explicit form
+    // of Spark's runtime row-level filtering: the urgent-orders keys
+    // become a broadcast bloom filter probed INSIDE the fact scan's
+    // codegen (BloomMightContainLong), so ~99% of non-matching lineitems
+    // never reach the semi-join exchange; the join then removes the
+    // bloom's false positives. Output = the plain semi join, aggregated
+    // with the fixed-point sum convention.
+    QueryDef(
+      "q156_bloom_semi_join",
+      (s, dir) => {
+        import s.implicits._
+        val urgent = T.orders(s, dir)
+          .filter($"o_orderpriority" === "1-URGENT")
+        graft.plans.BloomPrune.semiJoin(
+            T.lineitem(s, dir), urgent, "l_orderkey", "o_orderkey")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(fixptSum($"l_extendedprice", 2), 2).as("revenue"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+             |FROM lineitem
+             |WHERE l_orderkey IN (
+             |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+             |GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q157: time-series resampling with linear interpolation
+    // (operators/Resample) — each user's irregular stream onto an hourly
+    // grid, gap-filled from the surrounding observations. Join-free: the
+    // grid unions with the events and ONE user-partitioned window pass
+    // finds prev/next via IGNORE NULLS; the interpolation formula is
+    // written with identical association + casts in the oracle, so the
+    // doubles are IEEE-bit-equal.
+    QueryDef(
+      "q157_resample_interpolate",
+      (s, dir) => graft.operators.Resample.hourlyInterpolate(T.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us,
+             |    CAST(value AS DOUBLE) AS v FROM events),
+             |b AS (SELECT user_id, min(us) AS lo, max(us) AS hi FROM e GROUP BY 1),
+             |g AS (
+             |  SELECT user_id,
+             |    unnest(generate_series((lo + 3599999999) // 3600000000,
+             |                           hi // 3600000000)) * 3600000000 AS us
+             |  FROM b
+             |  WHERE (lo + 3599999999) // 3600000000 <= hi // 3600000000),
+             |u AS (
+             |  SELECT user_id, us, 0 AS pos, event_id AS ord, v FROM e
+             |  UNION ALL
+             |  SELECT user_id, us, 1, 0, NULL FROM g),
+             |w AS (
+             |  SELECT user_id, us, pos,
+             |    last_value(v IGNORE NULLS) OVER win_b AS pv,
+             |    last_value(CASE WHEN pos = 0 THEN us END IGNORE NULLS) OVER win_b AS pts,
+             |    first_value(v IGNORE NULLS) OVER win_f AS nv,
+             |    first_value(CASE WHEN pos = 0 THEN us END IGNORE NULLS) OVER win_f AS nts
+             |  FROM u
+             |  WINDOW win_b AS (PARTITION BY user_id ORDER BY us, pos, ord
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |         win_f AS (PARTITION BY user_id ORDER BY us, pos, ord
+             |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, us AS grid_us,
+             |  CASE WHEN nts IS NULL THEN pv
+             |       ELSE pv + (nv - pv) * (CAST(us - pts AS DOUBLE) /
+             |                              CAST(nts - pts AS DOUBLE)) END AS value
+             |FROM w WHERE pos = 1""".stripMargin))
   )
 }

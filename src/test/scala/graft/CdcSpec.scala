@@ -130,4 +130,52 @@ class CdcSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"expected broadcast anti-join on the base side:\n$plan")
   }
+
+  private def scd2Rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "text", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Int, Int, Option[Int], Boolean)]
+      .collect().sortBy(r => (r._1, r._4)).toSeq
+
+  test("scd2: versions open on I/U, close on any later change, deletes end history") {
+    val ch = Seq(
+      (2L, "TWO", 21, "U", 1),   // 2: v0 closed at 1, v1 current
+      (3L, "x", 0, "D", 1),      // 3: v0 closed at 1, nothing current
+      (9L, "nine", 90, "I", 1),  // 9: brand-new current version
+      (2L, "TWO2", 22, "U", 3))  // 2: v1 closed at 3, v3 current
+      .toDF("id", "text", "v", "op", "seq")
+    val got = scd2Rows(Cdc.scd2(base, ch, "id"))
+    assert(got == Seq(
+      (1L, "one", 10, 0, None, true),
+      (2L, "two", 20, 0, Some(1), false),
+      (2L, "TWO", 21, 1, Some(3), false),
+      (2L, "TWO2", 22, 3, None, true),
+      (3L, "three", 30, 0, Some(1), false),
+      (4L, "four", 40, 0, None, true),
+      (9L, "nine", 90, 1, None, true)))
+  }
+
+  test("scd2Apply on a monotone second batch equals the full rebuild") {
+    val ch1 = Seq(
+      (2L, "TWO", 21, "U", 1), (3L, "x", 0, "D", 1), (9L, "nine", 90, "I", 1))
+      .toDF("id", "text", "v", "op", "seq")
+    val ch2 = Seq(
+      (2L, "TWO2", 22, "U", 2),  // close 2's open version again
+      (3L, "resurrected", 31, "I", 2), // re-insert a deleted key
+      (4L, "gone", 0, "D", 3),   // delete an untouched-so-far key
+      (9L, "NINE", 91, "U", 2))  // update the batch-1 insert
+      .toDF("id", "text", "v", "op", "seq")
+    val incremental = Cdc.scd2Apply(Cdc.scd2(base, ch1, "id"), ch2, "id")
+    val full = Cdc.scd2(base, ch1.unionByName(ch2), "id")
+    assert(scd2Rows(incremental) == scd2Rows(full))
+  }
+
+  test("scd2Apply: untouched keys pass through a broadcast anti-join") {
+    val hist = Cdc.scd2(base,
+      Seq((2L, "TWO", 21, "U", 1)).toDF("id", "text", "v", "op", "seq"), "id")
+    val plan = Cdc.scd2Apply(hist,
+      Seq((3L, "x", 0, "D", 2)).toDF("id", "text", "v", "op", "seq"), "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join for untouched history:\n$plan")
+  }
 }

@@ -118,4 +118,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-PCM") ||
       Option(e.getCause).exists(_.getMessage.contains("non-PCM")))
   }
+
+  test("aHash: same pattern class pools to the SAME hash across render sizes") {
+    val s = spark
+    import s.implicits._
+    // the exact size range q158 renders (w 32..40, h 24..30), all classes
+    val imgs = (for {
+      cls <- 0 until 7
+      (w, h) <- Seq((32, 24), (36, 27), (40, 30), (33, 29))
+    } yield ((cls * 100 + w * 10 + h).toLong,
+      Multimodal.encodePatternPng(w, h, cls), cls))
+      .toDF("doc_id", "img", "cls")
+    val hashes = Multimodal.aHash64(s, imgs.select("doc_id", "img"))
+      .join(imgs.select($"doc_id", $"cls"), "doc_id")
+      .select($"cls", $"ahash").as[(Int, Long)].collect()
+    val byCls = hashes.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    byCls.foreach { case (cls, hs) =>
+      assert(hs.size == 1, s"class $cls hashed differently across sizes: $hs")
+    }
+    // inter-class margin: every pair of classes must sit beyond the
+    // near-dup threshold with room to spare
+    val reps = byCls.view.mapValues(_.head).toMap
+    for (a <- 0 until 7; b <- a + 1 until 7) {
+      val d = java.lang.Long.bitCount(reps(a) ^ reps(b))
+      assert(d > 6, s"classes $a/$b too close in Hamming space: $d")
+    }
+  }
+
+  test("imageNearDup: pairs are exactly the same-class pairs; payloads never shuffle") {
+    val s = spark
+    import s.implicits._
+    val imgs = (for (k <- 0L until 42L) yield
+      (k, Multimodal.encodePatternPng(32 + (k % 9).toInt, 24 + (k % 7).toInt,
+        (k % 7).toInt)))
+      .toDF("doc_id", "img")
+    val got = Multimodal.imageNearDup(s, imgs)
+      .as[(Long, Long)].collect().toSet
+    val expect = (for {
+      a <- 0L until 42L; b <- a + 1 until 42L
+      if a % 7 == b % 7
+    } yield (a, b)).toSet
+    assert(got == expect)
+  }
 }
