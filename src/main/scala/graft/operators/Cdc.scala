@@ -174,6 +174,25 @@ object Cdc {
     untouched.unionByName(closed).unionByName(newVersions)
   }
 
+  /** Point-in-time (AS OF) read over an SCD2 history: for every probe
+    * (key, at) return the version whose [valid_from, valid_to) interval
+    * covers `at`. Deliberately a plain key equi-join + interval filter —
+    * per key there are only a handful of versions, so the equi-join IS
+    * the scale-correct plan (a generic interval join would shuffle the
+    * same rows and lose the key co-location); probes broadcast when
+    * small. Keys with no version at `at` (pre-insert / post-delete)
+    * produce no row, matching dimension-lookup semantics.
+    */
+  def asOfRead(
+      history: DataFrame,
+      probes: DataFrame,
+      keyCol: String,
+      atCol: String): DataFrame =
+    probes.join(history, Seq(keyCol))
+      .filter(col("valid_from") <= col(atCol) &&
+        (col("valid_to").isNull || col(atCol) < col("valid_to")))
+      .drop("valid_from", "valid_to", "is_current")
+
   /** Keyed table diff — replica/migration verification: classify every
     * key of two same-schema tables as `added` (only in `after`),
     * `removed` (only in `before`), `changed` (both, any non-key column

@@ -316,57 +316,122 @@ object Multimodal {
     * silence-detection primitives an audio-corpus sweep filters on.
     * Map-only like [[decodeImages]]; malformed payloads fail loudly.
     */
+  /** Parsed RIFF/WAVE container: buffer + fmt fields + data span. */
+  private final case class WavInfo(
+      bb: java.nio.ByteBuffer, channels: Int, rate: Int, bits: Int,
+      dataOff: Int, dataLen: Int)
+
+  private def walkWav(docId: Long, wav: Array[Byte]): WavInfo = {
+    val bb = java.nio.ByteBuffer.wrap(wav)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"not RIFF for doc $docId")
+    bb.getInt // container size
+    require(fourcc() == "WAVE", s"not WAVE for doc $docId")
+    var channels = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (bb.remaining() >= 8) {
+      val id = fourcc()
+      val size = bb.getInt
+      val next = bb.position() + size + (size & 1) // RIFF pads to even
+      id match {
+        case "fmt " =>
+          val audioFormat = bb.getShort
+          require(audioFormat == 1, s"non-PCM wav for doc $docId")
+          channels = bb.getShort
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          bits = bb.getShort
+        case "data" =>
+          dataOff = bb.position(); dataLen = size
+        case _ => // skip unknown chunks (LIST, INFO, ...)
+      }
+      bb.position(next)
+    }
+    require(rate > 0 && dataOff >= 0, s"missing fmt/data for doc $docId")
+    require(bits == 16, s"only PCM16 supported, got $bits")
+    WavInfo(bb, channels, rate, bits, dataOff, dataLen)
+  }
+
   def decodeWav(spark: SparkSession, audio: DataFrame): DataFrame = {
     import spark.implicits._
     audio.select(col("doc_id").cast("long"), col("wav"))
       .as[AudioRow]
       .mapPartitions { it =>
         it.map { row =>
-          val bb = java.nio.ByteBuffer.wrap(row.wav)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          def fourcc(): String = {
-            val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
-          }
-          require(fourcc() == "RIFF", s"not RIFF for doc ${row.doc_id}")
-          bb.getInt // container size
-          require(fourcc() == "WAVE", s"not WAVE for doc ${row.doc_id}")
-          var channels = -1; var rate = -1; var bits = -1
-          var dataOff = -1; var dataLen = -1
-          while (bb.remaining() >= 8) {
-            val id = fourcc()
-            val size = bb.getInt
-            val next = bb.position() + size + (size & 1) // RIFF pads to even
-            id match {
-              case "fmt " =>
-                val audioFormat = bb.getShort
-                require(audioFormat == 1, s"non-PCM wav for doc ${row.doc_id}")
-                channels = bb.getShort
-                rate = bb.getInt
-                bb.getInt; bb.getShort // byte rate, block align
-                bits = bb.getShort
-              case "data" =>
-                dataOff = bb.position(); dataLen = size
-              case _ => // skip unknown chunks (LIST, INFO, ...)
-            }
-            bb.position(next)
-          }
-          require(rate > 0 && dataOff >= 0, s"missing fmt/data for doc ${row.doc_id}")
-          require(bits == 16, s"only PCM16 supported, got $bits")
-          val n = dataLen / 2 / channels
+          val w = walkWav(row.doc_id, row.wav)
+          val n = w.dataLen / 2 / w.channels
           var peak = 0; var energy = 0L
           var i = 0
-          while (i < dataLen / 2) {
-            val s = bb.getShort(dataOff + i * 2).toInt
+          while (i < w.dataLen / 2) {
+            val s = w.bb.getShort(w.dataOff + i * 2).toInt
             val a = math.abs(s)
             if (a > peak) peak = a
             energy += s.toLong * s
             i += 1
           }
-          AudioMeta(row.doc_id, "wav", channels, rate, bits, n.toLong,
-            n.toLong * 1000L / rate, peak, energy)
+          AudioMeta(row.doc_id, "wav", w.channels, w.rate, w.bits, n.toLong,
+            n.toLong * 1000L / w.rate, peak, energy)
         }
       }
       .toDF()
+  }
+
+  final case class AudioPrint(doc_id: Long, half_period: Int, n_samples: Long)
+
+  /** Deterministic square-tone fixture for the fingerprint path: period-p
+    * alternation at amplitude A — crossings are amplitude- and
+    * length-independent, so the SAME tone class re-rendered at different
+    * lengths/volumes fingerprints identically.
+    */
+  def encodeToneWav(sampleRate: Int, nSamples: Int, period: Int,
+      amplitude: Short): Array[Byte] = {
+    require(period >= 2 && period % 2 == 0, s"even period >= 2, got $period")
+    val samples = Array.tabulate[Short](nSamples)(i =>
+      if ((i % period) < period / 2) amplitude else (-amplitude).toShort)
+    encodeWav(sampleRate, samples)
+  }
+
+  /** Audio content fingerprint: dominant half-period from the PCM16
+    * zero-crossing count — an exact integer (`n div crossings`) that is
+    * invariant to amplitude and, for n ≫ period², to clip length. The
+    * audio analogue of [[aHash64]]: REAL container decode, map-only,
+    * narrow output.
+    */
+  def audioFingerprint(spark: SparkSession, audio: DataFrame): DataFrame = {
+    import spark.implicits._
+    audio.select(col("doc_id").cast("long"), col("wav"))
+      .as[AudioRow]
+      .mapPartitions(_.map { row =>
+        val w = walkWav(row.doc_id, row.wav)
+        val n = w.dataLen / 2
+        var crossings = 0L
+        var prev = w.bb.getShort(w.dataOff).toInt
+        var i = 1
+        while (i < n) {
+          val s = w.bb.getShort(w.dataOff + i * 2).toInt
+          if ((prev > 0 && s < 0) || (prev < 0 && s > 0)) crossings += 1
+          if (s != 0) prev = s
+          i += 1
+        }
+        val hp = if (crossings == 0) 0 else (n / crossings).toInt
+        AudioPrint(row.doc_id, hp, n.toLong)
+      })
+      .toDF()
+  }
+
+  /** Duplicate-audio pairs by exact fingerprint match — one shuffle of
+    * (doc_id, half_period); payload bytes never move past the map-only
+    * fingerprint scan.
+    */
+  def audioDupPairs(spark: SparkSession, audio: DataFrame): DataFrame = {
+    val fp = audioFingerprint(spark, audio).select(col("doc_id"), col("half_period"))
+    fp.as("fa").join(fp.as("fb"),
+        col("fa.half_period") === col("fb.half_period") &&
+          col("fa.doc_id") < col("fb.doc_id"))
+      .select(col("fa.doc_id").as("id_a"), col("fb.doc_id").as("id_b"))
   }
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])

@@ -1638,6 +1638,71 @@ object PipelineQueries extends QueryPack {
       Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
              |FROM customer a JOIN customer b
              |  ON a.c_custkey < b.c_custkey
+             | AND a.c_custkey % 7 = b.c_custkey % 7""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q159: point-in-time dimension read (Cdc.asOfRead) — every doc key
+    // probed AS OF seq 0/1/2 against the q155 SCD2 history. The plan is
+    // a key equi-join + interval filter (versions-per-key is tiny, so
+    // key co-location beats any generic interval machinery); keys with
+    // no live version at the probe seq vanish, which the oracle mirrors.
+    QueryDef(
+      "q159_temporal_asof",
+      (s, dir) => {
+        import s.implicits._
+        val base = T.documents(s, dir)
+        val hist = graft.operators.Cdc.scd2(base, docChanges(base), "doc_id")
+        val probes = hist.select($"doc_id").distinct()
+          .crossJoin(Seq(0, 1, 2).toDF("at_seq"))
+        graft.operators.Cdc.asOfRead(hist, probes, "doc_id", "at_seq")
+          .select($"doc_id", $"at_seq", $"text", $"n_chars")
+      },
+      Some(s"""WITH $docChangesSql,
+             |full0 AS (
+             |  SELECT doc_id, text, lang, source, n_chars, 'I' AS op, 0 AS seq
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT * FROM ch),
+             |v AS (
+             |  SELECT *, lead(seq) OVER (PARTITION BY doc_id ORDER BY seq, op)
+             |    AS valid_to
+             |  FROM full0),
+             |hist AS (SELECT * FROM v WHERE op <> 'D'),
+             |probes AS (
+             |  SELECT DISTINCT doc_id, at_seq
+             |  FROM hist, (SELECT unnest([0, 1, 2]) AS at_seq) t)
+             |SELECT p.doc_id, p.at_seq, h.text, h.n_chars
+             |FROM probes p JOIN hist h ON p.doc_id = h.doc_id
+             |WHERE h.seq <= p.at_seq
+             |  AND (h.valid_to IS NULL OR p.at_seq < h.valid_to)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q160: duplicate-audio detection by content fingerprint
+    // (Multimodal.audioFingerprint/audioDupPairs) — REAL RIFF/PCM16
+    // decode of square tones rendered per customer (7 tone classes ×
+    // varying length × varying amplitude), dominant half-period from the
+    // zero-crossing count (exact integer, amplitude/length-invariant),
+    // exact-match pair join. Payloads never shuffle; the oracle replays
+    // class equality arithmetically, so the fingerprint's invariance IS
+    // what hash-verifies.
+    QueryDef(
+      "q160_audio_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val gen = T.customer(s, dir).select(
+          $"c_custkey".cast("long").as("doc_id"),
+          (($"c_custkey" % 7) * 2 + 8).cast("int").as("period"),
+          (expr("c_custkey div 7") % 11 * 500 + 4000).cast("int").as("n"),
+          (($"c_custkey" % 5) * 100 + 500).cast("int").as("amp"))
+        val wavs = gen.as[(Long, Int, Int, Int)]
+          .map { case (id, p, n, a) =>
+            (id, Multimodal.encodeToneWav(8000, n, p, a.toShort)) }
+          .toDF("doc_id", "wav")
+        Multimodal.audioDupPairs(s, wavs)
+      },
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+             |FROM customer a JOIN customer b
+             |  ON a.c_custkey < b.c_custkey
              | AND a.c_custkey % 7 = b.c_custkey % 7""".stripMargin))
   )
 }

@@ -169,6 +169,25 @@ class CdcSpec extends AnyFunSuite {
     assert(scd2Rows(incremental) == scd2Rows(full))
   }
 
+  test("asOfRead returns the covering version; pre-insert/post-delete keys vanish") {
+    val ch = Seq(
+      (2L, "TWO", 21, "U", 1),   // 2 updated at 1
+      (3L, "x", 0, "D", 1),      // 3 deleted at 1
+      (9L, "nine", 90, "I", 2))  // 9 born at 2
+      .toDF("id", "text", "v", "op", "seq")
+    val hist = Cdc.scd2(base, ch, "id")
+    val probes = Seq((2L, 0), (2L, 1), (3L, 0), (3L, 1), (9L, 0), (9L, 2))
+      .toDF("id", "at")
+    val got = Cdc.asOfRead(hist, probes, "id", "at")
+      .select("id", "at", "text")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (2L, 0, "two"),   // pre-update version
+      (2L, 1, "TWO"),   // post-update version
+      (3L, 0, "three"), // alive before the delete
+      (9L, 2, "nine"))) // born at 2; (3,1) and (9,0) vanish
+  }
+
   test("scd2Apply: untouched keys pass through a broadcast anti-join") {
     val hist = Cdc.scd2(base,
       Seq((2L, "TWO", 21, "U", 1)).toDF("id", "text", "v", "op", "seq"), "id")

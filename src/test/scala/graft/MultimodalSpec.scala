@@ -119,6 +119,39 @@ class MultimodalSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("non-PCM")))
   }
 
+  test("audio fingerprint: half-period exact, invariant to amplitude and length") {
+    val s = spark
+    import s.implicits._
+    val wavs = (for {
+      (p, cls) <- Seq((8, 0), (14, 1), (20, 2))
+      (n, amp) <- Seq((4000, 500.toShort), (9000, 900.toShort), (5500, 300.toShort))
+    } yield ((cls * 100 + n / 100).toLong,
+      Multimodal.encodeToneWav(8000, n, p, amp), p / 2))
+      .toDF("doc_id", "wav", "expect_hp")
+    val got = Multimodal.audioFingerprint(s, wavs.select("doc_id", "wav"))
+      .join(wavs.select($"doc_id", $"expect_hp"), "doc_id")
+      .select("half_period", "expect_hp")
+      .as[(Int, Int)].collect()
+    assert(got.nonEmpty && got.forall { case (hp, exp) => hp == exp },
+      s"fingerprints off: ${got.filter(g => g._1 != g._2).toSeq}")
+  }
+
+  test("audioDupPairs: exactly the same-tone-class pairs") {
+    val s = spark
+    import s.implicits._
+    val wavs = (for (k <- 0L until 21L) yield
+      (k, Multimodal.encodeToneWav(8000, 4000 + (k % 5).toInt * 500,
+        8 + (k % 3).toInt * 4, (500 + (k % 4) * 100).toShort)))
+      .toDF("doc_id", "wav")
+    val got = Multimodal.audioDupPairs(s, wavs)
+      .as[(Long, Long)].collect().toSet
+    val expect = (for {
+      a <- 0L until 21L; b <- a + 1 until 21L
+      if a % 3 == b % 3
+    } yield (a, b)).toSet
+    assert(got == expect)
+  }
+
   test("aHash: same pattern class pools to the SAME hash across render sizes") {
     val s = spark
     import s.implicits._
