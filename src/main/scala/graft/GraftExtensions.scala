@@ -15,6 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.BandJoinRule)
+    // aggregate navigation: substitute registered materialized views
+    e.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
     // whole-operator extension: the native as-of join's physical planning
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((

@@ -1,0 +1,150 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import scala.collection.concurrent.TrieMap
+
+/** Materialized-view rewrite — aggregate navigation as a Catalyst
+  * optimizer rule.
+  *
+  * At 100 TB the same `GROUP BY dim` rollups are recomputed constantly;
+  * the warehouse answer is to materialize them once and have the
+  * PLANNER substitute the view whenever a query's aggregate is
+  * subsumed by it — users keep writing queries against the base table.
+  * [[MvCatalog.register]] materializes `base GROUP BY g → count(1),
+  * sum/min/max(measures)` to parquet and records the mapping;
+  * [[MvRewriteRule]] (injected via `graft.GraftExtensions`) then
+  * replaces any matching `Aggregate` over the base relation with a scan
+  * of the view — a TB scan becomes a KB scan, no user opt-in.
+  *
+  * Matching is deliberately conservative (exact base paths, grouping
+  * set equal to the view's, only count/sum/min/max without
+  * DISTINCT/FILTER, nothing but column-pruning Projects between the
+  * aggregate and the scan) — a near-miss silently falls through to the
+  * normal plan, never to a wrong rewrite. Output attribute ids and
+  * types are preserved via aliases, so parent operators are untouched.
+  *
+  * Staleness: a view is consulted only while its `valid` flag holds;
+  * [[MvCatalog.invalidate]] drops it (e.g. after a base write), and a
+  * CDC-maintained view can be kept fresh with
+  * [[graft.operators.Cdc.incrementalAgg]] + re-register. The registry
+  * is driver-side state — exactly where Catalyst rules run.
+  */
+object MvCatalog {
+
+  final case class MvEntry(
+      name: String,
+      basePaths: Set[String],
+      groupCols: Seq[String],
+      measures: Map[String, String], // canonical agg key -> view column
+      view: LogicalRelation,
+      var valid: Boolean)
+
+  private val entries = TrieMap.empty[String, MvEntry]
+
+  private def relationOf(spark: SparkSession, path: String): LogicalRelation =
+    spark.read.parquet(path).queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation => l
+    }.getOrElse(throw new IllegalStateException(s"no relation for $path"))
+
+  /** Materialize `parquet(basePath) GROUP BY groupCols → count(1) AS n,
+    * sum(m) AS sum_m, min(m) AS min_m, max(m) AS max_m` to `mvPath` and
+    * register it for rewriting.
+    */
+  def register(
+      spark: SparkSession,
+      name: String,
+      basePath: String,
+      groupCols: Seq[String],
+      measureCols: Seq[String],
+      mvPath: String): Unit = {
+    val base = spark.read.parquet(basePath)
+    val aggs = count(lit(1)).as("n") +:
+      measureCols.flatMap(m => Seq(
+        sum(col(m)).as(s"sum_$m"),
+        min(col(m)).as(s"min_$m"),
+        max(col(m)).as(s"max_$m")))
+    base.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    val measures = Map("count" -> "n") ++
+      measureCols.flatMap(m => Seq(
+        s"sum:$m" -> s"sum_$m", s"min:$m" -> s"min_$m", s"max:$m" -> s"max_$m"))
+    entries(name) = MvEntry(
+      name,
+      rootPaths(relationOf(spark, basePath)),
+      groupCols, measures,
+      relationOf(spark, mvPath),
+      valid = true)
+  }
+
+  def invalidate(name: String): Unit = entries.get(name).foreach(_.valid = false)
+  def drop(name: String): Unit = entries.remove(name)
+  def find(basePaths: Set[String]): Option[MvEntry] =
+    entries.values.find(e => e.valid && e.basePaths == basePaths)
+
+  def rootPaths(rel: LogicalRelation): Set[String] = rel.relation match {
+    case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).toSet
+    case _ => Set.empty
+  }
+}
+
+object MvRewriteRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg: Aggregate => rewrite(agg).getOrElse(agg)
+  }
+
+  /** The scan under the aggregate, seen through column-pruning Projects
+    * only — a Filter (or anything else) makes the aggregate not
+    * view-subsumed and kills the match.
+    */
+  private def baseScan(plan: LogicalPlan): Option[LogicalRelation] = plan match {
+    case r: LogicalRelation => Some(r)
+    case Project(projectList, child) if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      baseScan(child)
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val scan = baseScan(agg.child).getOrElse(return None)
+    val entry = MvCatalog.find(MvCatalog.rootPaths(scan)).getOrElse(return None)
+
+    val groupNames = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (groupNames.toSet != entry.groupCols.toSet) return None
+
+    val view = entry.view.newInstance()
+    val viewAttr = view.output.map(a => a.name -> a).toMap
+
+    val projections: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        val mv = viewAttr.getOrElse(a.name, return None)
+        Alias(castIfNeeded(mv, a.dataType), a.name)(exprId = a.exprId)
+      case al @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
+        val key = fn match {
+          case Count(Seq(Literal(_, _))) => "count"
+          case Sum(ar: AttributeReference, _) => s"sum:${ar.name}"
+          case Min(ar: AttributeReference) => s"min:${ar.name}"
+          case Max(ar: AttributeReference) => s"max:${ar.name}"
+          case _ => return None
+        }
+        val mvCol = entry.measures.getOrElse(key, return None)
+        val mv = viewAttr.getOrElse(mvCol, return None)
+        Alias(castIfNeeded(mv, al.dataType), name)(exprId = al.exprId)
+      case _ => return None
+    }
+    Some(Project(projections, view))
+  }
+
+  private def castIfNeeded(a: Attribute, to: org.apache.spark.sql.types.DataType): Expression =
+    if (a.dataType == to) a else Cast(a, to)
+}

@@ -1703,6 +1703,36 @@ object PipelineQueries extends QueryPack {
       Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
              |FROM customer a JOIN customer b
              |  ON a.c_custkey < b.c_custkey
-             | AND a.c_custkey % 7 = b.c_custkey % 7""".stripMargin))
+             | AND a.c_custkey % 7 = b.c_custkey % 7""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q161: materialized-view rewrite (plans/MvRewrite) — aggregate
+    // navigation as a Catalyst optimizer rule: the per-source rollup is
+    // materialized once, and the QUERY STILL WRITTEN AGAINST THE BASE
+    // TABLE is substituted by the planner to scan the view (MvRewriteSpec
+    // pins that the optimized plan reads the view path, not the base).
+    // The oracle recomputes from the base in DuckDB, so "view ≡ base
+    // rollup" is the hash-verified property.
+    QueryDef(
+      "q161_mv_rewrite",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val mvPath = s"${graft.GraftSession.scratchBase}/graft_mv_docs_$sfName"
+        graft.plans.MvCatalog.register(
+          s, s"docs_by_source_$sfName", s"$dir/documents.parquet",
+          Seq("source"), Seq("n_chars"), mvPath)
+        s.read.parquet(s"$dir/documents.parquet")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"n_chars").as("total_chars"),
+            min($"n_chars").as("min_chars"),
+            max($"n_chars").as("max_chars"))
+      },
+      Some("""SELECT source, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents GROUP BY 1""".stripMargin))
   )
 }
