@@ -1733,6 +1733,80 @@ object PipelineQueries extends QueryPack {
       Some("""SELECT source, count(*) AS n,
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
              |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
-             |FROM documents GROUP BY 1""".stripMargin))
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q162: product-quantization ANN (Similarity.pqTopK — Jégou et al.
+    // 2011): 4×16-dim subspaces, seeded codebooks, per-subspace argmin
+    // encode (map-side partial agg; corpus never shuffles with vectors
+    // attached), asymmetric-distance scan over 4 codes per vector, exact
+    // cosine rerank of the k·4 ADC candidates. The oracle replays
+    // encode → ADC → rerank with identical float-dot arithmetic and tie
+    // rules, so every stage of the approximation hash-verifies.
+    QueryDef(
+      "q162_ann_pq",
+      (s, dir) => {
+        import s.implicits._
+        val emb = T.embeddings(s, dir)
+        Similarity.pqTopK(emb, emb.filter($"vec_id" < 10), k = 5)
+      },
+      Some("""WITH sub AS (
+             |  SELECT vec_id AS cell,
+             |    embedding[1:16] AS s0, embedding[17:32] AS s1,
+             |    embedding[33:48] AS s2, embedding[49:64] AS s3
+             |  FROM embeddings WHERE vec_id < 16),
+             |vs AS (
+             |  SELECT vec_id,
+             |    embedding[1:16] AS v0, embedding[17:32] AS v1,
+             |    embedding[33:48] AS v2, embedding[49:64] AS v3
+             |  FROM embeddings),
+             |asg AS (
+             |  SELECT v.vec_id, s.cell,
+             |    CAST(list_dot_product(v.v0,v.v0) AS DOUBLE) + CAST(list_dot_product(s.s0,s.s0) AS DOUBLE) - 2.0*CAST(list_dot_product(v.v0,s.s0) AS DOUBLE) AS dd0,
+             |    CAST(list_dot_product(v.v1,v.v1) AS DOUBLE) + CAST(list_dot_product(s.s1,s.s1) AS DOUBLE) - 2.0*CAST(list_dot_product(v.v1,s.s1) AS DOUBLE) AS dd1,
+             |    CAST(list_dot_product(v.v2,v.v2) AS DOUBLE) + CAST(list_dot_product(s.s2,s.s2) AS DOUBLE) - 2.0*CAST(list_dot_product(v.v2,s.s2) AS DOUBLE) AS dd2,
+             |    CAST(list_dot_product(v.v3,v.v3) AS DOUBLE) + CAST(list_dot_product(s.s3,s.s3) AS DOUBLE) - 2.0*CAST(list_dot_product(v.v3,s.s3) AS DOUBLE) AS dd3
+             |  FROM vs v CROSS JOIN sub s),
+             |codes AS (
+             |  SELECT vec_id,
+             |    (min(struct_pack(d := dd0, c := cell))).c AS c0,
+             |    (min(struct_pack(d := dd1, c := cell))).c AS c1,
+             |    (min(struct_pack(d := dd2, c := cell))).c AS c2,
+             |    (min(struct_pack(d := dd3, c := cell))).c AS c3
+             |  FROM asg GROUP BY vec_id),
+             |q AS (
+             |  SELECT vec_id AS query_id, v0 AS q0, v1 AS q1, v2 AS q2, v3 AS q3
+             |  FROM vs WHERE vec_id < 10),
+             |adc AS (
+             |  SELECT q.query_id, c.vec_id AS neighbor_id,
+             |    (CAST(list_dot_product(q.q0,q.q0) AS DOUBLE) + CAST(list_dot_product(t0.s0,t0.s0) AS DOUBLE) - 2.0*CAST(list_dot_product(q.q0,t0.s0) AS DOUBLE))
+             |  + (CAST(list_dot_product(q.q1,q.q1) AS DOUBLE) + CAST(list_dot_product(t1.s1,t1.s1) AS DOUBLE) - 2.0*CAST(list_dot_product(q.q1,t1.s1) AS DOUBLE))
+             |  + (CAST(list_dot_product(q.q2,q.q2) AS DOUBLE) + CAST(list_dot_product(t2.s2,t2.s2) AS DOUBLE) - 2.0*CAST(list_dot_product(q.q2,t2.s2) AS DOUBLE))
+             |  + (CAST(list_dot_product(q.q3,q.q3) AS DOUBLE) + CAST(list_dot_product(t3.s3,t3.s3) AS DOUBLE) - 2.0*CAST(list_dot_product(q.q3,t3.s3) AS DOUBLE)) AS adc
+             |  FROM codes c CROSS JOIN q
+             |  JOIN sub t0 ON c.c0 = t0.cell
+             |  JOIN sub t1 ON c.c1 = t1.cell
+             |  JOIN sub t2 ON c.c2 = t2.cell
+             |  JOIN sub t3 ON c.c3 = t3.cell
+             |  WHERE q.query_id <> c.vec_id),
+             |cand AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY adc, neighbor_id) AS r
+             |    FROM adc) t
+             |  WHERE r <= 20),
+             |sims AS (
+             |  SELECT cand.query_id, cand.neighbor_id,
+             |    CAST(list_dot_product(qe.embedding, ce.embedding) AS DOUBLE) /
+             |      (sqrt(CAST(list_dot_product(qe.embedding, qe.embedding) AS DOUBLE)) *
+             |       sqrt(CAST(list_dot_product(ce.embedding, ce.embedding) AS DOUBLE))) AS cosine
+             |  FROM cand
+             |  JOIN embeddings qe ON cand.query_id = qe.vec_id
+             |  JOIN embeddings ce ON cand.neighbor_id = ce.vec_id)
+             |SELECT query_id, neighbor_id, cosine, rnk FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |  FROM sims) t
+             |WHERE rnk <= 5""".stripMargin))
   )
 }
