@@ -1807,6 +1807,43 @@ object PipelineQueries extends QueryPack {
              |  SELECT *, row_number() OVER (
              |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
              |  FROM sims) t
-             |WHERE rnk <= 5""".stripMargin))
+             |WHERE rnk <= 5""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q163: LEFT OUTER stream-stream join
+    // (StreamingOps.streamStreamFunnelOuter) — every purchase attributed
+    // to in-window signups, with WATERMARK-PROVEN nulls for purchases no
+    // signup can still match (the state-store eviction path the inner
+    // q-funnel never exercises). The fixture is staged with a far-future
+    // punctuation pair so the bounded stream's watermark passes every
+    // real row and all outer results flush; the oracle is the plain
+    // batch LEFT JOIN with the same time window.
+    QueryDef(
+      "q163_stream_outer_join",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val base = s"${graft.GraftSession.scratchBase}/graft_ssoj_$sfName"
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
+          fs, new org.apache.hadoop.fs.Path(s"$base/in/events.parquet"),
+          false, conf)
+        StreamingOps.streamStreamFunnelOuter(s, s"$base/in",
+          s"graft_ssoj_q_${sfName.replace('.', '_')}")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id AS purchase_event, epoch_us(ts) AS pus
+             |  FROM events WHERE event_type = 'purchase'),
+             |sg AS (
+             |  SELECT user_id, event_id AS signup_event, epoch_us(ts) AS sus
+             |  FROM events WHERE event_type = 'signup')
+             |SELECT p.user_id, p.purchase_event, sg.signup_event,
+             |  pus // 1000000 AS p_epoch, sus // 1000000 AS s_epoch
+             |FROM p LEFT JOIN sg ON p.user_id = sg.user_id
+             |  AND sg.sus <= p.pus AND sg.sus >= p.pus - 3600000000""".stripMargin))
   )
 }

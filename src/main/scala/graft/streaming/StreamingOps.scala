@@ -104,6 +104,90 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** LEFT OUTER stream-stream funnel: every purchase emits — attributed
+    * to its in-window signups when they exist, with nulls once the
+    * watermark proves no signup can still arrive. This is the streaming
+    * operation the inner funnel cannot express: "purchases WITHOUT a
+    * signup" requires the state store to hold the purchase until the
+    * signup-side watermark passes the join window, then emit the null
+    * row — Spark's outer stream-stream join semantics, exercised
+    * end-to-end here.
+    *
+    * `dir` holds events-schema parquet files. On a bounded file stream
+    * the watermark only advances when NEW data arrives, and outer-join
+    * state evicts one batch BEHIND the newest watermark — so after
+    * draining the real files the operator injects two rounds of
+    * far-future punctuation events (sentinel user −1, one per side,
+    * each round a separate micro-batch): round one advances the
+    * watermark past every real row, round two triggers the eviction
+    * pass that flushes the remaining outer nulls. On an unbounded
+    * source the live event flow plays that role and no punctuation is
+    * needed.
+    */
+  def streamStreamFunnelOuter(spark: SparkSession, dir: String,
+      queryName: String = "graft_ss_outer"): DataFrame = {
+    import spark.implicits._
+    val schema = T.eventsRawSchema(spark, dir)
+    def side(eventType: String, idAs: String, tsAs: String) = T.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir))
+      .filter($"event_type" === eventType)
+      .select(
+        $"user_id".as(s"${idAs}_user"),
+        $"event_id".as(s"${idAs}_event"),
+        timestamp_micros(expr("ts div 1000")).as(tsAs))
+      .withWatermark(tsAs, "2 hours")
+    val purchases = side("purchase", "p", "p_ts")
+    val signups = side("signup", "s", "s_ts")
+    // NOTE: the sentinel filter must NOT live inside the streaming plan —
+    // a deterministic filter on p_user pushes below the watermark node
+    // into the parquet scan, the punctuation file is skipped wholesale,
+    // and the watermark (hence outer-row eviction) never advances. The
+    // sentinels are dropped from the SINK table instead.
+    val joined = purchases.join(
+        signups,
+        expr("""p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR"""),
+        "left_outer")
+      .select(
+        $"p_user".as("user_id"), $"p_event".as("purchase_event"),
+        $"s_event".as("signup_event"),
+        unix_timestamp($"p_ts").as("p_epoch"), unix_timestamp($"s_ts").as("s_epoch"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try {
+      q.processAllAvailable()
+      writePunctuation(spark, dir, plusDays = 30, name = "zz_punct1")
+      q.processAllAvailable()
+      writePunctuation(spark, dir, plusDays = 31, name = "zz_punct2")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(queryName).filter($"user_id" =!= -1L)
+  }
+
+  /** One purchase + one signup at real-max + `plusDays`, sentinel user
+    * −1, written as a single new file so the source sees a fresh batch.
+    */
+  private def writePunctuation(spark: SparkSession, dir: String,
+      plusDays: Int, name: String): Unit = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
+    val farTs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        (max($"ts") + lit(plusDays * 24L * 3600L * 1000000000L)).as("ts2")
+      case _ => (max($"ts") + expr(s"INTERVAL $plusDays DAYS")).as("ts2")
+    }
+    val punct = raw.agg(farTs)
+      .select(explode(array(lit("purchase"), lit("signup"))).as("event_type"), $"ts2")
+      .select(lit(-1L).as("event_id"), $"ts2".as("ts"), lit(-1L).as("user_id"),
+        $"event_type", lit(0.0).as("value"), lit("{}").as("props"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    punct.repartition(1).write.mode("overwrite").parquet(s"$dir/../_ptmp_$name")
+    val part = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/../_ptmp_$name/part-*.parquet")).head.getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))
+  }
+
   /** Streaming publish: the stream lands in the SAME layout contract as
     * batch publishes (string-typed Hive partition keys, zstd, ordered
     * rows) via foreachBatch — each microbatch appends through an ordered

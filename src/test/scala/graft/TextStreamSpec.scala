@@ -268,6 +268,35 @@ class TextStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("left-outer stream-stream join equals batch left join, outer tail included") {
+    val s = spark
+    import s.implicits._
+    val base = s"${GraftSession.scratchBase}/spec_ssoj"
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$sf0001/events.parquet"),
+      fs, new org.apache.hadoop.fs.Path(s"$base/in/events.parquet"), false, conf)
+    val streamed = StreamingOps.streamStreamFunnelOuter(s, s"$base/in", "spec_ssoj_q")
+      .as[(Long, Long, Option[Long], Long, Option[Long])].collect().sorted.toSeq
+    val ev = Tables.events(s, sf0001)
+    val p = ev.filter($"event_type" === "purchase").select(
+      $"user_id", $"event_id".as("pe"), expr("ts div 1000").as("pus"))
+    val sg = ev.filter($"event_type" === "signup").select(
+      $"user_id".as("su"), $"event_id".as("se"), expr("ts div 1000").as("sus"))
+    val batch = p.join(sg,
+        $"user_id" === $"su" && $"sus" <= $"pus" && $"sus" >= $"pus" - 3600000000L,
+        "left_outer")
+      .select($"user_id", $"pe", $"se", expr("pus div 1000000").as("pep"),
+        expr("sus div 1000000").as("sep"))
+      .as[(Long, Long, Option[Long], Long, Option[Long])].collect().sorted.toSeq
+    assert(streamed == batch, s"sizes: streamed=${streamed.size} batch=${batch.size}")
+    // the watermark-proven outer tail actually exercises: nulls must exist
+    assert(streamed.exists(_._3.isEmpty))
+  }
+
   test("watermarked append-mode output is a subset of complete-mode output") {
     val complete = StreamingOps.hourlyCounts(spark, sf0001, "spec_stream_c")
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
