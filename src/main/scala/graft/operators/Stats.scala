@@ -86,6 +86,63 @@ object Stats {
     flat.unionByName(picked)
   }
 
+  /** Equi-depth banding: tag every row with its quantile band (1-based;
+    * ties land in the lower band since boundaries are actual data
+    * elements — `bin = 1 + #{boundaries < v}`). Boundaries come from
+    * [[exactQuantiles]] and broadcast as one G-row frame, so the tagging
+    * itself is map-only — the standard shape for building equi-depth
+    * histograms or stratifying a skewed measure at TB scale.
+    */
+  def quantileBins(
+      df: DataFrame,
+      valueCol: String,
+      grpCol: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      bins: Int = 512): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wide = exactQuantiles(df, valueCol, grpCol, qs, bins)
+      .groupBy($"grp".as(grpCol))
+      .agg(
+        max(when($"q" === qs.head, $"value")).as("b0"),
+        qs.tail.zipWithIndex.map { case (q, i) =>
+          max(when($"q" === q, $"value")).as(s"b${i + 1}") }: _*)
+    val v = col(valueCol).cast("double")
+    df.join(broadcast(wide), Seq(grpCol))
+      .withColumn("bin",
+        lit(1) + qs.indices.map(i =>
+          when(v > col(s"b$i"), 1).otherwise(0)).reduce(_ + _))
+      .drop(qs.indices.map(i => s"b$i"): _*)
+  }
+
+  /** Per-label embedding centroids — the vector aggregation behind
+    * classifier-head init, IVF codebook warm-starts and per-domain
+    * drift monitoring. Element-wise: posexplode → (label, pos) partial
+    * sums → repack ordered by position. The shuffle carries G×dim
+    * longs, never vectors; map-side partial aggregation does the heavy
+    * summing.
+    *
+    * Sums are FIXED-POINT (each float element quantized to 1e-5 before
+    * summing) because float accumulation order differs across engines —
+    * integer sums are order-independent, so the centroid hash-verifies
+    * exactly. Callers wanting the mean divide `centroid_fix` by
+    * `n · 100000` (exact inputs, one rounding).
+    */
+  def labelCentroids(emb: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("fx", expr("CAST(round(CAST(x AS DOUBLE) * 100000, 0) AS LONG)"))
+      .groupBy($"label", $"pos")
+      .agg(sum($"fx").as("s"), count(lit(1)).as("c"))
+      .groupBy($"label")
+      .agg(
+        max($"c").as("n"),
+        expr("transform(array_sort(collect_list(struct(pos, s))), p -> p.s)")
+          .as("centroid_fix"))
+  }
+
   /** Robust per-group outliers by median absolute deviation: rows whose
     * |v − median| exceeds k·MAD (both medians via [[exactQuantiles]], so
     * the whole detector is two histogram selections plus map-only

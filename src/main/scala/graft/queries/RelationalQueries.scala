@@ -1360,6 +1360,65 @@ object RelationalQueries extends QueryPack {
              |  CASE WHEN nts IS NULL THEN pv
              |       ELSE pv + (nv - pv) * (CAST(us - pts AS DOUBLE) /
              |                              CAST(nts - pts AS DOUBLE)) END AS value
-             |FROM w WHERE pos = 1""".stripMargin))
+             |FROM w WHERE pos = 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q164: per-label embedding centroids (Stats.labelCentroids) —
+    // element-wise vector aggregation where the shuffle carries G×dim
+    // fixed-point longs (map-side partial sums), never vectors. The 1e-5
+    // per-element quantization makes the sums order-independent, so the
+    // centroid arrays hash-verify exactly; DuckDB replays via list
+    // subscripting + an ordered list() repack.
+    QueryDef(
+      "q164_label_centroids",
+      (s, dir) => graft.operators.Stats.labelCentroids(
+        T.embeddings(s, dir), "embedding", "label"),
+      Some("""WITH e AS (
+             |  SELECT label, i - 1 AS pos,
+             |    CAST(round(CAST(embedding[i] AS DOUBLE) * 100000, 0) AS BIGINT) AS fx
+             |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s),
+             |a AS (
+             |  SELECT label, pos, CAST(sum(fx) AS BIGINT) AS s, count(*) AS c
+             |  FROM e GROUP BY 1, 2)
+             |SELECT label, max(c) AS n, list(s ORDER BY pos) AS centroid_fix
+             |FROM a GROUP BY label""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q165: equi-depth quantile banding (Stats.quantileBins over q152's
+    // histogram-selection boundaries) — every lineitem tagged with its
+    // per-returnflag price quartile (ties → lower band), then the band
+    // revenue profile. Boundary computation never sorts a group; the
+    // tagging is a broadcast join + map-only comparison chain.
+    QueryDef(
+      "q165_quantile_bins",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Stats.quantileBins(
+            T.lineitem(s, dir), "l_extendedprice", "l_returnflag")
+          .groupBy($"l_returnflag", $"bin")
+          .agg(count(lit(1)).as("n"),
+            round(fixptSum($"l_extendedprice", 2), 2).as("revenue"))
+      },
+      Some("""WITH r AS (
+             |  SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |b AS (
+             |  SELECT grp,
+             |    max(CASE WHEN q = 0.25 THEN v END) AS b0,
+             |    max(CASE WHEN q = 0.5 THEN v END) AS b1,
+             |    max(CASE WHEN q = 0.75 THEN v END) AS b2
+             |  FROM r JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS q) qs
+             |    ON rk = CAST(ceil(q * n) AS BIGINT)
+             |  GROUP BY grp)
+             |SELECT l.l_returnflag, 1 +
+             |    (CASE WHEN CAST(l.l_extendedprice AS DOUBLE) > b.b0 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN CAST(l.l_extendedprice AS DOUBLE) > b.b1 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN CAST(l.l_extendedprice AS DOUBLE) > b.b2 THEN 1 ELSE 0 END) AS bin,
+             |  count(*) AS n,
+             |  round(CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+             |FROM lineitem l JOIN b ON l.l_returnflag = b.grp
+             |GROUP BY 1, 2""".stripMargin))
   )
 }

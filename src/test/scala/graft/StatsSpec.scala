@@ -58,6 +58,30 @@ class StatsSpec extends AnyFunSuite {
     assert(got == expect && got.contains(9001L) && got.contains(9002L))
   }
 
+  test("labelCentroids: fixed-point element sums exact; positions ordered") {
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f, 3.0f)),
+      ("a", Seq(0.5f, -2.0f, 1.25f)),
+      ("b", Seq(10.0f, 0.0f, -1.0f)))
+      .toDF("label", "embedding")
+    val got = graft.operators.Stats.labelCentroids(df, "embedding", "label")
+      .as[(String, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("a", 2L, Seq(150000L, 0L, 425000L)),
+      ("b", 1L, Seq(1000000L, 0L, -100000L))))
+  }
+
+  test("quantileBins: band boundaries inclusive-low; bands partition each group") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val binned = graft.operators.Stats.quantileBins(df, "v", "grp")
+      .select($"v", $"bin").as[(Double, Int)].collect().toMap
+    // boundaries at ceil(q·100): 25, 50, 75 — boundary values stay LOW
+    assert(binned(25.0) == 1 && binned(26.0) == 2)
+    assert(binned(50.0) == 2 && binned(51.0) == 3)
+    assert(binned(75.0) == 3 && binned(76.0) == 4 && binned(100.0) == 4)
+    assert(binned.values.toSet == Set(1, 2, 3, 4))
+  }
+
   test("exactQuantiles windows only ever see histogram rows or candidate bins") {
     // Guard against a full per-group sort sneaking in: every Window node
     // must either partition on a key including `bin` (the candidate-bin
