@@ -1419,6 +1419,47 @@ object RelationalQueries extends QueryPack {
              |  count(*) AS n,
              |  round(CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
              |FROM lineitem l JOIN b ON l.l_returnflag = b.grp
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q166: grid-density clustering (operators/Cluster.gridDensity) —
+    // DBSCAN's scalable cousin: ε-cells via integer division, core
+    // cells by one map-combined count, adjacency as an 8-offset explode
+    // + EQUI-join (never a band join), components via pointer-jump CC.
+    // Cluster id = min cell id, which a DuckDB recursive CTE replays
+    // exactly — the distributed CC's fixpoint is the hash-verified
+    // property. Points are integer arithmetic over custkeys, so both
+    // engines derive identical coordinates.
+    QueryDef(
+      "q166_grid_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val pts = T.customer(s, dir).select(
+          ($"c_custkey" * 7919 % 10000).as("px"),
+          ($"c_custkey" * 104729 % 10000).as("py"))
+        graft.operators.Cluster.gridDensity(pts, "px", "py",
+          cellSize = 500L, minPts = 6L)
+      },
+      Some("""WITH RECURSIVE pts AS (
+             |  SELECT c_custkey * 7919 % 10000 AS px,
+             |         c_custkey * 104729 % 10000 AS py
+             |  FROM customer),
+             |cells AS (
+             |  SELECT px // 500 AS cx, py // 500 AS cy, count(*) AS n
+             |  FROM pts GROUP BY 1, 2),
+             |dense AS (
+             |  SELECT cx, cy, n, cx * 1000000 + cy AS id
+             |  FROM cells WHERE n >= 6),
+             |edges AS (
+             |  SELECT a.id AS src, b.id AS dst FROM dense a JOIN dense b
+             |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+             | AND a.id <> b.id),
+             |reach(id, r) AS (
+             |  SELECT id, id FROM dense
+             |  UNION
+             |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+             |SELECT d.cx, d.cy, m.root AS cluster, d.n
+             |FROM dense d JOIN (
+             |  SELECT id, min(r) AS root FROM reach GROUP BY id) m USING (id)""".stripMargin))
   )
 }
