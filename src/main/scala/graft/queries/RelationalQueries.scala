@@ -1460,6 +1460,78 @@ object RelationalQueries extends QueryPack {
              |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
              |SELECT d.cx, d.cy, m.root AS cluster, d.n
              |FROM dense d JOIN (
-             |  SELECT id, min(r) AS root FROM reach GROUP BY id) m USING (id)""".stripMargin))
+             |  SELECT id, min(r) AS root FROM reach GROUP BY id) m USING (id)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q167: ordered conversion funnel (Analytics.funnelCounts) —
+    // signup → view → purchase with a 7-day per-step window, earliest-
+    // qualifying-event re-anchoring. Each step is a user-keyed join on
+    // a monotonically shrinking survivor set; integer counts only.
+    QueryDef(
+      "q167_funnel_steps",
+      (s, dir) => graft.operators.Analytics.funnelCounts(
+        T.events(s, dir), Seq("signup", "view", "purchase"),
+        windowUs = 604800000000L),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+             |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+             |       WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, min(e.us) AS t2 FROM e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'view' AND e.us >= s1.t1
+             |    AND e.us <= s1.t1 + 604800000000 GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, min(e.us) AS t3 FROM e JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.us >= s2.t2
+             |    AND e.us <= s2.t2 + 604800000000 GROUP BY 1)
+             |SELECT 1 AS step, 'signup' AS event_type,
+             |  (SELECT count(*) FROM s1) AS users
+             |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+             |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q168: retention cohort matrix (Analytics.retentionCohorts) —
+    // cohort = first-activity week, distinct active users per
+    // (cohort, age). Two aggregates + one user-keyed join.
+    QueryDef(
+      "q168_retention_cohorts",
+      (s, dir) => graft.operators.Analytics.retentionCohorts(
+        T.events(s, dir), bucketUs = 604800000000L),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+             |c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
+             |SELECT c.cohort, e.wk - c.cohort AS age,
+             |  count(DISTINCT e.user_id) AS active_users
+             |FROM e JOIN c USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q169: session sequence-pattern match (Analytics.sessionsMatching,
+    // MATCH_RECOGNIZE-lite) — sessions whose ordered event-type fold
+    // matches `view (…)* purchase`. The emitted rows carry the FULL
+    // ordered sequence string, so the per-session deterministic fold —
+    // not just the match verdict — is what hash-verifies.
+    QueryDef(
+      "q169_sequence_match",
+      (s, dir) => graft.operators.Analytics.sessionsMatching(
+        T.events(s, dir), "view(,[a-z]+)*,purchase"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+             |m AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w > 1800000000
+             |    THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |s AS (
+             |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |    AS session_id
+             |  FROM m),
+             |q AS (
+             |  SELECT user_id, session_id,
+             |    string_agg(event_type, ',' ORDER BY us, event_id) AS seq
+             |  FROM s GROUP BY 1, 2)
+             |SELECT user_id, session_id, seq FROM q
+             |WHERE regexp_matches(seq, 'view(,[a-z]+)*,purchase')""".stripMargin))
   )
 }
