@@ -1227,7 +1227,8 @@ object RelationalQueries extends QueryPack {
       (s, dir) => graft.operators.Stats.exactQuantiles(
         T.lineitem(s, dir), "l_extendedprice", "l_returnflag",
         Seq(0.25, 0.5, 0.75, 0.95)),
-      Some("""WITH r AS (
+      headline = true,
+      oracle = Some("""WITH r AS (
              |  SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v,
              |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk,
              |    count(*) OVER (PARTITION BY l_returnflag) AS n
@@ -1331,7 +1332,8 @@ object RelationalQueries extends QueryPack {
     QueryDef(
       "q157_resample_interpolate",
       (s, dir) => graft.operators.Resample.hourlyInterpolate(T.events(s, dir)),
-      Some("""WITH e AS (
+      headline = true,
+      oracle = Some("""WITH e AS (
              |  SELECT user_id, event_id, epoch_us(ts) AS us,
              |    CAST(value AS DOUBLE) AS v FROM events),
              |b AS (SELECT user_id, min(us) AS lo, max(us) AS hi FROM e GROUP BY 1),
