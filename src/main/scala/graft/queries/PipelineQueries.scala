@@ -1844,6 +1844,26 @@ object PipelineQueries extends QueryPack {
              |SELECT p.user_id, p.purchase_event, sg.signup_event,
              |  pus // 1000000 AS p_epoch, sus // 1000000 AS s_epoch
              |FROM p LEFT JOIN sg ON p.user_id = sg.user_id
-             |  AND sg.sus <= p.pus AND sg.sus >= p.pus - 3600000000""".stripMargin))
+             |  AND sg.sus <= p.pus AND sg.sus >= p.pus - 3600000000""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q170: stream-STATIC enrichment (StreamingOps.streamStaticEnrich) —
+    // the third streaming join mode: every micro-batch hash-joins the
+    // event stream against a broadcast batch dimension (no state store,
+    // no watermark), then a complete-mode rollup by (event_type,
+    // segment). Left-join nulls (user 0 has no customer row) ride
+    // through; the oracle is the plain batch join + GROUP BY.
+    QueryDef(
+      "q170_stream_static_enrich",
+      (s, dir) => {
+        val sfName = new java.io.File(dir).getName.replace('.', '_')
+        StreamingOps.streamStaticEnrich(
+          s, dir, T.customer(s, dir), "c_custkey", Seq("c_mktsegment"),
+          s"graft_sse_$sfName")
+      },
+      Some("""SELECT e.event_type, c.c_mktsegment, count(*) AS n,
+             |  CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -163,6 +163,41 @@ object StreamingOps {
     spark.table(queryName).filter($"user_id" =!= -1L)
   }
 
+  /** Stream-STATIC enrichment join: the event stream joined per
+    * micro-batch against a batch dimension table — the third Structured
+    * Streaming join mode (beside stream-stream and stateless maps).
+    * No state store and no watermark are involved: each micro-batch
+    * plans a fresh batch join, so the dimension may even change between
+    * batches (it re-resolves). With a broadcast-sized dimension every
+    * micro-batch is a map-side hash join — the 100 TB shape for
+    * enriching a firehose with slowly-changing reference data.
+    */
+  def streamStaticEnrich(
+      spark: SparkSession,
+      sfDir: String,
+      dim: DataFrame,
+      dimKey: String,
+      dimCols: Seq[String],
+      queryName: String = "graft_ss_static"): DataFrame = {
+    import spark.implicits._
+    val schema = T.eventsRawSchema(spark, sfDir)
+    val stream = T.normalizeEventTs(spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      .select($"event_id", $"user_id", $"event_type",
+        expr("CAST(round(value * 100, 0) AS LONG)").as("vc"))
+    val joined = stream.join(
+        broadcast(dim.select((dimKey +: dimCols).map(col): _*)),
+        stream("user_id") === dim(dimKey), "left")
+      .groupBy(col("event_type"), col(dimCols.head))
+      .agg(count(lit(1)).as("n"), sum($"vc").as("cents"))
+    val q = joined.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** One purchase + one signup at real-max + `plusDays`, sentinel user
     * −1, written as a single new file so the source sees a fresh batch.
     */
