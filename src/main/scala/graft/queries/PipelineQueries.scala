@@ -1864,6 +1864,38 @@ object PipelineQueries extends QueryPack {
       Some("""SELECT e.event_type, c.c_mktsegment, count(*) AS n,
              |  CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
              |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q171: transactional snapshots + time travel (sources/TxLog) — the
+    // lakehouse commit protocol in miniature: v1 = the documents base,
+    // v2 = the q138 CDC merge, each an atomic create-exclusive manifest
+    // commit; the query then reads BOTH versions through the log (v1 is
+    // a time-travel read after v2 exists) and emits per-version
+    // rollups. The oracle recomputes both table states independently,
+    // so snapshot isolation — old versions stay intact byte-for-byte —
+    // is what hash-verifies.
+    QueryDef(
+      "q171_time_travel",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txlog_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val base = T.documents(s, dir)
+        graft.sources.TxLog.commit(s, t, base)
+        graft.sources.TxLog.commit(s, t,
+          graft.operators.Cdc.applyChanges(base, docChanges(base), "doc_id"))
+        def roll(v: Long) = graft.sources.TxLog.read(s, t, Some(v))
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("total"))
+          .select(lit(v).as("version"), $"n", $"total")
+        roll(1L).unionByName(roll(2L))
+      },
+      Some(s"""WITH $docChangesSql
+             |SELECT 1 AS version, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS total FROM documents
+             |UNION ALL
+             |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT) FROM merged""".stripMargin))
   )
 }

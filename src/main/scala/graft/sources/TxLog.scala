@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal transactional table format — the lakehouse commit protocol in
+  * its smallest honest form (the pattern under Delta/Iceberg, rebuilt
+  * from first principles on plain Hadoop FS semantics):
+  *
+  *  - data files land under `data/<uuid>/` (never mutated, never
+  *    renamed — writers produce, only [[vacuum]] deletes);
+  *  - a snapshot is a manifest `_log/v<n>` listing its data directories,
+  *    one per line;
+  *  - COMMIT = create-exclusive of the next manifest version. Hadoop
+  *    `create(path, overwrite=false)` is atomic, so two racing writers
+  *    cannot both win a version: the loser re-reads the log and retries
+  *    on top of the winner (optimistic concurrency, serialized history);
+  *  - READERS resolve one manifest and never see partial state: a
+  *    snapshot's files are immutable and vacuum only removes
+  *    directories no retained manifest references.
+  *
+  * Time travel is therefore free — `read(dir, Some(v))` resolves an old
+  * manifest. At 100 TB the log stays KB-sized (it lists directories,
+  * not files) and commits are one small atomic write regardless of data
+  * volume.
+  */
+object TxLog {
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(tableDir: String) = new Path(s"$tableDir/_log")
+
+  private def versionOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("v")) n.drop(1).toLongOption else None
+  }
+
+  /** Latest committed version, 0 when the table does not exist yet. */
+  def latestVersion(spark: SparkSession, tableDir: String): Long = {
+    val f = fs(spark)
+    if (!f.exists(logDir(tableDir))) 0L
+    else f.listStatus(logDir(tableDir))
+      .flatMap(s => versionOf(s.getPath)).sorted.lastOption.getOrElse(0L)
+  }
+
+  private def readManifest(spark: SparkSession, tableDir: String, v: Long): Seq[String] = {
+    val in = fs(spark).open(new Path(logDir(tableDir), s"v$v"))
+    try scala.io.Source.fromInputStream(in).getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Commit `df` as the next version. `append = true` carries the
+    * previous snapshot's directories forward; otherwise the new snapshot
+    * replaces them (the old files stay on disk for time travel until
+    * [[vacuum]]). Returns the committed version.
+    */
+  def commit(spark: SparkSession, tableDir: String, df: DataFrame,
+      append: Boolean = false, maxRetries: Int = 20): Long = {
+    val f = fs(spark)
+    val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.parquet(s"$tableDir/$batch")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, tableDir)
+      val carried =
+        if (append && base > 0) readManifest(spark, tableDir, base) else Nil
+      val target = new Path(logDir(tableDir), s"v${base + 1}")
+      f.mkdirs(logDir(tableDir))
+      try {
+        // create-exclusive: atomic on a correct Hadoop FS — the loser of
+        // a race lands in the catch and retries on the winner's log
+        val out = f.create(target, false)
+        try out.write((carried :+ batch).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        return base + 1
+      } catch {
+        case _: java.io.IOException => attempt += 1 // lost the race; re-read
+      }
+    }
+    throw new IllegalStateException(
+      s"commit to $tableDir lost $maxRetries optimistic rounds")
+  }
+
+  /** Snapshot read; `asOf = None` resolves the latest version. */
+  def read(spark: SparkSession, tableDir: String, asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no committed version in $tableDir")
+    val dirs = readManifest(spark, tableDir, v).map(d => s"$tableDir/$d")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Drop data directories referenced by NO manifest ≥ `retainFrom`
+    * (and the manifests below it). Readers of retained snapshots are
+    * unaffected — their files are never touched.
+    */
+  def vacuum(spark: SparkSession, tableDir: String, retainFrom: Long): Unit = {
+    val f = fs(spark)
+    val latest = latestVersion(spark, tableDir)
+    require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
+    val keep = (retainFrom to latest)
+      .flatMap(v => readManifest(spark, tableDir, v)).toSet
+    val dataRoot = new Path(s"$tableDir/data")
+    if (f.exists(dataRoot)) {
+      f.listStatus(dataRoot).foreach { s =>
+        if (!keep.contains(s"data/${s.getPath.getName}"))
+          f.delete(s.getPath, true)
+      }
+    }
+    f.listStatus(logDir(tableDir)).foreach { s =>
+      versionOf(s.getPath).foreach(v => if (v < retainFrom) f.delete(s.getPath, false))
+    }
+  }
+}
