@@ -1896,6 +1896,41 @@ object PipelineQueries extends QueryPack {
              |SELECT 1 AS version, count(*) AS n,
              |  CAST(sum(n_chars) AS BIGINT) AS total FROM documents
              |UNION ALL
-             |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT) FROM merged""".stripMargin))
+             |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT) FROM merged""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q172: transactional STREAMING materialized view
+    // (StreamingOps.streamingMvMaintain — TxLog × CDC × foreachBatch):
+    // every ordered change micro-batch commits base vN+1 (MERGE) and
+    // view vN+1 (incremental delta, no base rescan) as version-aligned
+    // snapshots. The oracle is the one-shot rollup over the fully-merged
+    // base, so "incremental-under-streaming ≡ batch" hash-verifies
+    // through two sequenced conflicting batches.
+    QueryDef(
+      "q172_stream_mv_txn",
+      (s, dir) => {
+        val sfName = new java.io.File(dir).getName
+        val root = s"${graft.GraftSession.scratchBase}/graft_smv_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val docs = T.documents(s, dir)
+        val ch = docChanges(docs)
+        ch.filter(col("seq") === 1).repartition(1)
+          .write.parquet(s"$root/in_tmp1")
+        ch.filter(col("seq") === 2).repartition(1)
+          .write.parquet(s"$root/in_tmp2")
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/in"))
+        Seq(("in_tmp1", "b0.parquet"), ("in_tmp2", "b1.parquet")).foreach {
+          case (tmp, name) =>
+            val part = fs.globStatus(
+              new org.apache.hadoop.fs.Path(s"$root/$tmp/part-*.parquet")).head.getPath
+            fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/in/$name"))
+        }
+        StreamingOps.streamingMvMaintain(
+          s, s"$root/in", docs, s"$root/t", "doc_id", "source", "n_chars")
+      },
+      Some(s"""WITH $docChangesSql
+             |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total
+             |FROM merged GROUP BY 1""".stripMargin))
   )
 }

@@ -90,6 +90,14 @@ object TxLog {
     spark.read.parquet(dirs: _*)
   }
 
+  /** OPTIMIZE: fold the latest snapshot's directories into one compact
+    * write and commit it as a new version. Readers of old snapshots are
+    * untouched (their directories survive until [[vacuum]]); the new
+    * version reads the same rows from fewer, larger files.
+    */
+  def compact(spark: SparkSession, tableDir: String, partitions: Int = 1): Long =
+    commit(spark, tableDir, read(spark, tableDir).repartition(partitions))
+
   /** Drop data directories referenced by NO manifest ≥ `retainFrom`
     * (and the manifests below it). Readers of retained snapshots are
     * unaffected — their files are never touched.

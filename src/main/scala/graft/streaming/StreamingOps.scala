@@ -198,6 +198,60 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Transactionally-maintained streaming materialized view: a CDC
+    * change feed drives BOTH a versioned base table and its rollup view
+    * through [[graft.sources.TxLog]] — every micro-batch commits base
+    * vN+1 (MERGE) and view vN+1 (incremental delta, never a base
+    * rescan) as snapshots, so the two tables stay version-aligned and
+    * any historical (base, view) pair is a consistent cut readable via
+    * time travel.
+    *
+    * `maxFilesPerTrigger = 1` + lexicographic file naming gives the
+    * ordered-batch application [[streamingCdcApply]]'s contract needs.
+    * Returns the final view snapshot; "incremental-under-streaming
+    * equals one-shot batch rollup" is the q172 oracle property.
+    */
+  def streamingMvMaintain(
+      spark: SparkSession,
+      inDir: String,
+      base: DataFrame,
+      tableBase: String,
+      keyCol: String,
+      dimCol: String,
+      valCol: String): DataFrame = {
+    import graft.sources.TxLog
+    val baseDir = s"$tableBase/base"
+    val mvDir = s"$tableBase/mv"
+    TxLog.commit(spark, baseDir, base)
+    TxLog.commit(spark, mvDir,
+      base.groupBy(col(dimCol))
+        .agg(count(lit(1)).as("n"), sum(col(valCol)).as("total")))
+    val chSchema = org.apache.spark.sql.types.StructType(
+      base.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("seq",
+          org.apache.spark.sql.types.IntegerType)))
+    val q = spark.readStream.schema(chSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val cur = TxLog.read(spark, baseDir)
+          val mv = TxLog.read(spark, mvDir)
+          TxLog.commit(spark, baseDir,
+            graft.operators.Cdc.applyChanges(cur, b, keyCol))
+          TxLog.commit(spark, mvDir,
+            graft.operators.Cdc.incrementalAgg(mv, cur, b, keyCol, dimCol, valCol))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    TxLog.read(spark, mvDir)
+  }
+
   /** One purchase + one signup at real-max + `plusDays`, sentinel user
     * −1, written as a single new file so the source sees a fresh batch.
     */

@@ -51,6 +51,42 @@ class TxLogSpec extends AnyFunSuite {
     assert(rows(TxLog.read(spark, t, Some(3L))) == Seq((9L, "z")))
   }
 
+  test("streamingMvMaintain: base and view stay version-aligned; every cut consistent") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val root = fresh("smv")
+    val docs = Tables.documents(s, sf0001)
+    val changes = docs.filter(col("doc_id") % 10 === 1)
+      .select(col("doc_id"), upper(col("text")).as("text"), col("lang"),
+        col("source"), col("n_chars"), lit("U").as("op"), lit(1).as("seq"))
+    val del = docs.filter(col("doc_id") % 10 === 2)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), lit("D").as("op"), lit(2).as("seq"))
+    changes.repartition(1).write.parquet(s"$root/t1")
+    del.repartition(1).write.parquet(s"$root/t2")
+    fs.mkdirs(new Path(s"$root/in"))
+    Seq(("t1", "b0.parquet"), ("t2", "b1.parquet")).foreach { case (t, n) =>
+      fs.rename(fs.globStatus(new Path(s"$root/$t/part-*.parquet")).head.getPath,
+        new Path(s"$root/in/$n"))
+    }
+    val finalMv = graft.streaming.StreamingOps.streamingMvMaintain(
+      s, s"$root/in", docs, s"$root/t", "doc_id", "source", "n_chars")
+    // three versions on both tables: initial + one per micro-batch
+    assert(TxLog.latestVersion(s, s"$root/t/base") == 3L)
+    assert(TxLog.latestVersion(s, s"$root/t/mv") == 3L)
+    // EVERY historical cut is consistent: rollup(base vN) == mv vN
+    (1L to 3L).foreach { v =>
+      val fromBase = TxLog.read(s, s"$root/t/base", Some(v))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val mv = TxLog.read(s, s"$root/t/mv", Some(v))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(mv == fromBase, s"cut v$v inconsistent")
+    }
+    assert(finalMv.count() > 0)
+  }
+
   test("vacuum drops only directories no retained manifest references") {
     val t = fresh("vac")
     TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
