@@ -222,6 +222,40 @@ object Cdc {
       .filter(col("status") =!= "same")
   }
 
+  /** Closing the replication loop: the MINIMAL change batch that turns
+    * `before` into `after` — [[diff]]'s classification with payloads
+    * attached, emitted in [[applyChanges]]' contract (full row + op +
+    * seq) so `applyChanges(before, makePatch(before, after)) ≡ after`
+    * (CdcSpec pins the identity). Anti-entropy repair between replicas
+    * reduces to diff → patch → merge with no full-table rewrite: only
+    * divergent keys appear in the batch.
+    *
+    * Like [[diff]], row comparison is an md5-of-JSON digest, so the
+    * full-outer join shuffles (key, digest) and payloads join back only
+    * for the divergent keys.
+    */
+  def makePatch(
+      before: DataFrame,
+      after: DataFrame,
+      keyCol: String,
+      seq: Int = 1): DataFrame = {
+    require(before.columns.sameElements(after.columns),
+      s"schema mismatch: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val dataCols = before.columns.toSeq
+    val d = diff(before, after, keyCol)
+    val fromAfter = after.join(
+        d.filter(col("status").isin("added", "changed")).select(col(keyCol), col("status")),
+        Seq(keyCol), "inner")
+      .select(dataCols.map(col) ++ Seq(
+        when(col("status") === "added", "I").otherwise("U").as("op"),
+        lit(seq).as("seq")): _*)
+    val deletes = before.join(
+        d.filter(col("status") === "removed").select(col(keyCol)),
+        Seq(keyCol), "left_semi")
+      .select(dataCols.map(col) ++ Seq(lit("D").as("op"), lit(seq).as("seq")): _*)
+    fromAfter.unionByName(deletes)
+  }
+
   /** Per-class counts of [[diff]] plus the surviving-key total. */
   def diffSummary(before: DataFrame, after: DataFrame, keyCol: String): DataFrame = {
     val d = diff(before, after, keyCol)

@@ -1931,6 +1931,38 @@ object PipelineQueries extends QueryPack {
       },
       Some(s"""WITH $docChangesSql
              |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total
-             |FROM merged GROUP BY 1""".stripMargin))
+             |FROM merged GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q173: replica repair — diff → patch → apply closure
+    // (Cdc.makePatch): the MINIMAL change batch turning the documents
+    // base into its q138-merged successor, in applyChanges' own
+    // contract. The oracle derives the same patch by direct column
+    // comparison, so minimality (only divergent keys appear) and
+    // payload fidelity both hash-verify; CdcSpec separately pins
+    // applyChanges(before, patch) ≡ after.
+    QueryDef(
+      "q173_replica_repair",
+      (s, dir) => {
+        val base = T.documents(s, dir)
+        graft.operators.Cdc.makePatch(
+          base,
+          graft.operators.Cdc.applyChanges(base, docChanges(base), "doc_id"),
+          "doc_id")
+      },
+      Some(s"""WITH $docChangesSql
+             |SELECT m.doc_id, m.text, m.lang, m.source, m.n_chars,
+             |  'I' AS op, 1 AS seq
+             |FROM merged m LEFT JOIN documents d ON m.doc_id = d.doc_id
+             |WHERE d.doc_id IS NULL
+             |UNION ALL
+             |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, 'D', 1
+             |FROM documents d LEFT JOIN merged m ON d.doc_id = m.doc_id
+             |WHERE m.doc_id IS NULL
+             |UNION ALL
+             |SELECT m.doc_id, m.text, m.lang, m.source, m.n_chars, 'U', 1
+             |FROM documents d JOIN merged m ON d.doc_id = m.doc_id
+             |WHERE d.text <> m.text OR d.lang <> m.lang
+             |   OR d.source <> m.source OR d.n_chars <> m.n_chars""".stripMargin))
   )
 }

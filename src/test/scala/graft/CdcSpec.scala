@@ -188,6 +188,22 @@ class CdcSpec extends AnyFunSuite {
       (9L, 2, "nine"))) // born at 2; (3,1) and (9,0) vanish
   }
 
+  test("makePatch: applyChanges(before, patch) reproduces after; patch is minimal") {
+    val before = base
+    val after = Seq(
+      (1L, "one", 10),    // unchanged
+      (2L, "TWO", 21),    // changed
+      (9L, "nine", 90))   // added; 3 and 4 removed
+      .toDF("id", "text", "v")
+    val patch = Cdc.makePatch(before, after, "id")
+    val repaired = Cdc.applyChanges(before, patch, "id")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(repaired == after.as[(Long, String, Int)].collect().sortBy(_._1).toSeq)
+    // minimality: the untouched key never appears in the patch
+    val ops = patch.select("id", "op").as[(Long, String)].collect().toSet
+    assert(ops == Set((2L, "U"), (9L, "I"), (3L, "D"), (4L, "D")))
+  }
+
   test("scd2Apply: untouched keys pass through a broadcast anti-join") {
     val hist = Cdc.scd2(base,
       Seq((2L, "TWO", 21, "U", 1)).toDF("id", "text", "v", "op", "seq"), "id")
