@@ -1963,6 +1963,65 @@ object PipelineQueries extends QueryPack {
              |SELECT m.doc_id, m.text, m.lang, m.source, m.n_chars, 'U', 1
              |FROM documents d JOIN merged m ON d.doc_id = m.doc_id
              |WHERE d.text <> m.text OR d.lang <> m.lang
-             |   OR d.source <> m.source OR d.n_chars <> m.n_chars""".stripMargin))
+             |   OR d.source <> m.source OR d.n_chars <> m.n_chars""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q174: additive schema evolution under the TxLog (mergeSchema
+    // read): v1 lands (doc_id, source), an appended v2 batch carries the
+    // evolved (doc_id, source, n_chars) — the merged snapshot reads old
+    // rows with nulls in the new column. The oracle replays the union
+    // with explicit NULLs, so the evolution contract hash-verifies.
+    QueryDef(
+      "q174_schema_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txevo_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        graft.sources.TxLog.commit(s, t,
+          docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"source"))
+        graft.sources.TxLog.commit(s, t,
+          docs.filter($"doc_id" % 2 === 1)
+            .select($"doc_id", $"source", $"n_chars"),
+          append = true)
+        graft.sources.TxLog.read(s, t, mergeSchema = true)
+      },
+      Some("""SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars
+             |FROM documents WHERE doc_id % 2 = 0
+             |UNION ALL
+             |SELECT doc_id, source, n_chars FROM documents
+             |WHERE doc_id % 2 = 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q175: unpivot/melt (Dataset.unpivot — the inverse of q26's pivot):
+    // the per-returnflag wide rollup of three fixed-point measures
+    // melted to (flag, measure, value) long rows. Integer fixed-point
+    // measures only, so the melt hash-verifies against the UNION replay.
+    QueryDef(
+      "q175_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        T.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("CAST(sum(CAST(round(l_quantity * 100, 0) AS LONG)) AS LONG)").as("qty_c"),
+            expr("CAST(sum(CAST(round(l_extendedprice * 100, 0) AS LONG)) AS LONG)").as("price_c"),
+            expr("CAST(sum(CAST(round(l_discount * 100, 0) AS LONG)) AS LONG)").as("disc_c"))
+          .unpivot(
+            Array($"l_returnflag"),
+            Array($"qty_c", $"price_c", $"disc_c"),
+            "measure", "cents")
+      },
+      Some("""WITH w AS (
+             |  SELECT l_returnflag,
+             |    CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_c,
+             |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_c,
+             |    CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS disc_c
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, 'qty_c' AS measure, qty_c AS cents FROM w
+             |UNION ALL SELECT l_returnflag, 'price_c', price_c FROM w
+             |UNION ALL SELECT l_returnflag, 'disc_c', disc_c FROM w""".stripMargin))
   )
 }

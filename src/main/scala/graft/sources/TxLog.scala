@@ -82,12 +82,17 @@ object TxLog {
       s"commit to $tableDir lost $maxRetries optimistic rounds")
   }
 
-  /** Snapshot read; `asOf = None` resolves the latest version. */
-  def read(spark: SparkSession, tableDir: String, asOf: Option[Long] = None): DataFrame = {
+  /** Snapshot read; `asOf = None` resolves the latest version.
+    * `mergeSchema = true` unions the column sets of a snapshot whose
+    * appended batches evolved the schema (absent columns read as null)
+    * — the additive-evolution contract every table format honors.
+    */
+  def read(spark: SparkSession, tableDir: String, asOf: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val v = asOf.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no committed version in $tableDir")
     val dirs = readManifest(spark, tableDir, v).map(d => s"$tableDir/$d")
-    spark.read.parquet(dirs: _*)
+    spark.read.option("mergeSchema", mergeSchema).parquet(dirs: _*)
   }
 
   /** OPTIMIZE: fold the latest snapshot's directories into one compact
