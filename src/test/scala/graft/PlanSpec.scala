@@ -220,6 +220,38 @@ class PlanSpec extends AnyFunSuite {
       "stratified sample did not plan the map-side k-row cut")
   }
 
+  test("q166: grid-cluster adjacency is an equi hash join, never a product") {
+    val p = plan("q166_grid_clusters")
+    assert(!p.contains("CartesianProduct"), "adjacency planned a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "adjacency planned a nested loop")
+  }
+
+  test("q164: centroid sums partial-aggregate map-side; no vector shuffle") {
+    val p = plan("q164_label_centroids")
+    assert(p.contains("partial"), "no map-side partial aggregation in the centroid sum")
+  }
+
+  test("q159/q165: AS-OF reads and band tagging broadcast their small side") {
+    // q159's fixture expands probes via a 3-row literal cross join — a
+    // broadcast nested loop of a constant frame is fine; what must never
+    // appear is an unpartitioned CartesianProduct, and the dimension
+    // lookup itself must be a broadcast hash join on the key.
+    Seq("q159_temporal_asof", "q165_quantile_bins").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q did not broadcast the small side")
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product")
+    }
+  }
+
+  test("q161: the MV rewrite survives to the physical plan (view scan, no aggregate)") {
+    // at sf0.001 the q161 build registers the view then aggregates the
+    // base — the physical plan must be a scan+project over the MV
+    // parquet, with NO HashAggregate over the documents scan
+    val p = plan("q161_mv_rewrite")
+    assert(p.contains("graft_mv_docs"), s"view scan missing:\n${p.take(1200)}")
+    assert(!p.contains("documents.parquet"), "rewritten plan still scans the base")
+  }
+
   test("q147: the native as-of join plans AsOfJoinExec — no union, no window, no product") {
     val p = plan("q147_asof_native")
     assert(p.contains("AsOfJoin"), "custom strategy did not fire")
