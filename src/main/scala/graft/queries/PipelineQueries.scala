@@ -2022,6 +2022,42 @@ object PipelineQueries extends QueryPack {
              |  FROM lineitem GROUP BY 1)
              |SELECT l_returnflag, 'qty_c' AS measure, qty_c AS cents FROM w
              |UNION ALL SELECT l_returnflag, 'price_c', price_c FROM w
-             |UNION ALL SELECT l_returnflag, 'disc_c', disc_c FROM w""".stripMargin))
+             |UNION ALL SELECT l_returnflag, 'disc_c', disc_c FROM w""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q176: change-data-feed read (TxLog.changes) — the delta between
+    // the q171 table's v1 (base) and v2 (CDC merge) read back OUT of the
+    // log as a minimal keyed I/U/D batch, so consumers replicate by
+    // deltas instead of snapshot rescans. The oracle derives the same
+    // patch by direct column comparison between the two recomputed
+    // table states (seq = target version).
+    QueryDef(
+      "q176_changefeed",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txcdf_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val base = T.documents(s, dir)
+        graft.sources.TxLog.commit(s, t, base)
+        graft.sources.TxLog.commit(s, t,
+          graft.operators.Cdc.applyChanges(base, docChanges(base), "doc_id"))
+        graft.sources.TxLog.changes(s, t, "doc_id", 1L, 2L)
+      },
+      Some(s"""WITH $docChangesSql
+             |SELECT m.doc_id, m.text, m.lang, m.source, m.n_chars,
+             |  'I' AS op, 2 AS seq
+             |FROM merged m LEFT JOIN documents d ON m.doc_id = d.doc_id
+             |WHERE d.doc_id IS NULL
+             |UNION ALL
+             |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, 'D', 2
+             |FROM documents d LEFT JOIN merged m ON d.doc_id = m.doc_id
+             |WHERE m.doc_id IS NULL
+             |UNION ALL
+             |SELECT m.doc_id, m.text, m.lang, m.source, m.n_chars, 'U', 2
+             |FROM documents d JOIN merged m ON d.doc_id = m.doc_id
+             |WHERE d.text <> m.text OR d.lang <> m.lang
+             |   OR d.source <> m.source OR d.n_chars <> m.n_chars""".stripMargin))
   )
 }

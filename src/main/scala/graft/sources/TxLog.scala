@@ -103,6 +103,20 @@ object TxLog {
   def compact(spark: SparkSession, tableDir: String, partitions: Int = 1): Long =
     commit(spark, tableDir, read(spark, tableDir).repartition(partitions))
 
+  /** Change data feed between two committed versions: the minimal keyed
+    * I/U/D batch (in [[graft.operators.Cdc.applyChanges]]' contract)
+    * that turns snapshot `fromV` into snapshot `toV` — so downstream
+    * consumers replicate by applying deltas instead of re-reading
+    * snapshots. Delegates to [[graft.operators.Cdc.makePatch]]: digests
+    * shuffle, payloads join back only for divergent keys.
+    */
+  def changes(spark: SparkSession, tableDir: String, keyCol: String,
+      fromV: Long, toV: Long): DataFrame =
+    graft.operators.Cdc.makePatch(
+      read(spark, tableDir, Some(fromV)),
+      read(spark, tableDir, Some(toV)),
+      keyCol, seq = toV.toInt)
+
   /** Drop data directories referenced by NO manifest ≥ `retainFrom`
     * (and the manifests below it). Readers of retained snapshots are
     * unaffected — their files are never touched.
