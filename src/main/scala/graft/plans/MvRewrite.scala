@@ -101,20 +101,39 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     case agg: Aggregate => rewrite(agg).getOrElse(agg)
   }
 
-  /** The scan under the aggregate, seen through column-pruning Projects
-    * only — a Filter (or anything else) makes the aggregate not
-    * view-subsumed and kills the match.
+  /** The base table's root paths under the aggregate, seen through
+    * column-pruning Projects only — a Filter (or anything else) makes
+    * the aggregate not view-subsumed and kills the match. A cached base
+    * (`InMemoryRelation`) still matches when its cached plan is a PLAIN
+    * scan (no filters, no computed projections): the session caching
+    * the base table must not silently disable aggregate navigation —
+    * the KB-sized view scan beats re-aggregating even an in-memory
+    * copy of the full table.
     */
-  private def baseScan(plan: LogicalPlan): Option[LogicalRelation] = plan match {
-    case r: LogicalRelation => Some(r)
+  private def basePaths(plan: LogicalPlan): Option[Set[String]] = plan match {
+    case r: LogicalRelation => Some(MvCatalog.rootPaths(r))
+    case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+      val phys = m.cacheBuilder.cachedPlan
+      val unsafeNode = phys.collectFirst {
+        case _: org.apache.spark.sql.execution.FilterExec => ()
+        case p: org.apache.spark.sql.execution.ProjectExec
+          if !p.projectList.forall(_.isInstanceOf[AttributeReference]) => ()
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.dataFilters.nonEmpty || f.partitionFilters.nonEmpty => ()
+      }
+      val paths = phys.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten.toSet
+      if (unsafeNode.isEmpty && paths.nonEmpty) Some(paths) else None
     case Project(projectList, child) if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      baseScan(child)
+      basePaths(child)
     case _ => None
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val scan = baseScan(agg.child).getOrElse(return None)
-    val entry = MvCatalog.find(MvCatalog.rootPaths(scan)).getOrElse(return None)
+    val paths = basePaths(agg.child).getOrElse(return None)
+    val entry = MvCatalog.find(paths).getOrElse(return None)
 
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference => a.name

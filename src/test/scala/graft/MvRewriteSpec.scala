@@ -71,6 +71,27 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a CACHED base still rewrites; a cached filtered subset never does") {
+    val cached = spark.read.parquet(basePath).cache()
+    try {
+      cached.count() // materialize the cache
+      registered {
+        val agg = cached.groupBy($"source")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("total"))
+        assert(scanPaths(agg).exists(_.contains("graft_mv_spec")),
+          "cached base disabled aggregate navigation")
+        // a cached FILTERED frame must not be mistaken for the base
+        val subset = spark.read.parquet(basePath).filter($"lang" === "en").cache()
+        try {
+          subset.count()
+          val sAgg = subset.groupBy($"source").agg(count(lit(1)).as("n"))
+          assert(!scanPaths(sAgg).exists(_.contains("graft_mv_spec")),
+            "cached filtered subset wrongly rewrote to the full-table view")
+        } finally subset.unpersist()
+      }
+    } finally cached.unpersist()
+  }
+
   test("invalidate stops the rewrite until re-registration") {
     registered {
       MvCatalog.invalidate("spec_mv")
