@@ -70,9 +70,20 @@ object MvCatalog {
         sum(col(m)).as(s"sum_$m"),
         min(col(m)).as(s"min_$m"),
         max(col(m)).as(s"max_$m")))
-    base.groupBy(groupCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(mvPath)
+    // The materialization is itself a subsumable aggregate: with a prior
+    // registration live, the rewrite rule would redirect THIS query to
+    // the view directory the overwrite is about to clear (read-under-
+    // overwrite -> FILE_NOT_EXIST). Suspend the rule for the rebuild.
+    MvRewriteRule.suspend {
+      base.groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(mvPath)
+    }
+    // re-registration overwrites the view's parquet: drop any stale
+    // file-listing/cache state for the path before capturing the new
+    // relation, or a previously-planned query could still reference the
+    // replaced part files
+    spark.catalog.refreshByPath(mvPath)
     val measures = Map("count" -> "n") ++
       measureCols.flatMap(m => Seq(
         s"sum:$m" -> s"sum_$m", s"min:$m" -> s"min_$m", s"max:$m" -> s"max_$m"))
@@ -97,9 +108,21 @@ object MvCatalog {
 
 object MvRewriteRule extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg: Aggregate => rewrite(agg).getOrElse(agg)
+  private val suspended = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
   }
+
+  /** Run `f` with the rewrite disabled on this thread (view rebuilds). */
+  private[plans] def suspend[A](f: => A): A = {
+    suspended.set(true)
+    try f finally suspended.set(false)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (suspended.get) plan
+    else plan.transformUp {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
 
   /** The base table's root paths under the aggregate, seen through
     * column-pruning Projects only — a Filter (or anything else) makes
