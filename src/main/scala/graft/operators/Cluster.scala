@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
-  /** (cx, cy, cluster, n) for every core cell. */
+  /** (cx, cy, cluster, n) for every core cell.
+    *
+    * Cell indices use FLOOR division (negative coordinates land in the
+    * cell below zero, matching SQL `//`), and the cell id packs
+    * `(cx << 32) | (cy & 0xffffffff)` — collision-free for any
+    * |cx|,|cy| < 2³¹, unlike a decimal-shift pack which silently merges
+    * cells once |cy| reaches the shift or coordinates mix signs.
+    */
   def gridDensity(
       points: DataFrame,
       xCol: String,
@@ -29,14 +36,17 @@ object Cluster {
       cellSize: Long,
       minPts: Long): DataFrame = {
     require(cellSize > 0 && minPts > 0)
+    // floor division for a positive divisor: truncate, then step down
+    // when the remainder is negative (Spark's div/% truncate toward 0)
+    def floorDiv(c: String) =
+      expr(s"CAST($c AS BIGINT) div $cellSize - " +
+        s"(CASE WHEN CAST($c AS BIGINT) % $cellSize < 0 THEN 1 ELSE 0 END)")
     val cells = points
-      .select(
-        expr(s"CAST($xCol AS BIGINT) div $cellSize").as("cx"),
-        expr(s"CAST($yCol AS BIGINT) div $cellSize").as("cy"))
+      .select(floorDiv(xCol).as("cx"), floorDiv(yCol).as("cy"))
       .groupBy(col("cx"), col("cy"))
       .agg(count(lit(1)).as("n"))
     val dense = cells.filter(col("n") >= minPts)
-      .withColumn("id", col("cx") * 1000000L + col("cy"))
+      .withColumn("id", expr("shiftleft(cx, 32) | (cy & 4294967295)"))
     val offsets = for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 }
       yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
     val shifted = dense.select(col("id"), col("cx"), col("cy"))

@@ -97,8 +97,34 @@ object MvCatalog {
 
   def invalidate(name: String): Unit = entries.get(name).foreach(_.valid = false)
   def drop(name: String): Unit = entries.remove(name)
-  def find(basePaths: Set[String]): Option[MvEntry] =
-    entries.values.find(e => e.valid && e.basePaths == basePaths)
+
+  /** All candidates that could answer an aggregate over `basePaths` —
+    * the CALLER checks grouping/measure subsumption per entry, so two
+    * views registered over the same base both get a chance (an
+    * arbitrary-pick here used to shadow the matching one).
+    */
+  def candidates(basePaths: Set[String]): Iterable[MvEntry] =
+    entries.values.filter(e => e.valid && e.basePaths == basePaths)
+
+  private def normalize(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+
+  /** Auto-invalidation hook: any write landing at-or-under a registered
+    * base path (or a base path landing under the written root) flips
+    * the affected views invalid, closing the stale-view window without
+    * user action. Called by [[graft.sources.TxLog.commit]] and
+    * [[graft.sources.TableIO.writePartitioned]]; cheap no-op when
+    * nothing is registered.
+    */
+  def invalidateByPath(writtenPath: String): Unit = {
+    val w = normalize(writtenPath)
+    entries.values.foreach { e =>
+      if (e.valid && e.basePaths.exists { bp =>
+          val b = normalize(bp)
+          w == b || w.startsWith(b + "/") || b.startsWith(w + "/")
+        }) e.valid = false
+    }
+  }
 
   def rootPaths(rel: LogicalRelation): Set[String] = rel.relation match {
     case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).toSet
@@ -156,13 +182,20 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val paths = basePaths(agg.child).getOrElse(return None)
-    val entry = MvCatalog.find(paths).getOrElse(return None)
-
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference => a.name
       case _ => return None
     }
-    if (groupNames.toSet != entry.groupCols.toSet) return None
+    // try every registered view over this base: the first whose grouping
+    // AND measures subsume the aggregate wins (an arbitrary single pick
+    // used to shadow a matching sibling view — round-5 advice)
+    MvCatalog.candidates(paths).view
+      .filter(e => groupNames.toSet == e.groupCols.toSet)
+      .flatMap(e => rewriteWith(agg, e))
+      .headOption
+  }
+
+  private def rewriteWith(agg: Aggregate, entry: MvCatalog.MvEntry): Option[LogicalPlan] = {
 
     val view = entry.view.newInstance()
     val viewAttr = view.output.map(a => a.name -> a).toMap

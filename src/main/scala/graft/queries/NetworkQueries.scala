@@ -578,9 +578,9 @@ object NetworkQueries extends QueryPack {
         val rounds = (1 to 5).map { i =>
           s"""r$i AS (
              |  SELECT n.node,
-             |    150000000 + COALESCE(m.inmass, 0) * 85 // 100 AS rank
+             |    CAST(150000000 + COALESCE(m.inmass, 0) * 85 // 100 AS BIGINT) AS rank
              |  FROM nodes n LEFT JOIN (
-             |    SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inmass
+             |    SELECT e.dst AS node, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS inmass
              |    FROM e
              |    JOIN deg d ON e.src = d.src
              |    JOIN r${i - 1} r ON r.node = e.src

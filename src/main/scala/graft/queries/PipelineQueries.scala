@@ -101,6 +101,28 @@ object PipelineQueries extends QueryPack {
     * first 8 hex digits of md5, assembled nibble by nibble (DuckDB has no
     * hex→int cast).
     */
+  /** Move single-part staged batch files into `$root/in` with EXPLICITLY
+    * increasing modification times: FileStreamSource orders candidate
+    * files by mtime, so two renames landing inside one mtime-granularity
+    * tick could otherwise reach the stream out of order and violate the
+    * seq-ordered application contract (round-5 advice). Name order alone
+    * is NOT a FileStreamSource guarantee.
+    */
+  private def stageOrderedBatches(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      staged: Seq[(String, String)]): Unit = {
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/in"))
+    val t0 = System.currentTimeMillis() - staged.size * 2000L
+    staged.zipWithIndex.foreach { case ((tmp, name), i) =>
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$root/$tmp/part-*.parquet")).head.getPath
+      val dst = new org.apache.hadoop.fs.Path(s"$root/in/$name")
+      fs.rename(part, dst)
+      fs.setTimes(dst, t0 + i * 2000L, -1)
+    }
+  }
+
   private def u32Sql(e: String): String =
     (0 until 8).map { i =>
       val mul = 1L << (4 * (7 - i))
@@ -1441,7 +1463,7 @@ object PipelineQueries extends QueryPack {
           view, base, docChanges(base), "doc_id", "source", "n_chars")
       },
       Some(s"""WITH $docChangesSql
-             |SELECT source, count(*) AS n, sum(n_chars) AS total
+             |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total
              |FROM merged GROUP BY 1""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -1470,13 +1492,8 @@ object PipelineQueries extends QueryPack {
           .write.parquet(s"$base/in_tmp1")
         ch.filter(col("seq") === 2).repartition(1)
           .write.parquet(s"$base/in_tmp2")
-        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
-        Seq(("in_tmp1", "b0.parquet"), ("in_tmp2", "b1.parquet")).foreach {
-          case (tmp, name) =>
-            val part = fs.globStatus(
-              new org.apache.hadoop.fs.Path(s"$base/$tmp/part-*.parquet")).head.getPath
-            fs.rename(part, new org.apache.hadoop.fs.Path(s"$base/in/$name"))
-        }
+        stageOrderedBatches(fs, base,
+          Seq(("in_tmp1", "b0.parquet"), ("in_tmp2", "b1.parquet")))
         StreamingOps.streamingCdcApply(s, s"$base/in", s"$base/state", "doc_id")
       },
       Some(s"""WITH $docChangesSql
@@ -1537,27 +1554,27 @@ object PipelineQueries extends QueryPack {
         liAudit.unionByName(docAudit).unionByName(uniq).unionByName(fk)
       },
       Some("""SELECT 'l_quantity_range' AS check_name,
-             |  sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS violations,
+             |  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
              |  count(*) AS total FROM lineitem
              |UNION ALL
              |SELECT 'l_discount_range',
-             |  sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END),
+             |  CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT),
              |  count(*) FROM lineitem
              |UNION ALL
              |SELECT 'l_shipdate_null',
-             |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+             |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              |  count(*) FROM lineitem
              |UNION ALL
              |SELECT 'doc_lang_domain',
-             |  sum(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es', 'zh') THEN 1 ELSE 0 END),
+             |  CAST(sum(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es', 'zh') THEN 1 ELSE 0 END) AS BIGINT),
              |  count(*) FROM documents
              |UNION ALL
              |SELECT 'doc_nchars_consistent',
-             |  sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END),
+             |  CAST(sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT),
              |  count(*) FROM documents
              |UNION ALL
              |SELECT 'orders_pk_unique',
-             |  COALESCE(sum(cnt - 1), 0), COALESCE(sum(cnt), 0)
+             |  CAST(COALESCE(sum(cnt - 1), 0) AS BIGINT), CAST(COALESCE(sum(cnt), 0) AS BIGINT)
              |FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey) t
              |UNION ALL
              |SELECT 'lineitem_orders_fk',
@@ -1919,13 +1936,8 @@ object PipelineQueries extends QueryPack {
           .write.parquet(s"$root/in_tmp1")
         ch.filter(col("seq") === 2).repartition(1)
           .write.parquet(s"$root/in_tmp2")
-        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/in"))
-        Seq(("in_tmp1", "b0.parquet"), ("in_tmp2", "b1.parquet")).foreach {
-          case (tmp, name) =>
-            val part = fs.globStatus(
-              new org.apache.hadoop.fs.Path(s"$root/$tmp/part-*.parquet")).head.getPath
-            fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/in/$name"))
-        }
+        stageOrderedBatches(fs, root,
+          Seq(("in_tmp1", "b0.parquet"), ("in_tmp2", "b1.parquet")))
         StreamingOps.streamingMvMaintain(
           s, s"$root/in", docs, s"$root/t", "doc_id", "source", "n_chars")
       },

@@ -667,7 +667,7 @@ object RelationalQueries extends QueryPack {
             max($"k").as("max_k"))
       },
       Some("""SELECT event_type, count(*) AS n,
-             |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+             |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
              |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
              |FROM events
              |WHERE CAST(props->>'$.k' AS BIGINT) >= 50
@@ -1370,11 +1370,16 @@ object RelationalQueries extends QueryPack {
     // fixed-point longs (map-side partial sums), never vectors. The 1e-5
     // per-element quantization makes the sums order-independent, so the
     // centroid arrays hash-verify exactly; DuckDB replays via list
-    // subscripting + an ordered list() repack.
+    // subscripting + an ordered string_agg repack. Both engines emit
+    // the centroid as a comma-joined STRING (not a list column): the
+    // harness canonicalizer sorts result cells and cannot hash array
+    // cells, so the declared shape is scalar-only.
     QueryDef(
       "q164_label_centroids",
-      (s, dir) => graft.operators.Stats.labelCentroids(
-        T.embeddings(s, dir), "embedding", "label"),
+      (s, dir) => graft.operators.Stats
+        .labelCentroids(T.embeddings(s, dir), "embedding", "label")
+        .withColumn("centroid_fix",
+          expr("array_join(transform(centroid_fix, x -> CAST(x AS STRING)), ',')")),
       Some("""WITH e AS (
              |  SELECT label, i - 1 AS pos,
              |    CAST(round(CAST(embedding[i] AS DOUBLE) * 100000, 0) AS BIGINT) AS fx
@@ -1382,7 +1387,8 @@ object RelationalQueries extends QueryPack {
              |a AS (
              |  SELECT label, pos, CAST(sum(fx) AS BIGINT) AS s, count(*) AS c
              |  FROM e GROUP BY 1, 2)
-             |SELECT label, max(c) AS n, list(s ORDER BY pos) AS centroid_fix
+             |SELECT label, max(c) AS n,
+             |  string_agg(CAST(s AS VARCHAR), ',' ORDER BY pos) AS centroid_fix
              |FROM a GROUP BY label""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -1450,7 +1456,7 @@ object RelationalQueries extends QueryPack {
              |  SELECT px // 500 AS cx, py // 500 AS cy, count(*) AS n
              |  FROM pts GROUP BY 1, 2),
              |dense AS (
-             |  SELECT cx, cy, n, cx * 1000000 + cy AS id
+             |  SELECT cx, cy, n, (cx << 32) | (cy & 4294967295) AS id
              |  FROM cells WHERE n >= 6),
              |edges AS (
              |  SELECT a.id AS src, b.id AS dst FROM dense a JOIN dense b

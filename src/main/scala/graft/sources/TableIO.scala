@@ -60,6 +60,9 @@ object TableIO {
         .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
     }
     wb.partitionBy(partitionKeys: _*).parquet(baseDir)
+    // a write under a registered MV base closes that view's freshness
+    // window without user action (round-5 stretch ask)
+    graft.plans.MvCatalog.invalidateByPath(baseDir)
   }
 
   /** Read a published tree back; partition columns are recovered from the

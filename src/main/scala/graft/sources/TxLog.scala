@@ -67,15 +67,39 @@ object TxLog {
         if (append && base > 0) readManifest(spark, tableDir, base) else Nil
       val target = new Path(logDir(tableDir), s"v${base + 1}")
       f.mkdirs(logDir(tableDir))
-      try {
-        // create-exclusive: atomic on a correct Hadoop FS — the loser of
-        // a race lands in the catch and retries on the winner's log
-        val out = f.create(target, false)
-        try out.write((carried :+ batch).mkString("\n").getBytes("UTF-8"))
-        finally out.close()
+      // create-exclusive: atomic on a correct Hadoop FS — ONLY the
+      // already-exists failure is a lost race. Any failure AFTER create
+      // succeeds (manifest write/close) must delete the claimed v-file
+      // and rethrow: leaving a truncated manifest as the committed
+      // latest version would make readers silently resolve a partial
+      // snapshot, and append-mode retries would carry the corrupt
+      // directory list forward.
+      val created =
+        try Some(f.create(target, false))
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+              _: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1 // lost the race; re-read the winner's log
+            None
+          case e: java.io.IOException // FSes that signal the race untyped
+              if e.getMessage != null &&
+                e.getMessage.toLowerCase.contains("already exists") =>
+            attempt += 1
+            None
+        }
+      created.foreach { out =>
+        try {
+          out.write((carried :+ batch).mkString("\n").getBytes("UTF-8"))
+          out.close()
+        } catch {
+          case e: Throwable =>
+            try out.close() catch { case _: Throwable => () }
+            try f.delete(target, false) catch { case _: Throwable => () }
+            throw e
+        }
+        // committed: any MV registered over this table is now stale
+        graft.plans.MvCatalog.invalidateByPath(tableDir)
         return base + 1
-      } catch {
-        case _: java.io.IOException => attempt += 1 // lost the race; re-read
       }
     }
     throw new IllegalStateException(

@@ -99,4 +99,66 @@ class MvRewriteSpec extends AnyFunSuite {
         "stale view still used")
     }
   }
+
+  // Round-5 advice: find() used to return an ARBITRARY valid entry for
+  // the base, so a query subsumed only by the second of two registered
+  // views fell through. Every candidate must get a subsumption check.
+  test("two views over one base: the one that subsumes the query wins") {
+    val mv2 = s"${GraftSession.scratchBase}/graft_mv_spec2"
+    MvCatalog.register(spark, "spec_mv_lang", basePath,
+      Seq("lang"), Seq("n_chars"), mv2)
+    try registered {
+      // grouped by source → only spec_mv subsumes (registration order
+      // puts spec_mv_lang first in the TrieMap often enough to catch
+      // an arbitrary-pick regression either way)
+      assert(scanPaths(baseAgg).exists(_.contains("graft_mv_spec")),
+        "source-grouped aggregate missed its view")
+      val byLang = spark.read.parquet(basePath)
+        .groupBy($"lang").agg(count(lit(1)).as("n"))
+      assert(scanPaths(byLang).exists(_.contains("graft_mv_spec2")),
+        "lang-grouped aggregate missed its view")
+    } finally MvCatalog.drop("spec_mv_lang")
+  }
+
+  // Round-5 stretch ask: a write landing under a registered base path
+  // must invalidate the view WITHOUT a manual invalidate() call.
+  test("a base write auto-invalidates: next query falls through to base") {
+    val baseCopy = s"${GraftSession.scratchBase}/graft_mv_autobase"
+    val mv3 = s"${GraftSession.scratchBase}/graft_mv_spec3"
+    spark.read.parquet(basePath).write.mode("overwrite").parquet(baseCopy)
+    MvCatalog.register(spark, "spec_mv_auto", baseCopy,
+      Seq("source"), Seq("n_chars"), mv3)
+    try {
+      def agg = spark.read.parquet(baseCopy)
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+      assert(scanPaths(agg).exists(_.contains("graft_mv_spec3")))
+      graft.plans.MvCatalog.invalidateByPath(baseCopy) // what TxLog/TableIO call
+      assert(!scanPaths(agg).exists(_.contains("graft_mv_spec3")),
+        "view still used after a base write")
+    } finally MvCatalog.drop("spec_mv_auto")
+  }
+
+  test("TxLog.commit on a registered base path flips the view invalid") {
+    val tableDir = s"${GraftSession.scratchBase}/graft_mv_txbase"
+    val mv4 = s"${GraftSession.scratchBase}/graft_mv_spec4"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+    graft.sources.TxLog.commit(spark, tableDir,
+      spark.read.parquet(basePath).select($"source", $"n_chars"))
+    val snapshotDirs = graft.sources.TxLog
+      .read(spark, tableDir).inputFiles.map(f => f.substring(0, f.lastIndexOf('/')))
+    // register over the snapshot's data directory (under tableDir)
+    MvCatalog.register(spark, "spec_mv_tx", snapshotDirs.head,
+      Seq("source"), Seq("n_chars"), mv4)
+    try {
+      def agg = spark.read.parquet(snapshotDirs.head)
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+      assert(scanPaths(agg).exists(_.contains("graft_mv_spec4")))
+      graft.sources.TxLog.commit(spark, tableDir,
+        spark.read.parquet(basePath).select($"source", $"n_chars").limit(5),
+        append = true)
+      assert(!scanPaths(agg).exists(_.contains("graft_mv_spec4")),
+        "TxLog.commit did not auto-invalidate the view over its table")
+    } finally MvCatalog.drop("spec_mv_tx")
+  }
 }

@@ -49,4 +49,31 @@ class ResampleSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Join"), s"resample must be join-free:\n$plan")
   }
+
+  // Round-5 scale-killer regression guard: the next-observation pass must
+  // be a running frame (incremental O(k)), never an UnboundedFollowing
+  // frame (Spark recomputes that frame per row → O(k²) per user).
+  test("no UnboundedFollowing window frame in the plan") {
+    val plan = Resample.hourlyInterpolate(ev((1L, Hour, 1.0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UNBOUNDED FOLLOWING"),
+      s"quadratic window frame reintroduced:\n$plan")
+  }
+
+  test("skew: one user with a 100x span (2 sparse events, ~2 years apart)") {
+    val span = 17520L // hours ≈ 2 years
+    val df = ev(
+      (1L, Hour, 0.0), (1L, (span + 1) * Hour, span.toDouble * 2),
+      (2L, Hour, 5.0), (2L, 2 * Hour, 7.0)) // a normal user beside the whale
+    val got = Resample.hourlyInterpolate(df).cache()
+    try {
+      val whale = got.filter($"user_id" === 1L)
+        .as[(Long, Long, Double)].collect().sortBy(_._2)
+      assert(whale.length == span + 1) // hours 1..span+1 inclusive
+      // linear ramp: value at grid hour h is (h-1)*2
+      val mid = whale(8000)
+      assert(math.abs(mid._3 - 8000L * 2) < 1e-6)
+      assert(got.filter($"user_id" === 2L).count() == 2)
+    } finally got.unpersist()
+  }
 }

@@ -19,14 +19,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize list/array cells to tuples so sorting works
+    # The DRIVER's canonicalizer crashes on array cells (round-5 q164) —
+    # mirror that as a hard failure instead of papering over it.
     for c in df.columns:
         if df[c].map(lambda v: isinstance(v, (list, tuple)) or
                      hasattr(v, "tolist") and not pd.api.types.is_scalar(v)).any():
-            df[c] = df[c].map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
-                              else (tuple(v) if isinstance(v, (list, tuple)) else v))
+            raise ValueError(
+                f"column {c!r} holds array cells — the driver harness cannot "
+                "hash these; reshape the query to scalar rows or a joined string")
     df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
     return df
+
+
+def kind(dt) -> str:
+    """Collapse dtypes to the hash-relevant kind (int/float/bool/other).
+    The driver hashes typed values, so DuckDB HUGEINT->float64 vs Spark
+    int64 is a mismatch even when every value compares equal (round-5
+    q132/q142/q144/q151)."""
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    return "other"
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -57,6 +73,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_bad += 1
+            continue
+        kinds_g = [kind(got[c].dtype) for c in got.columns]
+        kinds_e = [kind(exp[c].dtype) for c in exp.columns]
+        if kinds_g != kinds_e:
+            bad = [(c, g, e) for c, g, e in
+                   zip(got.columns, kinds_g, kinds_e) if g != e]
+            print(f"FAIL {name}: dtype kind mismatch (driver hash would "
+                  f"differ even if values match): {bad}")
             n_bad += 1
             continue
         # exact value compare (mirrors a hash match); sentinel so null==null
