@@ -863,17 +863,38 @@ object PipelineQueries extends QueryPack {
              |FROM documents""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q51: multimodal binary-column plumbing with stubbed decode.
+    // q51: REAL video metadata decode (formerly the stub) — planted
+    // ISO-BMFF boxes (timescale/duration/dims/frame-count derived from
+    // c_custkey, encoded inside the distributed map) are parsed back by
+    // the MP4 box walker. Every output column is recomputed
+    // arithmetically by the oracle — the q116 planted-box pattern — so
+    // the decode is proven real, not rows-only.
     QueryDef(
-      "q51_multimodal_stub",
-      (s, dir) => Multimodal.decodeMetadata(s, T.documents(s, dir)),
-      Some("""SELECT doc_id,
-             |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-             |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
-             |  CAST(octet_length(CAST(text AS BLOB)) * 7 % 480 AS INT) AS height,
-             |  CASE octet_length(CAST(text AS BLOB)) % 3
-             |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
-             |FROM documents""".stripMargin)),
+      "q51_video_metadata",
+      (s, dir) => {
+        import s.implicits._
+        val mp4s = T.customer(s, dir).select($"c_custkey".cast("long"))
+          .as[Long]
+          .map { id =>
+            val nf = (id % 4 + 1).toInt
+            (id, Multimodal.encodeMp4(
+              timescale = (600 * (id % 3 + 1)).toInt,
+              durationTicks = id % 1000 + 100,
+              width = (id % 128 + 16).toInt,
+              height = (id % 72 + 9).toInt,
+              frameSizes = Array.tabulate(nf)(i => ((id % 97) * 8 + i + 1).toInt)))
+          }
+          .toDF("doc_id", "mp4")
+        Multimodal.decodeMp4(s, mp4s)
+      },
+      Some("""SELECT c_custkey AS doc_id, 'mp4' AS format,
+             |  CAST(600 * (c_custkey % 3 + 1) AS INT) AS timescale,
+             |  CAST((c_custkey % 1000 + 100) * 1000
+             |       // (600 * (c_custkey % 3 + 1)) AS BIGINT) AS duration_ms,
+             |  CAST(c_custkey % 128 + 16 AS INT) AS width,
+             |  CAST(c_custkey % 72 + 9 AS INT) AS height,
+             |  CAST(c_custkey % 4 + 1 AS BIGINT) AS n_frames
+             |FROM customer""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q52: Structured Streaming tumbling-hour aggregation (complete mode,
@@ -1125,14 +1146,36 @@ object PipelineQueries extends QueryPack {
 
     // ------------------------------------------------------------------
     // q54: one-to-many multimodal decode (frame sampling) — flatMap-typed
-    // fan-out with a deterministic stub in place of the codec.
+    // fan-out now driven by the REAL MP4 sample table: frame byte sizes
+    // from stsz, frame timestamps from cumulative stts deltas, both
+    // replayed arithmetically by the oracle over the q51 planted params.
     QueryDef(
       "q54_frame_sample",
-      (s, dir) => Multimodal.sampleFrames(s, T.documents(s, dir)),
-      Some("""SELECT doc_id,
-             |  unnest(generate_series(1, octet_length(CAST(text AS BLOB)) % 4 + 1)) AS frame_idx,
-             |  CAST(octet_length(CAST(text AS BLOB)) // (octet_length(CAST(text AS BLOB)) % 4 + 1) AS BIGINT) AS frame_bytes
-             |FROM documents""".stripMargin)),
+      (s, dir) => {
+        import s.implicits._
+        val mp4s = T.customer(s, dir).select($"c_custkey".cast("long"))
+          .as[Long]
+          .map { id =>
+            val nf = (id % 4 + 1).toInt
+            (id, Multimodal.encodeMp4(
+              timescale = (600 * (id % 3 + 1)).toInt,
+              durationTicks = id % 1000 + 100,
+              width = (id % 128 + 16).toInt,
+              height = (id % 72 + 9).toInt,
+              frameSizes = Array.tabulate(nf)(i => ((id % 97) * 8 + i + 1).toInt)))
+          }
+          .toDF("doc_id", "mp4")
+        Multimodal.sampleFrames(s, mp4s)
+      },
+      Some("""WITH f AS (
+             |  SELECT c_custkey AS id,
+             |    unnest(generate_series(1, c_custkey % 4 + 1)) AS frame_idx
+             |  FROM customer)
+             |SELECT id AS doc_id, frame_idx,
+             |  CAST((id % 97) * 8 + frame_idx AS BIGINT) AS frame_bytes,
+             |  CAST((frame_idx - 1) * ((id % 1000 + 100) // (id % 4 + 1)) * 1000
+             |       // (600 * (id % 3 + 1)) AS BIGINT) AS frame_t_ms
+             |FROM f""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q94: the DEFAULT near-dup path — banded sign-LSH prefilter + exact

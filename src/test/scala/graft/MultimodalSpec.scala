@@ -178,6 +178,77 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 walker: encode→decode roundtrip recovers every planted field") {
+    val s = spark
+    import s.implicits._
+    val vids = Seq(
+      (1L, Multimodal.encodeMp4(600, 1234L, 640, 360, Array(10, 20, 30))),
+      (2L, Multimodal.encodeMp4(1800, 90000L, 1920, 1080, Array(512))))
+      .toDF("doc_id", "mp4")
+    val meta = Multimodal.decodeMp4(s, vids)
+      .as[(Long, String, Int, Long, Int, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(meta == Seq(
+      (1L, "mp4", 600, 1234L * 1000 / 600, 640, 360, 3L),
+      (2L, "mp4", 1800, 50000L, 1920, 1080, 1L)))
+    val frames = Multimodal.sampleFrames(s, vids)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // doc 1: delta = 1234/3 = 411 ticks → t_ms = 0, 685, 1370
+    assert(frames == Seq(
+      (1L, 1L, 10L, 0L), (1L, 2L, 20L, 411L * 1000 / 600),
+      (1L, 3L, 30L, 822L * 1000 / 600),
+      (2L, 1L, 512L, 0L)))
+  }
+
+  test("MP4 walker: version-1 mvhd (64-bit times) and uniform stsz parse too") {
+    val s = spark
+    import s.implicits._
+    // hand-build: v1 mvhd (timescale at +20, 64-bit duration at +24) and
+    // a uniform-size stsz — layouts the v0-only encoder never emits
+    def be(words: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(words.length * 4)
+      words.foreach(bb.putInt); bb.array()
+    }
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payload.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len); bb.put(typ.getBytes("US-ASCII")); payload.foreach(bb.put)
+      bb.array()
+    }
+    val mvhdV1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0),      // version 1
+      be(0, 0, 0, 0),               // 64-bit creation + modification
+      be(1000),                     // timescale
+      be(0, 5000),                  // 64-bit duration = 5000 ticks
+      be(0x10000), Array[Byte](1, 0, 0, 0), be(0, 0),
+      be(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+      be(0, 0, 0, 0, 0, 0), be(2))
+    val tkhd = box("tkhd", be(7, 0, 0, 1, 0, 5000, 0, 0), be(0, 0),
+      be(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+      be(320 << 16, 240 << 16))
+    val stts = box("stts", be(0, 1, 4, 1250))
+    val stszUniform = box("stsz", be(0, 99, 4)) // uniform size 99, 4 samples
+    val moov = box("moov", mvhdV1,
+      box("trak", tkhd, box("mdia", box("minf", box("stbl", stts, stszUniform)))))
+    val vids = Seq((7L, moov)).toDF("doc_id", "mp4")
+    val meta = Multimodal.decodeMp4(s, vids)
+      .as[(Long, String, Int, Long, Int, Int, Long)].collect().toSeq
+    assert(meta == Seq((7L, "mp4", 1000, 5000L, 320, 240, 4L)))
+    val frames = Multimodal.sampleFrames(s, vids)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(frames.map(_._3).forall(_ == 99L))
+    assert(frames.map(_._4) == Seq(0L, 1250L, 2500L, 3750L))
+  }
+
+  test("MP4 walker: malformed payloads fail loudly, not silently") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1L, Array.fill[Byte](64)(3))).toDF("doc_id", "mp4")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMp4(s, bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("imageNearDup: pairs are exactly the same-class pairs; payloads never shuffle") {
     val s = spark
     import s.implicits._
