@@ -79,4 +79,28 @@ object PointerCatalog {
       .map(_.trim.stripSuffix(";"))
       .filter(_.nonEmpty)
       .foreach(spark.sql(_))
+
+  /** Cross-engine artifact — the reference's ACTUAL consumer format: a
+    * DuckDB SQL script of views over the published trees, so a consumer
+    * with no Spark at all gets the same tables
+    * (`duckdb times.duckdb -c ".read catalog_views.sql"`, or built into
+    * a `.duckdb` database and ATTACHed — the shape of
+    * /root/reference/data/src/utils/duckdb.py:40-84, shipped by
+    * create_public_site.py:118-146). `hive_partitioning` recovers the
+    * partition keys from the directory structure, and DuckDB's glob +
+    * hive filter pushdown keeps partition pruning — pointing at the
+    * TREE, not an enumerated file list, is what preserves it (SURVEY
+    * §3.3).
+    */
+  def saveDuckDbViews(catalogFile: String, tables: Map[String, String]): Unit = {
+    def q(s: String) = s.replace("'", "''")
+    val stmts = tables.toSeq.sorted.map { case (name, dir) =>
+      s"CREATE OR REPLACE VIEW $name AS SELECT * FROM read_parquet(" +
+        s"'${q(dir)}/**/*.parquet', hive_partitioning = true);"
+    }
+    val path = Paths.get(catalogFile)
+    Option(path.getParent).foreach(Files.createDirectories(_))
+    Files.write(path, stmts.asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
 }

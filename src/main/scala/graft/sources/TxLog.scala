@@ -26,8 +26,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxLog {
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  /** FS resolved PER TABLE PATH, not the default FS: a table living on
+    * another scheme (s3a://, or the spec's chaos://) must commit and
+    * read through ITS filesystem — `FileSystem.get(conf)` would
+    * silently aim every metadata operation at the default FS.
+    */
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def logDir(tableDir: String) = new Path(s"$tableDir/_log")
 
@@ -38,14 +43,14 @@ object TxLog {
 
   /** Latest committed version, 0 when the table does not exist yet. */
   def latestVersion(spark: SparkSession, tableDir: String): Long = {
-    val f = fs(spark)
+    val f = fs(spark, tableDir)
     if (!f.exists(logDir(tableDir))) 0L
     else f.listStatus(logDir(tableDir))
       .flatMap(s => versionOf(s.getPath)).sorted.lastOption.getOrElse(0L)
   }
 
   private def readManifest(spark: SparkSession, tableDir: String, v: Long): Seq[String] = {
-    val in = fs(spark).open(new Path(logDir(tableDir), s"v$v"))
+    val in = fs(spark, tableDir).open(new Path(logDir(tableDir), s"v$v"))
     try scala.io.Source.fromInputStream(in).getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
@@ -57,7 +62,7 @@ object TxLog {
     */
   def commit(spark: SparkSession, tableDir: String, df: DataFrame,
       append: Boolean = false, maxRetries: Int = 20): Long = {
-    val f = fs(spark)
+    val f = fs(spark, tableDir)
     val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$tableDir/$batch")
     var attempt = 0
@@ -146,7 +151,7 @@ object TxLog {
     * unaffected — their files are never touched.
     */
   def vacuum(spark: SparkSession, tableDir: String, retainFrom: Long): Unit = {
-    val f = fs(spark)
+    val f = fs(spark, tableDir)
     val latest = latestVersion(spark, tableDir)
     require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
     val keep = (retainFrom to latest)

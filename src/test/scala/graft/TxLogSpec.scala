@@ -51,6 +51,55 @@ class TxLogSpec extends AnyFunSuite {
     assert(rows(TxLog.read(spark, t, Some(3L))) == Seq((9L, "z")))
   }
 
+  // ------------------------------------------------------------------
+  // Round-5 asks: the commit protocol's object-store claims, exercised
+  // on a real NON-default FS scheme (chaos:// = RawLocal + copy-delete
+  // rename + injectable manifest-write faults).
+  // ------------------------------------------------------------------
+
+  private def chaosDir(name: String): String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.chaos.impl", classOf[ChaosFileSystem].getName)
+    val local = s"${GraftSession.scratchBase}/txlog_chaos_$name"
+    fs.delete(new Path(local), true)
+    s"chaos://$local"
+  }
+
+  test("chaos FS: commit/read/time-travel work on a non-default scheme") {
+    val t = chaosDir("rt")
+    assert(TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s")) == 1L)
+    assert(TxLog.commit(spark, t, Seq((2L, "b")).toDF("id", "s"), append = true) == 2L)
+    assert(rows(TxLog.read(spark, t)) == Seq((1L, "a"), (2L, "b")))
+    assert(rows(TxLog.read(spark, t, Some(1L))) == Seq((1L, "a")))
+  }
+
+  test("chaos FS: a lost race still serializes versions (create-exclusive holds)") {
+    val t = chaosDir("race")
+    TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val cfs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cfs.create(new Path(s"$t/_log/v2"), false).close()
+    val v = TxLog.commit(spark, t, Seq((9L, "z")).toDF("id", "s"))
+    assert(v == 3L, s"loser must land at v3, got v$v")
+    assert(rows(TxLog.read(spark, t, Some(3L))) == Seq((9L, "z")))
+  }
+
+  test("chaos FS: a manifest write that dies mid-stream never becomes the committed version") {
+    val t = chaosDir("fault")
+    TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    ChaosFileSystem.failNextManifestWrite.set(true)
+    val e = intercept[java.io.IOException] {
+      TxLog.commit(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    }
+    assert(e.getMessage.contains("chaos"))
+    // the claimed v2 file must be GONE — not a truncated committed manifest
+    assert(TxLog.latestVersion(spark, t) == 1L,
+      "truncated manifest survived as the latest version")
+    assert(rows(TxLog.read(spark, t)) == Seq((1L, "a"))) // readers unharmed
+    // and the next commit proceeds cleanly onto v2
+    assert(TxLog.commit(spark, t, Seq((3L, "c")).toDF("id", "s")) == 2L)
+    assert(rows(TxLog.read(spark, t)) == Seq((3L, "c")))
+  }
+
   test("streamingMvMaintain: base and view stay version-aligned; every cut consistent") {
     val s = spark
     import org.apache.spark.sql.functions._
@@ -65,9 +114,12 @@ class TxLogSpec extends AnyFunSuite {
     changes.repartition(1).write.parquet(s"$root/t1")
     del.repartition(1).write.parquet(s"$root/t2")
     fs.mkdirs(new Path(s"$root/in"))
-    Seq(("t1", "b0.parquet"), ("t2", "b1.parquet")).foreach { case (t, n) =>
-      fs.rename(fs.globStatus(new Path(s"$root/$t/part-*.parquet")).head.getPath,
-        new Path(s"$root/in/$n"))
+    val t0 = System.currentTimeMillis() - 4000L
+    Seq(("t1", "b0.parquet"), ("t2", "b1.parquet")).zipWithIndex.foreach {
+      case ((t, n), i) =>
+        val dst = new Path(s"$root/in/$n")
+        fs.rename(fs.globStatus(new Path(s"$root/$t/part-*.parquet")).head.getPath, dst)
+        fs.setTimes(dst, t0 + i * 2000L, -1) // FileStreamSource orders by mtime
     }
     val finalMv = graft.streaming.StreamingOps.streamingMvMaintain(
       s, s"$root/in", docs, s"$root/t", "doc_id", "source", "n_chars")
