@@ -188,38 +188,115 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
     // try every registered view over this base: the first whose grouping
     // AND measures subsume the aggregate wins (an arbitrary single pick
-    // used to shadow a matching sibling view — round-5 advice)
+    // used to shadow a matching sibling view — round-5 advice). A query
+    // grouping by a SUBSET of the view's keys is answered by
+    // re-aggregating the view (aggregate navigation proper).
     MvCatalog.candidates(paths).view
-      .filter(e => groupNames.toSet == e.groupCols.toSet)
-      .flatMap(e => rewriteWith(agg, e))
+      .filter(e => groupNames.toSet.subsetOf(e.groupCols.toSet))
+      .flatMap(e => rewriteWith(agg, groupNames, e))
       .headOption
   }
 
-  private def rewriteWith(agg: Aggregate, entry: MvCatalog.MvEntry): Option[LogicalPlan] = {
+  import org.apache.spark.sql.types.{DataType, DecimalType, IntegerType, LongType}
 
+  /** Re-summing PARTIAL sums is only value-identical to the base
+    * aggregate when addition is associative — integer/decimal sums, not
+    * float. Rollup sum/avg therefore require an integral view column;
+    * min/max/count compose for any type.
+    */
+  private def associative(dt: DataType): Boolean =
+    dt == LongType || dt == IntegerType || dt.isInstanceOf[DecimalType]
+
+  private def rewriteWith(
+      agg: Aggregate,
+      groupNames: Seq[String],
+      entry: MvCatalog.MvEntry): Option[LogicalPlan] = {
+
+    val exact = groupNames.toSet == entry.groupCols.toSet
     val view = entry.view.newInstance()
     val viewAttr = view.output.map(a => a.name -> a).toMap
 
-    val projections: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      case a: AttributeReference =>
-        val mv = viewAttr.getOrElse(a.name, return None)
-        Alias(castIfNeeded(mv, a.dataType), a.name)(exprId = a.exprId)
-      case al @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
-        val key = fn match {
-          case Count(Seq(Literal(_, _))) => "count"
-          case Sum(ar: AttributeReference, _) => s"sum:${ar.name}"
-          case Min(ar: AttributeReference) => s"min:${ar.name}"
-          case Max(ar: AttributeReference) => s"max:${ar.name}"
-          case _ => return None
-        }
-        val mvCol = entry.measures.getOrElse(key, return None)
-        val mv = viewAttr.getOrElse(mvCol, return None)
-        Alias(castIfNeeded(mv, al.dataType), name)(exprId = al.exprId)
-      case _ => return None
+    def measureAttr(key: String): Option[Attribute] =
+      entry.measures.get(key).flatMap(viewAttr.get)
+
+    /** avg(m) = sum_m / n in double. For integral inputs below the 2⁵³
+      * exact-double envelope this matches Spark's Average bit-for-bit
+      * (Average also accumulates integral input in double; integer
+      * additions under 2⁵³ are exact in any order). Float measures are
+      * rejected — their sum_m was accumulated in a different order than
+      * Average's internal sum would be.
+      */
+    def avgExpr(sumAgg: Expression, nAgg: Expression): Expression =
+      Divide(Cast(sumAgg, org.apache.spark.sql.types.DoubleType),
+        Cast(nAgg, org.apache.spark.sql.types.DoubleType))
+
+    if (exact) {
+      val projections: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        case a: AttributeReference =>
+          val mv = viewAttr.getOrElse(a.name, return None)
+          Alias(castIfNeeded(mv, a.dataType), a.name)(exprId = a.exprId)
+        case al @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
+          val repl: Expression = fn match {
+            case Count(Seq(Literal(_, _))) =>
+              measureAttr("count").getOrElse(return None)
+            case Sum(ar: AttributeReference, _) =>
+              measureAttr(s"sum:${ar.name}").getOrElse(return None)
+            case Min(ar: AttributeReference) =>
+              measureAttr(s"min:${ar.name}").getOrElse(return None)
+            case Max(ar: AttributeReference) =>
+              measureAttr(s"max:${ar.name}").getOrElse(return None)
+            case Average(ar: AttributeReference, _) =>
+              val s = measureAttr(s"sum:${ar.name}").getOrElse(return None)
+              val n = measureAttr("count").getOrElse(return None)
+              if (!associative(s.dataType)) return None
+              avgExpr(s, n)
+            case _ => return None
+          }
+          Alias(castIfNeeded2(repl, al.dataType), name)(exprId = al.exprId)
+        case _ => return None
+      }
+      Some(Project(projections, view))
+    } else {
+      // ROLLUP: GROUP BY a subset of the view keys over the view itself.
+      // count → sum(n); sum → sum(sum_m) (associative types only);
+      // min/max → min(min_m)/max(max_m); avg → sum(sum_m)/sum(n).
+      def reAgg(fn: AggregateFunction): Expression =
+        AggregateExpression(fn, org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+          isDistinct = false)
+      val aggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        case a: AttributeReference => // a grouping column
+          val mv = viewAttr.getOrElse(a.name, return None)
+          Alias(castIfNeeded(mv, a.dataType), a.name)(exprId = a.exprId)
+        case al @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
+          val repl: Expression = fn match {
+            case Count(Seq(Literal(_, _))) =>
+              reAgg(Sum(measureAttr("count").getOrElse(return None)))
+            case Sum(ar: AttributeReference, _) =>
+              val s = measureAttr(s"sum:${ar.name}").getOrElse(return None)
+              if (!associative(s.dataType)) return None
+              reAgg(Sum(s))
+            case Min(ar: AttributeReference) =>
+              reAgg(Min(measureAttr(s"min:${ar.name}").getOrElse(return None)))
+            case Max(ar: AttributeReference) =>
+              reAgg(Max(measureAttr(s"max:${ar.name}").getOrElse(return None)))
+            case Average(ar: AttributeReference, _) =>
+              val s = measureAttr(s"sum:${ar.name}").getOrElse(return None)
+              if (!associative(s.dataType)) return None
+              avgExpr(reAgg(Sum(s)),
+                reAgg(Sum(measureAttr("count").getOrElse(return None))))
+            case _ => return None
+          }
+          Alias(castIfNeeded2(repl, al.dataType), name)(exprId = al.exprId)
+        case _ => return None
+      }
+      val grouping = groupNames.map(n => viewAttr.getOrElse(n, return None))
+      Some(Aggregate(grouping, aggExprs, view))
     }
-    Some(Project(projections, view))
   }
 
   private def castIfNeeded(a: Attribute, to: org.apache.spark.sql.types.DataType): Expression =
     if (a.dataType == to) a else Cast(a, to)
+
+  private def castIfNeeded2(e: Expression, to: org.apache.spark.sql.types.DataType): Expression =
+    if (e.dataType == to) e else Cast(e, to)
 }

@@ -1796,6 +1796,47 @@ object PipelineQueries extends QueryPack {
              |FROM documents GROUP BY 1""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q177: MV ROLLUP rewrite (aggregate navigation proper) — the view
+    // materializes GROUP BY (source, lang); the query groups by lang
+    // ALONE, so the optimizer must RE-AGGREGATE the view (count→sum(n),
+    // sum→sum(sum), min/max compose, avg = sum(sum)/sum(n)) instead of
+    // rescanning the base. The build asserts the rewritten plan scans
+    // the view, and the oracle recomputes everything from the base — so
+    // both the plan shape AND value identity are verified. Grouping by
+    // lang (not source) guarantees q161's single-key view cannot answer
+    // it; only the rollup path can.
+    QueryDef(
+      "q177_mv_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val mvPath = s"${graft.GraftSession.scratchBase}/graft_mv_roll_$sfName"
+        graft.plans.MvCatalog.register(
+          s, s"docs_by_source_lang_$sfName", s"$dir/documents.parquet",
+          Seq("source", "lang"), Seq("n_chars"), mvPath)
+        val q = s.read.parquet(s"$dir/documents.parquet")
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"n_chars").as("total"),
+            min($"n_chars").as("lo"),
+            max($"n_chars").as("hi"),
+            avg($"n_chars").as("mean"))
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            graft.plans.MvCatalog.rootPaths(l)
+        }.flatten
+        require(scans.exists(_.contains("graft_mv_roll")),
+          s"q177 must answer from the rollup view, scanned: $scans")
+        q
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS total,
+             |  min(n_chars) AS lo, max(n_chars) AS hi,
+             |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q162: product-quantization ANN (Similarity.pqTopK — Jégou et al.
     // 2011): 4×16-dim subspaces, seeded codebooks, per-subspace argmin
     // encode (map-side partial agg; corpus never shuffles with vectors

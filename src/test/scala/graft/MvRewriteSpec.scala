@@ -50,17 +50,17 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("near-misses fall through: filter, extra group, distinct, avg, other table") {
+  test("near-misses fall through: filter, extra group, distinct, stddev, other table") {
     registered {
       val plans = Seq(
         spark.read.parquet(basePath).filter($"lang" === "en")
           .groupBy($"source").agg(count(lit(1)).as("n")),
-        spark.read.parquet(basePath)
+        spark.read.parquet(basePath) // SUPERSET grouping — view too coarse
           .groupBy($"source", $"lang").agg(count(lit(1)).as("n")),
         spark.read.parquet(basePath)
           .groupBy($"source").agg(countDistinct($"lang").as("n")),
-        spark.read.parquet(basePath)
-          .groupBy($"source").agg(avg($"n_chars").as("a")),
+        spark.read.parquet(basePath) // unsupported aggregate function
+          .groupBy($"source").agg(stddev($"n_chars").as("a")),
         spark.read.parquet(s"$sf001/orders.parquet")
           .groupBy($"o_orderstatus").agg(count(lit(1)).as("n")))
       plans.foreach { df =>
@@ -136,6 +136,69 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(!scanPaths(agg).exists(_.contains("graft_mv_spec3")),
         "view still used after a base write")
     } finally MvCatalog.drop("spec_mv_auto")
+  }
+
+  test("rollup: a subset-grouped query re-aggregates the view; values unchanged") {
+    def q = spark.read.parquet(basePath).groupBy($"lang")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("total"),
+        min($"n_chars").as("lo"), max($"n_chars").as("hi"),
+        avg($"n_chars").as("mean"))
+    def g = spark.read.parquet(basePath)
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("total"))
+    val direct = q.as[(String, Long, Long, Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    val gDirect = g.as[(Long, Long)].collect().toSeq
+    val mv5 = s"${GraftSession.scratchBase}/graft_mv_spec5"
+    MvCatalog.register(spark, "spec_mv_roll", basePath,
+      Seq("source", "lang"), Seq("n_chars"), mv5)
+    try {
+      val scans = scanPaths(q)
+      assert(scans.exists(_.contains("graft_mv_spec5")),
+        s"subset grouping did not re-aggregate the view: $scans")
+      assert(!scans.exists(_.contains("documents.parquet")))
+      assert(q.as[(String, Long, Long, Long, Long, Double)]
+        .collect().sortBy(_._1).toSeq == direct)
+      // GLOBAL aggregate (empty grouping — subset of anything) too
+      assert(scanPaths(g).exists(_.contains("graft_mv_spec5")))
+      assert(g.as[(Long, Long)].collect().toSeq == gDirect)
+    } finally MvCatalog.drop("spec_mv_roll")
+  }
+
+  test("rollup guard: float sums fall through; min/max/count still compose") {
+    val base2 = s"$sf001/lineitem.parquet"
+    def mm = spark.read.parquet(base2).groupBy($"l_returnflag")
+      .agg(min($"l_quantity").as("lo"), max($"l_quantity").as("hi"),
+        count(lit(1)).as("n"))
+    val mmDirect = mm.as[(String, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    val mv6 = s"${GraftSession.scratchBase}/graft_mv_spec6"
+    MvCatalog.register(spark, "spec_mv_dbl", base2,
+      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), mv6)
+    try {
+      // re-summing PARTIAL float sums is order-sensitive → must fall back
+      val sums = spark.read.parquet(base2).groupBy($"l_returnflag")
+        .agg(sum($"l_quantity").as("s"))
+      assert(!scanPaths(sums).exists(_.contains("graft_mv_spec6")),
+        "float sum rollup must not rewrite")
+      val avgs = spark.read.parquet(base2).groupBy($"l_returnflag")
+        .agg(avg($"l_quantity").as("a"))
+      assert(!scanPaths(avgs).exists(_.contains("graft_mv_spec6")),
+        "float avg rollup must not rewrite")
+      // order-insensitive aggregates still ride the view
+      assert(scanPaths(mm).exists(_.contains("graft_mv_spec6")))
+      assert(mm.as[(String, Double, Double, Long)].collect().sortBy(_._1).toSeq
+        == mmDirect)
+    } finally MvCatalog.drop("spec_mv_dbl")
+  }
+
+  test("exact-match avg rewrites to sum/count over the view (integral only)") {
+    def q = spark.read.parquet(basePath).groupBy($"source")
+      .agg(avg($"n_chars").as("mean"), count(lit(1)).as("n"))
+    val direct = q.as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+    registered {
+      assert(scanPaths(q).exists(_.contains("graft_mv_spec")),
+        "integral avg did not rewrite on an exact grouping match")
+      assert(q.as[(String, Double, Long)].collect().sortBy(_._1).toSeq == direct)
+    }
   }
 
   test("TxLog.commit on a registered base path flips the view invalid") {
