@@ -191,4 +191,40 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk.chunk_idx"), col("chunk.start_token"),
         col("chunk.n_tokens"), col("chunk.chunk_md5"))
   }
+
+  /** N-gram language-model novelty score — the integer-exact core of an
+    * LM-perplexity quality filter: train a bigram "model" on the target
+    * slice (`isTarget`), then score every document by the fraction of
+    * its bigrams the model has NEVER seen (the out-of-vocabulary mass,
+    * which is the dominant term of held-out perplexity for an unsmoothed
+    * count model). Fully integral so the oracle hash-verifies: per doc,
+    * `n_bigrams`, `n_unseen`, and `novelty_pm` = unseen parts-per-million.
+    *
+    * Scale shape: the train set is `distinct` bigrams (combiner-heavy
+    * aggregation), matching is one shuffled left join on the bigram —
+    * NOT a broadcast, because at 100 TB the model side is corpus-sized;
+    * the per-doc rollup is an ordinary partial-agg sum. Documents with
+    * fewer than two tokens have no bigrams and drop out (same in the
+    * oracle).
+    */
+  def bigramNovelty(docs: DataFrame, isTarget: Column,
+      scale: Long = 1000000L): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), isTarget.as("tgt"),
+        expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)").as("l"))
+      .filter(size(col("l")) >= 2)
+    val grams = toks.select(col("doc_id"), col("tgt"),
+      explode(expr(
+        """transform(sequence(0, size(l) - 2),
+          |  i -> concat(element_at(l, i + 1), ' ', element_at(l, i + 2)))""".stripMargin))
+        .as("gram"))
+    val model = grams.filter(col("tgt")).select(col("gram")).distinct()
+      .withColumn("seen", lit(1))
+    grams.join(model, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count_if(col("seen").isNull).as("n_unseen"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        expr(s"($scale * n_unseen) div n_bigrams").as("novelty_pm"))
+  }
 }

@@ -92,6 +92,40 @@ object TrainingPrep {
     * md5 of the id rendered as a string — replayable digit-by-digit in
     * any SQL engine, unlike murmur/xxhash whose constants differ.
     */
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its token distribution is. The paper's
+    * log-likelihood ratio over hashed n-gram features is replaced by its
+    * monotone core — the SMOOTHED FREQUENCY RATIO
+    * `(cnt_target(w)+1)/tot_target / ((cnt_raw(w)+1)/tot_raw)`, scaled
+    * to integers — because summed float logs are evaluation-order
+    * sensitive and could never hash-verify across engines; the ranking
+    * signal (up-weight tokens over-represented in the target domain) is
+    * the same.
+    *
+    * Scale shape: one token-level aggregation computes BOTH corpora's
+    * counts (`count_if` on the target flag — no second scan), the two
+    * grand totals are a 1-row broadcast, the per-token weight table is
+    * vocabulary-sized, and the final per-doc sum is an ordinary combiner
+    * aggregation. Nothing is collected; no all-pairs anywhere.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      scale: Long = 1000000L): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), isTarget.as("tgt"),
+        explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = toks.groupBy("w")
+      .agg(count(lit(1)).as("cnt_r"), count_if(col("tgt")).as("cnt_t"))
+    val totals = toks
+      .agg(count(lit(1)).as("totr"), count_if(col("tgt")).as("tott"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("w"),
+        expr(s"($scale * (cnt_t + 1) * totr) div ((cnt_r + 1) * tott)").as("wgt"))
+    toks.join(weights, "w")
+      .groupBy("doc_id").agg(sum("wgt").as("score"))
+  }
+
   private def u32(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
 

@@ -2154,6 +2154,115 @@ object PipelineQueries extends QueryPack {
              |SELECT m.doc_id, m.text, m.lang, m.source, m.n_chars, 'U', 2
              |FROM documents d JOIN merged m ON d.doc_id = m.doc_id
              |WHERE d.text <> m.text OR d.lang <> m.lang
-             |   OR d.source <> m.source OR d.n_chars <> m.n_chars""".stripMargin))
+             |   OR d.source <> m.source OR d.n_chars <> m.n_chars""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q178: manifest-stats file skipping (TxLog.readWhere). Four batches
+    // committed per doc_id quartile carry footer-harvested min/max in
+    // the manifest; a bounded read drops non-overlapping batches BEFORE
+    // Spark lists a single file — at 100 TB the planner touches the hit
+    // fraction, not every footer in the table. TxLogSpec asserts the
+    // skip via inputFiles; here the pruned read's rollup hash-matches
+    // DuckDB's plain filtered scan, proving pruning never changes
+    // results. Both engines derive the probe range from count(*)//4 so
+    // the oracle is scale-factor-independent.
+    QueryDef(
+      "q178_stats_skipping",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txstats_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        val q = (docs.count() / 4L).max(1L)
+        (0L until 4L).foreach { i =>
+          val loB = i * q
+          val hiB = if (i == 3L) Long.MaxValue else (i + 1L) * q - 1L
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" >= loB && $"doc_id" <= hiB), append = true)
+        }
+        graft.sources.TxLog
+          .readWhere(s, t, "doc_id", Some(q + 5L), Some(2L * q - 1L))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) // 4 AS q FROM documents)
+             |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents, p
+             |WHERE doc_id >= p.q + 5 AND doc_id <= 2 * p.q - 1
+             |GROUP BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q179: DSIR-style importance weighting (TrainingPrep
+    // .importanceWeights) — target = English slice, raw = whole corpus;
+    // per-token smoothed frequency-ratio weights (the monotone core of
+    // the paper's hashed-ngram LLR, integer-scaled so both engines hash
+    // identical BIGINTs), summed per document; top-20 most target-like
+    // docs with a deterministic (score DESC, doc_id) tie-break.
+    QueryDef(
+      "q179_importance_weights",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TrainingPrep
+          .importanceWeights(T.documents(s, dir), $"lang" === "en")
+          .orderBy($"score".desc, $"doc_id")
+          .limit(20)
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id, lang = 'en' AS tgt,
+             |         unnest(string_split_regex(text, '\s+')) AS w
+             |  FROM documents),
+             |tk AS (SELECT * FROM toks0 WHERE length(w) > 0),
+             |counts AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS cnt_r,
+             |         CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS cnt_t
+             |  FROM tk GROUP BY w),
+             |tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS totr,
+             |         CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS tott
+             |  FROM tk),
+             |wt AS (
+             |  SELECT w, (1000000 * (cnt_t + 1) * totr) // ((cnt_r + 1) * tott) AS wgt
+             |  FROM counts, tot)
+             |SELECT doc_id, CAST(sum(wgt) AS BIGINT) AS score
+             |FROM tk JOIN wt USING (w)
+             |GROUP BY doc_id
+             |ORDER BY score DESC, doc_id
+             |LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q180: bigram-LM novelty scoring (TextAnalysis.bigramNovelty) — an
+    // unsmoothed count model trained on the English slice scores every
+    // document's out-of-vocabulary bigram mass (the integer-exact core
+    // of an LM-perplexity quality filter). Join on the bigram is a
+    // SHUFFLE join by design: at 100 TB the model is corpus-sized, not
+    // broadcastable.
+    QueryDef(
+      "q180_lm_novelty",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .bigramNovelty(T.documents(s, dir), $"lang" === "en")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang,
+             |    list_filter(string_split_regex(text, '\s+'),
+             |                x -> length(x) > 0) AS l
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, lang,
+             |    unnest(list_transform(range(1, len(l)),
+             |                          i -> l[i] || ' ' || l[i + 1])) AS gram
+             |  FROM base WHERE len(l) >= 2),
+             |model AS (SELECT DISTINCT gram FROM g WHERE lang = 'en'),
+             |sc AS (
+             |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(count(*) FILTER (WHERE m.gram IS NULL) AS BIGINT) AS n_unseen
+             |  FROM g LEFT JOIN model m ON g.gram = m.gram
+             |  GROUP BY g.doc_id)
+             |SELECT doc_id, n_bigrams, n_unseen,
+             |  (1000000 * n_unseen) // n_bigrams AS novelty_pm
+             |FROM sc""".stripMargin))
   )
 }

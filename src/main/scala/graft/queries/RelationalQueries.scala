@@ -1540,6 +1540,103 @@ object RelationalQueries extends QueryPack {
              |    string_agg(event_type, ',' ORDER BY us, event_id) AS seq
              |  FROM s GROUP BY 1, 2)
              |SELECT user_id, session_id, seq FROM q
-             |WHERE regexp_matches(seq, 'view(,[a-z]+)*,purchase')""".stripMargin))
+             |WHERE regexp_matches(seq, 'view(,[a-z]+)*,purchase')""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q181: entity resolution (EntityResolution.candidatePairs/entities)
+    // — customers plus deterministically-dirtied variants ('#'→'-', +25¢
+    // balance drift for every 5th key) are linked back together:
+    // blocking on (nationkey, last 4 name chars) confines the quadratic
+    // step, a fuzzy pair rule (edit distance ≤ 1 AND balance within
+    // 50¢) matches, connected components close transitively, and
+    // survivorship emits one golden record per entity (min-id canonical
+    // name, summed balances). The oracle replays the same rule and
+    // closes components with a recursive CTE.
+    QueryDef(
+      "q181_entity_resolution",
+      (s, dir) => {
+        import s.implicits._
+        val cust = T.customer(s, dir)
+        val cents = expr("CAST(round(c_acctbal * 100, 0) AS LONG)")
+        val base = cust.select(($"c_custkey" * 2).as("rec_id"),
+          $"c_name".as("name"), $"c_nationkey".cast("long").as("nk"),
+          cents.as("bal_cents"))
+        val dirty = cust.filter($"c_custkey" % 5 === 0)
+          .select(($"c_custkey" * 2 + 1).as("rec_id"),
+            regexp_replace($"c_name", "#", "-").as("name"),
+            $"c_nationkey".cast("long").as("nk"),
+            (cents + 25L).as("bal_cents"))
+        val records = base.unionByName(dirty)
+        val pairs = graft.operators.EntityResolution
+          .candidatePairs(records, "rec_id",
+            concat_ws("|", $"nk", expr("right(name, 4)")))
+          .filter(levenshtein($"a.name", $"b.name") <= 1 &&
+            abs($"a.bal_cents" - $"b.bal_cents") <= 50)
+          .select($"a.rec_id".as("id_a"), $"b.rec_id".as("id_b"))
+        graft.operators.EntityResolution.entities(records, "rec_id", pairs)
+          .groupBy($"entity_id")
+          .agg(count(lit(1)).as("n_records"),
+            min_by($"name", $"rec_id").as("canon_name"),
+            sum($"bal_cents").as("bal_cents_total"))
+      },
+      Some("""WITH RECURSIVE recs AS (
+             |  SELECT c_custkey * 2 AS rec_id, c_name AS name,
+             |         CAST(c_nationkey AS BIGINT) AS nk,
+             |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey * 2 + 1, replace(c_name, '#', '-'),
+             |         CAST(c_nationkey AS BIGINT),
+             |         CAST(round(c_acctbal * 100, 0) AS BIGINT) + 25
+             |  FROM customer WHERE c_custkey % 5 = 0),
+             |pairs AS (
+             |  SELECT a.rec_id AS id_a, b.rec_id AS id_b
+             |  FROM recs a JOIN recs b
+             |    ON a.nk = b.nk AND right(a.name, 4) = right(b.name, 4)
+             |   AND a.rec_id < b.rec_id
+             |   AND levenshtein(a.name, b.name) <= 1
+             |   AND abs(a.bal_cents - b.bal_cents) <= 50),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach(id, root) AS (
+             |  SELECT rec_id, rec_id FROM recs
+             |  UNION
+             |  SELECT e.dst, r.root FROM edges e JOIN reach r ON r.id = e.src),
+             |lab AS (SELECT id AS rec_id, min(root) AS entity_id
+             |        FROM reach GROUP BY id)
+             |SELECT l.entity_id, count(*) AS n_records,
+             |  min_by(r.name, r.rec_id) AS canon_name,
+             |  CAST(sum(r.bal_cents) AS BIGINT) AS bal_cents_total
+             |FROM recs r JOIN lab l ON r.rec_id = l.rec_id
+             |GROUP BY l.entity_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q182: skew-salted join (SkewJoin.salted) — lineitem×supplier with
+    // each supplier key spread over 8 deterministic sub-keys (salt =
+    // hash of the line's unique id, NEVER rand(): speculative retries
+    // must salt identically) and the supplier side replicated per salt.
+    // The result is exactly the plain equi-join — the oracle IS the
+    // plain join — while the shuffle distributes a hot supplier across
+    // 8 tasks instead of one straggler.
+    QueryDef(
+      "q182_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val li = T.lineitem(s, dir).select(
+          $"l_suppkey".as("suppkey"), $"l_orderkey", $"l_linenumber",
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS LONG)")
+            .as("rev4"))
+        val sup = T.supplier(s, dir)
+          .select($"s_suppkey".as("suppkey"), $"s_name")
+        graft.operators.SkewJoin
+          .salted(li, sup, "suppkey", 8, hash($"l_orderkey", $"l_linenumber"))
+          .groupBy($"s_name")
+          .agg(count(lit(1)).as("n_items"), sum($"rev4").as("rev4_total"))
+      },
+      Some("""SELECT s_name, count(*) AS n_items,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS rev4_total
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_name""".stripMargin))
   )
 }

@@ -26,6 +26,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxLog {
 
+  /** Per-column batch statistics carried in the manifest. `kind` is
+    * `l` (integral), `d` (floating) or `s` (UTF-8 string); min/max are
+    * the decoded bounds over every file in the batch. Harvested from
+    * parquet FOOTERS at commit time — the writer already produced the
+    * row-group statistics, so collecting them costs one footer read per
+    * file, never a data scan (the Iceberg/Delta manifest-stats pattern,
+    * which is what makes planning-time file skipping free at 100 TB).
+    */
+  final case class ColStats(kind: String, min: String, max: String)
+
   /** FS resolved PER TABLE PATH, not the default FS: a table living on
     * another scheme (s3a://, or the spec's chaos://) must commit and
     * read through ITS filesystem — `FileSystem.get(conf)` would
@@ -55,16 +65,131 @@ object TxLog {
     finally in.close()
   }
 
+  // ---- manifest line encoding: "<dir>" or "<dir>\t<stats>" where stats
+  // is colkindminmax entries joined by , values
+  // URL-encoded so arbitrary string bounds can't smuggle separators or
+  // newlines into the manifest. A line without the tab is a legacy /
+  // stats-less batch — readable forever, just never pruned.
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private val FieldSep = "\u0001"
+  private val EntrySep = "\u0002"
+
+  private def encodeLine(dir: String, stats: Map[String, ColStats]): String =
+    if (stats.isEmpty) dir
+    else dir + "\t" + stats.toSeq.sortBy(_._1).map { case (c, st) =>
+      Seq(enc(c), st.kind, enc(st.min), enc(st.max)).mkString(FieldSep)
+    }.mkString(EntrySep)
+
+  private def parseLine(line: String): (String, Map[String, ColStats]) = {
+    val parts = line.split('\t')
+    val stats = parts.drop(1).take(1).flatMap(_.split(EntrySep)).flatMap { e =>
+      e.split(FieldSep) match {
+        case Array(c, k, mn, mx) => Some(dec(c) -> ColStats(k, dec(mn), dec(mx)))
+        case _ => None
+      }
+    }.toMap
+    (parts(0), stats)
+  }
+
+  /** Parsed manifest of a committed version: (batch dir, stats). */
+  def manifest(spark: SparkSession, tableDir: String,
+      asOf: Option[Long] = None): Seq[(String, Map[String, ColStats])] = {
+    val v = asOf.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no committed version in $tableDir")
+    readManifest(spark, tableDir, v).map(parseLine)
+  }
+
+  /** Min/max per column for one written batch, read from the parquet
+    * footers (no data scan). A column appears only when EVERY file in
+    * the batch carries usable non-null statistics for it — missing or
+    * exotic-typed stats drop the column, which disables skipping for it
+    * but can never prune a batch that actually holds matching rows.
+    */
+  private def footerStats(spark: SparkSession, batchDir: Path): Map[String, ColStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = batchDir.getFileSystem(conf)
+    val files = f.listStatus(batchDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    var merged = Map.empty[String, ColStats]
+    var dropped = Set.empty[String]
+    files.foreach { p =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try rd.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          val pt = c.getPrimitiveType
+          val kind = pt.getPrimitiveTypeName match {
+            case INT32 | INT64 => Some("l")
+            case FLOAT | DOUBLE => Some("d")
+            case BINARY if pt.getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+              Some("s")
+            case _ => None
+          }
+          val st = c.getStatistics
+          kind match {
+            case Some(k) if st != null && !st.isEmpty && st.hasNonNullValue =>
+              val (mn, mx) = k match {
+                case "s" =>
+                  val bs = st.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
+                  (bs.genericGetMin.toStringUsingUTF8, bs.genericGetMax.toStringUsingUTF8)
+                case _ => (st.genericGetMin.toString, st.genericGetMax.toString)
+              }
+              // non-finite numeric bounds (NaN/Infinity) can't order —
+              // drop the column rather than risk a wrong prune
+              val finite = k == "s" ||
+                (scala.util.Try(BigDecimal(mn)).isSuccess &&
+                  scala.util.Try(BigDecimal(mx)).isSuccess)
+              if (!finite) { dropped += name; merged -= name }
+              else merged.get(name) match {
+                case None if !dropped(name) =>
+                  merged += name -> ColStats(k, mn, mx)
+                case Some(prev) =>
+                  merged += name -> ColStats(k,
+                    if (lte(k, mn, prev.min)) mn else prev.min,
+                    if (lte(k, prev.max, mx)) mx else prev.max)
+                case _ => ()
+              }
+            case _ =>
+              dropped += name
+              merged -= name
+          }
+        }
+      } finally rd.close()
+    }
+    merged
+  }
+
+  private def lte(kind: String, a: String, b: String): Boolean = kind match {
+    case "s" => a <= b
+    case _ => BigDecimal(a) <= BigDecimal(b)
+  }
+
+  /** Does this batch's [min,max] overlap the query range [lo,hi]? */
+  private def overlaps(st: ColStats, lo: Option[String], hi: Option[String]): Boolean =
+    lo.forall(l => lte(st.kind, l, st.max)) && hi.forall(h => lte(st.kind, st.min, h))
+
   /** Commit `df` as the next version. `append = true` carries the
     * previous snapshot's directories forward; otherwise the new snapshot
     * replaces them (the old files stay on disk for time travel until
     * [[vacuum]]). Returns the committed version.
     */
   def commit(spark: SparkSession, tableDir: String, df: DataFrame,
-      append: Boolean = false, maxRetries: Int = 20): Long = {
+      append: Boolean = false, maxRetries: Int = 20,
+      collectStats: Boolean = true): Long = {
     val f = fs(spark, tableDir)
     val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$tableDir/$batch")
+    val batchLine = encodeLine(batch,
+      if (collectStats) footerStats(spark, new Path(s"$tableDir/$batch"))
+      else Map.empty)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, tableDir)
@@ -94,7 +219,7 @@ object TxLog {
         }
       created.foreach { out =>
         try {
-          out.write((carried :+ batch).mkString("\n").getBytes("UTF-8"))
+          out.write((carried :+ batchLine).mkString("\n").getBytes("UTF-8"))
           out.close()
         } catch {
           case e: Throwable =>
@@ -120,8 +245,37 @@ object TxLog {
       mergeSchema: Boolean = false): DataFrame = {
     val v = asOf.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no committed version in $tableDir")
-    val dirs = readManifest(spark, tableDir, v).map(d => s"$tableDir/$d")
+    val dirs = readManifest(spark, tableDir, v)
+      .map(l => s"$tableDir/${parseLine(l)._1}")
     spark.read.option("mergeSchema", mergeSchema).parquet(dirs: _*)
+  }
+
+  /** Range read with manifest-level file skipping: batches whose
+    * committed [min,max] for `colName` cannot intersect [lo,hi] are
+    * dropped BEFORE Spark ever lists or opens them — at 100 TB this is
+    * the difference between planning over the touched fraction and
+    * scanning footers of every file in the table. Batches without stats
+    * for the column (legacy manifests, exotic types) are conservatively
+    * kept; the residual `between` filter makes the result exact either
+    * way, so pruning is a pure I/O win, never a semantics change.
+    * Bounds are passed as strings/numbers matching the column type;
+    * `None` leaves that side unbounded.
+    */
+  def readWhere(spark: SparkSession, tableDir: String, colName: String,
+      lo: Option[Any], hi: Option[Any], asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val entries = manifest(spark, tableDir, asOf)
+    val kept = entries.filter { case (_, stats) =>
+      stats.get(colName).forall(st =>
+        overlaps(st, lo.map(_.toString), hi.map(_.toString)))
+    }
+    // every batch pruned: keep one so the filtered scan still carries
+    // the table schema (the residual predicate yields zero rows)
+    val dirs = (if (kept.nonEmpty) kept else entries.take(1))
+      .map { case (d, _) => s"$tableDir/$d" }
+    val base = spark.read.parquet(dirs: _*)
+    val bounded = lo.map(l => base.where(col(colName) >= l)).getOrElse(base)
+    hi.map(h => bounded.where(col(colName) <= h)).getOrElse(bounded)
   }
 
   /** OPTIMIZE: fold the latest snapshot's directories into one compact
@@ -155,7 +309,7 @@ object TxLog {
     val latest = latestVersion(spark, tableDir)
     require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
     val keep = (retainFrom to latest)
-      .flatMap(v => readManifest(spark, tableDir, v)).toSet
+      .flatMap(v => readManifest(spark, tableDir, v).map(parseLine(_)._1)).toSet
     val dataRoot = new Path(s"$tableDir/data")
     if (f.exists(dataRoot)) {
       f.listStatus(dataRoot).foreach { s =>

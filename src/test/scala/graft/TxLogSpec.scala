@@ -100,6 +100,78 @@ class TxLogSpec extends AnyFunSuite {
     assert(rows(TxLog.read(spark, t)) == Seq((3L, "c")))
   }
 
+  // ------------------------------------------------------------------
+  // Manifest-level file skipping (footer-harvested min/max stats).
+  // ------------------------------------------------------------------
+
+  test("readWhere prunes batches outside the range and stays exact") {
+    val t = fresh("stats")
+    // four appended batches with disjoint id ranges
+    Seq(0L, 100L, 200L, 300L).foreach { base =>
+      TxLog.commit(spark, t,
+        (base until base + 100L).map(i => (i, s"v$i")).toDF("id", "s"),
+        append = true)
+    }
+    val m = TxLog.manifest(spark, t)
+    assert(m.size == 4)
+    assert(m.forall(_._2.contains("id")), s"id stats missing: $m")
+    assert(m.forall(_._2("id").kind == "l"))
+    assert(m.forall(_._2.contains("s")), "string stats missing")
+
+    val hit = TxLog.readWhere(spark, t, "id", Some(150L), Some(170L))
+    // planning-time skipping: only the [100,199] batch's files are read
+    val touchedDirs = hit.inputFiles.map(f =>
+      new Path(f).getParent.getName).toSet
+    assert(touchedDirs.size == 1,
+      s"expected exactly one batch dir touched, got $touchedDirs")
+    assert(hit.count() == 21)
+    // exactness vs the unpruned scan
+    val full = TxLog.read(spark, t)
+      .filter($"id" >= 150L && $"id" <= 170L)
+    assert(hit.as[(Long, String)].collect().sorted.toSeq ==
+      full.as[(Long, String)].collect().sorted.toSeq)
+  }
+
+  test("readWhere prunes on string bounds and keeps stats-less batches") {
+    val t = fresh("statsstr")
+    TxLog.commit(spark, t,
+      Seq((1L, "apple"), (2L, "banana")).toDF("id", "s"), append = true)
+    TxLog.commit(spark, t,
+      Seq((3L, "melon"), (4L, "peach")).toDF("id", "s"), append = true)
+    // a legacy batch committed without stats must survive any prune
+    TxLog.commit(spark, t,
+      Seq((5L, "zebra")).toDF("id", "s"), append = true, collectStats = false)
+    val m = TxLog.manifest(spark, t)
+    assert(m.count(_._2.isEmpty) == 1, "stats-less batch lost its legacy form")
+    val got = TxLog.readWhere(spark, t, "s", Some("m"), Some("q"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((3L, "melon"), (4L, "peach")))
+    val dirs = TxLog.readWhere(spark, t, "s", Some("m"), Some("q"))
+      .inputFiles.map(f => new Path(f).getParent.getName).toSet
+    assert(dirs.size == 2, // melon/peach batch + conservatively-kept legacy batch
+      s"expected pruned batch 1 only, keeping legacy: $dirs")
+  }
+
+  test("readWhere with every batch pruned returns empty with the table schema") {
+    val t = fresh("statsempty")
+    TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val none = TxLog.readWhere(spark, t, "id", Some(500L), None)
+    assert(none.columns.toSeq == Seq("id", "s"))
+    assert(none.count() == 0)
+  }
+
+  test("stats survive the append carry-forward and time travel") {
+    val t = fresh("statscarry")
+    TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"), append = true)
+    TxLog.commit(spark, t, Seq((100L, "b")).toDF("id", "s"), append = true)
+    // v2's manifest carries v1's line VERBATIM — including its stats
+    val m2 = TxLog.manifest(spark, t, Some(2L))
+    assert(m2.size == 2 && m2.forall(_._2.contains("id")))
+    val pruned = TxLog.readWhere(spark, t, "id", None, Some(10L))
+    assert(pruned.inputFiles.map(f => new Path(f).getParent.getName).toSet.size == 1)
+    assert(pruned.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
   test("streamingMvMaintain: base and view stay version-aligned; every cut consistent") {
     val s = spark
     import org.apache.spark.sql.functions._
