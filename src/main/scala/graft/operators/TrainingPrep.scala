@@ -88,10 +88,6 @@ object TrainingPrep {
     docs.filter(!contaminated(col("text")))
   }
 
-  /** Engine-portable uniform hash in [0, 2³²): the first 8 hex digits of
-    * md5 of the id rendered as a string — replayable digit-by-digit in
-    * any SQL engine, unlike murmur/xxhash whose constants differ.
-    */
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how target-like its token distribution is. The paper's
@@ -119,13 +115,24 @@ object TrainingPrep {
       .agg(count(lit(1)).as("cnt_r"), count_if(col("tgt")).as("cnt_t"))
     val totals = toks
       .agg(count(lit(1)).as("totr"), count_if(col("tgt")).as("tott"))
+    // DECIMAL(38,0) intermediates: in Long, scale·(cnt_t+1)·totr wraps
+    // once past ~9.2e18 — any token with cnt_t > ~9200 in a 1B-token
+    // corpus at the default scale — and ANSI-off Spark wraps SILENTLY
+    // where DuckDB errors, so the cross-engine hash guarantee would
+    // break exactly at scale. The 38-digit headroom (~1e38) covers
+    // scale·corpus² far beyond 100 TB; `div` returns BIGINT either way.
     val weights = counts.crossJoin(broadcast(totals))
       .select(col("w"),
-        expr(s"($scale * (cnt_t + 1) * totr) div ((cnt_r + 1) * tott)").as("wgt"))
+        expr(s"(CAST($scale AS DECIMAL(38,0)) * (cnt_t + 1) * totr)" +
+          s" div ((cnt_r + 1) * tott)").as("wgt"))
     toks.join(weights, "w")
       .groupBy("doc_id").agg(sum("wgt").as("score"))
   }
 
+  /** Engine-portable uniform hash in [0, 2³²): the first 8 hex digits of
+    * md5 of the id rendered as a string — replayable digit-by-digit in
+    * any SQL engine, unlike murmur/xxhash whose constants differ.
+    */
   private def u32(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
 

@@ -95,8 +95,13 @@ object PointerCatalog {
   def saveDuckDbViews(catalogFile: String, tables: Map[String, String]): Unit = {
     def q(s: String) = s.replace("'", "''")
     val stmts = tables.toSeq.sorted.map { case (name, dir) =>
+      // hive_types_autocast = false pins partition keys to VARCHAR: the
+      // reference's keys are strings by contract ('01' must keep its
+      // zero — create_public_files.py:79), and DuckDB's default autocast
+      // would read state=01 back as BIGINT 1
       s"CREATE OR REPLACE VIEW $name AS SELECT * FROM read_parquet(" +
-        s"'${q(dir)}/**/*.parquet', hive_partitioning = true);"
+        s"'${q(dir)}/**/*.parquet', hive_partitioning = true, " +
+        "hive_types_autocast = false);"
     }
     val path = Paths.get(catalogFile)
     Option(path.getParent).foreach(Files.createDirectories(_))

@@ -76,13 +76,29 @@ object TxLog {
   private val FieldSep = "\u0001"
   private val EntrySep = "\u0002"
 
-  private def encodeLine(dir: String, stats: Map[String, ColStats]): String =
-    if (stats.isEmpty) dir
-    else dir + "\t" + stats.toSeq.sortBy(_._1).map { case (c, st) =>
+  // A third tab field (since r7) carries the batch's Spark schema JSON:
+  // schema-merged reads then union schemas straight from the manifest —
+  // no footer sweep over the table, which is what keeps mergeSchema
+  // planning O(log) instead of O(files) at 100 TB. Lines without it
+  // (legacy) fall back to footer inference.
+  private def encodeLine(dir: String, stats: Map[String, ColStats],
+      schemaJson: Option[String]): String = {
+    val statsStr = stats.toSeq.sortBy(_._1).map { case (c, st) =>
       Seq(enc(c), st.kind, enc(st.min), enc(st.max)).mkString(FieldSep)
     }.mkString(EntrySep)
+    schemaJson match {
+      case Some(sj) => s"$dir\t$statsStr\t${enc(sj)}"
+      case None if stats.nonEmpty => s"$dir\t$statsStr"
+      case None => dir
+    }
+  }
 
   private def parseLine(line: String): (String, Map[String, ColStats]) = {
+    val (d, st, _) = parseLineFull(line); (d, st)
+  }
+
+  private def parseLineFull(line: String): (String, Map[String, ColStats],
+      Option[org.apache.spark.sql.types.StructType]) = {
     val parts = line.split('\t')
     val stats = parts.drop(1).take(1).flatMap(_.split(EntrySep)).flatMap { e =>
       e.split(FieldSep) match {
@@ -90,7 +106,10 @@ object TxLog {
         case _ => None
       }
     }.toMap
-    (parts(0), stats)
+    val schema = parts.drop(2).headOption.flatMap(sj =>
+      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(dec(sj))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+    (parts(0), stats, schema)
   }
 
   /** Parsed manifest of a committed version: (batch dir, stats). */
@@ -106,12 +125,24 @@ object TxLog {
     * the batch carries usable non-null statistics for it — missing or
     * exotic-typed stats drop the column, which disables skipping for it
     * but can never prune a batch that actually holds matching rows.
+    *
+    * Physical INT32/INT64 is trusted only after inspecting the LOGICAL
+    * annotation: Spark writes decimal(≤18) as annotated ints whose
+    * footer stats are UNSCALED (500 meaning 5.00 at scale 2), and
+    * DATE/TIMESTAMP/unsigned ints as annotated ints in epoch units —
+    * comparing any of those raw against user-unit query bounds would
+    * prune batches that hold matching rows. Decimals are rescaled here,
+    * DATE decodes to the ISO string java.sql.Date/LocalDate.toString
+    * produce (fixed-width for years 0–9999 ⇒ byte order = date order),
+    * and every annotation not explicitly handled drops the column
+    * (conservative keep).
     */
   private def footerStats(spark: SparkSession, batchDir: Path): Map[String, ColStats] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
+    import LogicalTypeAnnotation.{DateLogicalTypeAnnotation, DecimalLogicalTypeAnnotation, IntLogicalTypeAnnotation}
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     val f = batchDir.getFileSystem(conf)
@@ -125,37 +156,59 @@ object TxLog {
         b.getColumns.asScala.foreach { c =>
           val name = c.getPath.toDotString
           val pt = c.getPrimitiveType
-          val kind = pt.getPrimitiveTypeName match {
-            case INT32 | INT64 => Some("l")
-            case FLOAT | DOUBLE => Some("d")
-            case BINARY if pt.getLogicalTypeAnnotation
-                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-              Some("s")
-            case _ => None
-          }
-          val st = c.getStatistics
-          kind match {
-            case Some(k) if st != null && !st.isEmpty && st.hasNonNullValue =>
-              val (mn, mx) = k match {
-                case "s" =>
-                  val bs = st.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
-                  (bs.genericGetMin.toStringUsingUTF8, bs.genericGetMax.toStringUsingUTF8)
-                case _ => (st.genericGetMin.toString, st.genericGetMax.toString)
+          val ann = pt.getLogicalTypeAnnotation
+          // decode: raw footer value -> user-unit bound string, applied
+          // to both min and max below. None = kind unusable.
+          val kindDecode: Option[(String, Any => Option[String])] =
+            pt.getPrimitiveTypeName match {
+              case INT32 | INT64 => ann match {
+                case null => Some(("l", v => Some(v.toString)))
+                case i: IntLogicalTypeAnnotation if i.isSigned =>
+                  Some(("l", v => Some(v.toString)))
+                case d: DecimalLogicalTypeAnnotation =>
+                  Some(("d", v => Some(
+                    BigDecimal(BigInt(v.toString), d.getScale).toString)))
+                case _: DateLogicalTypeAnnotation =>
+                  Some(("s", v => {
+                    val day = java.time.LocalDate.ofEpochDay(v.toString.toLong)
+                    // outside 0000-9999 the ISO form gains a sign/width
+                    // and byte order breaks — drop rather than mis-prune
+                    if (day.getYear >= 0 && day.getYear <= 9999)
+                      Some(day.toString)
+                    else None
+                  }))
+                case _ => None // TIMESTAMP/TIME/unsigned: units unknowable here
               }
-              // non-finite numeric bounds (NaN/Infinity) can't order —
-              // drop the column rather than risk a wrong prune
-              val finite = k == "s" ||
-                (scala.util.Try(BigDecimal(mn)).isSuccess &&
-                  scala.util.Try(BigDecimal(mx)).isSuccess)
-              if (!finite) { dropped += name; merged -= name }
-              else merged.get(name) match {
-                case None if !dropped(name) =>
-                  merged += name -> ColStats(k, mn, mx)
-                case Some(prev) =>
-                  merged += name -> ColStats(k,
-                    if (lte(k, mn, prev.min)) mn else prev.min,
-                    if (lte(k, prev.max, mx)) mx else prev.max)
-                case _ => ()
+              case FLOAT | DOUBLE => Some(("d", v => Some(v.toString)))
+              case BINARY if ann
+                  .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                Some(("s", v => Some(
+                  v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)))
+              case _ => None
+            }
+          val st = c.getStatistics
+          kindDecode match {
+            case Some((k, decode)) if st != null && !st.isEmpty && st.hasNonNullValue =>
+              val bounds = for {
+                mn <- decode(st.genericGetMin)
+                mx <- decode(st.genericGetMax)
+                // non-finite numeric bounds (NaN/Infinity) can't order —
+                // drop the column rather than risk a wrong prune
+                if k == "s" ||
+                  (scala.util.Try(BigDecimal(mn)).isSuccess &&
+                    scala.util.Try(BigDecimal(mx)).isSuccess)
+              } yield (mn, mx)
+              bounds match {
+                case None => dropped += name; merged -= name
+                case Some((mn, mx)) => merged.get(name) match {
+                  case None if !dropped(name) =>
+                    merged += name -> ColStats(k, mn, mx)
+                  case Some(prev) =>
+                    merged += name -> ColStats(k,
+                      if (lte(k, mn, prev.min)) mn else prev.min,
+                      if (lte(k, prev.max, mx)) mx else prev.max)
+                  case _ => ()
+                }
               }
             case _ =>
               dropped += name
@@ -167,8 +220,28 @@ object TxLog {
     merged
   }
 
+  /** Unsigned UTF-8 byte order — parquet's string min/max order AND
+    * Spark's UTF8String comparison. Java's String <= compares UTF-16
+    * code units, which ranks supplementary-plane characters (surrogate
+    * pairs, 0xD800-0xDFFF units) BELOW U+E000-U+FFFF while UTF-8 bytes
+    * rank them above — a prune decided in the wrong order can drop a
+    * batch that holds matching rows.
+    */
+  private def utf8Lte(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
   private def lte(kind: String, a: String, b: String): Boolean = kind match {
-    case "s" => a <= b
+    case "s" => utf8Lte(a, b)
     case _ => BigDecimal(a) <= BigDecimal(b)
   }
 
@@ -189,7 +262,8 @@ object TxLog {
     df.write.parquet(s"$tableDir/$batch")
     val batchLine = encodeLine(batch,
       if (collectStats) footerStats(spark, new Path(s"$tableDir/$batch"))
-      else Map.empty)
+      else Map.empty,
+      Some(df.schema.json))
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, tableDir)
@@ -245,9 +319,15 @@ object TxLog {
       mergeSchema: Boolean = false): DataFrame = {
     val v = asOf.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no committed version in $tableDir")
-    val dirs = readManifest(spark, tableDir, v)
-      .map(l => s"$tableDir/${parseLine(l)._1}")
-    spark.read.option("mergeSchema", mergeSchema).parquet(dirs: _*)
+    val entries = readManifest(spark, tableDir, v).map(parseLineFull)
+    val dirs = entries.map { case (d, _, _) => s"$tableDir/$d" }
+    // merged reads take the union from the manifest's recorded schemas
+    // when every batch has one (planning never opens a footer); legacy
+    // manifests fall back to Spark's distributed footer merge
+    if (mergeSchema) unionSchema(entries.map(_._3)) match {
+      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+      case None => spark.read.option("mergeSchema", true).parquet(dirs: _*)
+    } else spark.read.parquet(dirs: _*)
   }
 
   /** Range read with manifest-level file skipping: batches whose
@@ -262,20 +342,79 @@ object TxLog {
     * `None` leaves that side unbounded.
     */
   def readWhere(spark: SparkSession, tableDir: String, colName: String,
-      lo: Option[Any], hi: Option[Any], asOf: Option[Long] = None): DataFrame = {
+      lo: Option[Any], hi: Option[Any], asOf: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame =
+    readWhereAll(spark, tableDir, Map(colName -> (lo, hi)), asOf, mergeSchema)
+
+  /** Multi-column [[readWhere]]: every `col -> (lo, hi)` range must
+    * overlap a batch's committed stats for the batch to survive — the
+    * common `partition-key AND id-range` probe prunes on BOTH
+    * dimensions at the manifest level. Ranges are ANDed; a column
+    * without stats in some batch conservatively keeps that batch.
+    * `mergeSchema` threads to the underlying scan so pruning a
+    * schema-evolved append table cannot change the result schema
+    * (without it, which columns appear would depend on WHICH batches
+    * survive — pruning must stay a pure I/O win). The all-pruned
+    * fallback reads the LATEST batch (deterministic, and the one whose
+    * schema a fresh append just established) for schema only — the
+    * residual predicate yields zero rows.
+    */
+  def readWhereAll(spark: SparkSession, tableDir: String,
+      ranges: Map[String, (Option[Any], Option[Any])],
+      asOf: Option[Long] = None, mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val entries = manifest(spark, tableDir, asOf)
-    val kept = entries.filter { case (_, stats) =>
-      stats.get(colName).forall(st =>
-        overlaps(st, lo.map(_.toString), hi.map(_.toString)))
+    val v = asOf.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no committed version in $tableDir")
+    val entries = readManifest(spark, tableDir, v).map(parseLineFull)
+    val kept = entries.filter { case (_, stats, _) =>
+      ranges.forall { case (c, (lo, hi)) =>
+        stats.get(c).forall(st =>
+          overlaps(st, lo.map(_.toString), hi.map(_.toString)))
+      }
     }
-    // every batch pruned: keep one so the filtered scan still carries
-    // the table schema (the residual predicate yields zero rows)
-    val dirs = (if (kept.nonEmpty) kept else entries.take(1))
-      .map { case (d, _) => s"$tableDir/$d" }
-    val base = spark.read.parquet(dirs: _*)
-    val bounded = lo.map(l => base.where(col(colName) >= l)).getOrElse(base)
-    hi.map(h => bounded.where(col(colName) <= h)).getOrElse(bounded)
+    // all-pruned fallback: the LATEST batch (deterministic, unlike
+    // letting Spark pick a file at random); the residual predicate
+    // yields zero rows against it either way
+    val keptDirs = (if (kept.nonEmpty) kept else entries.takeRight(1))
+      .map { case (d, _, _) => s"$tableDir/$d" }
+    val base =
+      if (!mergeSchema) spark.read.parquet(keptDirs: _*)
+      else unionSchema(entries.map(_._3)) match {
+        // the schema pruning would have produced comes from the FULL
+        // manifest, so which batches survive can never change it
+        case Some(sc) => spark.read.schema(sc).parquet(keptDirs: _*)
+        case None => // legacy lines without schema: one footer sweep
+          val inferred = spark.read.option("mergeSchema", true)
+            .parquet(entries.map { case (d, _, _) => s"$tableDir/$d" }: _*)
+            .schema
+          spark.read.schema(inferred).parquet(keptDirs: _*)
+      }
+    ranges.foldLeft(base) { case (df, (c, (lo, hi))) =>
+      val b = lo.map(l => df.where(col(c) >= l)).getOrElse(df)
+      hi.map(h => b.where(col(c) <= h)).getOrElse(b)
+    }
+  }
+
+  /** Additive-evolution schema union over the manifest's recorded batch
+    * schemas: fields in first-appearance order, all nullable (a column a
+    * batch lacks reads as null). None when any batch predates schema
+    * recording or two batches disagree on a field's type — callers fall
+    * back to Spark's footer-merging inference for those.
+    */
+  private def unionSchema(
+      ss: Seq[Option[org.apache.spark.sql.types.StructType]]):
+      Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    if (ss.exists(_.isEmpty)) return None
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    ss.flatten.foreach(_.fields.foreach { f =>
+      fields.get(f.name) match {
+        case None => fields(f.name) = f.copy(nullable = true)
+        case Some(g) if g.dataType == f.dataType => ()
+        case _ => return None
+      }
+    })
+    Some(StructType(fields.values.toSeq))
   }
 
   /** OPTIMIZE: fold the latest snapshot's directories into one compact

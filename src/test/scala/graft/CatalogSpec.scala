@@ -60,16 +60,26 @@ class CatalogSpec extends AnyFunSuite {
         |    "SELECT origin_id, duration_sec, state FROM cat_times "
         |    "WHERE state = '07' ORDER BY origin_id").fetchall():
         |  print(f"{r[0]}|{r[1]}|{r[2]}")
+        |# partition-key type contract: hive_types_autocast=false must pin
+        |# state to VARCHAR ('01' keeps its zero; default autocast reads it
+        |# back as BIGINT 1)
+        |ty = dict(
+        |  (r[0], r[1]) for r in c2.execute("DESCRIBE cat_times").fetchall())
+        |print("TYPE:state=" + ty["state"])
         |""".stripMargin
     new java.io.File("/tmp/graft_catalog_spec/pointer.duckdb").delete()
     val out = new StringBuilder
     val code = scala.sys.process.Process(Seq("python3", "-c", py)) !
       scala.sys.process.ProcessLogger(l => out.append(l).append('\n'), System.err.println)
     assert(code == 0, s"duckdb consumer failed:\n$out")
-    val duckRows = out.toString.split('\n').filter(_.nonEmpty).toSeq
+    val (typeLines, rowLines) = out.toString.split('\n').filter(_.nonEmpty)
+      .toSeq.partition(_.startsWith("TYPE:"))
+    val duckRows = rowLines
       .map { l => val Array(o, d, st) = l.split('|'); (o, d.toDouble, st) }
     assert(duckRows == sparkRows.sortBy(_._1),
       s"cross-engine mismatch: duck=$duckRows spark=$sparkRows")
+    assert(typeLines == Seq("TYPE:state=VARCHAR"),
+      s"partition key must stay VARCHAR through the artifact: $typeLines")
   }
 
   test("tree stats: per-directory rollups match the flat listing (S11)") {

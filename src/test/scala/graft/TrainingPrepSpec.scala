@@ -57,6 +57,26 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(viaJoin.length < corpus.count(), "fixture must actually flag some docs")
   }
 
+  test("importanceWeights survives Long-overflowing intermediates (decimal path)") {
+    // scale·(cnt_t+1)·totr must exceed 2⁶³ to catch the old wrapped-Long
+    // path: with scale=1e15, 7 target tokens of 'x' and 11 total tokens,
+    // the numerator for 'x' is 1e15·8·11 ≈ 8.8e19 > 9.2e18. ANSI-off
+    // Spark silently wrapped this negative; the DECIMAL(38,0) path must
+    // return the exact BigInt quotient.
+    val d = Seq(
+      (1L, "x x x x x x x", true),
+      (2L, "y y y y", false)
+    ).toDF("doc_id", "text", "tgt")
+    val scale = 1000000000000000L // 1e15
+    val got = TrainingPrep.importanceWeights(d, col("tgt"), scale)
+      .as[(Long, Long)].collect().toMap
+    def w(cntT: Long, cntR: Long, totT: Long = 7L, totR: Long = 11L): Long =
+      ((BigInt(scale) * (cntT + 1) * totR) / (BigInt(cntR + 1) * totT)).toLong
+    assert(got(1L) == 7L * w(7, 7), s"doc1 score wrong: ${got(1L)}")
+    assert(got(2L) == 4L * w(0, 4), s"doc2 score wrong: ${got(2L)}")
+    assert(got.values.forall(_ > 0), "wrapped-Long garbage leaked through")
+  }
+
   test("mixtureSample: weight 1.0 keeps every doc, absent source drops all, deterministic") {
     val d = Tables.documents(spark, sf0001)
     val all = TrainingPrep.mixtureSample(d, Map("src0" -> 1.0))

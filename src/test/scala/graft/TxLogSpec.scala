@@ -172,6 +172,105 @@ class TxLogSpec extends AnyFunSuite {
     assert(pruned.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
 
+  test("readWhere string bounds order as UTF-8 bytes, not UTF-16 code units") {
+    val t = fresh("statsutf8")
+    // batch A holds only a supplementary-plane string (🎉 = U+1F389,
+    // UTF-16 surrogate units 0xD83C.. < 0xE000 but UTF-8 bytes F0 9F..
+    // > EE 80..): under Java String order the batch max sorts BELOW the
+    // probe's lower bound and the batch would be wrongly pruned —
+    // silent row loss. Parquet footer order and Spark's UTF8String
+    // filter both say it matches.
+    TxLog.commit(spark, t, Seq((1L, "🎉x")).toDF("id", "s"), append = true)
+    TxLog.commit(spark, t, Seq((2L, "aa")).toDF("id", "s"), append = true)
+    val got = TxLog.readWhere(spark, t, "s", Some(""), None)
+    assert(got.as[(Long, String)].collect().toSeq == Seq((1L, "🎉x")),
+      "astral-plane row lost to a UTF-16-ordered prune")
+    // and the non-matching batch is actually skipped at the manifest
+    assert(got.inputFiles.map(f => new Path(f).getParent.getName).toSet.size == 1)
+  }
+
+  test("readWhere rescales decimal-annotated int stats to user units") {
+    val t = fresh("statsdec")
+    def batch(vals: Seq[(Long, String)]) = TxLog.commit(spark, t,
+      vals.toDF("id", "amt")
+        .select($"id", $"amt".cast("decimal(9,2)").as("amt")), append = true)
+    // decimal(9,2) stores as annotated INT32 with UNSCALED stats
+    // (500.00 -> 50000): compared raw against the user-unit bound 600,
+    // batch A's min 50000 > 600 reads as disjoint and the 500.00-600.00
+    // rows silently vanish
+    batch(Seq((1L, "500.00"), (2L, "600.00"), (3L, "700.00"))) // A
+    batch(Seq((4L, "100.00"), (5L, "200.00")))                 // B
+    val m = TxLog.manifest(spark, t)
+    assert(m.forall(_._2.get("amt").exists(_.kind == "d")), s"amt stats: $m")
+    val got = TxLog.readWhere(spark, t, "amt", None, Some(BigDecimal("600.00")))
+    assert(got.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 5L))
+    // prune still real: a probe hitting only batch B touches one dir
+    val bOnly = TxLog.readWhere(spark, t, "amt", None, Some(BigDecimal("300.00")))
+    assert(bOnly.inputFiles.map(f => new Path(f).getParent.getName).toSet.size == 1)
+  }
+
+  test("readWhere decodes date-annotated int stats and prunes on ISO bounds") {
+    val t = fresh("statsdate")
+    def d(s: String) = java.sql.Date.valueOf(s)
+    TxLog.commit(spark, t,
+      Seq((1L, d("2023-01-10")), (2L, d("2023-06-01"))).toDF("id", "day"),
+      append = true)
+    TxLog.commit(spark, t,
+      Seq((3L, d("2024-03-05")), (4L, d("2024-11-20"))).toDF("id", "day"),
+      append = true)
+    val m = TxLog.manifest(spark, t)
+    assert(m.forall(_._2.get("day").exists(_.kind == "s")), s"day stats: $m")
+    val got = TxLog.readWhere(spark, t, "day", Some(d("2024-01-01")), None)
+    assert(got.select($"id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    assert(got.inputFiles.map(f => new Path(f).getParent.getName).toSet.size == 1,
+      "2023 batch must be skipped at the manifest")
+  }
+
+  test("readWhereAll ANDs per-column ranges at the manifest (partition-key + id probe)") {
+    val t = fresh("statsmulti")
+    // 2x2 grid of (part, id-range) batches: only ('a', [0,9]) survives
+    // a probe bounded on BOTH columns; either column alone keeps two
+    for (p <- Seq("a", "b"); base <- Seq(0L, 100L))
+      TxLog.commit(spark, t,
+        (base until base + 10L).map(i => (i, p)).toDF("id", "part"),
+        append = true)
+    val hit = TxLog.readWhereAll(spark, t, Map(
+      "part" -> (Some("a"), Some("a")),
+      "id" -> (Some(0L), Some(9L))))
+    assert(hit.inputFiles.map(f => new Path(f).getParent.getName).toSet.size == 1,
+      "both dimensions must prune together")
+    assert(hit.count() == 10)
+    val oneCol = TxLog.readWhere(spark, t, "id", Some(0L), Some(9L))
+    assert(oneCol.inputFiles.map(f => new Path(f).getParent.getName).toSet.size == 2)
+    // exactness vs the unpruned scan
+    val full = TxLog.read(spark, t).filter($"part" === "a" && $"id" <= 9L)
+    assert(hit.as[(Long, String)].collect().sorted.toSeq ==
+      full.as[(Long, String)].collect().sorted.toSeq)
+  }
+
+  test("readWhere mergeSchema: pruning never changes the result schema") {
+    val t = fresh("statsevolve")
+    TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"), append = true)
+    TxLog.commit(spark, t,
+      Seq((100L, "b", 7L)).toDF("id", "s", "extra"), append = true)
+    // probe hits only the OLD batch; the evolved column must still be in
+    // the schema (null-filled), exactly as in the unpruned merged read
+    val hit = TxLog.readWhere(spark, t, "id", None, Some(10L), mergeSchema = true)
+    assert(hit.columns.sorted.toSeq == Seq("extra", "id", "s"))
+    assert(hit.inputFiles.map(f => new Path(f).getParent.getName).toSet.size == 1)
+    assert(hit.select($"id", $"extra").as[(Long, Option[Long])].collect().toSeq ==
+      Seq((1L, None)))
+    // all-pruned fallback: still the union schema, zero rows
+    val none = TxLog.readWhere(spark, t, "id", Some(999L), None, mergeSchema = true)
+    assert(none.columns.sorted.toSeq == Seq("extra", "id", "s"))
+    assert(none.count() == 0)
+    // without mergeSchema the fallback is the LATEST batch's schema —
+    // deterministic, not whichever file Spark lists first
+    val none2 = TxLog.readWhere(spark, t, "id", Some(999L), None)
+    assert(none2.columns.toSeq == Seq("id", "s", "extra"))
+    assert(none2.count() == 0)
+  }
+
   test("streamingMvMaintain: base and view stay version-aligned; every cut consistent") {
     val s = spark
     import org.apache.spark.sql.functions._
