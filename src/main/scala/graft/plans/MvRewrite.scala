@@ -38,13 +38,25 @@ import scala.collection.concurrent.TrieMap
   */
 object MvCatalog {
 
+  /** Present when the view's base is a TxLog table and the view opted
+    * into auto-refresh: enough to re-derive the view after a base
+    * commit. `version` is the snapshot the current materialization
+    * reflects.
+    */
+  final case class TxMv(
+      tableDir: String,
+      var version: Long,
+      measureCols: Seq[String],
+      mvPath: String)
+
   final case class MvEntry(
       name: String,
-      basePaths: Set[String],
+      var basePaths: Set[String],
       groupCols: Seq[String],
       measures: Map[String, String], // canonical agg key -> view column
-      view: LogicalRelation,
-      var valid: Boolean)
+      var view: LogicalRelation,
+      var valid: Boolean,
+      tx: Option[TxMv] = None)
 
   private val entries = TrieMap.empty[String, MvEntry]
 
@@ -52,6 +64,34 @@ object MvCatalog {
     spark.read.parquet(path).queryExecution.analyzed.collectFirst {
       case l: LogicalRelation => l
     }.getOrElse(throw new IllegalStateException(s"no relation for $path"))
+
+  private def viewAggs(measureCols: Seq[String]) =
+    count(lit(1)).as("n") +:
+      measureCols.flatMap(m => Seq(
+        sum(col(m)).as(s"sum_$m"),
+        min(col(m)).as(s"min_$m"),
+        max(col(m)).as(s"max_$m")))
+
+  private def materialize(
+      base: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String],
+      measureCols: Seq[String],
+      mvPath: String): Unit =
+    // The materialization is itself a subsumable aggregate: with a prior
+    // registration live, the rewrite rule would redirect THIS query to
+    // the view directory the overwrite is about to clear (read-under-
+    // overwrite -> FILE_NOT_EXIST). Suspend the rule for the rebuild.
+    MvRewriteRule.suspend {
+      val aggs = viewAggs(measureCols)
+      base.groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(mvPath)
+    }
+
+  private def measureMap(measureCols: Seq[String]): Map[String, String] =
+    Map("count" -> "n") ++
+      measureCols.flatMap(m => Seq(
+        s"sum:$m" -> s"sum_$m", s"min:$m" -> s"min_$m", s"max:$m" -> s"max_$m"))
 
   /** Materialize `parquet(basePath) GROUP BY groupCols → count(1) AS n,
     * sum(m) AS sum_m, min(m) AS min_m, max(m) AS max_m` to `mvPath` and
@@ -64,35 +104,52 @@ object MvCatalog {
       groupCols: Seq[String],
       measureCols: Seq[String],
       mvPath: String): Unit = {
-    val base = spark.read.parquet(basePath)
-    val aggs = count(lit(1)).as("n") +:
-      measureCols.flatMap(m => Seq(
-        sum(col(m)).as(s"sum_$m"),
-        min(col(m)).as(s"min_$m"),
-        max(col(m)).as(s"max_$m")))
-    // The materialization is itself a subsumable aggregate: with a prior
-    // registration live, the rewrite rule would redirect THIS query to
-    // the view directory the overwrite is about to clear (read-under-
-    // overwrite -> FILE_NOT_EXIST). Suspend the rule for the rebuild.
-    MvRewriteRule.suspend {
-      base.groupBy(groupCols.map(col): _*)
-        .agg(aggs.head, aggs.tail: _*)
-        .write.mode("overwrite").parquet(mvPath)
-    }
+    materialize(spark.read.parquet(basePath), groupCols, measureCols, mvPath)
     // re-registration overwrites the view's parquet: drop any stale
     // file-listing/cache state for the path before capturing the new
     // relation, or a previously-planned query could still reference the
     // replaced part files
     spark.catalog.refreshByPath(mvPath)
-    val measures = Map("count" -> "n") ++
-      measureCols.flatMap(m => Seq(
-        s"sum:$m" -> s"sum_$m", s"min:$m" -> s"min_$m", s"max:$m" -> s"max_$m"))
     entries(name) = MvEntry(
       name,
       rootPaths(relationOf(spark, basePath)),
-      groupCols, measures,
+      groupCols, measureMap(measureCols),
       relationOf(spark, mvPath),
       valid = true)
+  }
+
+  /** Auto-refreshing registration over a [[graft.sources.TxLog]] table:
+    * a base commit still flips the view invalid (via
+    * [[invalidateByPath]]), but the NEXT query over the base re-
+    * maintains it instead of falling back to the base scan forever —
+    * the DVC-style "derive when stale, skip when fresh" discipline
+    * applied to derived tables. Append-only commits are maintained
+    * INCREMENTALLY (aggregate the new batches only, merge into the
+    * stored view — n/sum add, min/max compose under inserts; cost ∝
+    * delta, the [[graft.operators.Cdc.incrementalAgg]] shape); an
+    * overwrite, or a float-summed measure (re-summing partial float
+    * sums is order-sensitive), falls back to a full rebuild.
+    */
+  def registerTx(
+      spark: SparkSession,
+      name: String,
+      tableDir: String,
+      groupCols: Seq[String],
+      measureCols: Seq[String],
+      mvPath: String): Unit = {
+    val v = graft.sources.TxLog.latestVersion(spark, tableDir)
+    val base = graft.sources.TxLog.read(spark, tableDir, Some(v))
+    materialize(base, groupCols, measureCols, mvPath)
+    spark.catalog.refreshByPath(mvPath)
+    entries(name) = MvEntry(
+      name,
+      base.queryExecution.analyzed.collectFirst {
+        case l: LogicalRelation => rootPaths(l)
+      }.getOrElse(Set.empty),
+      groupCols, measureMap(measureCols),
+      relationOf(spark, mvPath),
+      valid = true,
+      tx = Some(TxMv(tableDir, v, measureCols, mvPath)))
   }
 
   def invalidate(name: String): Unit = entries.get(name).foreach(_.valid = false)
@@ -101,10 +158,84 @@ object MvCatalog {
   /** All candidates that could answer an aggregate over `basePaths` —
     * the CALLER checks grouping/measure subsumption per entry, so two
     * views registered over the same base both get a chance (an
-    * arbitrary-pick here used to shadow the matching one).
+    * arbitrary-pick here used to shadow the matching one). A STALE
+    * auto-refresh entry whose table's latest snapshot is exactly
+    * `basePaths` is re-maintained here, on first lookup — planning-time
+    * maintenance, driver-side like the rule itself.
     */
-  def candidates(basePaths: Set[String]): Iterable[MvEntry] =
-    entries.values.filter(e => e.valid && e.basePaths == basePaths)
+  def candidates(basePaths: Set[String]): Iterable[MvEntry] = {
+    val live = entries.values.filter(e => e.valid && e.basePaths == basePaths)
+    val refreshed = entries.values
+      .filter(e => !e.valid && e.tx.isDefined)
+      .flatMap(e => tryRefresh(e, basePaths))
+    live ++ refreshed
+  }
+
+  private def normSet(ps: Iterable[String]): Set[String] =
+    ps.map(normalize).toSet
+
+  /** Re-maintain a stale TxLog-backed view iff the querying scan reads
+    * the table's LATEST snapshot (`queryPaths` = its batch dirs).
+    * Returns the entry refreshed-and-valid, or None (leaving the query
+    * on its normal plan — never a wrong rewrite).
+    */
+  private def tryRefresh(e: MvEntry, queryPaths: Set[String]): Option[MvEntry] =
+    e.synchronized {
+      if (e.valid) return Some(e).filter(_.basePaths == queryPaths)
+      val tx = e.tx.getOrElse(return None)
+      val spark = SparkSession.active
+      val latest = graft.sources.TxLog.latestVersion(spark, tx.tableDir)
+      if (latest <= 0) return None
+      val latestDirs = graft.sources.TxLog.manifest(spark, tx.tableDir, Some(latest))
+        .map { case (d, _) => s"${tx.tableDir}/$d" }
+      if (normSet(queryPaths) != normSet(latestDirs)) return None
+      val recorded = normSet(e.basePaths)
+      val newDirs = latestDirs.filterNot(d => recorded(normalize(d)))
+      val appendOnly = recorded.subsetOf(normSet(latestDirs))
+      val floatSummed = MvRewriteRule.suspend {
+        val viewSchema = spark.read.parquet(tx.mvPath).schema
+        tx.measureCols.exists(m => viewSchema.find(_.name == s"sum_$m")
+          .exists(f => f.dataType == org.apache.spark.sql.types.DoubleType ||
+            f.dataType == org.apache.spark.sql.types.FloatType))
+      }
+      MvRewriteRule.suspend {
+        if (appendOnly && newDirs.nonEmpty && !floatSummed) {
+          // incremental: aggregate ONLY the delta batches, merge with the
+          // stored view, swap atomically (tmp + rename) so a concurrent
+          // reader of the old materialization never sees a half write
+          val deltaAggs = viewAggs(tx.measureCols)
+          val delta = spark.read.parquet(newDirs: _*)
+            .groupBy(e.groupCols.map(col): _*)
+            .agg(deltaAggs.head, deltaAggs.tail: _*)
+          val mergeAggs = sum(col("n")).as("n") +: tx.measureCols.flatMap(m => Seq(
+            sum(col(s"sum_$m")).as(s"sum_$m"),
+            min(col(s"min_$m")).as(s"min_$m"),
+            max(col(s"max_$m")).as(s"max_$m")))
+          val merged = spark.read.parquet(tx.mvPath).unionByName(delta)
+            .groupBy(e.groupCols.map(col): _*)
+            .agg(mergeAggs.head, mergeAggs.tail: _*)
+          val tmp = tx.mvPath + ".refresh-tmp"
+          merged.write.mode("overwrite").parquet(tmp)
+          val fs = new org.apache.hadoop.fs.Path(tx.mvPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(tx.mvPath), true)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(tx.mvPath))
+        } else {
+          val base = graft.sources.TxLog.read(spark, tx.tableDir, Some(latest))
+          val aggs = viewAggs(tx.measureCols)
+          base.groupBy(e.groupCols.map(col): _*)
+            .agg(aggs.head, aggs.tail: _*)
+            .write.mode("overwrite").parquet(tx.mvPath)
+        }
+      }
+      spark.catalog.refreshByPath(tx.mvPath)
+      e.view = relationOf(spark, tx.mvPath)
+      e.basePaths = queryPaths
+      tx.version = latest
+      e.valid = true
+      Some(e)
+    }
 
   private def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
@@ -151,16 +282,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
 
   /** The base table's root paths under the aggregate, seen through
-    * column-pruning Projects only — a Filter (or anything else) makes
-    * the aggregate not view-subsumed and kills the match. A cached base
+    * column-pruning Projects and — since r7 — Filters whose predicate
+    * the caller can re-target at the view (conditions are returned for
+    * that check; anything else kills the match). A cached base
     * (`InMemoryRelation`) still matches when its cached plan is a PLAIN
     * scan (no filters, no computed projections): the session caching
     * the base table must not silently disable aggregate navigation —
     * the KB-sized view scan beats re-aggregating even an in-memory
     * copy of the full table.
     */
-  private def basePaths(plan: LogicalPlan): Option[Set[String]] = plan match {
-    case r: LogicalRelation => Some(MvCatalog.rootPaths(r))
+  private def baseScan(plan: LogicalPlan): Option[(Set[String], Seq[Expression])] = plan match {
+    case r: LogicalRelation => Some((MvCatalog.rootPaths(r), Nil))
     case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
       val phys = m.cacheBuilder.cachedPlan
       val unsafeNode = phys.collectFirst {
@@ -174,26 +306,38 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.relation.location.rootPaths.map(_.toString)
       }.flatten.toSet
-      if (unsafeNode.isEmpty && paths.nonEmpty) Some(paths) else None
+      if (unsafeNode.isEmpty && paths.nonEmpty) Some((paths, Nil)) else None
     case Project(projectList, child) if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      basePaths(child)
+      baseScan(child)
+    case Filter(cond, child)
+        if cond.deterministic &&
+          !cond.exists(_.isInstanceOf[PlanExpression[_]]) =>
+      baseScan(child).map { case (p, cs) => (p, cond +: cs) }
     case _ => None
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val paths = basePaths(agg.child).getOrElse(return None)
+    val (paths, conds) = baseScan(agg.child).getOrElse(return None)
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference => a.name
       case _ => return None
     }
+    // a Filter between aggregate and scan is view-subsumed only when it
+    // constrains GROUPING columns: the view's rows partition the base by
+    // the full grouping key, so `WHERE dim = x` selects whole view rows.
+    // A predicate touching a measure (or anything not grouped) slices
+    // WITHIN groups, which no pre-aggregated view can answer — fall
+    // through to the normal plan.
+    def condsSubsumed(e: MvCatalog.MvEntry): Boolean =
+      conds.forall(_.references.forall(a => e.groupCols.contains(a.name)))
     // try every registered view over this base: the first whose grouping
     // AND measures subsume the aggregate wins (an arbitrary single pick
     // used to shadow a matching sibling view — round-5 advice). A query
     // grouping by a SUBSET of the view's keys is answered by
     // re-aggregating the view (aggregate navigation proper).
     MvCatalog.candidates(paths).view
-      .filter(e => groupNames.toSet.subsetOf(e.groupCols.toSet))
-      .flatMap(e => rewriteWith(agg, groupNames, e))
+      .filter(e => groupNames.toSet.subsetOf(e.groupCols.toSet) && condsSubsumed(e))
+      .flatMap(e => rewriteWith(agg, groupNames, conds, e))
       .headOption
   }
 
@@ -210,11 +354,21 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def rewriteWith(
       agg: Aggregate,
       groupNames: Seq[String],
+      conds: Seq[Expression],
       entry: MvCatalog.MvEntry): Option[LogicalPlan] = {
 
     val exact = groupNames.toSet == entry.groupCols.toSet
     val view = entry.view.newInstance()
     val viewAttr = view.output.map(a => a.name -> a).toMap
+
+    // re-target base-attribute references at the view's same-named
+    // grouping columns (caller verified the subset) and filter the view
+    // scan — `GROUP BY dim WHERE dim = x` becomes a filtered view read
+    val scan: LogicalPlan = conds.foldLeft(view: LogicalPlan) { (p, c) =>
+      Filter(c.transform {
+        case a: AttributeReference => viewAttr.getOrElse(a.name, return None)
+      }, p)
+    }
 
     def measureAttr(key: String): Option[Attribute] =
       entry.measures.get(key).flatMap(viewAttr.get)
@@ -240,7 +394,15 @@ object MvRewriteRule extends Rule[LogicalPlan] {
             case Count(Seq(Literal(_, _))) =>
               measureAttr("count").getOrElse(return None)
             case Sum(ar: AttributeReference, _) =>
-              measureAttr(s"sum:${ar.name}").getOrElse(return None)
+              // even verbatim substitution needs the associativity guard:
+              // the stored float sum was accumulated in the VIEW build's
+              // partition order, the query's Sum would use its own — the
+              // two double results can differ in the last bits, so a
+              // float-summed measure falls through rather than change
+              // the query's bit pattern
+              val s = measureAttr(s"sum:${ar.name}").getOrElse(return None)
+              if (!associative(s.dataType)) return None
+              s
             case Min(ar: AttributeReference) =>
               measureAttr(s"min:${ar.name}").getOrElse(return None)
             case Max(ar: AttributeReference) =>
@@ -255,7 +417,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           Alias(castIfNeeded2(repl, al.dataType), name)(exprId = al.exprId)
         case _ => return None
       }
-      Some(Project(projections, view))
+      Some(Project(projections, scan))
     } else {
       // ROLLUP: GROUP BY a subset of the view keys over the view itself.
       // count → sum(n); sum → sum(sum_m) (associative types only);
@@ -290,7 +452,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         case _ => return None
       }
       val grouping = groupNames.map(n => viewAttr.getOrElse(n, return None))
-      Some(Aggregate(grouping, aggExprs, view))
+      Some(Aggregate(grouping, aggExprs, scan))
     }
   }
 

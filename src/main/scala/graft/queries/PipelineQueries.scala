@@ -1826,8 +1826,11 @@ object PipelineQueries extends QueryPack {
           case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
             graft.plans.MvCatalog.rootPaths(l)
         }.flatten
-        require(scans.exists(_.contains("graft_mv_roll")),
-          s"q177 must answer from the rollup view, scanned: $scans")
+        // q183 registers a second, structurally identical (source,lang)
+        // view over this base; either one proves the rollup rewrite
+        require(scans.exists(p =>
+            p.contains("graft_mv_roll") || p.contains("graft_mv_filt")),
+          s"q177 must answer from a rollup view, scanned: $scans")
         q
       },
       Some("""SELECT lang, count(*) AS n,
@@ -2194,6 +2197,88 @@ object PipelineQueries extends QueryPack {
              |GROUP BY lang""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q183: MV rewrite through a FILTER on a grouping column — the most
+    // common real rollup shape (`GROUP BY dim WHERE dim2 = x`). The view
+    // materializes GROUP BY (source, lang); the query filters lang='en'
+    // and groups by source alone, so the optimizer must re-target the
+    // predicate at the VIEW scan and re-aggregate — a filter between
+    // aggregate and base scan used to kill the match outright. Plan
+    // assert + base-recomputing oracle, like q177.
+    QueryDef(
+      "q183_mv_filter_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val mvPath = s"${graft.GraftSession.scratchBase}/graft_mv_filt_$sfName"
+        graft.plans.MvCatalog.register(
+          s, s"docs_src_lang_filt_$sfName", s"$dir/documents.parquet",
+          Seq("source", "lang"), Seq("n_chars"), mvPath)
+        val q = s.read.parquet(s"$dir/documents.parquet")
+          .filter($"lang" === "en")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"n_chars").as("total"),
+            min($"n_chars").as("lo"),
+            max($"n_chars").as("hi"))
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            graft.plans.MvCatalog.rootPaths(l)
+        }.flatten
+        // q177's structurally identical (source,lang) view may win the
+        // candidate race instead — either proves the filter pushthrough
+        require(scans.exists(p =>
+            p.contains("graft_mv_filt") || p.contains("graft_mv_roll")),
+          s"q183 must answer from a filtered view scan, scanned: $scans")
+        require(!scans.exists(_.contains("documents.parquet")),
+          s"q183 must not rescan the base, scanned: $scans")
+        q
+      },
+      Some("""SELECT source, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS total,
+             |  min(n_chars) AS lo, max(n_chars) AS hi
+             |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q184: MULTI-column manifest pruning (TxLog.readWhereAll) — the
+    // `partition-key AND id-range` probe. Batches are committed per
+    // (source, doc_id-half) cell; bounding BOTH columns drops every
+    // non-matching cell before Spark lists a file (TxLogSpec proves the
+    // skip via inputFiles; here the pruned read's rollup hash-matches
+    // DuckDB's plain filtered scan — pruning never changes results).
+    QueryDef(
+      "q184_stats_skipping_multi",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txmulti_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        val mid = (docs.count() / 2L).max(1L)
+        val sources = docs.select($"source").distinct()
+          .as[String].collect().sorted
+        for (src <- sources; half <- 0 to 1) {
+          val loB = half * mid
+          val hiB = if (half == 1) Long.MaxValue else mid - 1L
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"source" === src && $"doc_id" >= loB && $"doc_id" <= hiB),
+            append = true)
+        }
+        graft.sources.TxLog.readWhereAll(s, t, Map(
+            "source" -> (Some(sources.head), Some(sources.head)),
+            "doc_id" -> (Some(0L), Some(mid - 1L))))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) // 2 AS mid FROM documents),
+             |s0 AS (SELECT min(source) AS src FROM documents)
+             |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents, p, s0
+             |WHERE source = s0.src AND doc_id >= 0 AND doc_id <= p.mid - 1
+             |GROUP BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q179: DSIR-style importance weighting (TrainingPrep
     // .importanceWeights) — target = English slice, raw = whole corpus;
     // per-token smoothed frequency-ratio weights (the monotone core of
@@ -2223,7 +2308,8 @@ object PipelineQueries extends QueryPack {
              |         CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS tott
              |  FROM tk),
              |wt AS (
-             |  SELECT w, (1000000 * (cnt_t + 1) * totr) // ((cnt_r + 1) * tott) AS wgt
+             |  SELECT w, CAST((CAST(1000000 AS HUGEINT) * (cnt_t + 1) * totr)
+             |              // ((cnt_r + 1) * tott) AS BIGINT) AS wgt
              |  FROM counts, tot)
              |SELECT doc_id, CAST(sum(wgt) AS BIGINT) AS score
              |FROM tk JOIN wt USING (w)
