@@ -65,8 +65,33 @@ object Bench {
     // best available estimate of uncontended cost)
     val minTotal = results.map(_._2._2).filter(_ >= 0).sum
     val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    // Scale probe + feature A/B (round-6 verdict asks #1/#8): ~10x
+    // fixtures for the five heaviest families, ratio per family, plus
+    // the measured MV-rewrite / manifest-skip wins. Opt out with
+    // SPARK_GRAFT_PROBE=0 (the probe adds minutes of wall-clock by
+    // design — it runs the heavy families at 10x the bench scale).
+    val probeOn = sys.env.getOrElse("SPARK_GRAFT_PROBE", "1") != "0"
+    val probeJson =
+      if (!probeOn) ""
+      else {
+        val replicas = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPLICAS", "10").toInt
+        val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt
+        val probe = try BenchProbe.run(spark, sfDir, replicas, passes)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] scale probe failed: ${e.getMessage}")
+            "null"
+          }
+        val ab = try BenchProbe.runAb(spark, replicas, passes)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ab probe failed: ${e.getMessage}")
+            "null"
+          }
+        s""","scale_probe":$probe,"ab":$ab"""
+      }
+
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"queries":$qs,"dispersion":$disp,"passes":$Passes,"reran_on_dispersion":$reranJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"queries":$qs,"dispersion":$disp,"passes":$Passes,"reran_on_dispersion":$reranJson$probeJson,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for log-scraping harnesses: the same line as a file
     // (sbt/log4j prefixes have broken JSON extraction from captured logs).

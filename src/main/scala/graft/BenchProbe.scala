@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe harness (round-6 verdict ask #1): the 100×-design claims
+  * in the operator tree rest on sf0.1 timings plus plan shape — this
+  * measures the missing axis. For the five heaviest operator families
+  * it synthesizes a ~10× replica of the sf0.1 fixtures, runs each
+  * family at 1× and 10× through the SAME `SparkEntry.queries` builders,
+  * and reports the wall-clock ratio. Near-linear (ratio ≲ replicas +
+  * noise) is the pass condition; a super-linear family names a real
+  * scale bug.
+  *
+  * Fixture synthesis preserves the 1× data's STATISTICS, not its bytes:
+  *
+  *  - `documents` replicas carry disjoint vocabularies (every token is
+  *    suffixed with the replica id), so each shard has the base
+  *    corpus's duplicate/similarity structure and there are no
+  *    cross-shard near-dup pairs — naive replication would square the
+  *    candidate count (10 identical copies of every doc = 100× pairs)
+  *    and measure the DATA's pathology, not the engine's scaling. Real
+  *    corpus growth grows content, which is what disjoint shards model.
+  *  - `customer` (the origin side of the OD matrix) replicates with
+  *    remapped keys, scaling route-matrix PAIRS by `replicas`;
+  *    `supplier` (destinations) stays fixed — scaling both sides would
+  *    be a `replicas`²-pair experiment.
+  *
+  * The 1× fixture is written through the same synthesis pipeline
+  * (replicas = 1), so both timings share writer layout, file counts and
+  * encodings — the ratio isolates scale.
+  */
+object BenchProbe {
+
+  /** family label -> SparkEntry query driven at both scales. q41+q117
+    * are the minhash family's batch and incremental halves.
+    */
+  val Families: Seq[(String, String)] = Seq(
+    "route_matrix" -> "q30_route_matrix",
+    "publish_roundtrip" -> "q36_publish_roundtrip",
+    "minhash_dedup" -> "q41_dedup_minhash",
+    "incremental_dedup" -> "q117_dedup_incremental",
+    "duplicated_spans" -> "q109_duplicated_spans",
+    "prefix_jaccard" -> "q133_prefix_jaccard")
+
+  private def replicateDocuments(spark: SparkSession, sfDir: String,
+      replicas: Int): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until replicas).map { i =>
+      val t =
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", s"$$1~$i")
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        t.as("text"),
+        col("lang"),
+        col("source"),
+        length(t).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def replicateCustomer(spark: SparkSession, sfDir: String,
+      replicas: Int): DataFrame = {
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val rest = c.columns.filter(_ != "c_custkey").map(col).toSeq
+    (0 until replicas).map { i =>
+      c.select((col("c_custkey") + lit(i.toLong * 1000000L)).as("c_custkey") +: rest: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Write the probe fixture tables for one scale. Returns the dir.
+    * `includeLineitem` adds a replicated lineitem (key-remapped) — the
+    * fact table the feature A/B needs as a scan-dominated base; the
+    * probe families themselves never read it.
+    */
+  def synthesize(spark: SparkSession, sfDir: String, replicas: Int,
+      name: String, includeLineitem: Boolean = false): String = {
+    val out = s"${GraftSession.scratchBase}/graft_$name"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    replicateDocuments(spark, sfDir, replicas)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.parquet(s"$out/documents.parquet")
+    replicateCustomer(spark, sfDir, replicas)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.parquet(s"$out/customer.parquet")
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .write.parquet(s"$out/supplier.parquet")
+    if (includeLineitem) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val rest = li.columns.filter(_ != "l_orderkey").map(col).toSeq
+      (0 until replicas).map { i =>
+        li.select(
+          (col("l_orderkey") + lit(i.toLong * 10000000L)).as("l_orderkey") +: rest: _*)
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.parquet(s"$out/lineitem.parquet")
+    }
+    out
+  }
+
+  private def time(spark: SparkSession, dir: String, query: String): Double = {
+    val build = SparkEntry.queries(query)
+    val t0 = System.nanoTime()
+    try build(spark, dir).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[probe] $query failed on $dir: ${e.getMessage}")
+      return -1.0
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def minTime(spark: SparkSession, dir: String, query: String,
+      passes: Int): Double = {
+    val ts = (0 until passes).map(_ => time(spark, dir, query))
+    if (ts.exists(_ < 0)) -1.0 else ts.min
+  }
+
+  /** Run the probe; returns the `"scale_probe"` JSON object. */
+  def run(spark: SparkSession, sfDir: String, replicas: Int = 10,
+      passes: Int = 2): String = {
+    val d1 = synthesize(spark, sfDir, 1, "probe1x")
+    val dN = synthesize(spark, sfDir, replicas, s"probe${replicas}x",
+      includeLineitem = true)
+    val fams = Families.map { case (fam, q) =>
+      // 1x first (also warms the plan shapes on the probe fixture paths)
+      val t1 = minTime(spark, d1, q, passes)
+      val tN = minTime(spark, dN, q, passes)
+      val ratio = if (t1 > 0 && tN > 0) tN / t1 else -1.0
+      f""""$fam":{"query":"$q","t1":$t1%.3f,"t$replicas":$tN%.3f,"ratio":$ratio%.2f}"""
+    }
+    s"""{"replicas":$replicas,"passes":$passes,"families":{${fams.mkString(",")}}}"""
+  }
+
+  /** A/B the optimizer features (round-6 ask #8): the MV rewrite and
+    * manifest-stats skipping each carry a plan assert and a spec-proven
+    * skip; this adds the measured wall-clock win on the 10× probe
+    * corpus so the features ship with a number, not only a plan shape.
+    * "off" is the identical query with the feature's state removed
+    * (view dropped / plain snapshot read + residual filter), min over
+    * `passes`.
+    */
+  def runAb(spark: SparkSession, replicas: Int = 10, passes: Int = 2): String = {
+    import graft.plans.MvCatalog
+    import graft.sources.TxLog
+    val dir = s"${GraftSession.scratchBase}/graft_probe${replicas}x"
+    val liPath = s"$dir/lineitem.parquet"
+
+    // quantity/price are floats (sum would fall through by design) —
+    // count/min/max is the guard-compatible rollup the view answers
+    def rollup = spark.read.parquet(liPath)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
+    def timed(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def best(f: => DataFrame): Double = (0 until passes).map(_ => timed(f)).min
+
+    // MV rewrite: same rollup with no view registered vs answered from it
+    val mvOff = best(rollup)
+    MvCatalog.register(spark, "probe_ab_mv", liPath,
+      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), s"$dir/mv_ab")
+    val mvOn = best(rollup)
+    MvCatalog.drop("probe_ab_mv")
+
+    // manifest skipping: 8 committed key-range batches, probe one range;
+    // ON = readWhere (manifest prune), OFF = full snapshot + residual
+    val t = s"$dir/txab"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(t), true)
+    val li = spark.read.parquet(liPath)
+    val ids = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).collect()(0)
+    val (loAll, hiAll) = (ids.getLong(0), ids.getLong(1))
+    val span = ((hiAll - loAll) / 8L).max(1L)
+    (0L until 8L).foreach { i =>
+      val lo = loAll + i * span
+      val hi = if (i == 7L) Long.MaxValue else loAll + (i + 1L) * span - 1L
+      TxLog.commit(spark, t,
+        li.filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi),
+        append = true)
+    }
+    val probeLo = loAll + span
+    val probeHi = loAll + 2L * span - 1L
+    def agg(df: DataFrame): DataFrame = df.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), min(col("l_discount")).as("lo"))
+    def pruned = TxLog.readWhere(spark, t, "l_orderkey", Some(probeLo), Some(probeHi))
+    def full = TxLog.read(spark, t)
+      .filter(col("l_orderkey") >= probeLo && col("l_orderkey") <= probeHi)
+    val skipOn = best(agg(pruned))
+    val skipOff = best(agg(full))
+    // wall-clock alone under-reports the feature on THIS box: the table
+    // sits in tmpfs, so the skipped bytes cost ~0 to "read" — the
+    // deterministic planning-side metric (files Spark lists/opens) is
+    // the one that translates to object-store scale, where every
+    // skipped file is a saved LIST+GET+footer round-trip
+    val filesOn = pruned.inputFiles.length
+    val filesOff = full.inputFiles.length
+
+    f"""{"mv_rewrite":{"off":$mvOff%.3f,"on":$mvOn%.3f,"speedup":${mvOff / mvOn.max(0.001)}%.2f},""" +
+      f""""stats_skip":{"off":$skipOff%.3f,"on":$skipOn%.3f,"speedup":${skipOff / skipOn.max(0.001)}%.2f,""" +
+      f""""files_off":$filesOff,"files_on":$filesOn,"files_ratio":${filesOff.toDouble / filesOn.max(1)}%.2f}}"""
+  }
+}

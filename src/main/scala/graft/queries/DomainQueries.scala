@@ -384,6 +384,41 @@ object DomainQueries extends QueryPack {
       headline = true),
 
     // ------------------------------------------------------------------
+    // q185: dual-destination publish (S8 mirrored — the reference writes
+    // each dataset to both its public and data buckets,
+    // utils/times.py:100-107). ONE compute pass publishes the primary;
+    // the mirror is a file copy of the committed bytes (IoSpec proves
+    // byte-identity and zero extra Spark jobs). Here the MIRROR tree is
+    // the one read back and aggregated, so the oracle hash proves the
+    // copied tree serves exactly the published rows.
+    QueryDef(
+      "q185_mirror_publish",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = dir.replaceAll(".*/", "")
+        val out = s"${graft.GraftSession.scratchBase}/graft_mirp_$sfName"
+        val mir = s"${graft.GraftSession.scratchBase}/graft_mirm_$sfName"
+        val ptimes = routeTimes(s, dir).toDF()
+          .withColumn("version", lit("0.0.1"))
+          .withColumn("mode", lit("car"))
+          .withColumn("year", lit("2024"))
+          .withColumn("geography", lit("county"))
+          .withColumn("state", substring($"origin_id", 8, 2))
+          .withColumn("centroid_type", lit("weighted"))
+        TableIO.writeMirrored(ptimes, out, mir, Seq("origin_id", "destination_id"))
+        TableIO.readPartitioned(s, mir)
+          .groupBy($"state")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(when($"duration_sec".isNull, 1)).as("n_missing"))
+      },
+      Some(s"""$timesSql
+              |SELECT substr(origin_id, 8, 2) AS state,
+              |  count(*) AS n_rows,
+              |  count(CASE WHEN duration_sec IS NULL THEN 1 END) AS n_missing
+              |FROM times GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q37: the README flagship consumer query (README.md:88-98) over a
     // real CalculateTimes publish: all partition keys + an origin prefix,
     // answered through the catalog view with partition pruning + rowgroup

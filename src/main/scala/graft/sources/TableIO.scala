@@ -65,6 +65,60 @@ object TableIO {
     graft.plans.MvCatalog.invalidateByPath(baseDir)
   }
 
+  /** Dual-destination publish (the reference writes each dataset to two
+    * buckets — public and data, utils/times.py:100-107): ONE compute
+    * pass produces the primary tree, and the mirror is a FILE COPY of
+    * the committed bytes — never a second shuffle/sort/zstd encode, so
+    * the mirror is byte-identical by construction and the Spark work is
+    * exactly [[writePartitioned]]'s. The copy itself runs on a bounded
+    * thread pool over the committed file list (pure FS I/O, no Spark
+    * job; at cluster scale against object stores the same loop becomes
+    * a distcp-style map-only job over this file list — the COMPUTE is
+    * still not repeated, which is the contract that matters).
+    */
+  def writeMirrored(
+      df: DataFrame,
+      primaryDir: String,
+      mirrorDir: String,
+      orderCols: Seq[String],
+      partitionKeys: Seq[String] = PartitionKeys,
+      maxRecordsPerFile: Long = 10000000L,
+      bloomCols: Seq[(String, Long)] = Nil): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    writePartitioned(df, primaryDir, orderCols, partitionKeys,
+      maxRecordsPerFile, bloomCols)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val src = new Path(primaryDir)
+    val srcFs = src.getFileSystem(conf)
+    val dst = new Path(mirrorDir)
+    val dstFs = dst.getFileSystem(conf)
+    dstFs.delete(dst, true)
+    val files = {
+      val it = srcFs.listFiles(src, true)
+      val b = Seq.newBuilder[Path]
+      while (it.hasNext) { val f = it.next(); if (f.isFile) b += f.getPath }
+      b.result()
+    }
+    val basePrefix = src.toUri.getPath
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.size.max(1)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val copies = files.map { f =>
+        Future {
+          val rel = f.toUri.getPath.stripPrefix(basePrefix).stripPrefix("/")
+          val to = new Path(dst, rel)
+          dstFs.mkdirs(to.getParent)
+          FileUtil.copy(srcFs, f, dstFs, to, false, true, conf)
+        }
+      }
+      Await.result(Future.sequence(copies), Duration.Inf)
+    } finally pool.shutdown()
+    graft.plans.MvCatalog.invalidateByPath(mirrorDir)
+  }
+
   /** Read a published tree back; partition columns are recovered from the
     * directory structure as strings (S2/S3).
     */

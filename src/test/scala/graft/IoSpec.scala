@@ -200,6 +200,58 @@ class IoSpec extends AnyFunSuite {
     assert(TableIO.readPartitioned(s, dir).count() == 120000)
   }
 
+  test("writeMirrored: byte-identical second tree, zero extra Spark jobs") {
+    val s = spark
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    val df = (0 until 2000).map(i => (f"id$i%06d", f"d$i%06d", i.toDouble,
+        "0.0.1", "car", "2024", "county", f"${i % 2}%02d", "weighted"))
+      .toDF("origin_id", "destination_id", "duration_sec", "version",
+        "mode", "year", "geography", "state", "centroid_type")
+    val solo = "/tmp/graft_mirror_solo"
+    val primary = "/tmp/graft_mirror_primary"
+    val mirror = "/tmp/graft_mirror_mirror"
+    val fs = new Path(solo).getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(solo, primary, mirror).foreach(d => fs.delete(new Path(d), true))
+
+    // job-count baseline: a plain publish of the same frame
+    s.sparkContext.setJobGroup("mir_solo", "baseline publish")
+    TableIO.writePartitioned(df, solo, Seq("origin_id", "destination_id"))
+    s.sparkContext.clearJobGroup()
+    s.sparkContext.setJobGroup("mir_dual", "mirrored publish")
+    TableIO.writeMirrored(df, primary, mirror, Seq("origin_id", "destination_id"))
+    s.sparkContext.clearJobGroup()
+    Thread.sleep(500) // status store drains async
+    val jSolo = s.sparkContext.statusTracker.getJobIdsForGroup("mir_solo").length
+    val jDual = s.sparkContext.statusTracker.getJobIdsForGroup("mir_dual").length
+    assert(jSolo > 0)
+    assert(jDual == jSolo,
+      s"mirror must add no Spark work: $jDual jobs vs baseline $jSolo")
+
+    // byte-identical trees: same relative paths, same md5 per file
+    def digests(root: String): Map[String, String] = {
+      val it = fs.listFiles(new Path(root), true)
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) {
+          val rel = f.toUri.getPath.stripPrefix(new Path(root).toUri.getPath)
+          val bytes = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f.toUri.getPath))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          b += rel -> md.digest(bytes).map("%02x".format(_)).mkString
+        }
+      }
+      b.result()
+    }
+    val dp = digests(primary)
+    val dm = digests(mirror)
+    assert(dp.nonEmpty && dp == dm,
+      s"mirror diverges: ${dp.keySet.diff(dm.keySet)} / ${dm.keySet.diff(dp.keySet)}")
+    // and the mirror serves reads like any published tree
+    assert(TableIO.readPartitioned(s, mirror).count() == 2000)
+  }
+
   test("schema evolution: mergeSchema unions columns across file generations") {
     val s = spark
     import s.implicits._
