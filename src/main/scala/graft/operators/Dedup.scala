@@ -28,6 +28,41 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
 
+  /** Novelty against a prior corpus with a Bloom prefilter — the
+    * "have we crawled this before" membership primitive. The prior
+    * corpus's text digests are folded into a Bloom filter (built
+    * DISTRIBUTED by Spark's treeAggregate under `stat.bloomFilter`;
+    * only the filter's bits reach the driver) and broadcast; every new
+    * document whose digest misses the filter is DEFINITELY novel and
+    * never shuffles. Only the maybe-seen residue — the true overlap
+    * plus the fpp fraction of false positives — pays an exact anti-join
+    * against the prior digests, so the join's left side shrinks from
+    * |new| to |overlap| + fpp·|new| while the output stays EXACT (the
+    * filter's one-sided error is closed by the verify join; oracle =
+    * the plain anti-join).
+    *
+    * At 100 TB the prior is billions of digests: the bits cost
+    * ~1.2 GB/1e9 items at 1% fpp — broadcastable where the digest
+    * table itself is not, which is the whole point.
+    */
+  def novelAgainst(newDocs: DataFrame, prior: DataFrame,
+      expectedPrior: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val spark = newDocs.sparkSession
+    val priorHashed = prior.select(md5(col("text")).as("h"))
+    val bloom = priorHashed.stat.bloomFilter("h", expectedPrior, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf { h: String => bc.value.mightContainString(h) }
+    val hashed = newDocs.withColumn("__h", md5(col("text")))
+    val definitelyNovel = hashed.filter(!mightContain(col("__h")))
+    // the verify join shuffles on the 16-byte digest: the new side is
+    // already shrunk to the maybe-set; the prior side ships digests,
+    // not texts (a bucketed/sorted digest store would eliminate even
+    // that exchange — the probe side alone would move)
+    val maybeSeen = hashed.filter(mightContain(col("__h")))
+      .join(priorHashed, col("__h") === col("h"), "left_anti")
+    definitelyNovel.unionByName(maybeSeen).drop("__h")
+  }
+
   /** Exact duplicated-substring spans: every k-token window that occurs
     * in more than one document, located by (doc_id, 1-based token
     * position) — the span-level exact dedup of Lee et al. 2022

@@ -2279,6 +2279,94 @@ object PipelineQueries extends QueryPack {
              |GROUP BY lang""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q186: surgical range DELETE (TxLog.deleteWhere) — the manifest
+    // stats that skip READS also skip REWRITES: only batches whose
+    // committed [min,max] overlaps the doomed range are rewritten, the
+    // other quartiles' manifest lines (and files) carry into the new
+    // version verbatim (TxLogSpec proves the carry by dir identity).
+    // The post-delete rollup hash-matches DuckDB computing base-minus-
+    // range, so the surgical path is value-equal to a full rewrite.
+    QueryDef(
+      "q186_delete_where",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txdel_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        val q = (docs.count() / 4L).max(1L)
+        (0L until 4L).foreach { i =>
+          val loB = i * q
+          val hiB = if (i == 3L) Long.MaxValue else (i + 1L) * q - 1L
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" >= loB && $"doc_id" <= hiB), append = true)
+        }
+        graft.sources.TxLog.deleteWhere(s, t, "doc_id",
+          Some(q + 5L), Some(2L * q - 1L))
+        graft.sources.TxLog.read(s, t)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) // 4 AS q FROM documents)
+             |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents, p
+             |WHERE doc_id < p.q + 5 OR doc_id > 2 * p.q - 1
+             |GROUP BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q187: Morton z-value (operators/ZOrder) — the bit-interleave the
+    // multi-dim clustering layout sorts by, hash-verified digit-for-
+    // digit in SQL (pure integer bit ops both sides; ZOrderSpec proves
+    // the LAYOUT effect — every interleaved dimension prunes — via
+    // measured row-group skip, which no row-level oracle can see).
+    QueryDef(
+      "q187_zorder_value",
+      (s, dir) => {
+        import s.implicits._
+        val pts = T.documents(s, dir).select($"doc_id",
+          ($"doc_id" % 97L).as("x"), ($"doc_id" % 89L).as("y"))
+        pts.select($"doc_id", $"x", $"y",
+            graft.operators.ZOrder.zValue(Seq($"x", $"y"), 16).as("z"))
+          .orderBy($"z", $"doc_id")
+          .limit(50)
+      },
+      Some("""SELECT doc_id, x, y,
+             |  CAST(list_sum(list_transform(range(0, 16), i ->
+             |    ((x >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+             |    + ((y >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1))))
+             |    AS BIGINT) AS z
+             |FROM (SELECT doc_id, doc_id % 97 AS x, doc_id % 89 AS y
+             |      FROM documents)
+             |ORDER BY z, doc_id
+             |LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q188: Bloom-prefiltered novelty vs a prior corpus
+    // (Dedup.novelAgainst — the "have we crawled this before"
+    // primitive). Definitely-novel docs never shuffle; only the
+    // maybe-seen residue (true overlap + fpp false positives) pays the
+    // exact digest anti-join, which closes the filter's one-sided
+    // error — so the output equals the PLAIN anti-join the oracle
+    // computes, independent of fpp (DedupSpec forces a pathological
+    // fpp and asserts the same).
+    QueryDef(
+      "q188_bloom_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val docs = T.documents(s, dir)
+        val prior = docs.filter($"doc_id" % 2L === 0L)
+        val fresh = docs.filter($"doc_id" % 2L =!= 0L)
+        graft.operators.Dedup.novelAgainst(fresh, prior)
+          .select($"doc_id", $"lang", $"n_chars")
+      },
+      Some("""SELECT d.doc_id, d.lang, d.n_chars
+             |FROM documents d
+             |WHERE d.doc_id % 2 <> 0
+             |  AND NOT EXISTS (SELECT 1 FROM documents p
+             |                  WHERE p.doc_id % 2 = 0 AND p.text = d.text)""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q179: DSIR-style importance weighting (TrainingPrep
     // .importanceWeights) — target = English slice, raw = whole corpus;
     // per-token smoothed frequency-ratio weights (the monotone core of

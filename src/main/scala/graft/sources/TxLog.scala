@@ -254,6 +254,45 @@ object TxLog {
     * replaces them (the old files stay on disk for time travel until
     * [[vacuum]]). Returns the committed version.
     */
+  /** create-exclusive manifest write: atomic on a correct Hadoop FS —
+    * ONLY the already-exists failure is a lost race (false). Any
+    * failure AFTER create succeeds (manifest write/close) must delete
+    * the claimed v-file and rethrow: leaving a truncated manifest as
+    * the committed latest version would make readers silently resolve
+    * a partial snapshot, and append-mode retries would carry the
+    * corrupt directory list forward.
+    */
+  private def writeManifestExclusive(f: FileSystem, tableDir: String,
+      version: Long, lines: Seq[String]): Boolean = {
+    val target = new Path(logDir(tableDir), s"v$version")
+    f.mkdirs(logDir(tableDir))
+    val created =
+      try Some(f.create(target, false))
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException =>
+          None // lost the race; caller re-reads the winner's log
+        case e: java.io.IOException // FSes that signal the race untyped
+            if e.getMessage != null &&
+              e.getMessage.toLowerCase.contains("already exists") =>
+          None
+      }
+    created.exists { out =>
+      try {
+        out.write(lines.mkString("\n").getBytes("UTF-8"))
+        out.close()
+      } catch {
+        case e: Throwable =>
+          try out.close() catch { case _: Throwable => () }
+          try f.delete(target, false) catch { case _: Throwable => () }
+          throw e
+      }
+      // committed: any MV registered over this table is now stale
+      graft.plans.MvCatalog.invalidateByPath(tableDir)
+      true
+    }
+  }
+
   def commit(spark: SparkSession, tableDir: String, df: DataFrame,
       append: Boolean = false, maxRetries: Int = 20,
       collectStats: Boolean = true): Long = {
@@ -269,45 +308,72 @@ object TxLog {
       val base = latestVersion(spark, tableDir)
       val carried =
         if (append && base > 0) readManifest(spark, tableDir, base) else Nil
-      val target = new Path(logDir(tableDir), s"v${base + 1}")
-      f.mkdirs(logDir(tableDir))
-      // create-exclusive: atomic on a correct Hadoop FS — ONLY the
-      // already-exists failure is a lost race. Any failure AFTER create
-      // succeeds (manifest write/close) must delete the claimed v-file
-      // and rethrow: leaving a truncated manifest as the committed
-      // latest version would make readers silently resolve a partial
-      // snapshot, and append-mode retries would carry the corrupt
-      // directory list forward.
-      val created =
-        try Some(f.create(target, false))
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-              _: java.nio.file.FileAlreadyExistsException =>
-            attempt += 1 // lost the race; re-read the winner's log
-            None
-          case e: java.io.IOException // FSes that signal the race untyped
-              if e.getMessage != null &&
-                e.getMessage.toLowerCase.contains("already exists") =>
-            attempt += 1
-            None
-        }
-      created.foreach { out =>
-        try {
-          out.write((carried :+ batchLine).mkString("\n").getBytes("UTF-8"))
-          out.close()
-        } catch {
-          case e: Throwable =>
-            try out.close() catch { case _: Throwable => () }
-            try f.delete(target, false) catch { case _: Throwable => () }
-            throw e
-        }
-        // committed: any MV registered over this table is now stale
-        graft.plans.MvCatalog.invalidateByPath(tableDir)
+      if (writeManifestExclusive(f, tableDir, base + 1, carried :+ batchLine))
         return base + 1
-      }
+      attempt += 1
     }
     throw new IllegalStateException(
       s"commit to $tableDir lost $maxRetries optimistic rounds")
+  }
+
+  /** Surgical range DELETE: rewrite ONLY the batches whose committed
+    * [min,max] for `colName` can overlap [lo,hi] — every other batch's
+    * manifest line (and its files) carries into the new version
+    * VERBATIM. At 100 TB this is the difference between a delete that
+    * rewrites the touched fraction and one that rewrites the table:
+    * the same manifest stats that skip reads now skip REWRITES. The
+    * untouched bound sides are open (None = unbounded), matching
+    * [[readWhere]]'s contract; batches without stats are conservatively
+    * rewritten. Readers of prior versions are untouched (time travel
+    * intact until [[vacuum]]).
+    *
+    * Concurrency: the rewrite is derived from a snapshot version; the
+    * new manifest only commits if the table is STILL at that version
+    * (otherwise the carried lines could drop a concurrent writer's
+    * batches). A lost race re-derives and re-rewrites — the delete's
+    * data write is re-run against the winner's snapshot, never merged
+    * blindly.
+    */
+  def deleteWhere(spark: SparkSession, tableDir: String, colName: String,
+      lo: Option[Any], hi: Option[Any], maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, tableDir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, tableDir)
+      require(base > 0, s"no committed version in $tableDir")
+      val lines = readManifest(spark, tableDir, base)
+      val (touched, kept) = lines.partition { l =>
+        val (_, stats) = parseLine(l)
+        stats.get(colName).forall(st =>
+          overlaps(st, lo.map(_.toString), hi.map(_.toString)))
+      }
+      if (touched.isEmpty) return base // nothing can match: no-op version
+      require(lo.isDefined || hi.isDefined,
+        "unbounded deleteWhere would truncate the table; commit an empty frame instead")
+      val touchedDirs = touched.map(l => s"$tableDir/${parseLine(l)._1}")
+      val inRange = (lo.map(l => col(colName) >= l) ++
+        hi.map(h => col(colName) <= h)).reduce(_ && _)
+      // NULL keys survive: !(null in range) is null, filter drops it —
+      // coalesce keeps the SQL-standard "delete matches only" semantics
+      val survivors = spark.read.parquet(touchedDirs: _*)
+        .filter(org.apache.spark.sql.functions.coalesce(
+          !inRange, org.apache.spark.sql.functions.lit(true)))
+      val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+      survivors.write.parquet(s"$tableDir/$batch")
+      val batchLine = encodeLine(batch,
+        footerStats(spark, new Path(s"$tableDir/$batch")),
+        Some(survivors.schema.json))
+      // commit only on top of the SNAPSHOT the rewrite was derived from
+      if (latestVersion(spark, tableDir) == base &&
+          writeManifestExclusive(f, tableDir, base + 1, kept :+ batchLine))
+        return base + 1
+      // lost: drop the orphaned rewrite and re-derive from the winner
+      f.delete(new Path(s"$tableDir/$batch"), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"deleteWhere on $tableDir lost $maxRetries optimistic rounds")
   }
 
   /** Snapshot read; `asOf = None` resolves the latest version.

@@ -110,6 +110,28 @@ class DedupSpec extends AnyFunSuite {
     assert(dupGroup.getAs[Long]("canonical_id") == 1L)
   }
 
+  test("novelAgainst equals the exact anti-join, even under a pathological fpp") {
+    val s = spark
+    import s.implicits._
+    val prior = docs.filter($"doc_id" % 2 === 0)
+    val fresh = docs.filter($"doc_id" % 2 =!= 0)
+    val want = fresh.join(prior.select($"text"), Seq("text"), "left_anti")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val got = Dedup.novelAgainst(fresh, prior)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got == want)
+    // a filter sized 100x too small saturates (fpp -> ~1): everything
+    // becomes maybe-seen, the verify join alone decides — still exact
+    val gotSaturated = Dedup
+      .novelAgainst(fresh, prior, expectedPrior = 10L, fpp = 0.5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(gotSaturated == want,
+      "bloom false positives must be closed by the exact verify join")
+    // schema passthrough: the helper column never leaks
+    assert(Dedup.novelAgainst(fresh, prior).columns.toSeq ==
+      fresh.columns.toSeq)
+  }
+
   test("duplicatedSpans finds exactly the cross-doc k-token windows at their positions") {
     import spark.implicits._
     val corpus = Seq(

@@ -271,6 +271,43 @@ class TxLogSpec extends AnyFunSuite {
     assert(none2.count() == 0)
   }
 
+  test("deleteWhere rewrites only overlapping batches; the rest carry verbatim") {
+    val t = fresh("delw")
+    Seq(0L, 100L, 200L, 300L).foreach { base =>
+      TxLog.commit(spark, t,
+        (base until base + 100L).map(i => (i, s"v$i")).toDF("id", "s"),
+        append = true)
+    }
+    val before = TxLog.manifest(spark, t).map(_._1)
+    val v = TxLog.deleteWhere(spark, t, "id", Some(150L), Some(170L))
+    assert(v == 5L)
+    val after = TxLog.manifest(spark, t).map(_._1)
+    // three untouched batch dirs carried verbatim, one rewritten dir
+    assert(after.size == 4)
+    assert(before.toSet.intersect(after.toSet).size == 3,
+      s"untouched batches must carry: before=$before after=$after")
+    assert(!after.contains(before(1)), "the [100,199] batch must be rewritten")
+    // values: exactly the range is gone
+    assert(TxLog.read(spark, t).count() == 400L - 21L)
+    assert(TxLog.read(spark, t).filter($"id" >= 150L && $"id" <= 170L).count() == 0)
+    // the rewritten batch regains stats (future reads/deletes skip it)
+    assert(TxLog.manifest(spark, t).forall(_._2.contains("id")))
+    // time travel: the pre-delete snapshot still serves all rows
+    assert(TxLog.read(spark, t, Some(4L)).count() == 400L)
+    // a range no batch can hold is a version-preserving no-op
+    assert(TxLog.deleteWhere(spark, t, "id", Some(5000L), Some(6000L)) == 5L)
+  }
+
+  test("deleteWhere: NULL keys survive a range delete (SQL match-only semantics)") {
+    val t = fresh("delwnull")
+    TxLog.commit(spark, t,
+      Seq((Option(1L), "a"), (Option(2L), "b"), (Option.empty[Long], "c"))
+        .toDF("id", "s"))
+    TxLog.deleteWhere(spark, t, "id", Some(2L), Some(9L))
+    val got = TxLog.read(spark, t).select($"s").as[String].collect().sorted.toSeq
+    assert(got == Seq("a", "c"), s"null-key row must survive: $got")
+  }
+
   test("streamingMvMaintain: base and view stay version-aligned; every cut consistent") {
     val s = spark
     import org.apache.spark.sql.functions._

@@ -1,45 +1,37 @@
 package graft
 
-import graft.geo.ZOrder
+import graft.operators.ZOrder
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class ZOrderSpec extends AnyFunSuite {
   import SparkTestSession._
+  import spark.implicits._
 
-  test("morton interleave: locality and bit correctness") {
-    assert(ZOrder.interleave(0, 0) == 0L)
-    assert(ZOrder.interleave(1, 0) == 1L)
-    assert(ZOrder.interleave(0, 1) == 2L)
-    assert(ZOrder.interleave(1, 1) == 3L)
-    assert(ZOrder.interleave(0x1fffffL, 0x1fffffL) == (1L << 42) - 1) // all 42 bits
-    // nearby points → nearby codes (same high bits)
-    val a = ZOrder.interleave(1000, 2000)
-    val b = ZOrder.interleave(1001, 2001)
-    assert(java.lang.Long.numberOfLeadingZeros(a ^ b) > 50)
+  private def mortonRef(vals: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    val k = vals.size
+    for (i <- 0 until bits; j <- 0 until k)
+      z |= ((vals(j) >> i) & 1L) << (i * k + j)
+    z
   }
 
-  test("z-ordered layout skips row groups on BOTH dimensions; single-sort layout cannot") {
+  test("zValue equals the reference interleave for 2 and 3 columns") {
+    val rows = Seq((0L, 0L, 0L), (1L, 2L, 3L), (511L, 0L, 257L),
+      (123L, 456L, 789L), (65535L, 65535L, 65535L))
+    val df = rows.toDF("x", "y", "w")
+    val got2 = df.select(ZOrder.zValue(Seq($"x", $"y"), 16).as("z"))
+      .as[Long].collect().toSeq
+    assert(got2 == rows.map(r => mortonRef(Seq(r._1, r._2), 16)))
+    val got3 = df.select(ZOrder.zValue(Seq($"x", $"y", $"w"), 16).as("z"))
+      .as[Long].collect().toSeq
+    assert(got3 == rows.map(r => mortonRef(Seq(r._1, r._2, r._3), 16)))
+  }
+
+  test("z-clustering prunes on EVERY dimension; a linear sort only on its prefix") {
     val s = spark
-    import s.implicits._
-    val n = 400000
-    // uniform grid of points over the fixture's coordinate box
-    val pts = s.range(n).select(
-      (lit(120.0) + (col("id") % 631) * 0.04).as("lon"),
-      (lit(28.0) + ((col("id") / 631) % 634) * 0.03).as("lat"))
-    val mk = ZOrder.mortonKey(120.0, 146.0, 28.0, 47.0)
-
-    def write(dir: String, sorted: org.apache.spark.sql.DataFrame): Unit =
-      sorted.repartition(1).write.mode("overwrite")
-        .option("parquet.block.size", (64 * 1024).toString).parquet(dir)
-
-    write("/tmp/graft_z_spec/zorder",
-      pts.withColumn("z", mk(col("lon"), col("lat"))).sortWithinPartitions("z").drop("z"))
-    // single-key layout: lat arrives in key-hash order within each lon run,
-    // as in any table sorted on one key (no accidental local lat ordering
-    // for parquet page indexes to exploit)
-    write("/tmp/graft_z_spec/lonsort",
-      pts.sortWithinPartitions(col("lon"), hash(col("lat"))))
+    val grid = (0 until 512).flatMap(x => (0 until 512).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
 
     def rowsRead(dir: String, pred: org.apache.spark.sql.Column): Long = {
       val q = s.read.parquet(dir).filter(pred)
@@ -48,20 +40,34 @@ class ZOrderSpec extends AnyFunSuite {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.head.metrics("numOutputRows").value
     }
-    // two orthogonal query shapes: lon-narrow and lat-narrow bands
-    val lonNarrow = col("lon") > 130.0 && col("lon") < 131.0
-    val latNarrow = col("lat") > 35.0 && col("lat") < 35.5
-    val zReads = Seq(lonNarrow, latNarrow).map(rowsRead("/tmp/graft_z_spec/zorder", _))
-    val lonReads = Seq(lonNarrow, latNarrow).map(rowsRead("/tmp/graft_z_spec/lonsort", _))
-    info(s"rows read of $n: z-order=$zReads lon-sort=$lonReads")
-    // measured (400k rows, ~4k-row groups): z-order ≈ [90k, 94k] — balanced
-    // across shapes; lon-sort ≈ [45k, 102k] — great on its own key, worst
-    // on the other. The multi-dim clustering claim is the bounded worst
-    // case and shape balance, not beating a dedicated single-key sort on
-    // its own key.
-    assert(zReads.max < (n * 0.3).toLong, s"z-order worst case ${zReads.max}")
-    assert(zReads.max <= lonReads.max, s"z worst ${zReads.max} > lon worst ${lonReads.max}")
-    assert(zReads.max.toDouble / zReads.min < 1.5, s"z-order unbalanced: $zReads")
-    assert(lonReads.max.toDouble / lonReads.min > 1.8, s"single-sort unexpectedly balanced: $lonReads")
+
+    val zDir = "/tmp/graft_zorder_spec/z"
+    val linDir = "/tmp/graft_zorder_spec/linear"
+    ZOrder.writeClustered(grid, zDir, Seq("x", "y"), bits = 9,
+      partitions = 8, rowGroupBytes = 64 * 1024)
+    grid.repartitionByRange(8, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(linDir)
+
+    val total = 512L * 512L
+    val yBand = $"y" >= 200L && $"y" <= 215L // 3% of rows
+    // x-sorted layout: y stats are loose in every group -> full scan
+    val linRead = rowsRead(linDir, yBand)
+    val zRead = rowsRead(zDir, yBand)
+    assert(linRead > total / 2,
+      s"fixture broken: linear layout unexpectedly pruned y ($linRead)")
+    assert(zRead < linRead / 4,
+      s"z layout read $zRead of $total on a y band; linear read $linRead")
+    // the same layout still prunes x (no regression vs the linear sort)
+    val xBand = $"x" >= 0L && $"x" <= 15L
+    assert(rowsRead(zDir, xBand) < total / 4)
+    // and a 2-d box touches a small fraction
+    val box = xBand && yBand
+    assert(rowsRead(zDir, box) < total / 8,
+      "2-d box should read a small fraction under z clustering")
+    // correctness: same rows as the linear layout
+    assert(s.read.parquet(zDir).filter(box).count() ==
+      s.read.parquet(linDir).filter(box).count())
   }
 }
