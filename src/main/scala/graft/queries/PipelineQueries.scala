@@ -2367,6 +2367,47 @@ object PipelineQueries extends QueryPack {
              |                  WHERE p.doc_id % 2 = 0 AND p.text = d.text)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q189: manifest-level BLOOM skipping (TxLog commit collectBlooms +
+    // readWhere point probe). The table is keyed by md5(text): every
+    // batch spans ~the full hex range, so min/max stats can never prune
+    // a point lookup — the committed per-batch bloom answers
+    // "definitely not here" instead (TxLogSpec proves the skip via
+    // inputFiles; false positives only KEEP batches, the residual
+    // filter stays exact). Oracle recomputes the same md5 probe in
+    // DuckDB — identical digests, identical rows.
+    QueryDef(
+      "q189_bloom_skipping",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txbloom_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+          .select($"doc_id", md5($"text").as("h"), $"lang", $"n_chars")
+        val q = (docs.count() / 4L).max(1L)
+        (0L until 4L).foreach { i =>
+          val loB = i * q
+          val hiB = if (i == 3L) Long.MaxValue else (i + 1L) * q - 1L
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" >= loB && $"doc_id" <= hiB), append = true,
+            collectBlooms = Seq("h" -> (2L * q)))
+        }
+        val probe = docs.filter($"doc_id" === q + 5L)
+          .select($"h").as[String].head()
+        graft.sources.TxLog.readWhere(s, t, "h", Some(probe), Some(probe))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), min($"doc_id").as("lo_id"),
+            max($"doc_id").as("hi_id"))
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) // 4 AS q FROM documents),
+             |probe AS (SELECT md5(text) AS h FROM documents, p WHERE doc_id = p.q + 5)
+             |SELECT lang, count(*) AS n, min(doc_id) AS lo_id, max(doc_id) AS hi_id
+             |FROM documents, probe
+             |WHERE md5(text) = probe.h
+             |GROUP BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q179: DSIR-style importance weighting (TrainingPrep
     // .importanceWeights) — target = English slice, raw = whole corpus;
     // per-token smoothed frequency-ratio weights (the monotone core of

@@ -80,13 +80,21 @@ object TxLog {
   // schema-merged reads then union schemas straight from the manifest —
   // no footer sweep over the table, which is what keeps mergeSchema
   // planning O(log) instead of O(files) at 100 TB. Lines without it
-  // (legacy) fall back to footer inference.
+  // (legacy) fall back to footer inference. A fourth field (opt-in)
+  // carries per-column Bloom filters (base64) for planning-time POINT
+  // skipping on keys whose per-batch ranges overlap.
   private def encodeLine(dir: String, stats: Map[String, ColStats],
-      schemaJson: Option[String]): String = {
+      schemaJson: Option[String],
+      bloomsB64: Map[String, String] = Map.empty): String = {
     val statsStr = stats.toSeq.sortBy(_._1).map { case (c, st) =>
       Seq(enc(c), st.kind, enc(st.min), enc(st.max)).mkString(FieldSep)
     }.mkString(EntrySep)
+    val bloomStr = bloomsB64.toSeq.sortBy(_._1).map { case (c, b) =>
+      Seq(enc(c), b).mkString(FieldSep)
+    }.mkString(EntrySep)
     schemaJson match {
+      case Some(sj) if bloomsB64.nonEmpty =>
+        s"$dir\t$statsStr\t${enc(sj)}\t$bloomStr"
       case Some(sj) => s"$dir\t$statsStr\t${enc(sj)}"
       case None if stats.nonEmpty => s"$dir\t$statsStr"
       case None => dir
@@ -110,6 +118,26 @@ object TxLog {
       scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(dec(sj))
         .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
     (parts(0), stats, schema)
+  }
+
+  /** Per-batch bloom filters from the manifest's 4th field (col →
+    * deserialized filter). Absent/corrupt entries simply disable bloom
+    * skipping for that batch — never a wrong prune.
+    */
+  private def parseBlooms(
+      line: String): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    val parts = line.split('\t')
+    parts.drop(3).headOption.toSeq
+      .flatMap(_.split(EntrySep)).flatMap { e =>
+        e.split(FieldSep) match {
+          case Array(c, b64) => scala.util.Try {
+            val bytes = java.util.Base64.getDecoder.decode(b64)
+            dec(c) -> org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(bytes))
+          }.toOption
+          case _ => None
+        }
+      }.toMap
   }
 
   /** Parsed manifest of a committed version: (batch dir, stats). */
@@ -295,14 +323,33 @@ object TxLog {
 
   def commit(spark: SparkSession, tableDir: String, df: DataFrame,
       append: Boolean = false, maxRetries: Int = 20,
-      collectStats: Boolean = true): Long = {
+      collectStats: Boolean = true,
+      collectBlooms: Seq[(String, Long)] = Nil): Long = {
     val f = fs(spark, tableDir)
     val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$tableDir/$batch")
+    // opt-in per-batch Bloom filters (col -> expected NDV): min/max can
+    // only prune when batches partition the key's RANGE; a uuid-ish or
+    // hash key overlaps every batch and point probes would read the
+    // whole table. The filter costs one column scan of the JUST-WRITTEN
+    // batch (page-cache warm) and ~1.2 KB per 1k NDV at 3% fpp in the
+    // manifest; oversized filters (> 256 KB encoded) are dropped so a
+    // mis-sized NDV can bloat planning, never break it.
+    val blooms = collectBlooms.flatMap { case (c, ndv) =>
+      scala.util.Try {
+        val bf = spark.read.parquet(s"$tableDir/$batch")
+          .stat.bloomFilter(c, ndv, 0.03)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+        if (b64.length <= 256 * 1024) Some(c -> b64) else None
+      }.toOption.flatten
+    }.toMap
     val batchLine = encodeLine(batch,
       if (collectStats) footerStats(spark, new Path(s"$tableDir/$batch"))
       else Map.empty,
-      Some(df.schema.json))
+      Some(df.schema.json),
+      blooms)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, tableDir)
@@ -431,12 +478,36 @@ object TxLog {
     import org.apache.spark.sql.functions.col
     val v = asOf.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no committed version in $tableDir")
-    val entries = readManifest(spark, tableDir, v).map(parseLineFull)
-    val kept = entries.filter { case (_, stats, _) =>
-      ranges.forall { case (c, (lo, hi)) =>
-        stats.get(c).forall(st =>
-          overlaps(st, lo.map(_.toString), hi.map(_.toString)))
+    val rawLines = readManifest(spark, tableDir, v)
+    val entries = rawLines.map(parseLineFull)
+    // POINT probes (lo == hi, non-null) additionally consult the
+    // batch's committed Bloom filter when one exists: min/max prunes
+    // by RANGE, useless for uuid/hash keys whose per-batch ranges all
+    // overlap — the bloom answers "definitely not in this batch"
+    // regardless. False positives only KEEP a batch; the residual
+    // filter stays exact.
+    val points = ranges.collect {
+      case (c, (Some(lo), Some(hi))) if lo == hi => c -> lo
+    }
+    def bloomSays(line: String): Boolean =
+      points.isEmpty || {
+        val blooms = parseBlooms(line)
+        points.forall { case (c, v0) =>
+          blooms.get(c).forall { bf =>
+            v0 match {
+              case i: Int => bf.mightContainLong(i.toLong)
+              case l: Long => bf.mightContainLong(l)
+              case s: String => bf.mightContainString(s)
+              case other => bf.mightContain(other)
+            }
+          }
+        }
       }
+    val kept = entries.zip(rawLines).collect {
+      case (e @ (_, stats, _), line) if ranges.forall { case (c, (lo, hi)) =>
+          stats.get(c).forall(st =>
+            overlaps(st, lo.map(_.toString), hi.map(_.toString)))
+        } && bloomSays(line) => e
     }
     // all-pruned fallback: the LATEST batch (deterministic, unlike
     // letting Spark pick a file at random); the residual predicate

@@ -271,6 +271,43 @@ class TxLogSpec extends AnyFunSuite {
     assert(none2.count() == 0)
   }
 
+  test("manifest blooms: point probes on a hash key skip batches min/max cannot") {
+    val t = fresh("bloom")
+    val tNo = fresh("bloomless")
+    def md5str(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // 4 batches keyed by a HASH: every batch spans ~the full [0-f] range,
+    // so min/max stats overlap every probe and never prune
+    val batches = (0 until 4).map { b =>
+      (0 until 200).map(i => (md5str(s"k-$b-$i"), b.toLong, i.toLong))
+    }
+    batches.foreach { rows =>
+      TxLog.commit(spark, t, rows.toDF("h", "batch", "i"),
+        append = true, collectBlooms = Seq("h" -> 300L))
+      TxLog.commit(spark, tNo, rows.toDF("h", "batch", "i"), append = true)
+    }
+    val probe = md5str("k-2-77") // lives only in batch 2
+    // stats-only table: ranges overlap, every batch read
+    val noBloomDirs = TxLog.readWhere(spark, tNo, "h", Some(probe), Some(probe))
+      .inputFiles.map(f => new Path(f).getParent.getName).toSet
+    assert(noBloomDirs.size == 4, s"fixture broken: ranges should overlap ($noBloomDirs)")
+    // bloom table: the three definitely-not batches are skipped at the
+    // manifest (3% fpp per batch is deterministic — murmur, fixed seed —
+    // so allow at most one stable false positive)
+    val hit = TxLog.readWhere(spark, t, "h", Some(probe), Some(probe))
+    val bloomDirs = hit.inputFiles.map(f => new Path(f).getParent.getName).toSet
+    assert(bloomDirs.size <= 2, s"bloom should skip non-holding batches: $bloomDirs")
+    assert(hit.select($"batch", $"i").as[(Long, Long)].collect().toSeq ==
+      Seq((2L, 77L)))
+    // RANGE probes ignore blooms (a range can match keys never inserted)
+    val range = TxLog.readWhere(spark, t, "h", Some("0"), Some("g"))
+    assert(range.count() == 800L)
+    // absent key: every batch bloom says no -> latest-batch schema fallback, zero rows
+    assert(TxLog.readWhere(spark, t, "h",
+      Some(md5str("never")), Some(md5str("never"))).count() == 0L)
+  }
+
   test("deleteWhere rewrites only overlapping batches; the rest carry verbatim") {
     val t = fresh("delw")
     Seq(0L, 100L, 200L, 300L).foreach { base =>
