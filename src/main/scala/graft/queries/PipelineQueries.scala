@@ -2408,6 +2408,81 @@ object PipelineQueries extends QueryPack {
              |GROUP BY lang""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q190: OPTIMIZE ZORDER on the TxLog (TxLog.compactClustered) — the
+    // snapshot is rewritten as z-contiguous batch dirs, so the ordinary
+    // per-column manifest min/max become tight BOXES and a 2-dim range
+    // probe prunes batches on both columns at planning time — no
+    // partition columns anywhere (TxLogSpec measures the skip; here the
+    // post-OPTIMIZE boxed rollup hash-matches DuckDB's plain filter,
+    // proving the rewrite is value-invisible).
+    QueryDef(
+      "q190_zorder_optimize",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txzopt_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir).select($"doc_id",
+          ($"doc_id" % 97L).as("x"), ($"doc_id" % 89L).as("y"),
+          $"lang", $"n_chars")
+        val q = (docs.count() / 4L).max(1L)
+        (0L until 4L).foreach { i =>
+          val loB = i * q
+          val hiB = if (i == 3L) Long.MaxValue else (i + 1L) * q - 1L
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" >= loB && $"doc_id" <= hiB), append = true)
+        }
+        graft.sources.TxLog.compactClustered(s, t, Seq("x", "y"),
+          bits = 7, batches = 8)
+        graft.sources.TxLog.readWhereAll(s, t, Map(
+            "x" -> (Some(10L), Some(40L)), "y" -> (Some(20L), Some(60L))))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"),
+            min($"doc_id").as("lo_id"))
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+             |  min(doc_id) AS lo_id
+             |FROM (SELECT doc_id, doc_id % 97 AS x, doc_id % 89 AS y,
+             |             lang, n_chars FROM documents)
+             |WHERE x BETWEEN 10 AND 40 AND y BETWEEN 20 AND 60
+             |GROUP BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q191: table profiler (Quality.profile) — per-column rows/nulls/
+    // exact NDV/min/max in ONE scan (single wide aggregate; the
+    // multi-column distinct rides one Expand). The long-format audit
+    // artifact itself is the query output, so the whole profile
+    // hash-verifies against DuckDB recomputing every cell.
+    QueryDef(
+      "q191_profile",
+      (s, dir) => graft.operators.Quality.profile(
+        T.documents(s, dir), Seq("doc_id", "lang", "source", "n_chars")),
+      Some("""SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+             |  CAST(min(doc_id) AS VARCHAR) AS min_value,
+             |  CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+             |UNION ALL
+             |SELECT 'lang', 'string', CAST(count(*) AS BIGINT),
+             |  CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT),
+             |  CAST(count(DISTINCT lang) AS BIGINT),
+             |  min(lang), max(lang) FROM documents
+             |UNION ALL
+             |SELECT 'source', 'string', CAST(count(*) AS BIGINT),
+             |  CAST(count(*) FILTER (WHERE source IS NULL) AS BIGINT),
+             |  CAST(count(DISTINCT source) AS BIGINT),
+             |  min(source), max(source) FROM documents
+             |UNION ALL
+             |SELECT 'n_chars', 'bigint', CAST(count(*) AS BIGINT),
+             |  CAST(count(*) FILTER (WHERE n_chars IS NULL) AS BIGINT),
+             |  CAST(count(DISTINCT n_chars) AS BIGINT),
+             |  CAST(min(n_chars) AS VARCHAR),
+             |  CAST(max(n_chars) AS VARCHAR) FROM documents""".stripMargin)),
+
+
+    // ------------------------------------------------------------------
     // q179: DSIR-style importance weighting (TrainingPrep
     // .importanceWeights) — target = English slice, raw = whole corpus;
     // per-token smoothed frequency-ratio weights (the monotone core of

@@ -562,6 +562,62 @@ object TxLog {
   def compact(spark: SparkSession, tableDir: String, partitions: Int = 1): Long =
     commit(spark, tableDir, read(spark, tableDir).repartition(partitions))
 
+  /** OPTIMIZE ZORDER: rewrite the latest snapshot as `batches` batch
+    * dirs, each a CONTIGUOUS interval of the Morton z-value over
+    * `zCols` — i.e. a bounded box in (x, y, …) space. The manifest's
+    * ordinary per-column min/max then become tight on EVERY interleaved
+    * dimension for every batch, so [[readWhereAll]] skips batches on a
+    * band probe of ANY of them — file-level multi-dim pruning with no
+    * partition columns, stacking with the in-file row-group pruning a
+    * z-sorted write already gives ([[graft.operators.ZOrder]]).
+    *
+    * ONE compute pass: a single range-shuffle on z writes `batches`
+    * z-contiguous files; splitting them into batch dirs is pure FS
+    * renames, and stats are the usual free footer harvest. Commit is
+    * snapshot-pinned like [[deleteWhere]] — a lost race discards the
+    * rewrite and re-derives.
+    */
+  def compactClustered(spark: SparkSession, tableDir: String,
+      zCols: Seq[String], bits: Int = 16, batches: Int = 8,
+      maxRetries: Int = 3): Long = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, tableDir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, tableDir)
+      require(base > 0, s"no committed version in $tableDir")
+      val snap = read(spark, tableDir, Some(base))
+      val tmp = new Path(s"$tableDir/.zorder-tmp")
+      f.delete(tmp, true)
+      snap.withColumn("__z",
+          graft.operators.ZOrder.zValue(zCols.map(col), bits))
+        .repartitionByRange(batches, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.parquet(tmp.toString)
+      // one z-contiguous FILE per range partition; part-N order = z order
+      val parts = f.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val lines = parts.map { p =>
+        val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+        val dir = new Path(s"$tableDir/$batch")
+        f.mkdirs(dir)
+        f.rename(p, new Path(dir, p.getName))
+        encodeLine(batch, footerStats(spark, dir), Some(snap.schema.json))
+      }.toSeq
+      f.delete(tmp, true)
+      if (latestVersion(spark, tableDir) == base &&
+          writeManifestExclusive(f, tableDir, base + 1, lines))
+        return base + 1
+      // lost: remove the orphaned batch dirs and re-derive
+      lines.map(parseLine(_)._1)
+        .foreach(d => f.delete(new Path(s"$tableDir/$d"), true))
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"compactClustered on $tableDir lost $maxRetries optimistic rounds")
+  }
+
   /** Change data feed between two committed versions: the minimal keyed
     * I/U/D batch (in [[graft.operators.Cdc.applyChanges]]' contract)
     * that turns snapshot `fromV` into snapshot `toV` — so downstream

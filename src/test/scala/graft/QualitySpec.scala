@@ -40,6 +40,34 @@ class QualitySpec extends AnyFunSuite {
     assert(Quality.duplicateKeys(empty, "pk", Seq("k")).collect().head.getLong(1) == 0L)
   }
 
+  test("profile: one row per column with exact counts and rendered bounds") {
+    val df = Seq(
+      (Option(1L), Option("aa")),
+      (Option(2L), Option("bb")),
+      (Option(2L), Option("cc")),
+      (Option(3L), None),
+      (Option.empty[Long], Option("x1"))
+    ).toDF("id", "tag")
+    val p = Quality.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("id", "tag"))
+    val id = p("id")
+    assert(id.getString(1) == "bigint")
+    assert(id.getLong(2) == 5L)          // n_rows
+    assert(id.getLong(3) == 1L)          // n_nulls
+    assert(id.getLong(4) == 3L)          // n_distinct (1,2,3)
+    assert(id.getString(5) == "1" && id.getString(6) == "3")
+    assert(p("tag").getLong(3) == 1L && p("tag").getLong(4) == 4L)
+    assert(p("tag").getString(5) == "aa" && p("tag").getString(6) == "x1")
+    // approx path: same shape, NDV within HLL tolerance of exact
+    val approx = Quality.profile(df, exact = false).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(math.abs(approx("id") - 3L) <= 1)
+    // column subset is respected
+    assert(Quality.profile(df, Seq("tag")).collect().map(_.getString(0)).toSeq
+      == Seq("tag"))
+  }
+
   test("orphans: child keys missing from the parent are counted") {
     val child = Seq((1L, "x"), (2L, "y"), (9L, "z"), (9L, "w")).toDF("fk", "p")
     val parent = Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("pk", "q")

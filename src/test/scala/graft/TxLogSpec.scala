@@ -308,6 +308,44 @@ class TxLogSpec extends AnyFunSuite {
       Some(md5str("never")), Some(md5str("never"))).count() == 0L)
   }
 
+  test("compactClustered: z-contiguous batches let EVERY dimension prune at the manifest") {
+    val t = fresh("zopt")
+    val grid = (0 until 128).flatMap(x => (0 until 128).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    // committed in x-stripes: y stats span [0,127] in every batch — a
+    // y-band readWhere reads the whole table
+    (0 until 4).foreach { s4 =>
+      TxLog.commit(spark, t,
+        grid.filter($"x" >= s4 * 32L && $"x" < (s4 + 1) * 32L), append = true)
+    }
+    def dirsFor(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(f => new Path(f).getParent.getName).toSet.size
+    val yBand = TxLog.readWhereAll(spark, t,
+      Map("y" -> (Some(8L), Some(23L))))
+    assert(dirsFor(yBand) == 4, "x-striped layout cannot prune y")
+    val v = TxLog.compactClustered(spark, t, Seq("x", "y"), bits = 7, batches = 8)
+    assert(v == 5L)
+    val m = TxLog.manifest(spark, t)
+    assert(m.size >= 6, s"expected ~8 z batches, got ${m.size}")
+    assert(m.forall(e => e._2.contains("x") && e._2.contains("y")))
+    // now BOTH dimensions prune at the manifest level
+    val yAfter = TxLog.readWhereAll(spark, t, Map("y" -> (Some(8L), Some(23L))))
+    assert(dirsFor(yAfter) < m.size / 2,
+      s"y band should skip z batches: ${dirsFor(yAfter)} of ${m.size}")
+    // +1: the range partitioner samples its split points, so one batch
+    // can straddle a box boundary
+    val xAfter = TxLog.readWhereAll(spark, t, Map("x" -> (Some(8L), Some(23L))))
+    assert(dirsFor(xAfter) <= m.size / 2 + 1,
+      s"x band should skip z batches: ${dirsFor(xAfter)} of ${m.size}")
+    val box = TxLog.readWhereAll(spark, t,
+      Map("x" -> (Some(8L), Some(23L)), "y" -> (Some(8L), Some(23L))))
+    assert(dirsFor(box) <= 2, s"2-d box should touch ~1 batch: ${dirsFor(box)}")
+    // values survive the rewrite exactly; old snapshot intact
+    assert(box.count() == 16L * 16L)
+    assert(TxLog.read(spark, t).count() == 128L * 128L)
+    assert(TxLog.read(spark, t, Some(4L)).count() == 128L * 128L)
+  }
+
   test("deleteWhere rewrites only overlapping batches; the rest carry verbatim") {
     val t = fresh("delw")
     Seq(0L, 100L, 200L, 300L).foreach { base =>
