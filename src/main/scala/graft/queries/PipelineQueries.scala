@@ -2481,6 +2481,32 @@ object PipelineQueries extends QueryPack {
              |  CAST(min(n_chars) AS VARCHAR),
              |  CAST(max(n_chars) AS VARCHAR) FROM documents""".stripMargin)),
 
+    // ------------------------------------------------------------------
+    // q192: RESTORE (TxLog.restore) — a bad overwrite is rolled back by
+    // re-publishing the good snapshot's manifest as the new head: pure
+    // metadata, zero data movement, history preserved (TxLogSpec pins
+    // the manifest identity and vacuum survival). The post-restore read
+    // hash-matches the oracle computing the GOOD half directly.
+    QueryDef(
+      "q192_restore",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txrest_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        graft.sources.TxLog.commit(s, t, docs.filter($"doc_id" % 2L === 0L))
+        graft.sources.TxLog.commit(s, t, docs.filter($"doc_id" % 2L =!= 0L)) // bad
+        graft.sources.TxLog.restore(s, t, 1L)
+        graft.sources.TxLog.read(s, t)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents WHERE doc_id % 2 = 0
+             |GROUP BY lang""".stripMargin)),
+
 
     // ------------------------------------------------------------------
     // q179: DSIR-style importance weighting (TrainingPrep

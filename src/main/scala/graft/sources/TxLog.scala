@@ -390,10 +390,26 @@ object TxLog {
       val base = latestVersion(spark, tableDir)
       require(base > 0, s"no committed version in $tableDir")
       val lines = readManifest(spark, tableDir, base)
+      // the same two planning signals that skip READS skip rewrites:
+      // min/max overlap for ranges, plus the committed bloom for POINT
+      // deletes (the "erase this key" GDPR shape on a hash key, where
+      // ranges overlap every batch)
+      val point = (lo, hi) match {
+        case (Some(a), Some(b)) if a == b => Some(a)
+        case _ => None
+      }
       val (touched, kept) = lines.partition { l =>
         val (_, stats) = parseLine(l)
         stats.get(colName).forall(st =>
-          overlaps(st, lo.map(_.toString), hi.map(_.toString)))
+          overlaps(st, lo.map(_.toString), hi.map(_.toString))) &&
+        point.forall(v => parseBlooms(l).get(colName).forall { bf =>
+          v match {
+            case i: Int => bf.mightContainLong(i.toLong)
+            case n: Long => bf.mightContainLong(n)
+            case s0: String => bf.mightContainString(s0)
+            case other => bf.mightContain(other)
+          }
+        })
       }
       if (touched.isEmpty) return base // nothing can match: no-op version
       require(lo.isDefined || hi.isDefined,
@@ -616,6 +632,31 @@ object TxLog {
     }
     throw new IllegalStateException(
       s"compactClustered on $tableDir lost $maxRetries optimistic rounds")
+  }
+
+  /** RESTORE: make historical snapshot `toVersion` the new latest — a
+    * pure manifest commit (the old version's lines, stats/schema/blooms
+    * included, re-published as version latest+1). Zero data movement;
+    * the restored version's directories are re-referenced by the new
+    * head, so [[vacuum]] keeps them for as long as it keeps the head.
+    * History is preserved, not rewritten: the bad versions stay
+    * readable between `toVersion` and the restore point.
+    */
+  def restore(spark: SparkSession, tableDir: String, toVersion: Long,
+      maxRetries: Int = 20): Long = {
+    val f = fs(spark, tableDir)
+    val lines = readManifest(spark, tableDir, toVersion)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, tableDir)
+      require(toVersion <= base,
+        s"restore target v$toVersion is ahead of latest v$base")
+      if (writeManifestExclusive(f, tableDir, base + 1, lines))
+        return base + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"restore on $tableDir lost $maxRetries optimistic rounds")
   }
 
   /** Change data feed between two committed versions: the minimal keyed

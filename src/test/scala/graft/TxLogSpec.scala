@@ -373,6 +373,48 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.deleteWhere(spark, t, "id", Some(5000L), Some(6000L)) == 5L)
   }
 
+  test("restore re-publishes an old snapshot as the new head, data untouched") {
+    val t = fresh("restore")
+    TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    TxLog.commit(spark, t, Seq((2L, "b")).toDF("id", "s"), append = true)
+    TxLog.commit(spark, t, Seq((9L, "oops")).toDF("id", "s")) // bad overwrite
+    assert(rows(TxLog.read(spark, t)) == Seq((9L, "oops")))
+    val v = TxLog.restore(spark, t, 2L)
+    assert(v == 4L)
+    assert(rows(TxLog.read(spark, t)) == Seq((1L, "a"), (2L, "b")))
+    // history preserved: the bad version stays readable
+    assert(rows(TxLog.read(spark, t, Some(3L))) == Seq((9L, "oops")))
+    // restored head re-references the old dirs: stats carried verbatim
+    assert(TxLog.manifest(spark, t, Some(4L)) == TxLog.manifest(spark, t, Some(2L)))
+    // vacuum keeping only the restored head keeps its (old) dirs alive
+    TxLog.vacuum(spark, t, 4L)
+    assert(rows(TxLog.read(spark, t)) == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("deleteWhere point deletes skip batches via the committed bloom") {
+    val t = fresh("delbloom")
+    def md5str(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val batches = (0 until 4).map { b =>
+      (0 until 200).map(i => (md5str(s"k-$b-$i"), b.toLong, i.toLong))
+    }
+    batches.foreach { rows =>
+      TxLog.commit(spark, t, rows.toDF("h", "batch", "i"),
+        append = true, collectBlooms = Seq("h" -> 300L))
+    }
+    val before = TxLog.manifest(spark, t).map(_._1)
+    TxLog.deleteWhere(spark, t, "h",
+      Some(md5str("k-2-77")), Some(md5str("k-2-77")))
+    val after = TxLog.manifest(spark, t).map(_._1)
+    // min/max overlap on every batch (hash key), so only the bloom can
+    // confine the rewrite; allow one stable false positive
+    assert(before.toSet.intersect(after.toSet).size >= 2,
+      s"bloom should keep non-holding batches unrewritten: $before -> $after")
+    assert(TxLog.read(spark, t).count() == 799L)
+    assert(TxLog.read(spark, t).filter($"batch" === 2L && $"i" === 77L).count() == 0)
+  }
+
   test("deleteWhere: NULL keys survive a range delete (SQL match-only semantics)") {
     val t = fresh("delwnull")
     TxLog.commit(spark, t,
