@@ -70,14 +70,13 @@ object Dedup {
     * which removes repeated passages instead of whole near-identical
     * documents.
     *
-    * Shape: window expansion is per-row (no shuffle); then one
-    * `groupBy(gram)` with map-side partial aggregation finds cross-doc
-    * grams, and a semi-join marks their occurrences. Both exchanges
-    * hash-partition on the gram, so hot grams spread evenly; grouping
-    * on the gram text (not a hash of it) keeps the result exact with no
-    * collision caveat — at corpus scale, substituting `xxhash64(gram)`
-    * for the join key narrows the shuffle ~4× at a 2⁻⁶⁴-per-pair false
-    * positive risk.
+    * Shape: window expansion is per-row (no shuffle); then ONE
+    * hash-exchange on the gram feeds a partition-wide min/max window —
+    * cross-doc iff min(doc_id) ≠ max(doc_id) over the gram. Hot grams
+    * spread by hash; keying on the gram text (not a hash of it) keeps
+    * the result exact with no collision caveat — at corpus scale,
+    * substituting `xxhash64(gram)` for the key narrows the shuffle ~4×
+    * at a 2⁻⁶⁴-per-pair false positive risk.
     */
   def duplicatedSpans(docs: DataFrame, k: Int): DataFrame = {
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -87,11 +86,16 @@ object Dedup {
           s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))"))
           .as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("gram"))
-    val crossDoc = w.groupBy(col("gram"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
-      .select(col("gram"))
-    w.join(crossDoc, Seq("gram"), "left_semi")
+    // cross-doc test as ONE gram-partitioned window: a gram occurs in
+    // >1 distinct doc iff min(doc_id) != max(doc_id) over its
+    // partition. The aggregate-then-semi-join phrasing shuffles the
+    // expansion TWICE (groupBy + join) and re-explodes the texts for
+    // the second pass; the window exchanges the expansion once and
+    // filters in place — same exact semantics, no collision caveat.
+    val byGram = Window.partitionBy(col("gram"))
+    w.withColumn("__mn", min(col("doc_id")).over(byGram))
+      .withColumn("__mx", max(col("doc_id")).over(byGram))
+      .filter(col("__mn") =!= col("__mx"))
       .select(col("doc_id"), col("pos"), col("gram"))
   }
 

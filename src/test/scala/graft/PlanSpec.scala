@@ -127,12 +127,21 @@ class PlanSpec extends AnyFunSuite {
       "minhash banded self-join did not reuse the signature exchange:\n" + p.take(2000))
   }
 
-  test("q109: duplicated spans plan with partial aggregation and no cartesian product") {
+  test("q109: duplicated spans plan is one gram exchange, no join, no cartesian") {
     val p = plan("q109_duplicated_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(800))
-    // the cross-doc gram count must map-side combine before the shuffle
-    assert(p.contains("partial_count"), "no partial aggregation in the gram count")
+    // the cross-doc test is a single gram-partitioned window (min!=max)
+    // — NOT the aggregate+semi-join shape, which shuffled the window
+    // expansion twice and re-exploded the texts for the second pass
+    assert(p.contains("Window"), "cross-doc test must be the windowed shape")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no join should remain in the spans plan:\n" + p.take(1200))
+    // AQE's toString appends the pre-adaptive plan after "== Initial
+    // Plan ==" — count exchanges in the FINAL plan section only
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(exchanges == 1, s"expected exactly one gram exchange, got $exchanges")
   }
 
   test("q102: way-to-edge expansion joins node coordinates by hash equi-join, no nested loop") {
