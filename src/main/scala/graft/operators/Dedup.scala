@@ -199,11 +199,17 @@ object Dedup {
     // On low-entropy corpora (tiny shared vocabulary) unigram sets are
     // degenerate — nearly every pair qualifies and no token is rare
     // enough to prune — so shingle sets are the scale-realistic input.
-    val toks =
+    // toks feeds THREE consumers on different plan branches (the
+    // frequency count, the prefix build, the verify-side set agg), so
+    // no exchange is shared and lazy evaluation would re-explode every
+    // text three times — pin the narrow (id, tok) frame once (same
+    // rationale as minhashPairsIncremental's pins).
+    val toks = (
       if (n <= 1)
         docs.select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
       else shingles(docs, n).withColumnRenamed("gram", "tok")
+      ).localCheckpoint()
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val bySize = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
     val pre = toks.join(dfreq, "tok")
