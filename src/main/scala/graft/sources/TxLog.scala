@@ -255,7 +255,7 @@ object TxLog {
     * rank them above — a prune decided in the wrong order can drop a
     * batch that holds matching rows.
     */
-  private def utf8Lte(a: String, b: String): Boolean = {
+  private[sources] def utf8Lte(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(x.length, y.length)

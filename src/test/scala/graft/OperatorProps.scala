@@ -175,4 +175,33 @@ object OperatorProps extends Properties("Operators") {
         got == (kept ++ upserts).toSet
       }
     }
+
+  private val genZ = for {
+    k <- Gen.choose(2, 3)
+    bits <- Gen.oneOf(8, 16)
+    rows <- Gen.nonEmptyListOf(
+      Gen.listOfN(k, Gen.choose(0L, (1L << 16) - 1)))
+  } yield (k, bits, rows)
+
+  property("ZOrder.zValue equals the bit-interleave reference on arbitrary ints") =
+    Prop.forAll(genZ) { case (k, bits, rows) =>
+      val s = spark
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      def ref(vals: Seq[Long]): Long = {
+        var z = 0L
+        for (i <- 0 until bits; j <- 0 until k)
+          z |= ((vals(j) >> i) & 1L) << (i * k + j)
+        z
+      }
+      val df = rows.map {
+        case Seq(a, b) => (a, b, 0L)
+        case Seq(a, b, c) => (a, b, c)
+        case _ => (0L, 0L, 0L)
+      }.toDF("a", "b", "c")
+      val cols = Seq(col("a"), col("b"), col("c")).take(k)
+      val got = df.select(graft.operators.ZOrder.zValue(cols, bits).as("z"))
+        .as[Long].collect().toSeq
+      got == rows.map(r => ref(r.take(k)))
+    }
 }
