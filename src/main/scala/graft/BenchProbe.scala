@@ -88,9 +88,13 @@ object BenchProbe {
     spark.read.parquet(s"$sfDir/supplier.parquet")
       .write.parquet(s"$out/supplier.parquet")
     if (includeLineitem) {
+      // 4x the probe replication: the A/B needs a scan-DOMINATED base —
+      // at bare 10x (~110 MB on tmpfs) the per-job overhead noise
+      // (~±150 ms) swamps the ~50 ms of skipped I/O and the measured
+      // speedup is a coin flip
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val rest = li.columns.filter(_ != "l_orderkey").map(col).toSeq
-      (0 until replicas).map { i =>
+      (0 until replicas * 4).map { i =>
         li.select(
           (col("l_orderkey") + lit(i.toLong * 10000000L)).as("l_orderkey") +: rest: _*)
       }.reduce(_ unionByName _)
@@ -158,7 +162,10 @@ object BenchProbe {
       f.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    def best(f: => DataFrame): Double = (0 until passes).map(_ => timed(f)).min
+    // extra passes beyond the probe's: these sub-second measurements
+    // need a larger sample for a stable min
+    val abPasses = passes.max(4)
+    def best(f: => DataFrame): Double = (0 until abPasses).map(_ => timed(f)).min
 
     // MV rewrite: same rollup with no view registered vs answered from it
     val mvOff = best(rollup)
