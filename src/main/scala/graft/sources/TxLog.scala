@@ -120,6 +120,21 @@ object TxLog {
     (parts(0), stats, schema)
   }
 
+  /** Bloom membership probe for an arbitrary bound value — integral
+    * and string types dispatch to their typed checks; any OTHER type
+    * (a decimal, a date, …) returns true (conservative keep): the
+    * filter was built via `stat.bloomFilter`, which only ever ingests
+    * long/string items, so an untyped probe could THROW mid-planning
+    * where the contract is "skipping is best-effort, never an error".
+    */
+  private def bloomMayContain(
+      bf: org.apache.spark.util.sketch.BloomFilter, v: Any): Boolean = v match {
+    case i: Int => bf.mightContainLong(i.toLong)
+    case l: Long => bf.mightContainLong(l)
+    case s: String => bf.mightContainString(s)
+    case other => scala.util.Try(bf.mightContain(other)).getOrElse(true)
+  }
+
   /** Per-batch bloom filters from the manifest's 4th field (col →
     * deserialized filter). Absent/corrupt entries simply disable bloom
     * skipping for that batch — never a wrong prune.
@@ -402,14 +417,8 @@ object TxLog {
         val (_, stats) = parseLine(l)
         stats.get(colName).forall(st =>
           overlaps(st, lo.map(_.toString), hi.map(_.toString))) &&
-        point.forall(v => parseBlooms(l).get(colName).forall { bf =>
-          v match {
-            case i: Int => bf.mightContainLong(i.toLong)
-            case n: Long => bf.mightContainLong(n)
-            case s0: String => bf.mightContainString(s0)
-            case other => bf.mightContain(other)
-          }
-        })
+        point.forall(v =>
+          parseBlooms(l).get(colName).forall(bloomMayContain(_, v)))
       }
       if (touched.isEmpty) return base // nothing can match: no-op version
       require(lo.isDefined || hi.isDefined,
@@ -509,14 +518,7 @@ object TxLog {
       points.isEmpty || {
         val blooms = parseBlooms(line)
         points.forall { case (c, v0) =>
-          blooms.get(c).forall { bf =>
-            v0 match {
-              case i: Int => bf.mightContainLong(i.toLong)
-              case l: Long => bf.mightContainLong(l)
-              case s: String => bf.mightContainString(s)
-              case other => bf.mightContain(other)
-            }
-          }
+          blooms.get(c).forall(bloomMayContain(_, v0))
         }
       }
     val kept = entries.zip(rawLines).collect {
