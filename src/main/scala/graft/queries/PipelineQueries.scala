@@ -2507,6 +2507,42 @@ object PipelineQueries extends QueryPack {
              |FROM documents WHERE doc_id % 2 = 0
              |GROUP BY lang""".stripMargin)),
 
+    // ------------------------------------------------------------------
+    // q193: exactly-once streaming ingest into the TxLog
+    // (StreamingOps.streamingTxIngest + TxLog.commitStreaming). Three
+    // micro-batches land the corpus; a simulated checkpoint REPLAY of
+    // batch 0 re-presents the whole corpus and must no-op (the
+    // deterministic batch dir is already in the manifest). If the
+    // exactly-once guarantee broke, counts would double and the rollup
+    // hash against DuckDB's plain corpus rollup would fail.
+    QueryDef(
+      "q193_stream_exactly_once",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val root = s"${graft.GraftSession.scratchBase}/graft_sink_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val docs = T.documents(s, dir)
+        (0 until 3).foreach { i =>
+          docs.filter($"doc_id" % 3L === i.toLong).repartition(1)
+            .write.parquet(s"$root/in_tmp$i")
+        }
+        stageOrderedBatches(fs, root,
+          (0 until 3).map(i => (s"in_tmp$i", s"b$i.parquet")))
+        StreamingOps.streamingTxIngest(
+          s, s"$root/in", docs.schema, s"$root/t", "q193")
+        // replay attack: the full corpus re-presented under batch 0
+        require(graft.sources.TxLog
+          .commitStreaming(s, s"$root/t", docs, "q193", 0L).isEmpty,
+          "q193: replayed batch 0 must be a no-op")
+        graft.sources.TxLog.read(s, s"$root/t")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents GROUP BY lang""".stripMargin)),
+
 
     // ------------------------------------------------------------------
     // q179: DSIR-style importance weighting (TrainingPrep

@@ -378,6 +378,45 @@ object TxLog {
       s"commit to $tableDir lost $maxRetries optimistic rounds")
   }
 
+  /** EXACTLY-ONCE streaming append — the transactional sink contract a
+    * `foreachBatch` writer needs. The batch directory is named
+    * deterministically from (queryId, batchId) and the MANIFEST is the
+    * sole source of truth: a replayed micro-batch whose dir the latest
+    * manifest already references is a no-op (returns None). A crash
+    * between the data write and the manifest commit leaves an orphan
+    * dir the retry simply overwrites before committing — idempotence
+    * rides the same create-exclusive manifest write as the commit
+    * itself, never a side-channel marker that could desynchronize.
+    * Two racing duplicates of one batch serialize on the manifest: the
+    * loser re-reads, sees its dir committed, and backs off.
+    */
+  def commitStreaming(spark: SparkSession, tableDir: String, df: DataFrame,
+      queryId: String, batchId: Long, maxRetries: Int = 20,
+      collectStats: Boolean = true): Option[Long] = {
+    val f = fs(spark, tableDir)
+    val safeId = queryId.replaceAll("[^A-Za-z0-9_-]", "_")
+    val batch = s"data/stream-$safeId-$batchId"
+    def committed(v: Long): Boolean =
+      v > 0 && readManifest(spark, tableDir, v).exists(parseLine(_)._1 == batch)
+    if (committed(latestVersion(spark, tableDir))) return None
+    df.write.mode("overwrite").parquet(s"$tableDir/$batch")
+    val batchLine = encodeLine(batch,
+      if (collectStats) footerStats(spark, new Path(s"$tableDir/$batch"))
+      else Map.empty,
+      Some(df.schema.json))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, tableDir)
+      if (committed(base)) return None // a racing duplicate of this batch won
+      val carried = if (base > 0) readManifest(spark, tableDir, base) else Nil
+      if (writeManifestExclusive(f, tableDir, base + 1, carried :+ batchLine))
+        return Some(base + 1)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commitStreaming to $tableDir lost $maxRetries optimistic rounds")
+  }
+
   /** Surgical range DELETE: rewrite ONLY the batches whose committed
     * [min,max] for `colName` can overlap [lo,hi] — every other batch's
     * manifest line (and its files) carries into the new version

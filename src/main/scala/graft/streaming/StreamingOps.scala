@@ -277,6 +277,33 @@ object StreamingOps {
     fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))
   }
 
+  /** Exactly-once streaming ingest into a [[graft.sources.TxLog]]
+    * table: each micro-batch appends through
+    * [[graft.sources.TxLog.commitStreaming]], whose deterministic
+    * (queryId, batchId) batch naming makes checkpoint replays no-ops —
+    * the transactional-sink guarantee Spark's file sinks approximate
+    * with a separate `_spark_metadata` log, carried here by the table's
+    * own manifest. Returns the final snapshot.
+    */
+  def streamingTxIngest(
+      spark: SparkSession,
+      inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      tableDir: String,
+      queryId: String): DataFrame = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.sources.TxLog.commitStreaming(spark, tableDir, b, queryId, id)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.sources.TxLog.read(spark, tableDir)
+  }
+
   /** Streaming publish: the stream lands in the SAME layout contract as
     * batch publishes (string-typed Hive partition keys, zstd, ordered
     * rows) via foreachBatch — each microbatch appends through an ordered

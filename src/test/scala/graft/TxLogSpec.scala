@@ -373,6 +373,29 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.deleteWhere(spark, t, "id", Some(5000L), Some(6000L)) == 5L)
   }
 
+  test("commitStreaming: replays are exactly-once; orphan data dirs heal") {
+    val t = fresh("sink1x")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val b1 = Seq((3L, "c")).toDF("id", "s")
+    assert(TxLog.commitStreaming(spark, t, b0, "q", 0L).contains(1L))
+    assert(TxLog.commitStreaming(spark, t, b1, "q", 1L).contains(2L))
+    // checkpoint replay of batch 0 after a restart: must be a no-op,
+    // even though the caller re-presents the data
+    assert(TxLog.commitStreaming(spark, t, b0, "q", 0L).isEmpty)
+    assert(rows(TxLog.read(spark, t)) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // crash between data write and manifest commit: the orphan dir is
+    // overwritten by the retry and the batch commits exactly once
+    Seq((99L, "partial")).toDF("id", "s")
+      .write.parquet(s"$t/data/stream-q-2")
+    assert(TxLog.commitStreaming(spark, t,
+      Seq((4L, "d"), (5L, "e")).toDF("id", "s"), "q", 2L).contains(3L))
+    val got = rows(TxLog.read(spark, t))
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")),
+      s"orphan rows leaked or batch lost: $got")
+    // a different query id is an independent stream: its batch 1 commits
+    assert(TxLog.commitStreaming(spark, t, b1, "other", 1L).contains(4L))
+  }
+
   test("restore re-publishes an old snapshot as the new head, data untouched") {
     val t = fresh("restore")
     TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
