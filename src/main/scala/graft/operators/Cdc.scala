@@ -100,6 +100,35 @@ object Cdc {
       .filter(col("n") > 0)
   }
 
+  /** Incremental maintenance of an INNER equi-JOIN view `V = A ⋈ B`
+    * under INSERT-ONLY deltas — the classic differential rule:
+    *
+    *   ΔV = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB
+    *
+    * (ΔA joins the WHOLE new B so ΔA⋈ΔB pairs appear exactly once; the
+    * old A joins only ΔB). The caller appends ΔV to the stored view —
+    * the TB-scale `A ⋈ B` recompute never runs again.
+    *
+    * Scale shape: both terms join a DELTA against a base, so with
+    * `broadcastDeltas` (the normal case — micro-batch deltas are MBs
+    * against a TB base) neither A nor B shuffles: two broadcast hash
+    * joins, each a single pass over one base. Set it false when a
+    * backfill-sized delta would not fit an executor.
+    *
+    * Requires disjoint non-key column names between A and B (the join
+    * output carries both sides' columns, like the view itself).
+    */
+  def incrementalJoinDelta(
+      aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame,
+      keyA: String, keyB: String,
+      broadcastDeltas: Boolean = true): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastDeltas) broadcast(df) else df
+    val bNew = bOld.unionByName(bDelta)
+    bc(aDelta).join(bNew, aDelta(keyA) === bNew(keyB))
+      .unionByName(aOld.join(bc(bDelta), aOld(keyA) === bDelta(keyB)))
+  }
+
   /** Type-2 slowly-changing-dimension history build: base rows become
     * seq-0 versions, every non-delete change opens a new version, and ANY
     * later change (including a delete) closes the one before it. Output is

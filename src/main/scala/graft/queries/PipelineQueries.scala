@@ -2543,6 +2543,176 @@ object PipelineQueries extends QueryPack {
       Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents GROUP BY lang""".stripMargin)),
 
+    // ------------------------------------------------------------------
+    // q194: MERGE INTO (TxLog.merge) — the Delta-style keyed upsert with
+    // two-phase file pruning. Four quartile batches; the source updates
+    // keys confined to quartile 1 (uppercased text) and inserts keys
+    // beyond the table's range. Phase 1's range prune admits quartiles
+    // 1-3 (the insert keys stretch the source range), phase 2's
+    // input_file_name probe narrows to the ONE batch holding actual
+    // matches — the require proves quartiles 0/2/3 carry verbatim. The
+    // rollup hash-matches DuckDB recomputing the upsert from scratch.
+    QueryDef(
+      "q194_merge_upsert",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_merge_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        val q = (docs.count() / 4L).max(1L)
+        (0L until 4L).foreach { i =>
+          val loB = i * q
+          val hiB = if (i == 3L) Long.MaxValue else (i + 1L) * q - 1L
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" >= loB && $"doc_id" <= hiB), append = true)
+        }
+        val updates = docs
+          .filter($"doc_id" >= q && $"doc_id" < 2L * q && $"doc_id" % 3L === 0L)
+          .withColumn("text", upper($"text"))
+        val inserts = docs.filter($"doc_id" % 10L === 4L)
+          .withColumn("doc_id", $"doc_id" + 10000000L)
+        val before = graft.sources.TxLog.manifest(s, t).map(_._1)
+        graft.sources.TxLog.merge(s, t, updates.unionByName(inserts), "doc_id")
+        val after = graft.sources.TxLog.manifest(s, t).map(_._1)
+        require(before.count(after.contains) == 3,
+          s"merge must rewrite only the matched quartile: before=$before after=$after")
+        graft.sources.TxLog.read(s, t)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"),
+            sum(when($"text" === upper($"text"), 1L).otherwise(0L)).as("upper_docs"))
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) // 4 AS q FROM documents),
+             |merged AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN d.doc_id >= p.q AND d.doc_id < 2*p.q AND d.doc_id % 3 = 0
+             |         THEN upper(d.text) ELSE d.text END AS text,
+             |    d.lang, d.source, d.n_chars
+             |  FROM documents d, p
+             |  UNION ALL
+             |  SELECT d.doc_id + 10000000, d.text, d.lang, d.source, d.n_chars
+             |  FROM documents d WHERE d.doc_id % 10 = 4)
+             |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+             |  CAST(count(*) FILTER (WHERE text = upper(text)) AS BIGINT) AS upper_docs
+             |FROM merged GROUP BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q195: METADATA-ONLY aggregate (TxLog.statsAgg) — count(*) + per-
+    // column min/max answered entirely from the manifest's committed
+    // footer stats. The require proves the plan is a one-row
+    // LocalRelation (zero scans, zero files listed); the values
+    // hash-match DuckDB actually scanning the data. At 100 TB this is
+    // the `SELECT count(*)` that returns in milliseconds because the
+    // answer was accumulated at commit time.
+    QueryDef(
+      "q195_metadata_agg",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_metaagg_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        (0L until 4L).foreach { i =>
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" % 4L === i), append = true)
+        }
+        val out = graft.sources.TxLog
+          .statsAgg(s, t, Seq("doc_id", "n_chars"))
+          .getOrElse(sys.error("q195: manifest must be able to answer"))
+        require(out.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+        }.isEmpty, "q195 must answer from the manifest, not a scan")
+        out
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  min(doc_id) AS doc_id_min, max(doc_id) AS doc_id_max,
+             |  min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max
+             |FROM documents""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q196: incremental JOIN-view maintenance (Cdc.incrementalJoinDelta)
+    // — ΔV = ΔA⋈(B∪ΔB) ∪ A⋈ΔB. The stored documents⋈embeddings view
+    // absorbs insert-only deltas on BOTH sides without re-running the
+    // base join; the plan assert proves both delta joins broadcast (the
+    // TB bases never shuffle), and the maintained view's rollup
+    // hash-matches DuckDB's full-join recompute.
+    QueryDef(
+      "q196_incremental_join_view",
+      (s, dir) => {
+        import s.implicits._
+        val docs = T.documents(s, dir)
+        val emb = T.embeddings(s, dir)
+        val aOld = docs.filter($"doc_id" % 5L =!= 0L)
+        val aDel = docs.filter($"doc_id" % 5L === 0L)
+        val bOld = emb.filter($"vec_id" % 7L =!= 0L)
+        val bDel = emb.filter($"vec_id" % 7L === 0L)
+        val oldView = aOld.join(bOld, aOld("doc_id") === bOld("vec_id"))
+        val delta = graft.operators.Cdc
+          .incrementalJoinDelta(aOld, aDel, bOld, bDel, "doc_id", "vec_id")
+        val p = delta.queryExecution.executedPlan.toString
+        require("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+          "q196: both delta joins must broadcast the delta side:\n" + p.take(1200))
+        oldView.unionByName(delta)
+          .groupBy($"lang", $"label")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      },
+      Some("""SELECT lang, label, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q197: BPE tokenizer training (Bpe.trainWithStats) — the first
+    // three learned merges with their selection counts. The oracle
+    // replays the exact training recurrence in SQL: char-symbolize the
+    // word-frequency table, count weighted adjacent pairs, pick
+    // (count DESC, pair ASC), apply the merge (boundary-sentinel
+    // replace, tripled so chained occurrences fully merge), repeat.
+    // The full merge loop + lossless encode are BpeSpec's hand-computed
+    // cases; tokenCounts' map-only shape is spec-asserted there.
+    QueryDef(
+      "q197_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Bpe.trainWithStats(T.documents(s, dir), "text", 3)
+          .zipWithIndex
+          .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+          .toDF("mrank", "lhs", "rhs", "cnt")
+      },
+      Some("""WITH wc AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+             |    SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents) t
+             |  WHERE length(w) > 0 GROUP BY w),
+             |s0x AS (SELECT array_to_string(string_split(w, ''), ' ') AS s, n FROM wc),
+             |p1 AS (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+             |       FROM (SELECT string_split(s, ' ') AS l, n FROM s0x) t,
+             |            unnest(generate_series(1, len(l)-1)) AS u(i)
+             |       GROUP BY 1, 2),
+             |m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+             |s1x AS (SELECT trim(replace(replace(replace(' ' || s || ' ',
+             |          (SELECT ' '||a||' '||b||' ' FROM m1), (SELECT ' '||a||b||' ' FROM m1)),
+             |          (SELECT ' '||a||' '||b||' ' FROM m1), (SELECT ' '||a||b||' ' FROM m1)),
+             |          (SELECT ' '||a||' '||b||' ' FROM m1), (SELECT ' '||a||b||' ' FROM m1))) AS s,
+             |        n FROM s0x),
+             |p2 AS (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+             |       FROM (SELECT string_split(s, ' ') AS l, n FROM s1x) t,
+             |            unnest(generate_series(1, len(l)-1)) AS u(i)
+             |       GROUP BY 1, 2),
+             |m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+             |s2x AS (SELECT trim(replace(replace(replace(' ' || s || ' ',
+             |          (SELECT ' '||a||' '||b||' ' FROM m2), (SELECT ' '||a||b||' ' FROM m2)),
+             |          (SELECT ' '||a||' '||b||' ' FROM m2), (SELECT ' '||a||b||' ' FROM m2)),
+             |          (SELECT ' '||a||' '||b||' ' FROM m2), (SELECT ' '||a||b||' ' FROM m2))) AS s,
+             |        n FROM s1x),
+             |p3 AS (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+             |       FROM (SELECT string_split(s, ' ') AS l, n FROM s2x) t,
+             |            unnest(generate_series(1, len(l)-1)) AS u(i)
+             |       GROUP BY 1, 2),
+             |m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+             |SELECT 1 AS mrank, a AS lhs, b AS rhs, cnt FROM m1
+             |UNION ALL SELECT 2, a, b, cnt FROM m2
+             |UNION ALL SELECT 3, a, b, cnt FROM m3""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q179: DSIR-style importance weighting (TrainingPrep

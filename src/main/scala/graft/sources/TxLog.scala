@@ -36,6 +36,17 @@ object TxLog {
     */
   final case class ColStats(kind: String, min: String, max: String)
 
+  /** Reserved stats key carrying the batch's exact ROW COUNT (footer
+    * block counts summed — free at commit, no data scan). Prefixed with
+    * a control char no practical column name contains, so it can never
+    * shadow a real column's min/max in the pruning path. What it buys:
+    * [[statsAgg]] answers `count(*) / min / max` straight from the
+    * manifest — a metadata-only query that touches ZERO data files,
+    * the Delta/Iceberg `SELECT count(*)` fast path that matters when
+    * "the table" is 100 TB and the answer is already in the log.
+    */
+  private val RowsKey = "\u0001rows"
+
   /** FS resolved PER TABLE PATH, not the default FS: a table living on
     * another scheme (s3a://, or the spec's chaos://) must commit and
     * read through ITS filesystem — `FileSystem.get(conf)` would
@@ -193,9 +204,11 @@ object TxLog {
       .filter(_.getName.endsWith(".parquet"))
     var merged = Map.empty[String, ColStats]
     var dropped = Set.empty[String]
+    var rows = 0L
     files.foreach { p =>
       val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try rd.getFooter.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
         b.getColumns.asScala.foreach { c =>
           val name = c.getPath.toDotString
           val pt = c.getPrimitiveType
@@ -260,7 +273,9 @@ object TxLog {
         }
       } finally rd.close()
     }
-    merged
+    // exact batch row count rides along under the reserved key — added
+    // AFTER the per-column merge so column min/max logic never sees it
+    merged + (RowsKey -> ColStats("l", rows.toString, rows.toString))
   }
 
   /** Unsigned UTF-8 byte order — parquet's string min/max order AND
@@ -487,6 +502,124 @@ object TxLog {
       s"deleteWhere on $tableDir lost $maxRetries optimistic rounds")
   }
 
+  /** MERGE INTO — the Delta-style keyed upsert, rewritten to touch only
+    * the files that hold matched keys. Semantics (classic SQL MERGE with
+    * a single equi-key):
+    *
+    *  - a target row whose `keyCol` appears in `source` is UPDATED
+    *    (replaced by the source row) or DELETED per `whenMatched`;
+    *  - a source row matching no target row is INSERTED when
+    *    `insertNotMatched` (null-keyed source rows never match — they
+    *    insert);
+    *  - a null-keyed target row never matches — it always survives;
+    *  - duplicate keys in `source` are rejected (the SQL MERGE
+    *    "nondeterministic multi-match" error), so the result is unique.
+    *
+    * TWO-PHASE file pruning — the part that matters at 100 TB:
+    * phase 1 narrows candidates by the manifest's committed [min,max]
+    * for `keyCol` (no file I/O), then a key-only probe scan of the
+    * candidates joined against the source keys collects the DISTINCT
+    * `input_file_name()`s that actually hold matches — batches with no
+    * matched file carry into the new version VERBATIM (same manifest
+    * line, same files). The rewrite then reads ONLY touched batches;
+    * the anti/semi joins shuffle the touched fraction plus the delta,
+    * never the table. Matched keys can only live in touched batches, so
+    * not-matched detection needs no second pass over the table.
+    *
+    * Concurrency is snapshot-pinned like [[deleteWhere]]: the new
+    * manifest commits only if the table is still at the derivation
+    * version; a lost race discards the rewrite and re-derives.
+    */
+  def merge(spark: SparkSession, tableDir: String, source: DataFrame,
+      keyCol: String, whenMatched: String = "update",
+      insertNotMatched: Boolean = true, maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max => fmax, min => fmin}
+    require(whenMatched == "update" || whenMatched == "delete",
+      s"whenMatched must be update|delete, got $whenMatched")
+    val f = fs(spark, tableDir)
+    val src = source.persist()
+    try {
+      require(src.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1L).isEmpty,
+        s"merge source holds duplicate $keyCol keys — a target row would match more than one source row")
+      if (src.isEmpty) return latestVersion(spark, tableDir)
+      val bounds = src.agg(
+        fmin(col(keyCol)).cast("string"), fmax(col(keyCol)).cast("string")).head()
+      val (lo, hi) =
+        if (bounds.isNullAt(0)) (None, None) // all-null keys: nothing can match
+        else (Some(bounds.getString(0)), Some(bounds.getString(1)))
+      val srcKeys = src.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+      var attempt = 0
+      while (attempt < maxRetries) {
+        val base = latestVersion(spark, tableDir)
+        require(base > 0, s"no committed version in $tableDir")
+        val lines = readManifest(spark, tableDir, base)
+        // phase 1: manifest range prune (stats-less batches stay candidates)
+        val candidates =
+          if (lo.isEmpty) Nil
+          else lines.filter { l =>
+            parseLine(l)._2.get(keyCol).forall(st => overlaps(st, lo, hi))
+          }
+        // phase 2: key-only probe scan -> the batch dirs that actually
+        // hold matched keys (bounded collect: one row per touched FILE)
+        val touchedUuids: Set[String] =
+          if (candidates.isEmpty) Set.empty
+          else spark.read
+            .parquet(candidates.map(l => s"$tableDir/${parseLine(l)._1}"): _*)
+            .select(col(keyCol), input_file_name().as("__file"))
+            .join(srcKeys, Seq(keyCol))
+            .select(col("__file")).distinct().collect()
+            .map(r => new Path(new java.net.URI(r.getString(0))).getParent.getName)
+            .toSet
+        val (touched, kept) = lines.partition(l =>
+          touchedUuids.contains(new Path(parseLine(l)._1).getName))
+        val tgtCols = read(spark, tableDir, Some(base)).columns.toSeq
+        require(tgtCols.forall(src.columns.contains),
+          s"merge source must carry every target column; missing ${tgtCols.filterNot(src.columns.contains)}")
+        val srcAligned = src.select(tgtCols.map(col): _*)
+        val touchedDf =
+          if (touched.isEmpty) None
+          else Some(spark.read.parquet(
+            touched.map(l => s"$tableDir/${parseLine(l)._1}"): _*))
+        val survivors = touchedDf.map(
+          _.join(srcKeys, Seq(keyCol), "left_anti").select(tgtCols.map(col): _*))
+        val fromSource: Option[DataFrame] = (whenMatched, insertNotMatched) match {
+          case ("update", true) => Some(srcAligned) // matched -> update, rest -> insert
+          case ("update", false) => touchedDf.map(t => srcAligned
+            .join(t.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+            .select(tgtCols.map(col): _*))
+          case ("delete", true) => Some(touchedDf match {
+            case Some(t) => srcAligned
+              .join(t.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+              .select(tgtCols.map(col): _*)
+            case None => srcAligned
+          })
+          case _ => None // ("delete", false): matched rows just vanish
+        }
+        val newRows = (survivors.toSeq ++ fromSource.toSeq)
+          .reduceOption(_.unionByName(_))
+        val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+        val batchLineOpt = newRows.flatMap { df =>
+          df.write.parquet(s"$tableDir/$batch")
+          val dir = new Path(s"$tableDir/$batch")
+          // an all-empty write leaves no parquet files: commit no line
+          // (a dir with zero readable files would break later reads)
+          if (f.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet")))
+            Some(encodeLine(batch, footerStats(spark, dir), Some(df.schema.json)))
+          else { f.delete(dir, true); None }
+        }
+        if (latestVersion(spark, tableDir) == base &&
+            writeManifestExclusive(f, tableDir, base + 1, kept ++ batchLineOpt))
+          return base + 1
+        // lost the race: drop the orphaned rewrite, re-derive on the winner
+        f.delete(new Path(s"$tableDir/$batch"), true)
+        attempt += 1
+      }
+      throw new IllegalStateException(
+        s"merge on $tableDir lost $maxRetries optimistic rounds")
+    } finally src.unpersist()
+  }
+
   /** Snapshot read; `asOf = None` resolves the latest version.
     * `mergeSchema = true` unions the column sets of a snapshot whose
     * appended batches evolved the schema (absent columns read as null)
@@ -609,6 +742,77 @@ object TxLog {
       }
     })
     Some(StructType(fields.values.toSeq))
+  }
+
+  /** METADATA-ONLY aggregate: `count(*)` plus per-column min/max for
+    * `cols`, answered ENTIRELY from the manifest — the returned frame is
+    * a one-row LocalRelation; no data file is listed, opened, or
+    * scanned. This is the lakehouse `SELECT count(*) FROM t` fast path:
+    * at 100 TB the answer was already computed file-by-file at commit
+    * time (footer row counts + footer min/max), so the "query" is a
+    * KB-sized log read on the driver.
+    *
+    * Returns None — caller falls back to an ordinary scan — whenever the
+    * manifest cannot answer EXACTLY: a legacy batch without a row count,
+    * a requested column missing stats in some non-empty batch (all-null
+    * columns, exotic types), or inconsistent stat kinds across batches.
+    * Min/max semantics match SQL (nulls ignored — parquet footer bounds
+    * are over non-null values); a column that is entirely null in some
+    * batch has no stats there and falls back, never fabricates.
+    *
+    * Output schema: `n_rows BIGINT, <col>_min, <col>_max …` typed by the
+    * manifest kind (l→BIGINT, d→DOUBLE, s→STRING).
+    */
+  def statsAgg(spark: SparkSession, tableDir: String, cols: Seq[String],
+      asOf: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val v = asOf.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no committed version in $tableDir")
+    val entries = readManifest(spark, tableDir, v).map(parseLine)
+    val rowCounts = entries.map(_._2.get(RowsKey).map(_.min.toLong))
+    // batches with zero rows contribute nothing to min/max and must not
+    // veto the metadata path by having no column stats
+    val live = entries.filter(_._2.get(RowsKey).exists(_.min.toLong > 0L))
+    val perCol = cols.map { c =>
+      val sts = live.map(_._2.get(c))
+      for {
+        got <- if (sts.isEmpty || sts.exists(_.isEmpty)) None
+               else Some(sts.flatten)
+        k <- got.map(_.kind).distinct match {
+          case Seq(one) => Some(one)
+          case _ => None
+        }
+      } yield (c, k,
+        got.map(_.min).reduce((a, b) => if (lte(k, a, b)) a else b),
+        got.map(_.max).reduce((a, b) => if (lte(k, b, a)) a else b))
+    }
+    if (rowCounts.exists(_.isEmpty) || live.isEmpty || perCol.exists(_.isEmpty))
+      None
+    else {
+      def dt(k: String): DataType = k match {
+        case "l" => LongType
+        case "d" => DoubleType
+        case _ => StringType
+      }
+      def value(k: String, s0: String): Any = k match {
+        case "l" => s0.toLong
+        case "d" => s0.toDouble
+        case _ => s0
+      }
+      val colStats = perCol.flatten
+      val fields = StructField("n_rows", LongType, nullable = false) +:
+        colStats.flatMap { case (c, k, _, _) =>
+          Seq(StructField(s"${c}_min", dt(k)), StructField(s"${c}_max", dt(k)))
+        }
+      val values: Seq[Any] = rowCounts.flatten.sum +:
+        colStats.flatMap { case (_, k, mn, mx) =>
+          Seq(value(k, mn), value(k, mx))
+        }
+      Some(spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(values: _*)),
+        StructType(fields.toArray)))
+    }
   }
 
   /** OPTIMIZE: fold the latest snapshot's directories into one compact

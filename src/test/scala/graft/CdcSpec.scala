@@ -204,6 +204,31 @@ class CdcSpec extends AnyFunSuite {
     assert(ops == Set((2L, "U"), (9L, "I"), (3L, "D"), (4L, "D")))
   }
 
+  test("incrementalJoinDelta: maintained view equals the full recompute, bag semantics") {
+    // duplicates on the join key on BOTH sides, and ΔA⋈ΔB pairs that a
+    // naive ΔA⋈B ∪ A⋈ΔB (old B) would miss or a ΔA⋈Bnew ∪ Anew⋈ΔB
+    // would double-count
+    val aOld = Seq((1L, "a1"), (2L, "a2"), (2L, "a2x")).toDF("ka", "pa")
+    val aDel = Seq((2L, "a2new"), (5L, "a5")).toDF("ka", "pa")
+    val bOld = Seq((1L, "b1"), (2L, "b2")).toDF("kb", "pb")
+    val bDel = Seq((2L, "b2new"), (5L, "b5"), (5L, "b5x")).toDF("kb", "pb")
+    def bag(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("ka"), col("pa"), col("pb"))
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val aNew = aOld.unionByName(aDel)
+    val bNew = bOld.unionByName(bDel)
+    val full = aNew.join(bNew, aNew("ka") === bNew("kb"))
+    val maintained = aOld.join(bOld, aOld("ka") === bOld("kb"))
+      .unionByName(Cdc.incrementalJoinDelta(aOld, aDel, bOld, bDel, "ka", "kb"))
+    assert(bag(maintained) == bag(full),
+      "incremental maintenance must equal the full recompute exactly")
+    // scale shape: both delta joins broadcast the DELTA side
+    val p = Cdc.incrementalJoinDelta(aOld, aDel, bOld, bDel, "ka", "kb")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both delta joins must be broadcast:\n$p")
+  }
+
   test("scd2Apply: untouched keys pass through a broadcast anti-join") {
     val hist = Cdc.scd2(base,
       Seq((2L, "TWO", 21, "U", 1)).toDF("id", "text", "v", "op", "seq"), "id")

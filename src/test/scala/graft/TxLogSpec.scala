@@ -502,4 +502,139 @@ class TxLogSpec extends AnyFunSuite {
     assert(rows(TxLog.read(spark, t, Some(3L))) == Seq((2L, "b"), (3L, "c")))
     intercept[Exception](TxLog.read(spark, t, Some(1L)).collect())
   }
+
+  // ------------------------------------------------------------------
+  // MERGE INTO (keyed upsert with two-phase file pruning)
+  // ------------------------------------------------------------------
+
+  private def mergeFixture(name: String): String = {
+    val t = fresh(name)
+    // two disjoint-range batches: [0..99] and [100..199]
+    Seq(0L, 100L).foreach { base =>
+      TxLog.commit(spark, t,
+        (base until base + 100L).map(i => (i, s"v$i")).toDF("id", "s"),
+        append = true)
+    }
+    t
+  }
+
+  test("merge upsert: matched rows replaced, unmatched inserted, untouched batch verbatim") {
+    val t = mergeFixture("mrg")
+    val linesBefore = scala.io.Source.fromInputStream(
+      fs.open(new Path(s"$t/_log/v2"))).getLines().toSeq
+    val src = Seq((150L, "UP150"), (160L, "UP160"), (500L, "NEW500"))
+      .toDF("id", "s")
+    val v = TxLog.merge(spark, t, src, "id")
+    assert(v == 3L)
+    val got = rows(TxLog.read(spark, t))
+    assert(got.size == 201)
+    assert(got.find(_._1 == 150L).map(_._2).contains("UP150"))
+    assert(got.find(_._1 == 160L).map(_._2).contains("UP160"))
+    assert(got.find(_._1 == 500L).map(_._2).contains("NEW500"))
+    assert(got.find(_._1 == 151L).map(_._2).contains("v151")) // neighbor untouched
+    // the [0..99] batch's manifest LINE (stats, schema, all) carries verbatim
+    val linesAfter = scala.io.Source.fromInputStream(
+      fs.open(new Path(s"$t/_log/v3"))).getLines().toSeq
+    assert(linesAfter.contains(linesBefore.head),
+      "untouched batch line must carry into the merged version verbatim")
+    assert(!linesAfter.contains(linesBefore(1)), "matched batch must be rewritten")
+  }
+
+  test("merge whenMatched=delete drops matched keys; insertNotMatched still inserts") {
+    val t = mergeFixture("mrgdel")
+    val src = Seq((10L, "x"), (20L, "x"), (900L, "NEW900")).toDF("id", "s")
+    TxLog.merge(spark, t, src, "id", whenMatched = "delete")
+    val got = rows(TxLog.read(spark, t))
+    assert(got.size == 199) // 200 - 2 deleted + 1 inserted
+    assert(!got.exists(r => r._1 == 10L || r._1 == 20L))
+    assert(got.find(_._1 == 900L).map(_._2).contains("NEW900"))
+  }
+
+  test("merge update without insert drops unmatched source rows") {
+    val t = mergeFixture("mrgnoins")
+    val src = Seq((5L, "UP5"), (700L, "ghost")).toDF("id", "s")
+    TxLog.merge(spark, t, src, "id", insertNotMatched = false)
+    val got = rows(TxLog.read(spark, t))
+    assert(got.size == 200)
+    assert(got.find(_._1 == 5L).map(_._2).contains("UP5"))
+    assert(!got.exists(_._1 == 700L))
+  }
+
+  test("merge rejects duplicate source keys (SQL MERGE multi-match error)") {
+    val t = mergeFixture("mrgdup")
+    val src = Seq((5L, "a"), (5L, "b")).toDF("id", "s")
+    intercept[IllegalArgumentException](TxLog.merge(spark, t, src, "id"))
+  }
+
+  test("merge: null-keyed target rows always survive; null-keyed source rows insert") {
+    val t = fresh("mrgnull")
+    TxLog.commit(spark, t,
+      Seq((Option(1L), "a"), (Option(2L), "b"), (Option.empty[Long], "nullrow"))
+        .toDF("id", "s"))
+    val src = Seq((Option(2L), "UP2"), (Option.empty[Long], "nullins"))
+      .toDF("id", "s")
+    TxLog.merge(spark, t, src, "id")
+    val got = TxLog.read(spark, t).as[(Option[Long], String)].collect().toSeq
+    assert(got.count(_._1.isEmpty) == 2, s"null-key rows: $got") // survivor + insert
+    assert(got.exists(_ == (Option(2L), "UP2")))
+    assert(got.exists(_ == (Option(1L), "a")))
+    assert(got.size == 4) // survivors (1, null-target) + source (2, null-insert)
+  }
+
+  // ------------------------------------------------------------------
+  // Metadata-only aggregates (statsAgg)
+  // ------------------------------------------------------------------
+
+  test("statsAgg answers count/min/max from the manifest with zero scans") {
+    val t = fresh("meta")
+    Seq(0L, 100L, 200L).foreach { base =>
+      TxLog.commit(spark, t,
+        (base until base + 50L).map(i => (i, s"v$i")).toDF("id", "s"),
+        append = true)
+    }
+    val out = TxLog.statsAgg(spark, t, Seq("id", "s")).get
+    assert(out.inputFiles.isEmpty, "metadata-only plan must list no files")
+    val r = out.collect().head
+    assert(r.getAs[Long]("n_rows") == 150L)
+    assert(r.getAs[Long]("id_min") == 0L && r.getAs[Long]("id_max") == 249L)
+    // string bounds match a real scan's min/max
+    val scan = TxLog.read(spark, t).agg(
+      org.apache.spark.sql.functions.min($"s"),
+      org.apache.spark.sql.functions.max($"s")).head()
+    assert(r.getAs[String]("s_min") == scan.getString(0))
+    assert(r.getAs[String]("s_max") == scan.getString(1))
+  }
+
+  test("statsAgg declines (None) on legacy stats-less batches and all-null columns") {
+    val t = fresh("metafall")
+    TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"), append = true)
+    TxLog.commit(spark, t, Seq((2L, "b")).toDF("id", "s"),
+      append = true, collectStats = false)
+    assert(TxLog.statsAgg(spark, t, Seq("id")).isEmpty,
+      "a batch without a committed row count cannot be answered exactly")
+    val t2 = fresh("metanull")
+    TxLog.commit(spark, t2,
+      Seq((Option(1L), Option("a")), (Option(2L), Option.empty[String]))
+        .toDF("id", "s"), append = true)
+    TxLog.commit(spark, t2,
+      Seq((Option(3L), Option.empty[String])).toDF("id", "s"), append = true)
+    // the all-null batch has no footer stats for s -> decline, never fabricate
+    assert(TxLog.statsAgg(spark, t2, Seq("s")).isEmpty)
+    // but columns with full stats still answer
+    val ok = TxLog.statsAgg(spark, t2, Seq("id")).get.collect().head
+    assert(ok.getAs[Long]("n_rows") == 3L && ok.getAs[Long]("id_max") == 3L)
+  }
+
+  test("statsAgg stays exact across merge / deleteWhere rewrites") {
+    val t = mergeFixture("metamrg")
+    TxLog.merge(spark, t,
+      Seq((10L, "UP"), (900L, "NEW")).toDF("id", "s"), "id")
+    val r = TxLog.statsAgg(spark, t, Seq("id")).get.collect().head
+    assert(r.getAs[Long]("n_rows") == 201L)
+    assert(r.getAs[Long]("id_max") == 900L)
+    TxLog.deleteWhere(spark, t, "id", Some(0L), Some(49L))
+    val r2 = TxLog.statsAgg(spark, t, Seq("id")).get.collect().head
+    assert(r2.getAs[Long]("n_rows") == 151L)
+    assert(r2.getAs[Long]("id_min") == 50L)
+  }
 }
