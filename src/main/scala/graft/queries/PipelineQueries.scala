@@ -2715,6 +2715,45 @@ object PipelineQueries extends QueryPack {
              |UNION ALL SELECT 3, a, b, cnt FROM m3""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q198: transactionally-maintained streaming JOIN view
+    // (StreamingOps.streamingJoinMaintain) — doc-side inserts stream in
+    // two micro-batches; each appends its ΔA⋈B delta to the TxLog view
+    // through commitStreaming (manifest = idempotence ledger; the
+    // in-query replay of micro-batch 0 must no-op). The base join never
+    // recomputes; the maintained view's rollup hash-matches DuckDB's
+    // full-join recompute.
+    QueryDef(
+      "q198_stream_join_view",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val root = s"${graft.GraftSession.scratchBase}/graft_sjv_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val docs = T.documents(s, dir)
+        val emb = T.embeddings(s, dir)
+        val aInit = docs.filter($"doc_id" % 3L === 0L)
+        (1 until 3).foreach { i =>
+          docs.filter($"doc_id" % 3L === i.toLong).repartition(1)
+            .write.parquet(s"$root/in_tmp$i")
+        }
+        stageOrderedBatches(fs, root,
+          (1 until 3).map(i => (s"in_tmp$i", s"b$i.parquet")))
+        val view = StreamingOps.streamingJoinMaintain(
+          s, s"$root/in", docs.schema, aInit, emb, s"$root/t",
+          "doc_id", "vec_id", "q198")
+        // replay attack: micro-batch 0 re-presented must be a no-op
+        require(graft.sources.TxLog.commitStreaming(
+          s, s"$root/t/joinview", view.limit(1), "q198", 0L).isEmpty,
+          "q198: replayed micro-batch 0 must be a no-op")
+        view.groupBy($"source", $"label")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      },
+      Some("""SELECT source, label, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q179: DSIR-style importance weighting (TrainingPrep
     // .importanceWeights) — target = English slice, raw = whole corpus;
     // per-token smoothed frequency-ratio weights (the monotone core of

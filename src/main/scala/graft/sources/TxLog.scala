@@ -543,11 +543,14 @@ object TxLog {
           .filter(col("__n") > 1L).isEmpty,
         s"merge source holds duplicate $keyCol keys — a target row would match more than one source row")
       if (src.isEmpty) return latestVersion(spark, tableDir)
-      val bounds = src.agg(
-        fmin(col(keyCol)).cast("string"), fmax(col(keyCol)).cast("string")).head()
-      val (lo, hi) =
+      val bounds = src.agg(fmin(col(keyCol)), fmax(col(keyCol))).head()
+      // typed bounds drive BOTH the manifest prune (stringified, same
+      // rule as deleteWhere) and a pushed filter on the probe scan so
+      // parquet row-group stats prune it file-internally too
+      val (loV, hiV) =
         if (bounds.isNullAt(0)) (None, None) // all-null keys: nothing can match
-        else (Some(bounds.getString(0)), Some(bounds.getString(1)))
+        else (Some(bounds.get(0)), Some(bounds.get(1)))
+      val (lo, hi) = (loV.map(_.toString), hiV.map(_.toString))
       val srcKeys = src.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
       var attempt = 0
       while (attempt < maxRetries) {
@@ -566,6 +569,8 @@ object TxLog {
           if (candidates.isEmpty) Set.empty
           else spark.read
             .parquet(candidates.map(l => s"$tableDir/${parseLine(l)._1}"): _*)
+            .where(col(keyCol) >= org.apache.spark.sql.functions.lit(loV.get) &&
+              col(keyCol) <= org.apache.spark.sql.functions.lit(hiV.get))
             .select(col(keyCol), input_file_name().as("__file"))
             .join(srcKeys, Seq(keyCol))
             .select(col("__file")).distinct().collect()

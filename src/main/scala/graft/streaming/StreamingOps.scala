@@ -304,6 +304,50 @@ object StreamingOps {
     graft.sources.TxLog.read(spark, tableDir)
   }
 
+  /** Transactionally-maintained streaming JOIN view: insert-only
+    * micro-batches of the A side maintain a TxLog-backed `A ⋈ B` view
+    * through the differential rule ([[graft.operators.Cdc
+    * .incrementalJoinDelta]] with an empty B delta: ΔV = ΔA ⋈ B) —
+    * the base join never recomputes, each batch appends its delta.
+    * Deltas commit via [[graft.sources.TxLog.commitStreaming]], so the
+    * manifest is the idempotence ledger: checkpoint replays of a
+    * micro-batch no-op and the view stays exactly-once, same contract
+    * as [[streamingTxIngest]]. Per batch the work is ONE broadcast
+    * join of the delta against B — the stream never touches the
+    * accumulated view rows.
+    */
+  def streamingJoinMaintain(
+      spark: SparkSession,
+      inDir: String,
+      aSchema: org.apache.spark.sql.types.StructType,
+      aInit: DataFrame,
+      b: DataFrame,
+      tableBase: String,
+      keyA: String,
+      keyB: String,
+      queryId: String): DataFrame = {
+    import graft.sources.TxLog
+    val viewDir = s"$tableBase/joinview"
+    TxLog.commit(spark, viewDir, aInit.join(b, aInit(keyA) === b(keyB)))
+    val emptyB = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), b.schema)
+    val q = spark.readStream.schema(aSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.operators.Cdc.incrementalJoinDelta(
+            aInit, batch, b, emptyB, keyA, keyB)
+          TxLog.commitStreaming(spark, viewDir, delta, queryId, batchId)
+          ()
+        }
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    TxLog.read(spark, viewDir)
+  }
+
   /** Streaming publish: the stream lands in the SAME layout contract as
     * batch publishes (string-typed Hive partition keys, zstd, ordered
     * rows) via foreachBatch — each microbatch appends through an ordered
