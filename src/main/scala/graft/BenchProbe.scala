@@ -208,8 +208,63 @@ object BenchProbe {
     val filesOn = pruned.inputFiles.length
     val filesOff = full.inputFiles.length
 
+    // surgical MERGE vs full-rewrite upsert (round-7): the manifest
+    // stats that skip READS skip REWRITES — a fixed 2000-doc delta
+    // confined to one of 8 key-range batches merges by rewriting that
+    // batch only, where the naive upsert (read-all, anti-join, commit-
+    // all) rewrites the table. Both start from the SAME snapshot via
+    // RESTORE between passes (pure metadata, re-references the same
+    // dirs), so the min-of-passes timings compare layouts, not drift.
+    val mt = s"$dir/txmerge"
+    fs.delete(new org.apache.hadoop.fs.Path(mt), true)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val dids = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val (dLo, dHi) = (dids.getLong(0), dids.getLong(1))
+    val dSpan = ((dHi - dLo) / 8L).max(1L)
+    (0L until 8L).foreach { i =>
+      val lo = dLo + i * dSpan
+      val hi = if (i == 7L) Long.MaxValue else dLo + (i + 1L) * dSpan - 1L
+      TxLog.commit(spark, mt,
+        docs.filter(col("doc_id") >= lo && col("doc_id") <= hi), append = true)
+    }
+    val baseV = TxLog.latestVersion(spark, mt)
+    // delta ids must come from the DENSE head of shard 0 ([dLo, dLo+2000)):
+    // the replicated id space is 10 narrow islands, so a range cut at an
+    // arbitrary batch boundary selects zero rows and the merge no-ops
+    val delta = docs
+      .filter(col("doc_id") >= dLo && col("doc_id") <= dLo + 1999L)
+      .withColumn("text", upper(col("text")))
+      .persist()
+    require(delta.count() > 0L, "probe delta must hit existing ids")
+    def timedU(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val mergeSurgical = (0 until abPasses).map { _ =>
+      val s0 = timedU(TxLog.merge(spark, mt, delta, "doc_id"))
+      TxLog.restore(spark, mt, baseV); s0
+    }.min
+    val mergeFull = (0 until abPasses).map { _ =>
+      val s0 = timedU {
+        val full = TxLog.read(spark, mt)
+        TxLog.commit(spark, mt,
+          full.join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .unionByName(delta))
+      }
+      TxLog.restore(spark, mt, baseV); s0
+    }.min
+    // deterministic structure metric alongside the wall-clock: how many
+    // of the 8 batches the surgical path carried verbatim
+    TxLog.merge(spark, mt, delta, "doc_id")
+    val baseDirs = TxLog.manifest(spark, mt, Some(baseV)).map(_._1).toSet
+    val afterDirs = TxLog.manifest(spark, mt).map(_._1).toSet
+    val carried = baseDirs.intersect(afterDirs).size
+    delta.unpersist()
+
     f"""{"mv_rewrite":{"off":$mvOff%.3f,"on":$mvOn%.3f,"speedup":${mvOff / mvOn.max(0.001)}%.2f},""" +
       f""""stats_skip":{"off":$skipOff%.3f,"on":$skipOn%.3f,"speedup":${skipOff / skipOn.max(0.001)}%.2f,""" +
-      f""""files_off":$filesOff,"files_on":$filesOn,"files_ratio":${filesOff.toDouble / filesOn.max(1)}%.2f}}"""
+      f""""files_off":$filesOff,"files_on":$filesOn,"files_ratio":${filesOff.toDouble / filesOn.max(1)}%.2f},""" +
+      f""""merge":{"full_rewrite":$mergeFull%.3f,"surgical":$mergeSurgical%.3f,""" +
+      f""""speedup":${mergeFull / mergeSurgical.max(0.001)}%.2f,""" +
+      f""""batches_total":${baseDirs.size},"batches_carried":$carried}}"""
   }
 }

@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.BandJoinRule)
     // aggregate navigation: substitute registered materialized views
     e.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
+    // automatic manifest-level file skipping for registered TxLog scans
+    e.injectOptimizerRule(_ => graft.plans.TxPruneRule)
     // whole-operator extension: the native as-of join's physical planning
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((

@@ -2619,7 +2619,7 @@ object PipelineQueries extends QueryPack {
             docs.filter($"doc_id" % 4L === i), append = true)
         }
         val out = graft.sources.TxLog
-          .statsAgg(s, t, Seq("doc_id", "n_chars"))
+          .statsAgg(s, t, Seq("doc_id", "n_chars"), includeNulls = true)
           .getOrElse(sys.error("q195: manifest must be able to answer"))
         require(out.queryExecution.optimizedPlan.collect {
           case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
@@ -2628,7 +2628,9 @@ object PipelineQueries extends QueryPack {
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
              |  min(doc_id) AS doc_id_min, max(doc_id) AS doc_id_max,
-             |  min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max
+             |  CAST(count(*) - count(doc_id) AS BIGINT) AS doc_id_nulls,
+             |  min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max,
+             |  CAST(count(*) - count(n_chars) AS BIGINT) AS n_chars_nulls
              |FROM documents""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -2713,6 +2715,46 @@ object PipelineQueries extends QueryPack {
              |SELECT 1 AS mrank, a AS lhs, b AS rhs, cnt FROM m1
              |UNION ALL SELECT 2, a, b, cnt FROM m2
              |UNION ALL SELECT 3, a, b, cnt FROM m3""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q199: AUTOMATIC manifest pruning from ordinary predicates
+    // (TxLog.table + TxPruneRule via GraftExtensions) — the q178 probe
+    // written the way an analyst would: a plain DataFrame filter, no
+    // readWhere. The optimizer rule translates the filter's conjuncts
+    // to ranges, consults the manifest, and swaps the scan's file index
+    // to the one overlapping batch (the require proves it via
+    // inputFiles); the rollup hash-matches DuckDB's plain filtered
+    // scan, proving the automatic prune never changes results.
+    QueryDef(
+      "q199_auto_prune",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txauto_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        val q = (docs.count() / 4L).max(1L)
+        (0L until 4L).foreach { i =>
+          val loB = i * q
+          val hiB = if (i == 3L) Long.MaxValue else (i + 1L) * q - 1L
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" >= loB && $"doc_id" <= hiB), append = true)
+        }
+        val auto = graft.sources.TxLog.table(s, t)
+          .filter($"doc_id" >= q + 5L && $"doc_id" <= 2L * q - 1L)
+        val touched = auto.inputFiles
+          .map(f => new org.apache.hadoop.fs.Path(f).getParent.getName).toSet
+        require(touched.size == 1,
+          s"q199: the rule must prune to one batch, touched $touched")
+        auto.groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) // 4 AS q FROM documents)
+             |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents, p
+             |WHERE doc_id >= p.q + 5 AND doc_id <= 2 * p.q - 1
+             |GROUP BY lang""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q198: transactionally-maintained streaming JOIN view

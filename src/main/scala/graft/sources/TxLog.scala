@@ -47,6 +47,16 @@ object TxLog {
     */
   private val RowsKey = "\u0001rows"
 
+  /** Reserved per-column stats key for the batch's exact NULL count
+    * (parquet footer `num_nulls`, summed across chunks). Known even for
+    * columns whose min/max are unusable (an all-null column has no
+    * bounds but a definite null count), so [[statsAgg]] can answer
+    * `count(col)` / null-fraction questions metadata-only. Chunks that
+    * don't record null counts drop the key (conservative decline, never
+    * a fabricated zero).
+    */
+  private def nullsKey(col: String) = "\u0001n:" + col
+
   /** FS resolved PER TABLE PATH, not the default FS: a table living on
     * another scheme (s3a://, or the spec's chaos://) must commit and
     * read through ITS filesystem — `FileSystem.get(conf)` would
@@ -205,12 +215,21 @@ object TxLog {
     var merged = Map.empty[String, ColStats]
     var dropped = Set.empty[String]
     var rows = 0L
+    var nulls = Map.empty[String, Long]
+    var nullsUnknown = Set.empty[String]
     files.foreach { p =>
       val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try rd.getFooter.getBlocks.asScala.foreach { b =>
         rows += b.getRowCount
         b.getColumns.asScala.foreach { c =>
           val name = c.getPath.toDotString
+          // exact null counts are independent of min/max usability (an
+          // all-null column has no bounds but a definite null count);
+          // any chunk without the count poisons the column to unknown
+          val st0 = c.getStatistics
+          if (st0 == null || !st0.isNumNullsSet || st0.getNumNulls < 0)
+            nullsUnknown += name
+          else nulls += name -> (nulls.getOrElse(name, 0L) + st0.getNumNulls)
           val pt = c.getPrimitiveType
           val ann = pt.getLogicalTypeAnnotation
           // decode: raw footer value -> user-unit bound string, applied
@@ -266,6 +285,14 @@ object TxLog {
                   case _ => ()
                 }
               }
+            case Some(_) if st != null && st.isNumNullsSet &&
+                st.getNumNulls == b.getRowCount =>
+              // ALL-NULL chunk: no min/max in the footer, but it holds
+              // zero values — skipping it keeps the batch bounds EXACT
+              // (nulls never order). Dropping instead would poison every
+              // sparse column of a wide table the moment one file's
+              // chunk happens to be all null.
+              ()
             case _ =>
               dropped += name
               merged -= name
@@ -273,9 +300,14 @@ object TxLog {
         }
       } finally rd.close()
     }
-    // exact batch row count rides along under the reserved key — added
-    // AFTER the per-column merge so column min/max logic never sees it
-    merged + (RowsKey -> ColStats("l", rows.toString, rows.toString))
+    // exact batch row count + per-column null counts ride along under
+    // reserved keys — added AFTER the per-column merge so the column
+    // min/max logic never sees them
+    merged ++
+      nulls.collect { case (c, n) if !nullsUnknown(c) =>
+        nullsKey(c) -> ColStats("l", n.toString, n.toString)
+      } +
+      (RowsKey -> ColStats("l", rows.toString, rows.toString))
   }
 
   /** Unsigned UTF-8 byte order — parquet's string min/max order AND
@@ -645,6 +677,19 @@ object TxLog {
     } else spark.read.parquet(dirs: _*)
   }
 
+  /** [[read]] plus registration with the AUTOMATIC pruning rule
+    * ([[graft.plans.TxPruneRule]], injected via `GraftExtensions`): any
+    * ordinary DataFrame/SQL filter over the returned scan gets
+    * manifest-level file skipping at planning time — the engine's own
+    * predicate pushdown reaching INTO the table format, no special read
+    * API required. [[readWhere]]/[[readWhereAll]] remain for callers
+    * that want explicit control (time travel, mergeSchema).
+    */
+  def table(spark: SparkSession, tableDir: String): DataFrame = {
+    graft.plans.TxPruneRule.register(tableDir)
+    read(spark, tableDir)
+  }
+
   /** Range read with manifest-level file skipping: batches whose
     * committed [min,max] for `colName` cannot intersect [lo,hi] are
     * dropped BEFORE Spark ever lists or opens them — at 100 TB this is
@@ -682,28 +727,7 @@ object TxLog {
     require(v > 0, s"no committed version in $tableDir")
     val rawLines = readManifest(spark, tableDir, v)
     val entries = rawLines.map(parseLineFull)
-    // POINT probes (lo == hi, non-null) additionally consult the
-    // batch's committed Bloom filter when one exists: min/max prunes
-    // by RANGE, useless for uuid/hash keys whose per-batch ranges all
-    // overlap — the bloom answers "definitely not in this batch"
-    // regardless. False positives only KEEP a batch; the residual
-    // filter stays exact.
-    val points = ranges.collect {
-      case (c, (Some(lo), Some(hi))) if lo == hi => c -> lo
-    }
-    def bloomSays(line: String): Boolean =
-      points.isEmpty || {
-        val blooms = parseBlooms(line)
-        points.forall { case (c, v0) =>
-          blooms.get(c).forall(bloomMayContain(_, v0))
-        }
-      }
-    val kept = entries.zip(rawLines).collect {
-      case (e @ (_, stats, _), line) if ranges.forall { case (c, (lo, hi)) =>
-          stats.get(c).forall(st =>
-            overlaps(st, lo.map(_.toString), hi.map(_.toString)))
-        } && bloomSays(line) => e
-    }
+    val kept = keptEntries(rawLines, ranges)
     // all-pruned fallback: the LATEST batch (deterministic, unlike
     // letting Spark pick a file at random); the residual predicate
     // yields zero rows against it either way
@@ -725,6 +749,54 @@ object TxLog {
       val b = lo.map(l => df.where(col(c) >= l)).getOrElse(df)
       hi.map(h => b.where(col(c) <= h)).getOrElse(b)
     }
+  }
+
+  /** The manifest-selection core shared by [[readWhereAll]] and the
+    * automatic [[graft.plans.TxPruneRule]]: batches surviving the ANDed
+    * per-column ranges. POINT probes (lo == hi, non-null) additionally
+    * consult the batch's committed Bloom filter when one exists —
+    * min/max prunes by RANGE, useless for uuid/hash keys whose
+    * per-batch ranges all overlap; the bloom answers "definitely not in
+    * this batch" regardless. False positives only KEEP a batch, and a
+    * residual filter above the scan keeps results exact either way.
+    */
+  private def keptEntries(rawLines: Seq[String],
+      ranges: Map[String, (Option[Any], Option[Any])])
+      : Seq[(String, Map[String, ColStats],
+        Option[org.apache.spark.sql.types.StructType])] = {
+    val entries = rawLines.map(parseLineFull)
+    val points = ranges.collect {
+      case (c, (Some(lo), Some(hi))) if lo == hi => c -> lo
+    }
+    def bloomSays(line: String): Boolean =
+      points.isEmpty || {
+        val blooms = parseBlooms(line)
+        points.forall { case (c, v0) =>
+          blooms.get(c).forall(bloomMayContain(_, v0))
+        }
+      }
+    entries.zip(rawLines).collect {
+      case (e @ (_, stats, _), line) if ranges.forall { case (c, (lo, hi)) =>
+          stats.get(c).forall(st =>
+            overlaps(st, lo.map(_.toString), hi.map(_.toString)))
+        } && bloomSays(line) => e
+    }
+  }
+
+  /** Planning-time hook for [[graft.plans.TxPruneRule]]: the LATEST
+    * snapshot's (kept, all) batch dirs — ABSOLUTE paths — under the
+    * ANDed ranges, or None when the table has no committed version.
+    * Pure metadata (one log-dir list + one KB-sized manifest read).
+    */
+  private[graft] def pruneSnapshot(spark: SparkSession, tableDir: String,
+      ranges: Map[String, (Option[Any], Option[Any])])
+      : Option[(Seq[String], Seq[String])] = {
+    val v = latestVersion(spark, tableDir)
+    if (v <= 0) return None
+    val rawLines = readManifest(spark, tableDir, v)
+    val all = rawLines.map(parseLine(_)._1)
+    val kept = keptEntries(rawLines, ranges).map(_._1)
+    Some((kept.map(d => s"$tableDir/$d"), all.map(d => s"$tableDir/$d")))
   }
 
   /** Additive-evolution schema union over the manifest's recorded batch
@@ -766,10 +838,13 @@ object TxLog {
     * batch has no stats there and falls back, never fabricates.
     *
     * Output schema: `n_rows BIGINT, <col>_min, <col>_max …` typed by the
-    * manifest kind (l→BIGINT, d→DOUBLE, s→STRING).
+    * manifest kind (l→BIGINT, d→DOUBLE, s→STRING); with `includeNulls`
+    * each column adds `<col>_nulls BIGINT` (exact footer null counts —
+    * so `count(col)` = n_rows − nulls is metadata-only too), declining
+    * when any non-empty batch predates null-count harvesting.
     */
   def statsAgg(spark: SparkSession, tableDir: String, cols: Seq[String],
-      asOf: Option[Long] = None): Option[DataFrame] = {
+      asOf: Option[Long] = None, includeNulls: Boolean = false): Option[DataFrame] = {
     import org.apache.spark.sql.types._
     val v = asOf.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no committed version in $tableDir")
@@ -791,7 +866,12 @@ object TxLog {
         got.map(_.min).reduce((a, b) => if (lte(k, a, b)) a else b),
         got.map(_.max).reduce((a, b) => if (lte(k, b, a)) a else b))
     }
-    if (rowCounts.exists(_.isEmpty) || live.isEmpty || perCol.exists(_.isEmpty))
+    val nullsPerCol: Map[String, Option[Long]] = cols.map { c =>
+      val ns = live.map(_._2.get(nullsKey(c)).map(_.min.toLong))
+      c -> (if (ns.isEmpty || ns.exists(_.isEmpty)) None else Some(ns.flatten.sum))
+    }.toMap
+    if (rowCounts.exists(_.isEmpty) || live.isEmpty || perCol.exists(_.isEmpty) ||
+        (includeNulls && nullsPerCol.values.exists(_.isEmpty)))
       None
     else {
       def dt(k: String): DataType = k match {
@@ -807,11 +887,13 @@ object TxLog {
       val colStats = perCol.flatten
       val fields = StructField("n_rows", LongType, nullable = false) +:
         colStats.flatMap { case (c, k, _, _) =>
-          Seq(StructField(s"${c}_min", dt(k)), StructField(s"${c}_max", dt(k)))
+          Seq(StructField(s"${c}_min", dt(k)), StructField(s"${c}_max", dt(k))) ++
+            (if (includeNulls) Seq(StructField(s"${c}_nulls", LongType)) else Nil)
         }
       val values: Seq[Any] = rowCounts.flatten.sum +:
-        colStats.flatMap { case (_, k, mn, mx) =>
-          Seq(value(k, mn), value(k, mx))
+        colStats.flatMap { case (c, k, mn, mx) =>
+          Seq(value(k, mn), value(k, mx)) ++
+            (if (includeNulls) Seq(nullsPerCol(c).get) else Nil)
         }
       Some(spark.createDataFrame(
         java.util.Collections.singletonList(

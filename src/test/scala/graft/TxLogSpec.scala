@@ -625,6 +625,23 @@ class TxLogSpec extends AnyFunSuite {
     assert(ok.getAs[Long]("n_rows") == 3L && ok.getAs[Long]("id_max") == 3L)
   }
 
+  test("statsAgg includeNulls: exact footer null counts, still zero-scan") {
+    val t = fresh("metanulls")
+    TxLog.commit(spark, t,
+      Seq((Option(1L), Option("a")), (Option(2L), Option.empty[String]),
+        (Option(3L), Option("c"))).toDF("id", "s"), append = true)
+    TxLog.commit(spark, t,
+      Seq((Option(4L), Option.empty[String]), (Option(5L), Option("e")))
+        .toDF("id", "s"), append = true)
+    val out = TxLog.statsAgg(spark, t, Seq("id", "s"), includeNulls = true).get
+    assert(out.inputFiles.isEmpty, "null counts must come from the manifest")
+    val r = out.collect().head
+    assert(r.getAs[Long]("n_rows") == 5L)
+    assert(r.getAs[Long]("id_nulls") == 0L)
+    assert(r.getAs[Long]("s_nulls") == 2L)
+    assert(r.getAs[String]("s_min") == "a" && r.getAs[String]("s_max") == "e")
+  }
+
   test("statsAgg stays exact across merge / deleteWhere rewrites") {
     val t = mergeFixture("metamrg")
     TxLog.merge(spark, t,
