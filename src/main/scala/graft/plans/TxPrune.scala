@@ -49,6 +49,29 @@ object TxPruneRule extends Rule[LogicalPlan] {
   private def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
 
+  /** Shared with [[TxAggRule]]: path normalization for root-set
+    * comparison against manifest dirs.
+    */
+  private[plans] def norm(p: String): String = normalize(p)
+
+  /** Shared with [[TxAggRule]]: cheap short-circuit when nothing was
+    * ever registered.
+    */
+  private[plans] def anyRegistered: Boolean = !tables.isEmpty
+
+  /** The registered table dir these scan roots belong to, if all of
+    * them sit under one registered `<dir>/data/` tree (roots must be
+    * pre-normalized with [[norm]]).
+    */
+  private[plans] def registeredDirOf(roots: Seq[String]): Option[String] = {
+    val dirs = roots.map { r =>
+      val i = r.lastIndexOf("/data/")
+      if (i < 0) return None else r.substring(0, i)
+    }.toSet
+    if (dirs.size == 1 && tables.contains(dirs.head)) Some(dirs.head)
+    else None
+  }
+
   /** Register a TxLog table root for automatic pruning (idempotent;
     * called by `TxLog.table`).
     */
@@ -122,14 +145,7 @@ object TxPruneRule extends Rule[LogicalPlan] {
     }
     val roots = fsRel.location.rootPaths.map(p => normalize(p.toString))
     if (roots.isEmpty) return None
-    // candidate table: every root sits under <dir>/data/
-    val dirs = roots.map { r =>
-      val i = r.lastIndexOf("/data/")
-      if (i < 0) return None else r.substring(0, i)
-    }.toSet
-    if (dirs.size != 1) return None
-    val tableDir = dirs.head
-    if (!tables.contains(tableDir)) return None
+    val tableDir = registeredDirOf(roots).getOrElse(return None)
     val rs = ranges(cond)
     if (rs.isEmpty) return None
     val spark = fsRel.sparkSession

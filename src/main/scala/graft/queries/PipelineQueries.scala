@@ -2757,6 +2757,102 @@ object PipelineQueries extends QueryPack {
              |GROUP BY lang""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q200: METADATA-ONLY global aggregates from ordinary query shapes
+    // (TxLog.table + TxAggRule via GraftExtensions) — count(*),
+    // count(col), min/max answered entirely from the manifest: the
+    // require proves the optimized plan holds NO scan at all (a one-row
+    // LocalRelation), and the DuckDB oracle recomputes the same
+    // aggregates by actually scanning — proving the manifest answer is
+    // exact, including the null-count path (count of a column that is
+    // null wherever lang='en').
+    QueryDef(
+      "q200_meta_agg",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txmeta_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+          .withColumn("lang_nn", when($"lang" === "en", lit(null)
+            .cast("string")).otherwise($"lang"))
+        (0L until 4L).foreach { i =>
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" % 4L === i), append = true)
+        }
+        val out = graft.sources.TxLog.table(s, t).agg(
+          count(lit(1)).as("n_rows"),
+          count($"lang_nn").as("n_lang"),
+          min($"doc_id").as("id_min"), max($"doc_id").as("id_max"),
+          min($"lang_nn").as("lang_min"), max($"lang_nn").as("lang_max"),
+          min($"n_chars").as("chars_min"), max($"n_chars").as("chars_max"))
+        require(out.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+        }.isEmpty, "q200: the aggregate must be answered with ZERO scans")
+        out
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(nullif(lang, 'en')) AS BIGINT) AS n_lang,
+             |  min(doc_id) AS id_min, max(doc_id) AS id_max,
+             |  min(nullif(lang, 'en')) AS lang_min,
+             |  max(nullif(lang, 'en')) AS lang_max,
+             |  min(n_chars) AS chars_min, max(n_chars) AS chars_max
+             |FROM documents""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q201: HYBRID filtered metadata aggregate (TxAggRule's filtered
+    // path) — count/count(col)/min/max under a doc_id range filter over
+    // a 4-batch key-range TxLog table: one batch is provably CONTAINED
+    // (answered from manifest stats + exact footer null counts, zero
+    // I/O), one is boundary (scanned with the filter kept), two are
+    // excluded. The require proves the optimized plan scans EXACTLY ONE
+    // batch dir; the DuckDB oracle recomputes by actually scanning, so
+    // the metadata+scan merge is proven exact — including count(lang_nn)
+    // whose nulls live partly in the metadata-answered batch.
+    QueryDef(
+      "q201_meta_agg_filtered",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txhybrid_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+          .withColumn("lang_nn", when($"lang" === "en", lit(null)
+            .cast("string")).otherwise($"lang"))
+        val q = (docs.count() / 4L).max(1L)
+        (0L until 4L).foreach { i =>
+          val loB = i * q
+          val hiB = if (i == 3L) Long.MaxValue else (i + 1L) * q - 1L
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" >= loB && $"doc_id" <= hiB), append = true)
+        }
+        // [q+5, 3q-1]: batch1 boundary, batch2 contained, 0 and 3 excluded
+        val out = graft.sources.TxLog.table(s, t)
+          .filter($"doc_id" >= q + 5L && $"doc_id" <= 3L * q - 1L)
+          .agg(count(lit(1)).as("n_rows"),
+            count($"lang_nn").as("n_lang"),
+            min($"doc_id").as("id_min"), max($"doc_id").as("id_max"),
+            min($"n_chars").as("chars_min"), max($"n_chars").as("chars_max"))
+        val scanned = out.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation
+              .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.map(_.getName)
+        }.flatten
+        require(scanned.size == 1,
+          s"q201: exactly the one boundary batch must scan, got $scanned")
+        out
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) // 4 AS q FROM documents)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(nullif(lang, 'en')) AS BIGINT) AS n_lang,
+             |  min(doc_id) AS id_min, max(doc_id) AS id_max,
+             |  min(n_chars) AS chars_min, max(n_chars) AS chars_max
+             |FROM documents, p
+             |WHERE doc_id >= p.q + 5 AND doc_id <= 3 * p.q - 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q198: transactionally-maintained streaming JOIN view
     // (StreamingOps.streamingJoinMaintain) — doc-side inserts stream in
     // two micro-batches; each appends its ΔA⋈B delta to the TxLog view

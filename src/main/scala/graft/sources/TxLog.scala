@@ -685,9 +685,10 @@ object TxLog {
     * API required. [[readWhere]]/[[readWhereAll]] remain for callers
     * that want explicit control (time travel, mergeSchema).
     */
-  def table(spark: SparkSession, tableDir: String): DataFrame = {
+  def table(spark: SparkSession, tableDir: String,
+      mergeSchema: Boolean = false): DataFrame = {
     graft.plans.TxPruneRule.register(tableDir)
-    read(spark, tableDir)
+    read(spark, tableDir, mergeSchema = mergeSchema)
   }
 
   /** Range read with manifest-level file skipping: batches whose
@@ -782,6 +783,36 @@ object TxLog {
         } && bloomSays(line) => e
     }
   }
+
+  /** Planning hook for [[graft.plans.TxAggRule]]: the LATEST snapshot's
+    * batch dirs (absolute) plus each batch's parsed stats and recorded
+    * schema. Pure metadata. None when the table has no committed
+    * version.
+    */
+  private[graft] def aggSnapshot(spark: SparkSession, tableDir: String)
+      : Option[(Seq[String], Seq[(Map[String, ColStats],
+        Option[org.apache.spark.sql.types.StructType])])] = {
+    val v = latestVersion(spark, tableDir)
+    if (v <= 0) return None
+    val parsed = readManifest(spark, tableDir, v).map(parseLineFull)
+    Some((parsed.map(e => s"$tableDir/${e._1}"),
+      parsed.map(e => (e._2, e._3))))
+  }
+
+  /** Exact footer row count of one batch, when its manifest line
+    * carries it (commits since the stats era always do).
+    */
+  private[graft] def batchRows(stats: Map[String, ColStats]): Option[Long] =
+    stats.get(RowsKey).map(_.min.toLong)
+
+  /** Exact footer null count of `col` in one batch, when recorded. */
+  private[graft] def batchNulls(stats: Map[String, ColStats],
+      col: String): Option[Long] =
+    stats.get(nullsKey(col)).map(_.min.toLong)
+
+  /** Kind-aware bound ordering, exposed for the planning rules. */
+  private[graft] def kindLte(kind: String, a: String, b: String): Boolean =
+    lte(kind, a, b)
 
   /** Planning-time hook for [[graft.plans.TxPruneRule]]: the LATEST
     * snapshot's (kept, all) batch dirs — ABSOLUTE paths — under the

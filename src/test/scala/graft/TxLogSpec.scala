@@ -329,8 +329,11 @@ class TxLogSpec extends AnyFunSuite {
     assert(m.size >= 6, s"expected ~8 z batches, got ${m.size}")
     assert(m.forall(e => e._2.contains("x") && e._2.contains("y")))
     // now BOTH dimensions prune at the manifest level
+    // +1 slack on both bands: repartitionByRange SAMPLES its split
+    // points (seeded by the global RDD id, so suite ordering moves
+    // them), and one batch can straddle a z-box boundary
     val yAfter = TxLog.readWhereAll(spark, t, Map("y" -> (Some(8L), Some(23L))))
-    assert(dirsFor(yAfter) < m.size / 2,
+    assert(dirsFor(yAfter) <= m.size / 2 + 1,
       s"y band should skip z batches: ${dirsFor(yAfter)} of ${m.size}")
     // +1: the range partitioner samples its split points, so one batch
     // can straddle a box boundary
