@@ -195,7 +195,11 @@ object BenchProbe {
     val probeHi = loAll + 2L * span - 1L
     def agg(df: DataFrame): DataFrame = df.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), min(col("l_discount")).as("lo"))
+    // the documented readWhere contract: manifest prune + the residual
+    // range filter (exactness + parquet row-group pushdown INSIDE kept
+    // batches) — both arms then run the identical filtered aggregate
     def pruned = TxLog.readWhere(spark, t, "l_orderkey", Some(probeLo), Some(probeHi))
+      .filter(col("l_orderkey") >= probeLo && col("l_orderkey") <= probeHi)
     def full = TxLog.read(spark, t)
       .filter(col("l_orderkey") >= probeLo && col("l_orderkey") <= probeHi)
     val skipOn = best(agg(pruned))
@@ -209,55 +213,79 @@ object BenchProbe {
     val filesOff = full.inputFiles.length
 
     // surgical MERGE vs full-rewrite upsert (round-7): the manifest
-    // stats that skip READS skip REWRITES — a fixed 2000-doc delta
-    // confined to one of 8 key-range batches merges by rewriting that
-    // batch only, where the naive upsert (read-all, anti-join, commit-
-    // all) rewrites the table. Both start from the SAME snapshot via
+    // stats that skip READS skip REWRITES — a delta confined to one of
+    // 8 key-range batches merges by rewriting that batch only, where
+    // the naive upsert (read-all, anti-join, commit-all) rewrites the
+    // table. Built on the 4·replicas lineitem (~0.4 GB — the documents
+    // fixture is 600 KB, where fixed per-job driver latency drowns the
+    // I/O signal) keyed by rk = orderkey·8 + linenumber (linenumber ≤ 7
+    // ⇒ unique). Both strategies start from the SAME snapshot via
     // RESTORE between passes (pure metadata, re-references the same
     // dirs), so the min-of-passes timings compare layouts, not drift.
     val mt = s"$dir/txmerge"
     fs.delete(new org.apache.hadoop.fs.Path(mt), true)
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val dids = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
-    val (dLo, dHi) = (dids.getLong(0), dids.getLong(1))
-    val dSpan = ((dHi - dLo) / 8L).max(1L)
+    // the fixture is TPC-H-ish: (orderkey, linenumber) is NOT unique, so
+    // dedup on the derived key (~3% of rows drop; merge needs unique keys)
+    val keyed = spark.read.parquet(liPath)
+      .withColumn("rk", col("l_orderkey") * 8L + col("l_linenumber"))
+      .dropDuplicates("rk")
+    val rids = keyed.agg(min(col("rk")), max(col("rk"))).collect()(0)
+    val (rLo, rHi) = (rids.getLong(0), rids.getLong(1))
+    val rSpan = ((rHi - rLo) / 8L).max(1L)
     (0L until 8L).foreach { i =>
-      val lo = dLo + i * dSpan
-      val hi = if (i == 7L) Long.MaxValue else dLo + (i + 1L) * dSpan - 1L
+      val lo = rLo + i * rSpan
+      val hi = if (i == 7L) Long.MaxValue else rLo + (i + 1L) * rSpan - 1L
       TxLog.commit(spark, mt,
-        docs.filter(col("doc_id") >= lo && col("doc_id") <= hi), append = true)
+        keyed.filter(col("rk") >= lo && col("rk") <= hi), append = true)
     }
     val baseV = TxLog.latestVersion(spark, mt)
-    // delta ids must come from the DENSE head of shard 0 ([dLo, dLo+2000)):
-    // the replicated id space is 10 narrow islands, so a range cut at an
-    // arbitrary batch boundary selects zero rows and the merge no-ops
-    val delta = docs
-      .filter(col("doc_id") >= dLo && col("doc_id") <= dLo + 1999L)
-      .withColumn("text", upper(col("text")))
+    // delta keys from the DENSE head of batch 0 — the replicated key
+    // space is `4·replicas` narrow islands, so an arbitrary range cut
+    // could select zero rows and the merge would no-op
+    val delta = keyed
+      .filter(col("rk") >= rLo && col("rk") <= rLo + 63999L)
+      .withColumn("l_quantity", col("l_quantity") + lit(1.0))
       .persist()
-    require(delta.count() > 0L, "probe delta must hit existing ids")
+    require(delta.count() > 0L, "probe delta must hit existing keys")
     def timedU(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val mergeSurgical = (0 until abPasses).map { _ =>
-      val s0 = timedU(TxLog.merge(spark, mt, delta, "doc_id"))
+    // these arms are multi-second: `passes` (not abPasses) bounds probe time
+    val mPasses = passes.max(2)
+    val mergeSurgical = (0 until mPasses).map { _ =>
+      val s0 = timedU(TxLog.merge(spark, mt, delta, "rk"))
       TxLog.restore(spark, mt, baseV); s0
     }.min
-    val mergeFull = (0 until abPasses).map { _ =>
+    val mergeFull = (0 until mPasses).map { _ =>
       val s0 = timedU {
         val full = TxLog.read(spark, mt)
         TxLog.commit(spark, mt,
-          full.join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          full.join(delta.select(col("rk")), Seq("rk"), "left_anti")
             .unionByName(delta))
       }
       TxLog.restore(spark, mt, baseV); s0
     }.min
-    // deterministic structure metric alongside the wall-clock: how many
-    // of the 8 batches the surgical path carried verbatim
-    TxLog.merge(spark, mt, delta, "doc_id")
+    // deterministic structure metrics alongside the wall-clock: batches
+    // carried verbatim and BYTES REWRITTEN per strategy — the numbers
+    // that translate to object-store scale, where every rewritten byte
+    // is a PUT and tmpfs-free I/O isn't
+    def newBytes(): Long = {
+      val base = TxLog.manifest(spark, mt, Some(baseV)).map(_._1).toSet
+      TxLog.manifest(spark, mt).map(_._1).filterNot(base)
+        .map(d => fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$mt/$d")).getLength)
+        .sum
+    }
+    TxLog.merge(spark, mt, delta, "rk")
     val baseDirs = TxLog.manifest(spark, mt, Some(baseV)).map(_._1).toSet
     val afterDirs = TxLog.manifest(spark, mt).map(_._1).toSet
     val carried = baseDirs.intersect(afterDirs).size
+    val surgicalBytes = newBytes()
+    TxLog.restore(spark, mt, baseV)
+    TxLog.commit(spark, mt,
+      TxLog.read(spark, mt).join(delta.select(col("rk")), Seq("rk"), "left_anti")
+        .unionByName(delta))
+    val fullBytes = newBytes()
     delta.unpersist()
 
     f"""{"mv_rewrite":{"off":$mvOff%.3f,"on":$mvOn%.3f,"speedup":${mvOff / mvOn.max(0.001)}%.2f},""" +
@@ -265,6 +293,8 @@ object BenchProbe {
       f""""files_off":$filesOff,"files_on":$filesOn,"files_ratio":${filesOff.toDouble / filesOn.max(1)}%.2f},""" +
       f""""merge":{"full_rewrite":$mergeFull%.3f,"surgical":$mergeSurgical%.3f,""" +
       f""""speedup":${mergeFull / mergeSurgical.max(0.001)}%.2f,""" +
-      f""""batches_total":${baseDirs.size},"batches_carried":$carried}}"""
+      f""""batches_total":${baseDirs.size},"batches_carried":$carried,""" +
+      f""""bytes_full":$fullBytes,"bytes_surgical":$surgicalBytes,""" +
+      f""""bytes_ratio":${fullBytes.toDouble / surgicalBytes.max(1L)}%.2f}}"""
   }
 }

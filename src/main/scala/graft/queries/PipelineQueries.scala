@@ -2853,6 +2853,67 @@ object PipelineQueries extends QueryPack {
              |WHERE doc_id >= p.q + 5 AND doc_id <= 3 * p.q - 1""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q202: TxLog as a STREAMING SOURCE (format("txlog"), TxLogSource) —
+    // the commit log is the subscription: offsets are manifest versions,
+    // each micro-batch is exactly the dirs a commit added (two KB-sized
+    // manifest reads, no directory listing). The query streams a
+    // 3-append documents table into per-batch per-lang partials
+    // committed through the exactly-once streaming sink, then rolls the
+    // partials up; the DuckDB oracle recomputes the rollup from the flat
+    // table, proving stream ≡ batch. In-query requires prove the source
+    // was INCREMENTAL: the first drain sees only the pre-stream appends,
+    // the post-start append arrives as its own delta commit.
+    QueryDef(
+      "q202_stream_source",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txsrc_$sfName"
+        val outT = s"${graft.GraftSession.scratchBase}/graft_txsrc_out_$sfName"
+        val cp = s"${graft.GraftSession.scratchBase}/graft_txsrc_cp_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        Seq(t, outT, cp).foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        val docs = T.documents(s, dir)
+        // two appends exist before the stream starts...
+        (0L until 2L).foreach { i =>
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" % 3L === i), append = true)
+        }
+        val q = s.readStream.format("txlog").load(t)
+          .writeStream
+          .option("checkpointLocation", cp)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.sources.TxLog.commitStreaming(s, outT,
+              b.groupBy($"lang")
+                .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars")),
+              s"q202_$sfName", id)
+            ()
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          val v1 = graft.sources.TxLog.latestVersion(s, outT)
+          val n1 = graft.sources.TxLog.read(s, outT)
+            .agg(sum($"n")).head.getLong(0)
+          require(n1 == docs.filter($"doc_id" % 3L < 2L).count(),
+            "q202: first drain must carry exactly the pre-stream snapshot")
+          // ...the third lands while the stream runs: its OWN delta batch
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" % 3L === 2L), append = true)
+          q.processAllAvailable()
+          require(graft.sources.TxLog.latestVersion(s, outT) > v1,
+            "q202: the post-start append must arrive as a new micro-batch")
+        } finally q.stop()
+        graft.sources.TxLog.read(s, outT)
+          .groupBy($"lang")
+          .agg(sum($"n").as("n"), sum($"chars").as("chars"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents GROUP BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q198: transactionally-maintained streaming JOIN view
     // (StreamingOps.streamingJoinMaintain) — doc-side inserts stream in
     // two micro-batches; each appends its ΔA⋈B delta to the TxLog view

@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming SOURCE over a [[TxLog]] table — the read-side
+  * complement of [[TxLog.commitStreaming]] (the exactly-once sink):
+  * `spark.readStream.format("txlog").load(dir)` turns the commit log
+  * itself into the stream, the way Delta/Iceberg expose "table as a
+  * stream of appends" (reference behavior: the reference's consumers
+  * poll published snapshot versions; here the manifest IS the
+  * subscription).
+  *
+  * Offsets are manifest VERSIONS. Each micro-batch is the set of batch
+  * dirs ADDED between two committed versions (`TxLog.versionDelta` —
+  * two KB-sized manifest reads, never a directory listing), read back
+  * through the ordinary parquet relation so column pruning and filter
+  * pushdown apply to streamed batches exactly as to batch scans.
+  * Exactly-once follows from determinism: the checkpoint stores the
+  * version interval, and replaying `getBatch(v1, v2)` always yields the
+  * same immutable dirs. The initial batch (no start offset) is the
+  * whole current snapshot, so `stream ≡ batch` from the first trigger.
+  *
+  * Non-append commits (deleteWhere / merge / compact / overwrite REMOVE
+  * dirs) break append-stream semantics; the source fails loudly unless
+  * `ignoreChanges=true`, which emits only the added dirs (rewritten
+  * rows re-appear — the consumer must be idempotent/keyed, same
+  * contract as Delta's `ignoreChanges`).
+  *
+  * At 100 TB: offset resolution and planning touch ONLY the manifest
+  * (O(batches) strings); data I/O is exactly the new files. A
+  * continuously-appending table streams with per-trigger cost
+  * proportional to the delta, not the table.
+  */
+class TxLogSource(spark: SparkSession, tableDir: String,
+    override val schema: StructType, ignoreChanges: Boolean)
+    extends Source {
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    // after a checkpoint restart offsets arrive re-hydrated from JSON
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = {
+    val v = TxLog.latestVersion(spark, tableDir)
+    if (v <= 0) None else Some(LongOffset(v))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromV = start.map(ver).getOrElse(0L)
+    val toV = ver(end)
+    val (added, removed) = TxLog.versionDelta(spark, tableDir, fromV, toV)
+    if (removed.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        s"txlog stream $tableDir: versions ($fromV, $toV] removed " +
+          s"${removed.size} batch dir(s) (delete/merge/compact/overwrite). " +
+          "An append stream cannot represent removals; re-derive the " +
+          "consumer, or set ignoreChanges=true to stream only added dirs " +
+          "(rewritten rows re-appear; consumer must be keyed/idempotent).")
+    if (added.isEmpty)
+      // zero-delta interval (e.g. a RESTORE republishing the same dirs)
+      SqlBridge.ofRows(spark, LocalRelation(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+        Seq.empty, isStreaming = true))
+    else {
+      // ordinary parquet relation over exactly the added dirs, re-tagged
+      // as streaming (the same move FileStreamSource makes): pruning and
+      // pushdown work on streamed batches like on any scan
+      val batch = spark.read.schema(schema).parquet(added: _*)
+      batch.queryExecution.analyzed match {
+        case l: LogicalRelation => SqlBridge.ofRows(spark, l.copy(isStreaming = true))
+        case other => throw new IllegalStateException(
+          s"txlog stream: unexpected batch plan ${other.getClass.getName}")
+      }
+    }
+  }
+
+  override def commit(end: Offset): Unit = () // retention is vacuum's job
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"TxLogSource[$tableDir]"
+}
+
+/** `format("txlog")` provider (also registered as a service so the
+  * short name resolves). Options: `path` (the table dir; or pass to
+  * `.load(dir)`), `ignoreChanges` (default false — see [[TxLogSource]]).
+  */
+class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "txlog"
+
+  private def dirOf(params: Map[String, String]): String =
+    params.getOrElse("path", throw new IllegalArgumentException(
+      "txlog stream needs a table dir: .option(\"path\", dir) or .load(dir)"))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, params: Map[String, String]): (String, StructType) =
+    (s"txlog:${dirOf(params)}", schema.getOrElse(
+      TxLog.snapshotSchema(ctx.sparkSession, dirOf(params))))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      params: Map[String, String]): Source = {
+    val dir = dirOf(params)
+    new TxLogSource(ctx.sparkSession, dir,
+      schema.getOrElse(TxLog.snapshotSchema(ctx.sparkSession, dir)),
+      ignoreChanges = params.get("ignorechanges")
+        .orElse(params.get("ignoreChanges")).exists(_.toBoolean))
+  }
+}

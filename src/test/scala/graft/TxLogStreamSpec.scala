@@ -1,0 +1,131 @@
+package graft
+
+import graft.sources.TxLog
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable.ArrayBuffer
+
+/** TxLog as a Structured Streaming SOURCE (`format("txlog")`): offsets
+  * are manifest versions, each micro-batch is exactly the dirs a commit
+  * added, the initial batch is the whole snapshot, checkpoint restarts
+  * are exactly-once, and non-append rewrites fail loudly unless
+  * ignoreChanges opts into added-dirs-only semantics.
+  */
+class TxLogStreamSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def fresh(name: String): String = {
+    val dir = s"${GraftSession.scratchBase}/txstream_spec_$name"
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  /** Drive the stream over the table, recording each micro-batch's ids,
+    * until no data remains; returns the running query for further
+    * commits + processAllAvailable rounds.
+    */
+  private def drive(t: String, cp: String,
+      batches: ArrayBuffer[Seq[Long]], ignoreChanges: Boolean = false) = {
+    val reader = spark.readStream.format("txlog")
+    val src = (if (ignoreChanges) reader.option("ignoreChanges", "true")
+               else reader).load(t)
+    val q = src.select($"id").writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.as[Long].collect().toSeq.sorted
+        if (ids.nonEmpty) batches.synchronized { batches += ids }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  test("initial batch = snapshot; later triggers carry only the delta") {
+    val t = fresh("delta")
+    val cp = fresh("delta_cp")
+    TxLog.commit(spark, t, (0L until 10L).toDF("id"), append = true)
+    TxLog.commit(spark, t, (10L until 20L).toDF("id"), append = true)
+    val got = ArrayBuffer.empty[Seq[Long]]
+    val q = drive(t, cp, got)
+    try {
+      assert(got.size == 1, s"both existing batches arrive as ONE snapshot: $got")
+      assert(got.head == (0L until 20L))
+      TxLog.commit(spark, t, (20L until 30L).toDF("id"), append = true)
+      q.processAllAvailable()
+      assert(got.size == 2 && got(1) == (20L until 30L),
+        s"only the appended batch streams: $got")
+      // two quick appends: the engine may cut one version interval or
+      // two (it polls concurrently) — either way the union is exact and
+      // nothing replays
+      TxLog.commit(spark, t, (30L until 35L).toDF("id"), append = true)
+      TxLog.commit(spark, t, (35L until 40L).toDF("id"), append = true)
+      q.processAllAvailable()
+      assert(got.drop(2).flatten.sorted == (30L until 40L), s"got $got")
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes exactly-once (no replay, no loss)") {
+    val t = fresh("restart")
+    val cp = fresh("restart_cp")
+    TxLog.commit(spark, t, (0L until 8L).toDF("id"), append = true)
+    val got = ArrayBuffer.empty[Seq[Long]]
+    val q1 = drive(t, cp, got)
+    q1.stop()
+    assert(got.size == 1 && got.head == (0L until 8L))
+    // committed while the stream is DOWN
+    TxLog.commit(spark, t, (8L until 12L).toDF("id"), append = true)
+    val q2 = drive(t, cp, got)
+    try {
+      assert(got.size == 2 && got(1) == (8L until 12L),
+        s"restart must deliver exactly the missed delta: $got")
+    } finally q2.stop()
+  }
+
+  test("non-append rewrite fails the stream; ignoreChanges streams added dirs") {
+    val t = fresh("rewrite")
+    TxLog.commit(spark, t, (0L until 10L).toDF("id"), append = true)
+    TxLog.commit(spark, t, (10L until 20L).toDF("id"), append = true)
+    val got = ArrayBuffer.empty[Seq[Long]]
+    val q = drive(t, fresh("rewrite_cp"), got)
+    try {
+      // rewrites the batch holding id=5 (removes a dir, adds its rewrite)
+      TxLog.deleteWhere(spark, t, "id", Some(5L), Some(5L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getCause.getMessage.contains("removed"),
+        s"must name the removal: ${ex.getCause.getMessage}")
+    } finally q.stop()
+    // ignoreChanges: a fresh stream sees the table; a rewrite mid-stream
+    // re-emits the rewritten dir's rows (consumer contract: keyed)
+    val got2 = ArrayBuffer.empty[Seq[Long]]
+    val q2 = drive(t, fresh("rewrite_cp2"), got2, ignoreChanges = true)
+    try {
+      assert(got2.head.size == 19) // id=5 deleted above
+      TxLog.deleteWhere(spark, t, "id", Some(15L), Some(15L))
+      q2.processAllAvailable()
+      // the rewritten batch re-appears minus the deleted row
+      assert(got2.size == 2 && got2(1).size == 9 && !got2(1).contains(15L))
+    } finally q2.stop()
+  }
+
+  test("stream total equals batch read after many appends (stream ≡ batch)") {
+    val t = fresh("equiv")
+    (0 until 5).foreach { i =>
+      TxLog.commit(spark, t, (i * 7L until (i + 1) * 7L).toDF("id"),
+        append = true)
+    }
+    val got = ArrayBuffer.empty[Seq[Long]]
+    val q = drive(t, fresh("equiv_cp"), got)
+    try {
+      assert(got.flatten.sorted == TxLog.read(spark, t)
+        .as[Long].collect().toSeq.sorted)
+    } finally q.stop()
+  }
+}
