@@ -11,80 +11,75 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFil
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** METADATA-ONLY global aggregates for TxLog tables — `count(*)`,
+/** METADATA-answered aggregates for TxLog tables — `count(*)`,
   * `count(col)`, `min(col)`, `max(col)` over a registered
   * [[graft.sources.TxLog.table]] scan answered from the manifest, as a
-  * Catalyst rule — including under a range `Filter`.
+  * Catalyst rule — per batch, under range `Filter`s, and under
+  * batch-constant `GROUP BY` columns.
   *
-  * Two shapes fire:
+  * Every batch of the scan classifies INDEPENDENTLY:
   *
-  * '''Unfiltered''' — a global `Aggregate` (no grouping) whose child is
-  * a registered table's latest-snapshot scan (or any batch-dir subset
-  * of it, e.g. a `readWhere` result) is replaced by a one-row
-  * `LocalRelation`: zero files listed, zero files opened, zero tasks
-  * launched. This is the optimization Delta/Iceberg ship for
-  * `SELECT COUNT(*)` ("metadata-only query"), generalized with the
-  * manifest's exact per-column footer null counts so `count(col)` (=
-  * rows − nulls) and null-fraction probes are free too.
-  *
-  * '''Filtered (hybrid)''' — the same aggregate above a `Filter` whose
-  * predicate translates EXACTLY to per-column conditions (`AND` of
-  * `col ⋈ literal`, ⋈ ∈ {=, <, <=, >, >=}, and `IsNotNull`) classifies
-  * each batch three ways against its manifest stats:
-  *  - '''excluded''' — no row can satisfy some conjunct (disjoint
-  *    bounds, or the batch is all-null in a compared column — SQL
-  *    comparisons with null never pass a filter): contributes nothing;
-  *  - '''contained''' — every row provably satisfies every conjunct
-  *    (bounds strictly inside the probe, strictness respected, and
-  *    ZERO nulls in every compared column): answered from metadata;
+  *  - '''excluded''' — it provably contributes nothing: zero rows, or
+  *    some filter conjunct no row can satisfy (disjoint bounds, or the
+  *    batch is all-null in a compared column — SQL comparisons with
+  *    null never pass a filter);
+  *  - '''metadata-answered''' — every row provably passes every filter
+  *    conjunct (bounds strictly inside the probe, strictness respected,
+  *    ZERO nulls in every compared column), every grouping column is
+  *    batch-constant (footer min == max with zero nulls ⇒ one value, or
+  *    all-null ⇒ the NULL group), and every aggregate is computable
+  *    from the batch's stats: `count(*)` = footer rows, `count(col)` =
+  *    rows − exact footer null count (a column absent from the batch's
+  *    recorded schema reads all-null ⇒ 0 — schema-evolution exact),
+  *    `min/max(col)` = committed bounds (all-null ⇒ SQL null). Each
+  *    such batch becomes ONE pre-aggregated local row;
   *  - '''boundary''' — anything else: genuinely scanned, with the
   *    original filter kept (exact).
-  * The aggregate is rewritten to a merge over
-  * `Union(metadata one-row partial, Aggregate(Filter(boundary scan)))`
-  * — counts re-sum, min/max re-min/max — so only boundary batches cost
-  * I/O. At 100 TB this is the "count rows in a date range" dashboard
-  * query touching two boundary files instead of the whole table. The
-  * rewrite fires only when at least one batch is metadata-answered
-  * (profitable), which also makes it fixed-point safe: the boundary
-  * side it emits re-classifies to zero contained batches and declines.
   *
-  * Exactness rules (decline — leave the plan untouched — otherwise):
-  *  - every classified batch must carry the exact footer row count;
-  *  - `count(col)` needs the exact null count for every contained
-  *    batch holding rows (a batch whose recorded schema LACKS the
-  *    column reads as all-null ⇒ contributes `rows` nulls —
-  *    schema-evolution exact);
-  *  - `min/max(col)` need committed bounds in every contained batch
-  *    that holds any value of the column; all-null batches contribute
-  *    nothing, which is exact because nulls never participate in
-  *    min/max. Columns whose footer stats were dropped (NaN, exotic
-  *    types, truncated binary) decline;
-  *  - DISTINCT, FILTER clauses, and any other function decline; a
-  *    predicate with ANY untranslatable conjunct (OR, expressions over
-  *    columns, UDFs) declines — unlike [[TxPruneRule]], which may
-  *    ignore conjuncts because pruning only needs soundness, the
-  *    hybrid count needs the full predicate's selectivity;
-  *  - every scan root must be a batch dir of the latest manifest
-  *    (per-batch stats are immutable once committed, so any subset is
-  *    answerable; a time-travel read whose dirs were since replaced
-  *    has no stats in the latest manifest and declines).
+  * The plan rewrites to a re-aggregation over
+  * `Union(LocalRelation(one partial row per metadata batch),
+  * Aggregate(partials, Filter(boundary-batch scan)))` — counts re-sum,
+  * min/max re-merge, groups re-group — so only boundary batches cost
+  * I/O. When no batch needs scanning the plan holds ZERO file relations
+  * (the Delta/Iceberg "metadata-only query", generalized to filters and
+  * group-bys). At 100 TB this answers `count(*)`, "count rows in a date
+  * range" and "rows per day over an append-per-day table" from a
+  * KB-sized manifest read instead of a table scan.
+  *
+  * Declines (leaves the plan untouched) when:
+  *  - any aggregate is not one of the four functions, is DISTINCT, or
+  *    carries a FILTER clause; any output expression is not a grouping
+  *    attribute or an aggregate alias;
+  *  - the filter has ANY untranslatable conjunct (OR, expressions over
+  *    columns, UDFs) — unlike [[TxPruneRule]], which may ignore
+  *    conjuncts because pruning only needs soundness, exact counting
+  *    needs the full predicate's selectivity;
+  *  - any grouping expression is not a bare column;
+  *  - some scan root is not a batch dir of the latest manifest
+  *    (per-batch stats are immutable once committed, so any subset —
+  *    a readWhere result, an append-carried time-travel read — is
+  *    answerable; replaced dirs are not);
+  *  - no batch classifies metadata-answered or excluded (nothing to
+  *    gain — which also makes the rewrite fixed-point safe: the
+  *    boundary scan it emits re-classifies to all-boundary and
+  *    declines).
   *
   * Value typing: manifest bounds are engine-portable strings tagged
   * l/d/s; they are parsed back to the SCAN attribute's Catalyst type
-  * (long/int/short/byte, double/float, string, date) so the substituted
-  * literal is bit-identical to what the scan-and-aggregate plan would
-  * produce. Unparseable kind/type pairings decline rather than cast.
-  * Filter literals compare against bounds in the manifest's own domain
-  * (BigDecimal for l/d, unsigned UTF-8 bytes for s — parquet's order);
-  * any comparison that throws classifies the batch as boundary, never
-  * excluded.
+  * (long/int/short/byte, double/float, string, date) so substituted
+  * values are bit-identical to what the scan would produce; an
+  * unparseable kind/type pairing makes that batch boundary, never
+  * wrong. Filter literals compare against bounds in the manifest's own
+  * domain (BigDecimal for l/d, unsigned UTF-8 bytes for s — parquet's
+  * order); a comparison that throws classifies the batch as boundary,
+  * never excluded.
   */
 object TxAggRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!TxPruneRule.anyRegistered) plan
     else plan.transformUp {
-      case agg @ Aggregate(Nil, _, _, _) => answer(agg).getOrElse(agg)
+      case agg: Aggregate => answer(agg).getOrElse(agg)
     }
 
   /** Peel the aggregate's child down to the scan: any attribute-only
@@ -145,7 +140,7 @@ object TxAggRule extends Rule[LogicalPlan] {
     }
   }
 
-  // ---- per-batch three-valued classification ---------------------------
+  // ---- per-batch three-valued filter classification --------------------
 
   private sealed trait Tri
   private case object AllRows extends Tri
@@ -159,23 +154,34 @@ object TxAggRule extends Rule[LogicalPlan] {
     graft.sources.TxLog.kindLte(k, a, b)
   private def lt(k: String, a: String, b: String): Boolean = !lte(k, b, a)
 
-  private def classify(c: Cond, batch: Batch, rows: Long): Tri = {
+  /** Exact null count of `col` in the batch, None = unknown. A column
+    * the batch's recorded schema lacks reads as all-null.
+    */
+  private def nullsOf(batch: Batch, col: String, rows: Long): Option[Long] = {
     val (stats, schema) = batch
-    val absent = schema.exists(!_.fieldNames.contains(c.col))
-    val nulls = graft.sources.TxLog.batchNulls(stats, c.col)
-      .orElse(if (absent) Some(rows) else None)
-    val allNull = absent || nulls.contains(rows)
+    graft.sources.TxLog.batchNulls(stats, col)
+      .orElse(if (schema.exists(!_.fieldNames.contains(col))) Some(rows)
+              else None)
+  }
+
+  private def allNull(batch: Batch, col: String, rows: Long): Boolean =
+    batch._2.exists(!_.fieldNames.contains(col)) ||
+      nullsOf(batch, col, rows).contains(rows)
+
+  private def classify(c: Cond, batch: Batch, rows: Long): Tri = {
+    val nulls = nullsOf(batch, c.col, rows)
+    val an = allNull(batch, c.col, rows)
     c.op match {
       case NotNull =>
-        if (allNull) NoRows
+        if (an) NoRows
         else if (nulls.contains(0L)) AllRows
         else SomeRows
       case cmp =>
         // a row with null in the column fails every comparison, so an
         // all-null batch holds NO qualifying rows; and AllRows requires
         // a proven zero null count on top of the bounds test
-        if (allNull) return NoRows
-        val st = stats.getOrElse(c.col, return SomeRows)
+        if (an) return NoRows
+        val st = batch._1.getOrElse(c.col, return SomeRows)
         scala.util.Try {
           val v = c.v.toString
           val none = cmp match {
@@ -199,21 +205,72 @@ object TxAggRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** One column's manifest answer over the contained batches: bounds
-    * kind + min/max (None = the column holds no values anywhere) and
-    * exact null count (None = unknown for at least one batch).
+  /** Manifest bound string -> Catalyst-internal value of the scan
+    * attribute's type. None = pairing not provably lossless.
     */
-  private case class ColAnswer(kind: String, bounds: Option[(String, String)],
-      nulls: Option[Long])
+  private def parse(kind: String, s: String, dt: DataType): Option[Any] =
+    scala.util.Try((kind, dt) match {
+      case ("l", LongType) => s.toLong
+      case ("l", IntegerType) => s.toInt
+      case ("l", ShortType) => s.toShort
+      case ("l", ByteType) => s.toByte
+      case ("d", DoubleType) => s.toDouble
+      case ("d", FloatType) => s.toFloat
+      case ("d", dec: DecimalType) =>
+        val d = org.apache.spark.sql.types.Decimal(BigDecimal(s))
+        if (d.changePrecision(dec.precision, dec.scale)) d
+        else return None
+      case ("s", StringType) => UTF8String.fromString(s)
+      case ("s", DateType) => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case _ => return None
+    }).toOption
 
-  /** What each original aggregate contributes: its metadata partial
-    * value (Catalyst-internal), the boundary-side partial aggregate
-    * function, the partial column's type, and how partials merge.
+  /** The batch's single value of a grouping column (null = the NULL
+    * group), or None when the column is not provably batch-constant.
     */
+  private def groupVal(batch: Batch, ar: AttributeReference, rows: Long)
+      : Option[Any] = {
+    if (allNull(batch, ar.name, rows)) return Some(null)
+    val st = batch._1.getOrElse(ar.name, return None)
+    if (!nullsOf(batch, ar.name, rows).contains(0L)) return None
+    if (!(lte(st.kind, st.min, st.max) && lte(st.kind, st.max, st.min)))
+      return None // min != max: more than one value
+    parse(st.kind, st.min, ar.dataType) match {
+      case Some(v) => Some(v)
+      case None => None
+    }
+  }
+
+  /** One aggregate's value computed from one batch's stats alone, or
+    * None when the stats cannot answer it for this batch.
+    */
+  private def batchVal(fn: AggregateFunction, batch: Batch, rows: Long)
+      : Option[Any] = fn match {
+    case Count(Seq(Literal(v, _))) if v != null => Some(rows)
+    case Count(Seq(ar: AttributeReference)) =>
+      nullsOf(batch, ar.name, rows).map(rows - _)
+    case Min(ar: AttributeReference) =>
+      if (allNull(batch, ar.name, rows)) Some(null)
+      else batch._1.get(ar.name).flatMap(st => parse(st.kind, st.min, ar.dataType))
+    case Max(ar: AttributeReference) =>
+      if (allNull(batch, ar.name, rows)) Some(null)
+      else batch._1.get(ar.name).flatMap(st => parse(st.kind, st.max, ar.dataType))
+    case _ => None
+  }
+
   private sealed trait MergeKind
   private case object SumK extends MergeKind
   private case object MinK extends MergeKind
   private case object MaxK extends MergeKind
+
+  /** What each output expression is: a grouping column, or an aggregate
+    * with its boundary-side partial function, partial type, and merge.
+    */
+  private sealed trait OutSpec
+  private case class GroupOut(ar: AttributeReference, name: String,
+      exprId: ExprId) extends OutSpec
+  private case class AggOut(fn: AggregateFunction, dt: DataType,
+      mk: MergeKind, name: String, exprId: ExprId) extends OutSpec
 
   private def answer(agg: Aggregate): Option[LogicalPlan] = {
     val (scan, condOpt) = scanOf(agg.child).getOrElse(return None)
@@ -221,6 +278,32 @@ object TxAggRule extends Rule[LogicalPlan] {
       case h: HadoopFsRelation if h.partitionSchema.isEmpty => h
       case _ => return None
     }
+    val groups: Seq[AttributeReference] = agg.groupingExpressions.map {
+      case ar: AttributeReference => ar
+      case _ => return None
+    }
+    // every output is either a grouping attribute or one of the four
+    // manifest-answerable aggregates
+    val specs: Seq[OutSpec] = agg.aggregateExpressions.map {
+      case ar: AttributeReference if groups.exists(_.exprId == ar.exprId) =>
+        GroupOut(ar, ar.name, ar.exprId)
+      case al @ Alias(ar: AttributeReference, _)
+          if groups.exists(_.exprId == ar.exprId) =>
+        GroupOut(ar, al.name, al.exprId)
+      case al @ Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
+        case Count(Seq(lit @ Literal(v, _))) if v != null =>
+          AggOut(Count(Seq(lit)), LongType, SumK, al.name, al.exprId)
+        case c @ Count(Seq(_: AttributeReference)) =>
+          AggOut(c, LongType, SumK, al.name, al.exprId)
+        case m @ Min(ar: AttributeReference) =>
+          AggOut(m, ar.dataType, MinK, al.name, al.exprId)
+        case m @ Max(ar: AttributeReference) =>
+          AggOut(m, ar.dataType, MaxK, al.name, al.exprId)
+        case _ => return None
+      }
+      case _ => return None
+    }
+
     val roots = fsRel.location.rootPaths.map(p => TxPruneRule.norm(p.toString))
     if (roots.isEmpty) return None
     val tableDir = TxPruneRule.registeredDirOf(roots).getOrElse(return None)
@@ -239,141 +322,88 @@ object TxAggRule extends Rule[LogicalPlan] {
       case Some(c) => conds(c).getOrElse(return None)
     }
 
-    val rowsPer = present.map { case (_, (st, _)) =>
-      graft.sources.TxLog.batchRows(st).getOrElse(return None)
-    }
-    sealed trait Cls; object Contained extends Cls
-    object Boundary extends Cls; object Excluded extends Cls
-    val classed = present.zip(rowsPer).map { case ((dir, b), rows) =>
-      val tris = cs.map(classify(_, b, rows))
-      val cls =
-        if (tris.contains(NoRows)) Excluded
-        else if (tris.forall(_ == AllRows)) Contained
-        else Boundary
-      (dir, b, rows, cls)
-    }
-    val contained = classed.filter(_._4 == Contained)
-    val boundary = classed.filter(_._4 == Boundary)
-    // profit + fixed-point guard: a filtered aggregate with nothing
-    // metadata-answerable stays untouched (and the boundary plan this
-    // rewrite emits lands here on the next optimizer pass)
-    if (condOpt.isDefined && contained.isEmpty) return None
-
-    val totalRows = contained.map(_._3).sum
-    val live = contained.collect { case (_, b, rows, _) if rows > 0 => (b, rows) }
-
-    def colAnswer(name: String): Option[ColAnswer] = {
-      var kind: Option[String] = None
-      var bounds: Option[(String, String)] = None
-      var nulls: Option[Long] = Some(0L)
-      live.foreach { case ((stats, schema), rows) =>
-        val absent = schema.exists(!_.fieldNames.contains(name))
-        val batchNulls = graft.sources.TxLog.batchNulls(stats, name)
-          .orElse(if (absent) Some(rows) else None)
-        nulls = for (a <- nulls; b <- batchNulls) yield a + b
-        stats.get(name) match {
-          case Some(st) =>
-            kind match {
-              case Some(k) if k != st.kind => return None // mixed kinds
-              case _ => kind = Some(st.kind)
+    // classify: each batch yields Some(partial row values) when fully
+    // metadata-answered, is dropped when excluded, or lands in boundary
+    val boundary = scala.collection.mutable.ArrayBuffer.empty[String]
+    val metaRows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    present.foreach { case (dir, b) =>
+      val rows = graft.sources.TxLog.batchRows(b._1).getOrElse(return None)
+      if (rows > 0L) {
+        val tris = cs.map(classify(_, b, rows))
+        if (!tris.contains(NoRows)) {
+          // fully inside the filter AND every group/aggregate answerable
+          // from this batch's stats -> one partial row; otherwise scan it
+          val row: Option[Seq[Any]] =
+            if (!tris.forall(_ == AllRows)) None
+            else specs.foldLeft(Option(Vector.empty[Any])) { (acc, sp) =>
+              acc.flatMap { vs =>
+                (sp match {
+                  case GroupOut(ar, _, _) => groupVal(b, ar, rows)
+                  case AggOut(fn, _, _, _, _) => batchVal(fn, b, rows)
+                }).map(vs :+ _)
+              }
             }
-            bounds = bounds match {
-              case None => Some((st.min, st.max))
-              case Some((mn, mx)) => Some((
-                if (lte(st.kind, st.min, mn)) st.min else mn,
-                if (lte(st.kind, mx, st.max)) st.max else mx))
-            }
-          case None =>
-            // exact only when the batch provably holds NO values: its
-            // recorded schema lacks the column, or footer null counts
-            // say every row is null
-            val allNull = absent || batchNulls.contains(rows)
-            if (!allNull) return None
-        }
-      }
-      Some(ColAnswer(kind.getOrElse("l"), bounds, nulls))
-    }
-
-    /** Manifest bound string -> Catalyst-internal value of the scan
-      * attribute's type. None = pairing not provably lossless.
-      */
-    def parse(kind: String, s: String, dt: DataType): Option[Any] =
-      scala.util.Try((kind, dt) match {
-        case ("l", LongType) => s.toLong
-        case ("l", IntegerType) => s.toInt
-        case ("l", ShortType) => s.toShort
-        case ("l", ByteType) => s.toByte
-        case ("d", DoubleType) => s.toDouble
-        case ("d", FloatType) => s.toFloat
-        case ("d", dec: DecimalType) =>
-          val d = org.apache.spark.sql.types.Decimal(BigDecimal(s))
-          if (d.changePrecision(dec.precision, dec.scale)) d
-          else return None
-        case ("s", StringType) => UTF8String.fromString(s)
-        case ("s", DateType) => java.time.LocalDate.parse(s).toEpochDay.toInt
-        case _ => return None
-      }).toOption
-
-    val memo = scala.collection.mutable.HashMap.empty[String, Option[ColAnswer]]
-    def col(name: String) = memo.getOrElseUpdate(name, colAnswer(name))
-
-    // per original aggregate: metadata partial value, boundary partial
-    // function, partial type, merge kind
-    val specs: Seq[(Any, AggregateFunction, DataType, MergeKind)] =
-      agg.aggregateExpressions.map {
-        case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
-          case Count(Seq(lit @ Literal(v, _))) if v != null =>
-            (totalRows, Count(Seq(lit)), LongType, SumK)
-          case Count(Seq(ar: AttributeReference)) =>
-            val c = col(ar.name).getOrElse(return None)
-            (totalRows - c.nulls.getOrElse(return None),
-              Count(Seq(ar)), LongType, SumK)
-          case Min(ar: AttributeReference) =>
-            val c = col(ar.name).getOrElse(return None)
-            (c.bounds.map(b => parse(c.kind, b._1, ar.dataType)
-              .getOrElse(return None)).orNull, Min(ar), ar.dataType, MinK)
-          case Max(ar: AttributeReference) =>
-            val c = col(ar.name).getOrElse(return None)
-            (c.bounds.map(b => parse(c.kind, b._2, ar.dataType)
-              .getOrElse(return None)).orNull, Max(ar), ar.dataType, MaxK)
-          case _ => return None
-        }
-        case _ => return None
-      }
-
-    if (boundary.isEmpty) {
-      // pure metadata: the whole answer is one local row
-      Some(LocalRelation(agg.output,
-        Seq(InternalRow.fromSeq(specs.map(_._1)))))
-    } else {
-      // hybrid: metadata partial UNION boundary-scan partial, re-merged
-      val spark2 = fsRel.sparkSession
-      val partialAttrs = specs.zipWithIndex.map { case ((_, _, dt, _), i) =>
-        AttributeReference(s"_p$i", dt, nullable = true)()
-      }
-      val metaLocal = LocalRelation(partialAttrs,
-        Seq(InternalRow.fromSeq(specs.map(_._1))))
-      val bIndex = new InMemoryFileIndex(spark2,
-        boundary.map(b => new Path(b._1)), Map.empty, Some(fsRel.dataSchema))
-      val bScan = scan.copy(relation = fsRel.copy(location = bIndex)(spark2))
-      val bFilter = condOpt.map(Filter(_, bScan)).getOrElse(bScan)
-      val bAgg = Aggregate(Nil,
-        specs.zipWithIndex.map { case ((_, fn, _, _), i) =>
-          Alias(fn.toAggregateExpression(), s"_p$i")()
-        }, bFilter)
-      val merged = agg.aggregateExpressions.zip(specs.zipWithIndex).map {
-        case (orig: Alias, ((_, _, _, mk), i)) =>
-          val p = partialAttrs(i)
-          val e: Expression = mk match {
-            case SumK => Coalesce(Seq(
-              Sum(p).toAggregateExpression(), Literal(0L)))
-            case MinK => Min(p).toAggregateExpression()
-            case MaxK => Max(p).toAggregateExpression()
+          row match {
+            case Some(v) => metaRows += v
+            case None => boundary += dir
           }
-          Alias(e, orig.name)(exprId = orig.exprId)
-        case _ => return None
+        }
       }
-      Some(Aggregate(Nil, merged, Union(Seq(metaLocal, bAgg))))
     }
+    rewrite(agg, scan, fsRel, condOpt, specs, metaRows.toSeq, boundary.toSeq,
+      present.size)
+  }
+
+  private def rewrite(agg: Aggregate, scan: LogicalRelation,
+      fsRel: HadoopFsRelation, condOpt: Option[Expression],
+      specs: Seq[OutSpec], metaRows: Seq[Seq[Any]], boundary: Seq[String],
+      presentCount: Int): Option[LogicalPlan] = {
+    // profit + fixed-point guard: nothing excluded, nothing answered ->
+    // leave the plan untouched (and the boundary plan this rewrite
+    // emits lands here on the next optimizer pass)
+    if (boundary.size == presentCount) return None
+
+    val spark = fsRel.sparkSession
+    val partialAttrs = specs.zipWithIndex.map {
+      case (GroupOut(ar, _, _), i) =>
+        AttributeReference(s"_g$i", ar.dataType, nullable = true)()
+      case (AggOut(_, dt, _, _, _), i) =>
+        AttributeReference(s"_p$i", dt, nullable = true)()
+    }
+    val metaLocal = LocalRelation(partialAttrs,
+      metaRows.map(InternalRow.fromSeq))
+    val source: LogicalPlan =
+      if (boundary.isEmpty) metaLocal
+      else {
+        val bIndex = new InMemoryFileIndex(spark,
+          boundary.map(new Path(_)), Map.empty, Some(fsRel.dataSchema))
+        val bScan = scan.copy(relation = fsRel.copy(location = bIndex)(spark))
+        val bFilter = condOpt.map(Filter(_, bScan)).getOrElse(bScan)
+        val bAgg = Aggregate(
+          specs.collect { case GroupOut(ar, _, _) => ar },
+          specs.zipWithIndex.map {
+            case (GroupOut(ar, _, _), _) => ar
+            case (AggOut(fn, _, _, _, _), i) =>
+              Alias(fn.toAggregateExpression(), s"_p$i")()
+          }, bFilter)
+        Union(Seq(metaLocal, bAgg))
+      }
+    val outGroups = specs.zipWithIndex.collect {
+      case (_: GroupOut, i) => partialAttrs(i)
+    }
+    val merged: Seq[NamedExpression] = specs.zipWithIndex.map {
+      case (GroupOut(_, name, id), i) =>
+        Alias(partialAttrs(i), name)(exprId = id)
+      case (AggOut(_, _, mk, name, id), i) =>
+        val p = partialAttrs(i)
+        val e: Expression = mk match {
+          case SumK => Coalesce(Seq(
+            Sum(p).toAggregateExpression(), Literal(0L)))
+          case MinK => Min(p).toAggregateExpression()
+          case MaxK => Max(p).toAggregateExpression()
+        }
+        Alias(e, name)(exprId = id)
+    }
+    Some(Aggregate(outGroups, merged, source))
   }
 }

@@ -2853,6 +2853,49 @@ object PipelineQueries extends QueryPack {
              |WHERE doc_id >= p.q + 5 AND doc_id <= 3 * p.q - 1""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q203: GROUPED metadata aggregates (TxAggRule's batch-constant
+    // GROUP BY path) — an append-per-group TxLog table (one commit per
+    // lang, the "daily append" shape) answers
+    // `GROUP BY lang count/min/max` entirely from the manifest: every
+    // batch is single-valued in the grouping column (footer min == max,
+    // zero nulls), so each contributes one pre-aggregated local row and
+    // the plan holds ZERO file scans (the require proves it). This is
+    // Hive-partition-style aggregate pushdown WITHOUT partitioning —
+    // the layout is just commit discipline, and at 100 TB the
+    // "rows per day" dashboard reads a KB manifest, not the table.
+    QueryDef(
+      "q203_meta_agg_grouped",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txgrouped_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        val langs = docs.select($"lang").where($"lang".isNotNull)
+          .distinct().as[String].collect().sorted
+        langs.foreach { l =>
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"lang" === l), append = true)
+        }
+        if (docs.filter($"lang".isNull).limit(1).count() > 0L)
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"lang".isNull), append = true)
+        val out = graft.sources.TxLog.table(s, t).groupBy($"lang")
+          .agg(count(lit(1)).as("n"),
+            min($"doc_id").as("id_min"), max($"doc_id").as("id_max"),
+            max($"n_chars").as("chars_max"))
+        require(out.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+        }.isEmpty, "q203: the grouped rollup must be answered with ZERO scans")
+        out
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             |  min(doc_id) AS id_min, max(doc_id) AS id_max,
+             |  max(n_chars) AS chars_max
+             |FROM documents GROUP BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q202: TxLog as a STREAMING SOURCE (format("txlog"), TxLogSource) —
     // the commit log is the subscription: offsets are manifest versions,
     // each micro-batch is exactly the dirs a commit added (two KB-sized

@@ -253,15 +253,101 @@ class TxAggSpec extends AnyFunSuite {
     assert(df.collect().head.toSeq == Seq(10.0, 38.0, 15L))
   }
 
-  test("grouped aggregates never match") {
-    val t = fresh("grouped")
+  // ---- grouped (batch-constant) path -----------------------------------
+
+  test("GROUP BY a batch-constant column answers scan-free per batch") {
+    val t = fresh("grouped_const")
+    // append-per-day shape: each commit holds ONE day
+    Seq("2024-01-01", "2024-01-02", "2024-01-03").zipWithIndex.foreach {
+      case (day, i) =>
+        TxLog.commit(spark, t, (0L until (i + 1) * 4L)
+          .map(j => (j, day, if (j % 2 == 0) s"u$j" else null))
+          .toDF("id", "day", "u"), append = true)
+    }
+    val df = TxLog.table(spark, t).groupBy($"day")
+      .agg(count(lit(1)).as("n"), count($"u").as("n_u"),
+        min($"id").as("lo"), max($"id").as("hi"))
+    assert(scanFree(df), "every batch is day-constant -> zero scans")
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      "2024-01-01" -> ((4L, 2L, 0L, 3L)),
+      "2024-01-02" -> ((8L, 4L, 0L, 7L)),
+      "2024-01-03" -> ((12L, 6L, 0L, 11L))))
+    // identical to the scanned answer through an unregistered read
+    val truth = TxLog.read(spark, t).groupBy($"day")
+      .agg(count(lit(1)), count($"u"), min($"id"), max($"id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == truth)
+  }
+
+  test("same group across batches re-merges; multi-valued batches scan") {
+    val t = fresh("grouped_merge")
+    TxLog.commit(spark, t, (0L until 6L).map(i => (i, "a"))
+      .toDF("id", "g"), append = true)
+    TxLog.commit(spark, t, (6L until 10L).map(i => (i, "a"))
+      .toDF("id", "g"), append = true)
+    // third batch holds TWO groups -> must scan (min != max)
+    TxLog.commit(spark, t, Seq((10L, "a"), (11L, "b"))
+      .toDF("id", "g"), append = true)
+    val df = TxLog.table(spark, t).groupBy($"g")
+      .agg(count(lit(1)).as("n"), max($"id").as("hi"))
+    assert(scannedDirs(df).size == 1, "only the mixed batch scans")
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> ((11L, 10L)), "b" -> ((1L, 11L))))
+  }
+
+  test("all-null group batch lands in the NULL group exactly") {
+    val t = fresh("grouped_null")
     TxLog.commit(spark, t,
-      (0L until 10L).map(i => (i, (i % 2).toString)).toDF("id", "g"),
+      (0L until 3L).map(i => (i, Option.empty[String])).toDF("id", "g"),
       append = true)
-    val df = TxLog.table(spark, t).groupBy($"g").count()
+    TxLog.commit(spark, t,
+      (3L until 8L).map(i => (i, Option("x"))).toDF("id", "g"), append = true)
+    val df = TxLog.table(spark, t).groupBy($"g").agg(count(lit(1)).as("n"))
+    assert(scanFree(df))
+    val got = df.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map(None -> 3L, Some("x") -> 5L))
+  }
+
+  test("grouped + filtered: excluded / metadata / boundary compose") {
+    val t = fresh("grouped_filter")
+    // day-constant batches of ids 0-9 / 10-19 / 20-29
+    Seq("d1", "d2", "d3").zipWithIndex.foreach { case (day, i) =>
+      TxLog.commit(spark, t, (i * 10L until (i + 1) * 10L)
+        .map(j => (j, day)).toDF("id", "day"), append = true)
+    }
+    // id <= 14: d1 contained, d2 boundary, d3 excluded
+    val df = TxLog.table(spark, t).filter($"id" <= 14L)
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+    assert(scannedDirs(df).size == 1)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("d1" -> 10L, "d2" -> 5L))
+  }
+
+  test("grouping by an expression (not a bare column) declines") {
+    val t = fresh("grouped_expr")
+    TxLog.commit(spark, t, (0L until 10L).map(i => (i, "a"))
+      .toDF("id", "g"), append = true)
+    val df = TxLog.table(spark, t).groupBy(substring($"g", 1, 1)).count()
     assert(!scanFree(df))
-    assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      == Map("0" -> 5L, "1" -> 5L))
+    assert(df.collect().head.getLong(1) == 10L)
+  }
+
+  test("a batch with nulls mixed into the group column scans") {
+    val t = fresh("grouped_mixed_null")
+    TxLog.commit(spark, t,
+      ((0L until 4L).map(i => (i, Option("a"))) ++ Seq((4L, Option.empty[String])))
+        .toDF("id", "g"), append = true)
+    TxLog.commit(spark, t, (5L until 9L).map(i => (i, Option("b")))
+      .toDF("id", "g"), append = true)
+    val df = TxLog.table(spark, t).groupBy($"g").agg(count(lit(1)).as("n"))
+    assert(scannedDirs(df).size == 1,
+      "the value+null batch is NOT constant: it holds two groups")
+    val got = df.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map(Some("a") -> 4L, None -> 1L, Some("b") -> 4L))
   }
 
   test("int and date columns parse back to the scan attribute's type") {
