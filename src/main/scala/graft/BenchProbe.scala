@@ -212,6 +212,15 @@ object BenchProbe {
     val filesOn = pruned.inputFiles.length
     val filesOff = full.inputFiles.length
 
+    // metadata aggregates (TxAggRule): global count/min/max answered
+    // from the manifest vs scanned. The OFF arm must run FIRST —
+    // registration is table-level and sticky, so once `TxLog.table`
+    // registers the dir even plain reads become answerable.
+    def metaQ(df: DataFrame) = df.groupBy().agg(count(lit(1)).as("n"),
+      min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+    val metaOff = best(metaQ(TxLog.read(spark, t)))
+    val metaOn = best(metaQ(TxLog.table(spark, t)))
+
     // surgical MERGE vs full-rewrite upsert (round-7): the manifest
     // stats that skip READS skip REWRITES — a delta confined to one of
     // 8 key-range batches merges by rewriting that batch only, where
@@ -291,6 +300,7 @@ object BenchProbe {
     f"""{"mv_rewrite":{"off":$mvOff%.3f,"on":$mvOn%.3f,"speedup":${mvOff / mvOn.max(0.001)}%.2f},""" +
       f""""stats_skip":{"off":$skipOff%.3f,"on":$skipOn%.3f,"speedup":${skipOff / skipOn.max(0.001)}%.2f,""" +
       f""""files_off":$filesOff,"files_on":$filesOn,"files_ratio":${filesOff.toDouble / filesOn.max(1)}%.2f},""" +
+      f""""meta_agg":{"off":$metaOff%.3f,"on":$metaOn%.3f,"speedup":${metaOff / metaOn.max(0.001)}%.2f},""" +
       f""""merge":{"full_rewrite":$mergeFull%.3f,"surgical":$mergeSurgical%.3f,""" +
       f""""speedup":${mergeFull / mergeSurgical.max(0.001)}%.2f,""" +
       f""""batches_total":${baseDirs.size},"batches_carried":$carried,""" +

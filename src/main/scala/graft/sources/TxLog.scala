@@ -679,7 +679,18 @@ object TxLog {
     if (mergeSchema) unionSchema(entries.map(_._3)) match {
       case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
       case None => spark.read.option("mergeSchema", true).parquet(dirs: _*)
-    } else spark.read.parquet(dirs: _*)
+    } else {
+      // plain reads too skip footer inference when every batch RECORDED
+      // the same schema (the unevolved common case — compared nullable-
+      // normalized, since parquet always reads back nullable). At object-
+      // store scale that's one fewer GET before planning; evolved or
+      // legacy tables keep Spark's inference untouched.
+      val rec = entries.map(_._3.map(nullableNorm))
+      rec.headOption.flatten.filter(h => rec.forall(_.contains(h))) match {
+        case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+        case None => spark.read.parquet(dirs: _*)
+      }
+    }
   }
 
   /** [[read]] plus registration with the AUTOMATIC pruning rule
@@ -787,6 +798,25 @@ object TxLog {
             overlaps(st, lo.map(_.toString), hi.map(_.toString)))
         } && bloomSays(line) => e
     }
+  }
+
+  /** Everything-nullable normalization of a recorded schema (parquet
+    * reads are always nullable in Spark, so recorded non-null flags
+    * must not leak into read plans or equality checks).
+    */
+  private def nullableNorm(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def norm(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = norm(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = norm(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = norm(m.keyType),
+        valueType = norm(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    norm(s).asInstanceOf[StructType]
   }
 
   /** Streaming-source hook ([[TxLogSource]]): batch dirs ADDED and

@@ -39,7 +39,8 @@ import org.apache.spark.sql.types.StructType
   * proportional to the delta, not the table.
   */
 class TxLogSource(spark: SparkSession, tableDir: String,
-    override val schema: StructType, ignoreChanges: Boolean)
+    override val schema: StructType, ignoreChanges: Boolean,
+    startingVersion: Long = 0L)
     extends Source {
 
   private def ver(o: Offset): Long = o match {
@@ -54,7 +55,11 @@ class TxLogSource(spark: SparkSession, tableDir: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val fromV = start.map(ver).getOrElse(0L)
+    // no checkpointed start: begin after `startingVersion` (0 = the
+    // whole snapshot is the initial batch; "latest" resolved at source
+    // creation = tail-only). Restarts always carry a checkpoint offset,
+    // so this affects only the stream's FIRST interval.
+    val fromV = start.map(ver).getOrElse(startingVersion)
     val toV = ver(end)
     val (added, removed) = TxLog.versionDelta(spark, tableDir, fromV, toV)
     if (removed.nonEmpty && !ignoreChanges)
@@ -91,7 +96,10 @@ class TxLogSource(spark: SparkSession, tableDir: String,
 
 /** `format("txlog")` provider (also registered as a service so the
   * short name resolves). Options: `path` (the table dir; or pass to
-  * `.load(dir)`), `ignoreChanges` (default false — see [[TxLogSource]]).
+  * `.load(dir)`), `ignoreChanges` (default false — see [[TxLogSource]]),
+  * `startingVersion` (a version number, or `latest` to stream only
+  * commits made after the query starts — the initial snapshot is
+  * skipped; default 0 = snapshot-then-deltas).
   */
 class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -110,9 +118,15 @@ class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
       schema: Option[StructType], providerName: String,
       params: Map[String, String]): Source = {
     val dir = dirOf(params)
+    val p = params.map { case (k, v) => k.toLowerCase -> v }
+    val startV = p.get("startingversion") match {
+      case Some("latest") => TxLog.latestVersion(ctx.sparkSession, dir)
+      case Some(n) => n.toLong
+      case None => 0L
+    }
     new TxLogSource(ctx.sparkSession, dir,
       schema.getOrElse(TxLog.snapshotSchema(ctx.sparkSession, dir)),
-      ignoreChanges = params.get("ignorechanges")
-        .orElse(params.get("ignoreChanges")).exists(_.toBoolean))
+      ignoreChanges = p.get("ignorechanges").exists(_.toBoolean),
+      startingVersion = startV)
   }
 }

@@ -115,6 +115,30 @@ class TxLogStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("startingVersion=latest skips the snapshot, streams only new commits") {
+    val t = fresh("tail")
+    TxLog.commit(spark, t, (0L until 50L).toDF("id"), append = true)
+    TxLog.commit(spark, t, (50L until 80L).toDF("id"), append = true)
+    val got = ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream.format("txlog")
+      .option("startingVersion", "latest").load(t)
+      .select($"id").writeStream
+      .option("checkpointLocation", fresh("tail_cp"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.as[Long].collect().toSeq.sorted
+        if (ids.nonEmpty) got.synchronized { got += ids }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(got.isEmpty, s"the pre-existing snapshot must NOT stream: $got")
+      TxLog.commit(spark, t, (80L until 90L).toDF("id"), append = true)
+      q.processAllAvailable()
+      assert(got.flatten.sorted == (80L until 90L), s"only the tail: $got")
+    } finally q.stop()
+  }
+
   test("stream total equals batch read after many appends (stream ≡ batch)") {
     val t = fresh("equiv")
     (0 until 5).foreach { i =>
