@@ -89,6 +89,11 @@ object TxAggRule extends Rule[LogicalPlan] {
     */
   private def scanOf(child: LogicalPlan, cond: Option[Expression] = None)
       : Option[(LogicalRelation, Option[Expression])] = child match {
+    // never touch a STREAMING micro-batch scan (the txlog stream source
+    // emits per-batch LogicalRelations over registered dirs): a
+    // streaming aggregate is stateful — substituting a local result for
+    // one micro-batch's scan would corrupt the running state
+    case l: LogicalRelation if l.isStreaming => None
     case l: LogicalRelation => Some((l, cond))
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       scanOf(c, cond)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.SqlBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over a [[TxLog]] table — the read-side
@@ -95,19 +95,42 @@ class TxLogSource(spark: SparkSession, tableDir: String,
 }
 
 /** `format("txlog")` provider (also registered as a service so the
-  * short name resolves). Options: `path` (the table dir; or pass to
-  * `.load(dir)`), `ignoreChanges` (default false — see [[TxLogSource]]),
+  * short name resolves), for BOTH sides of the API:
+  * `spark.read.format("txlog").load(dir)` resolves the snapshot and
+  * registers the table with the optimizer rules (≡ [[TxLog.table]],
+  * returning the very `HadoopFsRelation` a parquet scan plans — full
+  * pushdown, manifest pruning, metadata aggregates), and
+  * `spark.readStream.format("txlog").load(dir)` streams the commit log.
+  *
+  * Batch options: `versionAsOf` (time travel), `mergeSchema`. Stream
+  * options: `ignoreChanges` (default false — see [[TxLogSource]]),
   * `startingVersion` (a version number, or `latest` to stream only
   * commits made after the query starts — the initial snapshot is
   * skipped; default 0 = snapshot-then-deltas).
   */
-class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class TxLogSourceProvider extends StreamSourceProvider with RelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "txlog"
 
   private def dirOf(params: Map[String, String]): String =
     params.getOrElse("path", throw new IllegalArgumentException(
-      "txlog stream needs a table dir: .option(\"path\", dir) or .load(dir)"))
+      "txlog needs a table dir: .option(\"path\", dir) or .load(dir)"))
+
+  override def createRelation(ctx: SQLContext,
+      params: Map[String, String]): BaseRelation = {
+    val dir = dirOf(params)
+    val p = params.map { case (k, v) => k.toLowerCase -> v }
+    graft.plans.TxPruneRule.register(dir)
+    val df = TxLog.read(ctx.sparkSession, dir,
+      asOf = p.get("versionasof").map(_.toLong),
+      mergeSchema = p.get("mergeschema").exists(_.toBoolean))
+    df.queryExecution.analyzed match {
+      case l: LogicalRelation => l.relation
+      case other => throw new IllegalStateException(
+        s"txlog batch read: unexpected plan ${other.getClass.getName}")
+    }
+  }
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, params: Map[String, String]): (String, StructType) =

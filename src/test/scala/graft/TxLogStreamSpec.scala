@@ -139,6 +139,51 @@ class TxLogStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a STREAMING aggregate over a registered table is never metadata-substituted") {
+    val t = fresh("streamagg")
+    TxLog.commit(spark, t, (0L until 10L).toDF("id"), append = true)
+    // registering the dir arms TxAggRule for batch plans of t — the
+    // rule must still leave the STREAMING micro-batch scans alone, or
+    // the stateful count below would double-count / crash
+    graft.plans.TxPruneRule.register(t)
+    val q = spark.readStream.format("txlog").load(t)
+      .groupBy().count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("txagg_stream_guard")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txagg_stream_guard").as[Long].collect().toSeq
+        == Seq(10L))
+      TxLog.commit(spark, t, (10L until 14L).toDF("id"), append = true)
+      q.processAllAvailable()
+      assert(spark.table("txagg_stream_guard").as[Long].collect().toSeq
+        == Seq(14L), "running count must accumulate across micro-batches")
+    } finally q.stop()
+  }
+
+  test("batch format(\"txlog\") reads snapshots, time travel, and composes with the rules") {
+    val t = fresh("batchfmt")
+    TxLog.commit(spark, t, (0L until 10L).toDF("id"), append = true)
+    val v1 = TxLog.latestVersion(spark, t)
+    TxLog.commit(spark, t, (10L until 20L).toDF("id"), append = true)
+    val df = spark.read.format("txlog").load(t)
+    assert(df.as[Long].collect().sorted.toSeq == (0L until 20L))
+    // time travel
+    assert(spark.read.format("txlog").option("versionAsOf", v1.toString)
+      .load(t).count() == 10L)
+    // the load REGISTERED the table: an ordinary filter prunes at the
+    // manifest, and a global count answers scan-free
+    val hi = spark.read.format("txlog").load(t).filter($"id" >= 15L)
+    assert(hi.inputFiles.map(f => new Path(f).getParent.getName)
+      .toSet.size == 1, "manifest pruning must fire through the format")
+    val cnt = spark.read.format("txlog").load(t).groupBy().count()
+    assert(cnt.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.isEmpty, "metadata count must fire through the format")
+    assert(cnt.collect().head.getLong(0) == 20L)
+  }
+
   test("stream total equals batch read after many appends (stream ≡ batch)") {
     val t = fresh("equiv")
     (0 until 5).foreach { i =>
