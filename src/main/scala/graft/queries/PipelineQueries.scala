@@ -2853,6 +2853,62 @@ object PipelineQueries extends QueryPack {
              |WHERE doc_id >= p.q + 5 AND doc_id <= 3 * p.q - 1""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q204: MANIFEST-RESIDENT NDV sketches (TxLog.commit collectSketches
+    // + TxLog.approxDistinct) — each commit harvests the k smallest
+    // distinct md5-u32 hashes of a column into the manifest line; the
+    // table-level distinct-count then answers METADATA-ONLY, and because
+    // KMV union-merge is exact, bit-for-bit equal to a full-table
+    // KmvSketchAgg scan at the same k (the in-query require proves it).
+    // The DuckDB oracle replays the same sketch from the flat table in
+    // SQL (md5 digits -> u32, ORDER BY, (k-1)*2^32/h_k), so even the
+    // APPROXIMATE answer hash-verifies cross-engine. doc_id exercises
+    // the estimator path (NDV >> k), lang the exact path (NDV < k).
+    QueryDef(
+      "q204_manifest_ndv",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txndv_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        (0L until 4L).foreach { i =>
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" % 4L === i), append = true,
+            collectSketches = Seq("doc_id" -> 64, "lang" -> 64))
+        }
+        val estId = graft.sources.TxLog.approxDistinct(s, t, "doc_id").get
+        val estLang = graft.sources.TxLog.approxDistinct(s, t, "lang").get
+        // metadata merge must equal the full-table scan sketch exactly
+        val sc = docs.agg(
+          graft.plans.KmvSketchAgg.kmvEstimate($"doc_id", 64),
+          graft.plans.KmvSketchAgg.kmvEstimate($"lang", 64)).head
+        require(estId == sc.getDouble(0) && estLang == sc.getDouble(1),
+          s"q204: manifest merge diverged from scan: ($estId, $estLang) vs $sc")
+        Seq((estId, estLang)).toDF("est_id", "est_lang")
+      },
+      Some {
+        def u32(e: String) =
+          (0 until 8).map { i =>
+            val mul = 1L << (4 * (7 - i))
+            s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1) * $mul"
+          }.mkString("(", " + ", ")")
+        def est(hashed: String, k: Int, as: String) =
+          s"""(SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+             |  ELSE ${k - 1} * 4294967296.0 /
+             |       CAST(max(CASE WHEN rn = $k THEN h END) AS DOUBLE) END AS $as
+             |FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+             |      FROM ($hashed) d) r)""".stripMargin
+        val hid = s"SELECT DISTINCT ${u32("CAST(doc_id AS VARCHAR)")} AS h " +
+          "FROM documents WHERE doc_id IS NOT NULL"
+        val hlang = s"SELECT DISTINCT ${u32("lang")} AS h " +
+          "FROM documents WHERE lang IS NOT NULL"
+        s"""WITH e1 AS ${est(hid, 64, "est_id")},
+           |e2 AS ${est(hlang, 64, "est_lang")}
+           |SELECT est_id, est_lang FROM e1, e2""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // q203: GROUPED metadata aggregates (TxAggRule's batch-constant
     // GROUP BY path) — an append-per-group TxLog table (one commit per
     // lang, the "daily append" shape) answers

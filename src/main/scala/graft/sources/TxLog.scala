@@ -57,6 +57,18 @@ object TxLog {
     */
   private def nullsKey(col: String) = "\u0001n:" + col
 
+  /** Reserved per-column stats key for the batch's KMV distinct-count
+    * sketch (opt-in, [[commit]]'s `collectSketches`): the k smallest
+    * distinct engine-portable u32 hashes of the column, sorted,
+    * big-endian-packed and base64'd into the `min` slot (k in `max`).
+    * KMV merges EXACTLY: the k smallest of a union of per-batch
+    * k-smallest sets IS the global k-smallest set, so
+    * [[approxDistinct]] answers table-level NDV from the manifest
+    * alone, at any table size, with the same estimate a full scan
+    * through [[graft.plans.KmvSketchAgg]] would produce.
+    */
+  private def sketchKey(col: String) = "\u0001kmv:" + col
+
   /** FS resolved PER TABLE PATH, not the default FS: a table living on
     * another scheme (s3a://, or the spec's chaos://) must commit and
     * read through ITS filesystem — `FileSystem.get(conf)` would
@@ -386,7 +398,8 @@ object TxLog {
   def commit(spark: SparkSession, tableDir: String, df: DataFrame,
       append: Boolean = false, maxRetries: Int = 20,
       collectStats: Boolean = true,
-      collectBlooms: Seq[(String, Long)] = Nil): Long = {
+      collectBlooms: Seq[(String, Long)] = Nil,
+      collectSketches: Seq[(String, Int)] = Nil): Long = {
     val f = fs(spark, tableDir)
     val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$tableDir/$batch")
@@ -407,9 +420,25 @@ object TxLog {
         if (b64.length <= 256 * 1024) Some(c -> b64) else None
       }.toOption.flatten
     }.toMap
+    // opt-in per-batch KMV distinct-count sketches (col -> k): one
+    // column scan of the just-written batch harvests the k smallest
+    // distinct u32 hashes; k=1024 costs ~5.5 KB of manifest per column.
+    // Because KMV union-merges exactly, [[approxDistinct]] later answers
+    // table-level NDV metadata-only at any size.
+    val sketches: Map[String, ColStats] = collectSketches.flatMap { case (c, k) =>
+      scala.util.Try {
+        import org.apache.spark.sql.functions.col
+        val hs = spark.read.parquet(s"$tableDir/$batch")
+          .select(graft.plans.KmvSketchAgg.u32(col(c)).as("h"))
+          .where(col("h").isNotNull)
+          .distinct().orderBy(col("h")).limit(k)
+          .collect().map(_.getLong(0))
+        sketchKey(c) -> ColStats("k", packSketch(hs), k.toString)
+      }.toOption
+    }.toMap
     val batchLine = encodeLine(batch,
-      if (collectStats) footerStats(spark, new Path(s"$tableDir/$batch"))
-      else Map.empty,
+      (if (collectStats) footerStats(spark, new Path(s"$tableDir/$batch"))
+       else Map.empty[String, ColStats]) ++ sketches,
       Some(df.schema.json),
       blooms)
     var attempt = 0
@@ -423,6 +452,48 @@ object TxLog {
     }
     throw new IllegalStateException(
       s"commit to $tableDir lost $maxRetries optimistic rounds")
+  }
+
+  private def packSketch(hs: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(hs.length * 4)
+    hs.foreach(h => bb.putInt(h.toInt)) // u32 values round-trip via Int bits
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def unpackSketch(s: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 4)(bb.getInt() & 0xffffffffL)
+  }
+
+  /** METADATA-ONLY approximate distinct count of `colName` over a
+    * snapshot, from the per-batch KMV sketches [[commit]] harvested
+    * (`collectSketches`). The merge is EXACT — the k smallest hashes of
+    * a union of per-batch k-smallest sets are the global k smallest —
+    * so this returns bit-for-bit the estimate a full-table
+    * [[graft.plans.KmvSketchAgg]] scan at the same k would: fewer than
+    * k distinct hashes ⇒ the exact distinct count, else (k−1)·2³²/h_k.
+    * Mixed per-batch k merges at the smallest k (still exact for that
+    * k). None when any live batch lacks the sketch (legacy commits,
+    * delete/merge rewrites — the caller falls back to a scan); Some(0)
+    * for an empty snapshot.
+    */
+  def approxDistinct(spark: SparkSession, tableDir: String, colName: String,
+      asOf: Option[Long] = None): Option[Double] = {
+    val v = asOf.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no committed version in $tableDir")
+    val entries = readManifest(spark, tableDir, v).map(parseLine)
+    val live = entries.filter(_._2.get(RowsKey).forall(_.min.toLong > 0L))
+    if (live.isEmpty) return Some(0.0)
+    val sks = live.map(_._2.get(sketchKey(colName)))
+    if (sks.exists(_.isEmpty)) return None
+    val got = sks.flatten
+    val k = got.map(_.max.toInt).min
+    if (k < 2) return None
+    val merged = got.flatMap(st => unpackSketch(st.min)).distinct.sorted
+    if (merged.isEmpty) Some(0.0)
+    else if (merged.length < k) Some(merged.length.toDouble)
+    else Some((k - 1) * 4294967296.0 / merged(k - 1).toDouble)
   }
 
   /** EXACTLY-ONCE streaming append — the transactional sink contract a
