@@ -2853,6 +2853,58 @@ object PipelineQueries extends QueryPack {
              |WHERE doc_id >= p.q + 5 AND doc_id <= 3 * p.q - 1""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q205: METADATA-ONLY clustering health (TxLog.clusterHealth) — the
+    // decide-when-to-OPTIMIZE signal, from the manifest alone: per
+    // column, how many live-batch pairs have intersecting [min,max]
+    // ranges. The table is committed in doc_id quartiles, so doc_id is
+    // perfectly clustered (0 overlapping pairs of 6) while n_chars is
+    // committed in arrival order (overlaps everywhere) — a range probe
+    // on doc_id prunes to one batch, one on n_chars reads the table,
+    // and the metric says so without touching a data file. The DuckDB
+    // oracle recomputes both from the FLAT table (per-quartile min/max
+    // self-joined over i<j pairs), proving the manifest's footer stats
+    // carry the exact same ranges.
+    QueryDef(
+      "q205_cluster_health",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txhealth_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        val q = (docs.count() / 4L).max(1L)
+        (0L until 4L).foreach { i =>
+          val loB = i * q
+          val hiB = if (i == 3L) Long.MaxValue else (i + 1L) * q - 1L
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" >= loB && $"doc_id" <= hiB), append = true)
+        }
+        graft.sources.TxLog.clusterHealth(s, t, Seq("doc_id", "n_chars"))
+          .select($"col", $"n_batches", $"overlap_pairs", $"pairs")
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) // 4 AS q FROM documents),
+             |b AS (
+             |  SELECT LEAST(doc_id // p.q, 3) AS bkt,
+             |    min(doc_id) AS id_lo, max(doc_id) AS id_hi,
+             |    min(n_chars) AS ch_lo, max(n_chars) AS ch_hi
+             |  FROM documents, p GROUP BY 1),
+             |pairs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+             |m AS (
+             |  SELECT 'doc_id' AS col,
+             |    CAST(count(*) FILTER (WHERE a.id_lo <= c.id_hi AND c.id_lo <= a.id_hi)
+             |      AS BIGINT) AS overlap_pairs
+             |  FROM b a JOIN b c ON a.bkt < c.bkt
+             |  UNION ALL
+             |  SELECT 'n_chars' AS col,
+             |    CAST(count(*) FILTER (WHERE a.ch_lo <= c.ch_hi AND c.ch_lo <= a.ch_hi)
+             |      AS BIGINT) AS overlap_pairs
+             |  FROM b a JOIN b c ON a.bkt < c.bkt)
+             |SELECT m.col, pairs.n AS n_batches, m.overlap_pairs,
+             |  pairs.n * (pairs.n - 1) // 2 AS pairs
+             |FROM m, pairs""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q204: MANIFEST-RESIDENT NDV sketches (TxLog.commit collectSketches
     // + TxLog.approxDistinct) — each commit harvests the k smallest
     // distinct md5-u32 hashes of a column into the manifest line; the

@@ -466,6 +466,51 @@ object TxLog {
     Array.fill(bytes.length / 4)(bb.getInt() & 0xffffffffL)
   }
 
+  /** METADATA-ONLY clustering health: for each column, how many of the
+    * live-batch PAIRS have intersecting [min,max] ranges — computed
+    * entirely from the manifest (a KB read at any table size). This is
+    * the signal that decides when to [[compactClustered]]: a range-
+    * partitioned key has 0 overlapping pairs (every range probe prunes
+    * to ~1 batch), while a key committed in arrival order overlaps
+    * everywhere (overlap_pairs == pairs ⇒ probes on it read the whole
+    * table, and a Z-ORDER rewrite would pay for itself). Columns
+    * without usable stats in some live batch report null counts rather
+    * than a fabricated health.
+    *
+    * Output: `col, n_batches, overlap_pairs, pairs` — one row per
+    * requested column, integers only (cross-engine hashable).
+    */
+  def clusterHealth(spark: SparkSession, tableDir: String,
+      cols: Seq[String], asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val v = asOf.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no committed version in $tableDir")
+    val entries = readManifest(spark, tableDir, v).map(parseLine)
+    val live = entries.filter(_._2.get(RowsKey).forall(_.min.toLong > 0L))
+    val rows = cols.map { c =>
+      val sts = live.map(_._2.get(c))
+      val n = live.size.toLong
+      val pairs = n * (n - 1) / 2
+      if (sts.exists(_.isEmpty) || sts.isEmpty)
+        (c, n, Option.empty[Long], pairs)
+      else {
+        val got = sts.flatten
+        val kinds = got.map(_.kind).distinct
+        if (kinds.size != 1) (c, n, Option.empty[Long], pairs)
+        else {
+          val k = kinds.head
+          var overlap = 0L
+          for (i <- got.indices; j <- (i + 1) until got.size) {
+            val (a, b) = (got(i), got(j))
+            if (lte(k, a.min, b.max) && lte(k, b.min, a.max)) overlap += 1L
+          }
+          (c, n, Some(overlap), pairs)
+        }
+      }
+    }
+    rows.toDF("col", "n_batches", "overlap_pairs", "pairs")
+  }
+
   /** METADATA-ONLY approximate distinct count of `colName` over a
     * snapshot, from the per-batch KMV sketches [[commit]] harvested
     * (`collectSketches`). The merge is EXACT — the k smallest hashes of

@@ -70,6 +70,28 @@ class TxSketchSpec extends AnyFunSuite {
     assert(TxLog.approxDistinct(spark, t, "id").isEmpty)
   }
 
+  test("clusterHealth: range-split key 0 overlaps, arrival-order key all overlaps") {
+    val t = fresh("health")
+    // committed in x-stripes: x ranges disjoint, y spans [0,99] everywhere
+    (0 until 4).foreach { s4 =>
+      TxLog.commit(spark, t, (0L until 100L)
+        .map(y => (s4 * 100L + y, y)).toDF("x", "y"), append = true)
+    }
+    val h = TxLog.clusterHealth(spark, t, Seq("x", "y", "nosuch"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3))).toMap
+    assert(h("x") == ((4L, Some(0L), 6L)), "disjoint stripes never overlap")
+    assert(h("y") == ((4L, Some(6L), 6L)), "arrival order overlaps every pair")
+    assert(h("nosuch") == ((4L, None, 6L)), "stats-less column reports null")
+    // the metric MOVES under OPTIMIZE: z-ordering (x, y) must cut y's
+    // overlap below total while x stays prunable-dominant
+    TxLog.compactClustered(spark, t, Seq("x", "y"), bits = 7, batches = 8)
+    val h2 = TxLog.clusterHealth(spark, t, Seq("y")).collect().head
+    assert(h2.getLong(3) > 6L) // 8 batches -> 28 pairs
+    assert(h2.getAs[Long]("overlap_pairs") < h2.getLong(3),
+      s"z-order must reduce y overlap: $h2")
+  }
+
   test("all-null column sketches to zero distinct; nulls never hash in") {
     val t = fresh("nulls")
     TxLog.commit(spark, t,
