@@ -2853,6 +2853,45 @@ object PipelineQueries extends QueryPack {
              |WHERE doc_id >= p.q + 5 AND doc_id <= 3 * p.q - 1""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q206: writer-side CHECK invariants (TxLog.commit check=...) — the
+    // Delta-style constraint enforced at COMMIT: a batch carrying
+    // violating rows is rejected before any data lands, atomically (no
+    // version bump, no orphan dir — proven by in-query requires), while
+    // conforming commits proceed. The final snapshot is lo-half ∪
+    // hi-half of documents committed under their respective constraints
+    // with one rejected attempt in between, so the DuckDB full-table
+    // rollup matches IFF the rejection left zero trace and the two
+    // accepted commits carried every row exactly once.
+    QueryDef(
+      "q206_check_invariant",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txcheck_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        val c = docs.agg(max($"n_chars")).head.getLong(0) / 2L
+        graft.sources.TxLog.commit(s, t, docs.filter($"n_chars" <= c),
+          append = true, check = Some($"n_chars" <= c))
+        val v1 = graft.sources.TxLog.latestVersion(s, t)
+        // the violating attempt must be rejected with zero trace
+        val rejected = scala.util.Try(
+          graft.sources.TxLog.commit(s, t, docs.filter($"n_chars" > c),
+            append = true, check = Some($"n_chars" <= c)))
+        require(rejected.isFailure, "q206: violating commit must be rejected")
+        require(graft.sources.TxLog.latestVersion(s, t) == v1,
+          "q206: a rejected commit must not bump the version")
+        graft.sources.TxLog.commit(s, t, docs.filter($"n_chars" > c),
+          append = true, check = Some($"n_chars" > c))
+        graft.sources.TxLog.read(s, t).groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents GROUP BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q205: METADATA-ONLY clustering health (TxLog.clusterHealth) — the
     // decide-when-to-OPTIMIZE signal, from the manifest alone: per
     // column, how many live-batch pairs have intersecting [min,max]

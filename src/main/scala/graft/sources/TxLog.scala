@@ -399,8 +399,44 @@ object TxLog {
       append: Boolean = false, maxRetries: Int = 20,
       collectStats: Boolean = true,
       collectBlooms: Seq[(String, Long)] = Nil,
-      collectSketches: Seq[(String, Int)] = Nil): Long = {
+      collectSketches: Seq[(String, Int)] = Nil,
+      check: Option[org.apache.spark.sql.Column] = None): Long = {
     val f = fs(spark, tableDir)
+    // writer-side CHECK invariant (Delta-style): a commit carrying rows
+    // that evaluate the expression to FALSE is rejected BEFORE any data
+    // lands — the table never holds a version with the bad rows, and a
+    // rejected commit leaves zero trace (atomicity by construction:
+    // nothing was written). SQL CHECK semantics: NULL passes.
+    check.foreach { c =>
+      import org.apache.spark.sql.functions.lit
+      val bad = df.filter(c <=> lit(false)).limit(1).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"commit to $tableDir rejected: rows violate CHECK ($c)")
+    }
+    // append-time TYPE guard: a batch whose recorded field type
+    // CONFLICTS with an existing batch's recorded type would poison
+    // every schema-merged read of the snapshot (additive evolution —
+    // new or missing columns — stays allowed). Fail the write, not the
+    // eventual reader.
+    if (append) {
+      val base0 = latestVersion(spark, tableDir)
+      if (base0 > 0) {
+        val prev = readManifest(spark, tableDir, base0)
+          .flatMap(parseLineFull(_)._3).flatMap(_.fields)
+          .map(fld => fld.name -> nullableNorm(
+            org.apache.spark.sql.types.StructType(Seq(fld))).fields.head.dataType)
+          .toMap
+        nullableNorm(df.schema).fields.foreach { fld =>
+          prev.get(fld.name).filter(_ != fld.dataType).foreach { other =>
+            throw new IllegalArgumentException(
+              s"append to $tableDir rejected: column '${fld.name}' is " +
+                s"${fld.dataType.simpleString} but the table recorded " +
+                s"${other.simpleString} — a type conflict would break " +
+                "schema-merged reads; write to a new column or overwrite")
+          }
+        }
+      }
+    }
     val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$tableDir/$batch")
     // opt-in per-batch Bloom filters (col -> expected NDV): min/max can
@@ -509,6 +545,29 @@ object TxLog {
       }
     }
     rows.toDF("col", "n_batches", "overlap_pairs", "pairs")
+  }
+
+  /** Measure-then-act maintenance: run [[compactClustered]] on `cols`
+    * iff [[clusterHealth]] says the layout is degraded — the fraction
+    * of overlapping batch pairs across the requested columns exceeds
+    * `maxOverlapFraction` (columns without stats count as fully
+    * overlapping: unknown layout is degraded layout). The decision
+    * costs one KB-sized manifest read; only a YES pays the rewrite.
+    * Returns the new version when it ran, None when the layout is
+    * already healthy — so a scheduler can call this after every N
+    * appends and the table self-optimizes exactly when probes start
+    * reading too much.
+    */
+  def autoCluster(spark: SparkSession, tableDir: String, cols: Seq[String],
+      maxOverlapFraction: Double = 0.5, bits: Int = 16,
+      batches: Int = 8): Option[Long] = {
+    val h = clusterHealth(spark, tableDir, cols).collect()
+    val pairs = h.map(_.getLong(3)).sum
+    if (pairs == 0L) return None // 0 or 1 batch: nothing to cluster
+    val overlap = h.map(r =>
+      Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(r.getLong(3))).sum
+    if (overlap.toDouble / pairs <= maxOverlapFraction) None
+    else Some(compactClustered(spark, tableDir, cols, bits, batches))
   }
 
   /** METADATA-ONLY approximate distinct count of `colName` over a

@@ -490,6 +490,61 @@ class TxLogSpec extends AnyFunSuite {
     assert(finalMv.count() > 0)
   }
 
+  test("CHECK invariant: violating commits are rejected with zero trace; NULL passes") {
+    val t = fresh("check")
+    import org.apache.spark.sql.functions.col
+    val ok = Seq((1L, Some(10L)), (2L, None)).toDF("id", "v") // null v PASSES
+    TxLog.commit(spark, t, ok, append = true, check = Some(col("v") >= 0L))
+    assert(TxLog.read(spark, t).count() == 2L)
+    val v1 = TxLog.latestVersion(spark, t)
+    val dataDirs = fs.listStatus(new Path(s"$t/data")).length
+    intercept[IllegalArgumentException] {
+      TxLog.commit(spark, t, Seq((3L, Some(-5L))).toDF("id", "v"),
+        append = true, check = Some(col("v") >= 0L))
+    }
+    // rejection is atomic-by-construction: no version, no orphan dir
+    assert(TxLog.latestVersion(spark, t) == v1)
+    assert(fs.listStatus(new Path(s"$t/data")).length == dataDirs)
+  }
+
+  test("append-time type guard: conflicts rejected, additive evolution allowed") {
+    val t = fresh("typeguard")
+    TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"), append = true)
+    // additive: a NEW column is fine
+    TxLog.commit(spark, t, Seq((2L, "b", 1.5)).toDF("id", "s", "d"), append = true)
+    // conflict: same name, different type — must fail the WRITE
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.commit(spark, t, Seq((3L, 99L)).toDF("id", "s"), append = true)
+    }
+    assert(ex.getMessage.contains("type conflict"))
+    // overwrite (non-append) replaces the snapshot: any schema goes
+    TxLog.commit(spark, t, Seq((3L, 99L)).toDF("id", "s"), append = false)
+    assert(TxLog.read(spark, t).count() == 1L)
+  }
+
+  test("autoCluster: acts only when the manifest says the layout degraded") {
+    val t = fresh("autocluster")
+    (0 until 4).foreach { s4 =>
+      TxLog.commit(spark, t, (0L until 100L)
+        .map(y => (s4 * 100L + y, y)).toDF("x", "y"), append = true)
+    }
+    // x is range-split: healthy, no rewrite
+    assert(TxLog.autoCluster(spark, t, Seq("x")).isEmpty)
+    // y overlaps everywhere: rewrite fires and HEALTH IMPROVES
+    def yFrac: Double = {
+      val r = TxLog.clusterHealth(spark, t, Seq("y")).collect().head
+      r.getLong(2).toDouble / r.getLong(3)
+    }
+    val before = yFrac
+    assert(before == 1.0)
+    assert(TxLog.autoCluster(spark, t, Seq("y"), bits = 7).isDefined)
+    assert(yFrac < before, "z-order must reduce y overlap")
+    assert(TxLog.read(spark, t).count() == 400L, "rewrite preserves rows")
+    // an already-healthy layout is left alone at a lenient threshold
+    assert(TxLog.autoCluster(spark, t, Seq("y"),
+      maxOverlapFraction = 0.99).isEmpty)
+  }
+
   test("vacuum drops only directories no retained manifest references") {
     val t = fresh("vac")
     TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
