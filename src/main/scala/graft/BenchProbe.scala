@@ -121,13 +121,17 @@ object BenchProbe {
     if (ts.exists(_ < 0)) -1.0 else ts.min
   }
 
-  /** Run the probe; returns the `"scale_probe"` JSON object. */
+  /** Run the probe; returns the `"scale_probe"` JSON object. `only`
+    * restricts to named families (deep one-off probes, e.g. 100×).
+    */
   def run(spark: SparkSession, sfDir: String, replicas: Int = 10,
-      passes: Int = 2): String = {
+      passes: Int = 2, only: Set[String] = Set.empty): String = {
     val d1 = synthesize(spark, sfDir, 1, "probe1x")
     val dN = synthesize(spark, sfDir, replicas, s"probe${replicas}x",
-      includeLineitem = true)
-    val fams = Families.map { case (fam, q) =>
+      includeLineitem = only.isEmpty)
+    val fams = Families
+      .filter { case (fam, _) => only.isEmpty || only(fam) }
+      .map { case (fam, q) =>
       // 1x first (also warms the plan shapes on the probe fixture paths)
       val t1 = minTime(spark, d1, q, passes)
       val tN = minTime(spark, dN, q, passes)

@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
     // automatic manifest-level file skipping for registered TxLog scans
     e.injectOptimizerRule(_ => graft.plans.TxPruneRule)
+    // join-driven (dynamic) manifest file skipping for registered scans
+    e.injectOptimizerRule(_ => graft.plans.DynPruneRule)
     // metadata-only count/min/max/count(col) for registered TxLog scans
     e.injectOptimizerRule(_ => graft.plans.TxAggRule)
     // whole-operator extension: the native as-of join's physical planning

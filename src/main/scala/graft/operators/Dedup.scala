@@ -160,13 +160,17 @@ object Dedup {
   def ngramPairs(docs: DataFrame, n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
     val g = dfCapped(shingles(docs, n), maxDf)
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = g.as("ga").join(g.as("gb"),
+    // corpus-proportional sides pinned to sort-merge: the shingle frame
+    // and the per-doc size table are estimated from the COMPRESSED text
+    // scan, so near the broadcast threshold the planner would broadcast
+    // gigabytes of exploded shingles (see minhashPairs' verify note)
+    val inter = g.as("ga").join(g.as("gb").hint("merge"),
         col("ga.gram") === col("gb.gram") && col("ga.doc_id") < col("gb.doc_id"))
       .groupBy(col("ga.doc_id").as("id_a"), col("gb.doc_id").as("id_b"))
       .agg(count(lit(1)).as("both"))
     inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("na")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("nb")), Seq("id_b"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("na")).hint("merge"), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("nb")).hint("merge"), Seq("id_b"))
       .withColumn("jaccard", col("both").cast("double") / (col("na") + col("nb") - col("both")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -204,39 +208,75 @@ object Dedup {
     // no exchange is shared and lazy evaluation would re-explode every
     // text three times — pin the narrow (id, tok) frame once (same
     // rationale as minhashPairsIncremental's pins).
+    // SER storage, not the default deserialized objects: the pinned
+    // expansion is corpus-scaled, and a (long, string) row stored as
+    // Java objects costs ~4× its serialized bytes — at the 100× probe
+    // that difference alone is task-OOM vs fits
     val toks = (
       if (n <= 1)
         docs.select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
       else shingles(docs, n).withColumnRenamed("gram", "tok")
-      ).localCheckpoint()
+      ).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val bySize = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    val pre = toks.join(dfreq, "tok")
+    // vocabulary-scaled side, never broadcast (see minhashPairs' note)
+    val pre = toks.join(dfreq.hint("merge"), "tok")
       .withColumn("rn", row_number().over(bySize))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("doc_id"), col("tok"))
-    val cand = pre.as("a").join(pre.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sets = toks.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("tok"))).as("ts"))
-    // The candidate frame is tiny in BYTES (two longs per row) but each
-    // row costs an exact set intersection downstream — exactly the shape
-    // AQE's byte-based coalescing mispredicts, collapsing the verify
-    // stage to one task. An EXPLICIT partition count is exempt from AQE
-    // coalescing, so the verify work stays spread across the cluster.
-    val shufflePartitions =
-      docs.sparkSession.sessionState.conf.numShufflePartitions
-    cand
-      .repartition(shufflePartitions, col("doc_a"), col("doc_b"))
-      .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .select(col("doc_id"), col("tok"), col("rn"), col("sz"))
+    // Candidate generation with the SSJoin family's two EXACT pruning
+    // filters (both are upper bounds on the pair's best possible
+    // Jaccard, so neither can drop a qualifying pair):
+    //  - length filter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|); evaluated
+    //    as the SAME double division the final filter uses, so double
+    //    rounding is monotone-consistent and cannot flip a keep into a
+    //    prune.
+    //  - positional filter (PPJoin): both docs order tokens by the one
+    //    GLOBAL (df, tok) order, so common tokens appear in the same
+    //    relative order in both; at the earliest prefix collision
+    //    (min rn on either side) no common token precedes it, hence
+    //    |A∩B| <= 1 + min(|A|-pa, |B|-pb). Taking min(pa) and min(pb)
+    //    independently only loosens the bound — still a valid prune.
+    // On low-entropy corpora (small shared vocabulary) these kill the
+    // bulk of prefix collisions BEFORE the token-level verify fan-out —
+    // the filters, not the verify, absorb the hot-vocabulary blowup.
+    val cand = pre.as("a").join(pre.as("b").hint("merge"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") /
+            greatest(col("a.sz"), col("b.sz")) >= threshold)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(min(col("a.rn")).as("pa"), min(col("b.rn")).as("pb"),
+        first(col("a.sz")).as("na"), first(col("b.sz")).as("nb"))
+      .withColumn("ub",
+        lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
+      .filter(col("ub").cast("double") / (col("na") + col("nb") - col("ub")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    // Exact verification WITHOUT materialized token arrays: carrying
+    // each document's full token array through two sort-merge joins
+    // makes every verify task hold corpus-scaled array rows — at the
+    // 100× probe that shape task-OOMs where narrow rows sail through
+    // (spill-friendly sorts, map-side partial counts). Intersection
+    // sizes come from the token-LEVEL equi-join instead: fan candidate
+    // pairs out to (pair, tok) via doc_a's tokens, equi-join on
+    // (doc_b, tok), count — bit-identical |A ∩ B|, rows never wider
+    // than (long, long, token). Set sizes join in afterward. All
+    // corpus-scaled sides pinned to sort-merge (never broadcast — the
+    // probe's driver-OOM lesson).
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")).hint("merge"), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")).hint("merge"),
+        Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")).hint("merge"), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")).hint("merge"), Seq("doc_b"))
       .withColumn("jac",
-        col("inter").cast("double") / (size(col("ta")) + size(col("tb")) - col("inter")))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
@@ -273,11 +313,13 @@ object Dedup {
     val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("gram"), col("pos"))
-    val pre = grams.join(dfreq, "gram")
+    // dfreq is VOCABULARY-scaled (grows with the corpus) with a
+    // compressed-scan-derived estimate — never broadcast it
+    val pre = grams.join(dfreq.hint("merge"), "gram")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= q * d + 1)
       .select(col("doc_id"), col("len"), col("gram"), col("pos"))
-    val candLong = pre.as("a").join(pre.as("b"),
+    val candLong = pre.as("a").join(pre.as("b").hint("merge"),
         col("a.gram") === col("b.gram") &&
         col("a.doc_id") < col("b.doc_id") &&
         abs(col("a.pos") - col("b.pos")) <= d &&
@@ -370,23 +412,33 @@ object Dedup {
     val gh = g.withColumn("gh", hash(col("gram")).cast("long") + 2147483648L)
     val sigs = bandSignatures(gh, nHashes, nBands)
 
-    val candidates = sigs.as("sa").join(sigs.as("sb"),
+    // the signature table is corpus-scaled too (nHashes mins per doc):
+    // pin the self-join to sort-merge — hints are erased into JoinHint
+    // before physical planning, so both sides still canonicalize to the
+    // SAME exchange and the ReusedExchange the plan spec asserts survives
+    val candidates = sigs.as("sa").join(sigs.as("sb").hint("merge"),
         col("sa.band") === col("sb.band") && col("sa.bucket") === col("sb.bucket") &&
           col("sa.doc_id") < col("sb.doc_id"))
       .select(col("sa.doc_id").as("id_a"), col("sb.doc_id").as("id_b"))
       .distinct()
 
-    // exact verification of candidates only
+    // exact verification of candidates only. The shingle frame is
+    // corpus-PROPORTIONAL but Catalyst estimates it from the compressed
+    // text scan (explode doesn't scale the estimate), so near the
+    // broadcast threshold the planner can elect to broadcast gigabytes
+    // of in-memory shingles — the 100× probe hit exactly that (driver
+    // OOM building the broadcast). A corpus-scaled side must never be
+    // broadcast at ANY scale: pin it to sort-merge.
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = candidates
-      .join(gh.select(col("doc_id").as("id_a"), col("gram")), Seq("id_a"))
-      .join(gh.select(col("doc_id").as("id_b"), col("gram").as("gram_b")), Seq("id_b"))
+      .join(gh.select(col("doc_id").as("id_a"), col("gram")).hint("merge"), Seq("id_a"))
+      .join(gh.select(col("doc_id").as("id_b"), col("gram").as("gram_b")).hint("merge"), Seq("id_b"))
       .filter(col("gram") === col("gram_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("both"))
     inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("na")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("nb")), Seq("id_b"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("na")).hint("merge"), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("nb")).hint("merge"), Seq("id_b"))
       .withColumn("jaccard", col("both").cast("double") / (col("na") + col("nb") - col("both")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -3213,6 +3213,55 @@ object PipelineQueries extends QueryPack {
              |  GROUP BY g.doc_id)
              |SELECT doc_id, n_bigrams, n_unseen,
              |  (1000000 * n_unseen) // n_bigrams AS novelty_pm
-             |FROM sc""".stripMargin))
+             |FROM sc""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q207: DYNAMIC file pruning (DynPruneRule via GraftExtensions) —
+    // the join-driven counterpart of q199's static prune. The documents
+    // table is committed in doc_id quartiles; the query is a plain
+    // equi-join against a small dim (embedding doc_ids from two narrow
+    // slices in QUARTILE 0 and QUARTILE 2 — selected by an OR no static
+    // range translation handles). At planning time the rule executes
+    // the dim's key projection and consults the manifest: only batches
+    // 0 and 2 can hold any key. The require proves SET semantics —
+    // a [min,max] range over the same keys would keep batch 1 too, so
+    // exactly TWO touched dirs means per-key containment ran. The
+    // rollup hash-matches DuckDB recomputing the join from flat tables,
+    // proving the prune never changes results.
+    QueryDef(
+      "q207_dyn_prune",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txdyn_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        val q = (docs.count() / 4L).max(1L)
+        (0L until 4L).foreach { i =>
+          val loB = i * q
+          val hiB = if (i == 3L) Long.MaxValue else (i + 1L) * q - 1L
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" >= loB && $"doc_id" <= hiB), append = true)
+        }
+        val dim = T.embeddings(s, dir)
+          .filter(($"vec_id" >= 5L && $"vec_id" <= 9L) ||
+            ($"vec_id" >= 2L * q + 5L && $"vec_id" <= 2L * q + 9L))
+          .select($"vec_id".as("doc_id")).distinct()
+        val joined = graft.sources.TxLog.table(s, t).join(dim, Seq("doc_id"))
+        val touched = joined.inputFiles.filter(_.contains(t))
+          .map(f => new org.apache.hadoop.fs.Path(f).getParent.getName).toSet
+        require(touched.size == 2,
+          s"q207: key-set prune must keep exactly batches 0 and 2, touched $touched")
+        joined.groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) // 4 AS q FROM documents),
+             |e AS (SELECT DISTINCT vec_id AS doc_id FROM embeddings, p
+             |      WHERE vec_id BETWEEN 5 AND 9
+             |         OR vec_id BETWEEN 2 * p.q + 5 AND 2 * p.q + 9)
+             |SELECT d.lang, count(*) AS n, CAST(sum(d.n_chars) AS BIGINT) AS chars
+             |FROM documents d JOIN e USING (doc_id)
+             |GROUP BY d.lang""".stripMargin))
   )
 }

@@ -1071,6 +1071,41 @@ object TxLog {
     Some((kept.map(d => s"$tableDir/$d"), all.map(d => s"$tableDir/$d")))
   }
 
+  /** Planning-time hook for [[graft.plans.DynPruneRule]]: the LATEST
+    * snapshot's (kept, all) batch dirs under a KEY-SET probe — a batch
+    * survives iff SOME key can be present: within the batch's committed
+    * [min,max] for `colName` AND (when the commit recorded a bloom for
+    * the column) bloom-possible. Much stronger than a [lo,hi] range for
+    * scattered join keys: a batch between two keys' values prunes even
+    * though it sits inside the overall range. Conservative throughout —
+    * a batch without stats or bloom for the column is kept; an empty
+    * key set keeps nothing (the equi-join's result is empty anyway).
+    * Pure metadata: one log-dir list + one KB-sized manifest read.
+    */
+  private[graft] def pruneSnapshotKeys(spark: SparkSession, tableDir: String,
+      colName: String, keys: Seq[Any]): Option[(Seq[String], Seq[String])] = {
+    val v = latestVersion(spark, tableDir)
+    if (v <= 0) return None
+    val rawLines = readManifest(spark, tableDir, v)
+    val all = rawLines.map(parseLine(_)._1)
+    val kept = rawLines.map(l => (parseLineFull(l), l)).collect {
+      case (((d, stats, _)), line) if {
+          val bloom = parseBlooms(line).get(colName)
+          stats.get(colName) match {
+            case Some(st) => keys.exists { k =>
+              overlaps(st, Some(k.toString), Some(k.toString)) &&
+                bloom.forall(bloomMayContain(_, k))
+            }
+            case None => bloom match {
+              case Some(b) => keys.exists(bloomMayContain(b, _))
+              case None => true // no stats at all: conservative keep
+            }
+          }
+        } => d
+    }
+    Some((kept.map(d => s"$tableDir/$d"), all.map(d => s"$tableDir/$d")))
+  }
+
   /** Additive-evolution schema union over the manifest's recorded batch
     * schemas: fields in first-appearance order, all nullable (a column a
     * batch lacks reads as null). None when any batch predates schema

@@ -23,3 +23,20 @@ object ProbeAbRunner {
     spark.stop()
   }
 }
+
+/** Deep one-off scale probe: selected families at an arbitrary replica
+  * factor (e.g. 100×), one pass. Usage:
+  * `sbt "Test/runMain graft.ProbeDeep 100 minhash_dedup,duplicated_spans,prefix_jaccard"`
+  */
+object ProbeDeep {
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(100)
+    val only = args.lift(1).map(_.split(",").toSet)
+      .getOrElse(Set("minhash_dedup", "duplicated_spans", "prefix_jaccard"))
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local("graft-probe-deep")
+    println("DEEP_RESULT=" + BenchProbe.run(spark, sfDir, replicas,
+      passes = 1, only = only))
+    spark.stop()
+  }
+}
