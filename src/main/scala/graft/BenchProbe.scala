@@ -301,6 +301,30 @@ object BenchProbe {
     val fullBytes = newBytes()
     delta.unpersist()
 
+    // DELETION VECTORS vs copy-on-write delete (round-7): the doomed
+    // range is confined to ONE of 8 batches; copy-on-write rewrites
+    // that batch's survivors, merge-on-read writes a tombstone sidecar
+    // and touches no data file. Deterministic metric alongside the
+    // wall-clock: BYTES WRITTEN per strategy (tmpfs hides the I/O win;
+    // at object-store scale every written byte is a PUT).
+    TxLog.restore(spark, mt, baseV)
+    val (delLo, delHi) = (rLo, rLo + 63999L)
+    val delCow = (0 until mPasses).map { _ =>
+      val s0 = timedU(TxLog.deleteWhere(spark, mt, "rk", Some(delLo), Some(delHi)))
+      TxLog.restore(spark, mt, baseV); s0
+    }.min
+    val delDv = (0 until mPasses).map { _ =>
+      val s0 = timedU(TxLog.deleteVectored(spark, mt, "rk", Some(delLo), Some(delHi)))
+      TxLog.restore(spark, mt, baseV); s0
+    }.min
+    TxLog.deleteWhere(spark, mt, "rk", Some(delLo), Some(delHi))
+    val cowBytes = newBytes()
+    TxLog.restore(spark, mt, baseV)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$mt/dv"), true)
+    TxLog.deleteVectored(spark, mt, "rk", Some(delLo), Some(delHi))
+    val dvBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$mt/dv")).getLength
+
     f"""{"mv_rewrite":{"off":$mvOff%.3f,"on":$mvOn%.3f,"speedup":${mvOff / mvOn.max(0.001)}%.2f},""" +
       f""""stats_skip":{"off":$skipOff%.3f,"on":$skipOn%.3f,"speedup":${skipOff / skipOn.max(0.001)}%.2f,""" +
       f""""files_off":$filesOff,"files_on":$filesOn,"files_ratio":${filesOff.toDouble / filesOn.max(1)}%.2f},""" +
@@ -309,6 +333,10 @@ object BenchProbe {
       f""""speedup":${mergeFull / mergeSurgical.max(0.001)}%.2f,""" +
       f""""batches_total":${baseDirs.size},"batches_carried":$carried,""" +
       f""""bytes_full":$fullBytes,"bytes_surgical":$surgicalBytes,""" +
-      f""""bytes_ratio":${fullBytes.toDouble / surgicalBytes.max(1L)}%.2f}}"""
+      f""""bytes_ratio":${fullBytes.toDouble / surgicalBytes.max(1L)}%.2f},""" +
+      f""""delete":{"cow":$delCow%.3f,"dv":$delDv%.3f,""" +
+      f""""speedup":${delCow / delDv.max(0.001)}%.2f,""" +
+      f""""bytes_cow":$cowBytes,"bytes_dv":$dvBytes,""" +
+      f""""bytes_ratio":${cowBytes.toDouble / dvBytes.max(1L)}%.2f}}"""
   }
 }

@@ -3262,6 +3262,50 @@ object PipelineQueries extends QueryPack {
              |         OR vec_id BETWEEN 2 * p.q + 5 AND 2 * p.q + 9)
              |SELECT d.lang, count(*) AS n, CAST(sum(d.n_chars) AS BIGINT) AS chars
              |FROM documents d JOIN e USING (doc_id)
-             |GROUP BY d.lang""".stripMargin))
+             |GROUP BY d.lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q209: DELETION VECTORS (TxLog.deleteVectored) — merge-on-read
+    // deletes: the doomed range becomes a (file, row) tombstone sidecar
+    // and the touched manifest lines re-point at it; NO data file is
+    // rewritten. The in-query requires prove the merge-on-read claim
+    // structurally (the post-delete version references byte-identical
+    // batch dirs, and exactly one vector file exists), and the rollup
+    // hash-matching DuckDB computing base-minus-range proves the
+    // anti-join read path is value-equal to a copy-on-write delete.
+    QueryDef(
+      "q209_delete_vectored",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txdv_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        val q = (docs.count() / 4L).max(1L)
+        (0L until 4L).foreach { i =>
+          val loB = i * q
+          val hiB = if (i == 3L) Long.MaxValue else (i + 1L) * q - 1L
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" >= loB && $"doc_id" <= hiB), append = true)
+        }
+        val before = graft.sources.TxLog.manifest(s, t, Some(4L)).map(_._1)
+        graft.sources.TxLog.deleteVectored(s, t, "doc_id",
+          Some(q + 5L), Some(2L * q - 1L))
+        val after = graft.sources.TxLog.manifest(s, t).map(_._1)
+        require(after == before,
+          s"q209: merge-on-read must keep every batch dir (got $after vs $before)")
+        val dvs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/dv"))
+        require(dvs.length == 1,
+          s"q209: one vectored delete must write exactly one vector, got ${dvs.length}")
+        graft.sources.TxLog.read(s, t)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) // 4 AS q FROM documents)
+             |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents, p
+             |WHERE doc_id < p.q + 5 OR doc_id > 2 * p.q - 1
+             |GROUP BY lang""".stripMargin))
   )
 }

@@ -69,6 +69,23 @@ object TxLog {
     */
   private def sketchKey(col: String) = "\u0001kmv:" + col
 
+  /** Reserved stats key for a batch's DELETION VECTOR ([[deleteVectored]]
+    * merge-on-read deletes): `min` holds the table-relative path of a
+    * parquet file of (path, row_idx) tombstones, `max` the tombstone
+    * count. A batch line carrying this key means "these files, MINUS
+    * these rows" -- every read path applies the vector with an
+    * anti-join; metadata answers that assume stats describe the batch's
+    * LIVE rows ([[statsAgg]], the TxAgg rule, [[approxDistinct]])
+    * decline while any vector is present ([[purgeDeletes]] clears them).
+    */
+  private val DvKey = "\u0001dv"
+
+  /** (dv path relative to the table dir, tombstone count) when the
+    * line's batch carries a deletion vector.
+    */
+  private[graft] def dvOf(stats: Map[String, ColStats]): Option[(String, Long)] =
+    stats.get(DvKey).map(st => (st.min, st.max.toLong))
+
   /** FS resolved PER TABLE PATH, not the default FS: a table living on
     * another scheme (s3a://, or the spec's chaos://) must commit and
     * read through ITS filesystem — `FileSystem.get(conf)` would
@@ -587,6 +604,10 @@ object TxLog {
     val v = asOf.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no committed version in $tableDir")
     val entries = readManifest(spark, tableDir, v).map(parseLine)
+    // deletion vectors: a sketch still counts tombstoned values -- the
+    // estimate could only OVER-count, but the contract is "the same
+    // answer a scan gives", so decline
+    if (entries.exists(e => dvOf(e._2).isDefined)) return None
     val live = entries.filter(_._2.get(RowsKey).forall(_.min.toLong > 0L))
     if (live.isEmpty) return Some(0.0)
     val sks = live.map(_._2.get(sketchKey(colName)))
@@ -689,7 +710,12 @@ object TxLog {
         hi.map(h => col(colName) <= h)).reduce(_ && _)
       // NULL keys survive: !(null in range) is null, filter drops it —
       // coalesce keeps the SQL-standard "delete matches only" semantics
-      val survivors = spark.read.parquet(touchedDirs: _*)
+      // a touched batch may carry a deletion vector: the rewrite must
+      // not resurrect its tombstoned rows, so apply it first (the
+      // rewritten batch line then starts vector-free)
+      val survivors = applyDv(spark, tableDir,
+          spark.read.parquet(touchedDirs: _*),
+          touched.map(parseLine(_)._2))
         .filter(org.apache.spark.sql.functions.coalesce(
           !inRange, org.apache.spark.sql.functions.lit(true)))
       val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
@@ -707,6 +733,162 @@ object TxLog {
     }
     throw new IllegalStateException(
       s"deleteWhere on $tableDir lost $maxRetries optimistic rounds")
+  }
+
+  /** Anti-join the deletion vectors of `entries` (the manifest lines a
+    * read selected) onto a scan of their batches: tombstoned (file, row)
+    * positions disappear via parquet's own `_metadata.file_path` /
+    * `row_index` columns. The vector side is KB-to-MB sized (it holds
+    * tombstones, not data), so the planner broadcasts it and the scan
+    * never shuffles; filters and column pruning still reach the parquet
+    * scan under the join. No-op (the scan itself) when no entry carries
+    * a vector.
+    */
+  private def applyDv(spark: SparkSession, tableDir: String,
+      base: DataFrame,
+      entries: Seq[Map[String, ColStats]]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dvPaths = entries.flatMap(dvOf(_)).map(_._1).distinct
+    if (dvPaths.isEmpty) return base
+    val dv = spark.read.parquet(dvPaths.map(p => s"$tableDir/$p"): _*)
+      .select(col("path").as("__dv_p"), col("row_idx").as("__dv_i"))
+    val withMeta = base
+      .withColumn("__dv_path", col("_metadata.file_path"))
+      .withColumn("__dv_idx", col("_metadata.row_index"))
+    withMeta.join(dv,
+        withMeta("__dv_path") === dv("__dv_p") &&
+          withMeta("__dv_idx") === dv("__dv_i"),
+        "left_anti")
+      .drop("__dv_path", "__dv_idx")
+  }
+
+  /** Re-encode a manifest line with its deletion-vector pointer replaced
+    * (dir, schema, bloom fields carry byte-verbatim).
+    */
+  private def lineWithDv(line: String, dvRel: String, cnt: Long): String = {
+    val parts = line.split('\t')
+    val stats = parseLine(line)._2 - DvKey +
+      (DvKey -> ColStats("v", dvRel, cnt.toString))
+    val statsStr = stats.toSeq.sortBy(_._1).map { case (c, st) =>
+      Seq(enc(c), st.kind, enc(st.min), enc(st.max)).mkString(FieldSep)
+    }.mkString(EntrySep)
+    (Seq(parts(0), statsStr) ++ parts.drop(2)).mkString("\t")
+  }
+
+  /** MERGE-ON-READ range DELETE (deletion vectors — the Delta/Iceberg
+    * v2 "position delete" shape): instead of rewriting touched batches
+    * ([[deleteWhere]]'s copy-on-write), write the matching (file, row)
+    * positions as a TOMBSTONE parquet under `dv/` and re-point the
+    * touched manifest lines at it — every data file carries into the
+    * new version untouched, in the original line order. At 100 TB this
+    * turns "delete 100 rows from a 1 GB batch" from a 1 GB rewrite into
+    * a KB sidecar write; reads pay one broadcast anti-join against the
+    * vector until [[purgeDeletes]] (or any compaction through [[read]])
+    * materializes it.
+    *
+    * The same manifest signals that confine [[deleteWhere]]'s rewrite
+    * (min/max overlap + committed blooms for point deletes) confine the
+    * tombstone SCAN here. A re-deleted batch's existing tombstones are
+    * unioned into the new vector (cumulative; the superseded vector
+    * file stays referenced by older snapshots until [[vacuum]]). NULL
+    * keys never match (SQL delete semantics). Touched lines' stats and
+    * sketches intentionally go STALE — they describe the files, which
+    * stays sound for PRUNING (file content is a superset of live rows);
+    * metadata-only ANSWERS ([[statsAgg]], TxAgg, [[approxDistinct]])
+    * decline while any vector is present. Commit is snapshot-pinned
+    * like [[deleteWhere]].
+    */
+  def deleteVectored(spark: SparkSession, tableDir: String, colName: String,
+      lo: Option[Any], hi: Option[Any], maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val f = fs(spark, tableDir)
+    require(lo.isDefined || hi.isDefined,
+      "unbounded deleteVectored would tombstone the table; commit an empty frame instead")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, tableDir)
+      require(base > 0, s"no committed version in $tableDir")
+      val lines = readManifest(spark, tableDir, base)
+      val point = (lo, hi) match {
+        case (Some(a), Some(b)) if a == b => Some(a)
+        case _ => None
+      }
+      val touched = lines.filter { l =>
+        val (_, stats) = parseLine(l)
+        stats.get(colName).forall(st =>
+          overlaps(st, lo.map(_.toString), hi.map(_.toString))) &&
+        point.forall(v =>
+          parseBlooms(l).get(colName).forall(bloomMayContain(_, v)))
+      }.toSet
+      if (touched.isEmpty) return base // nothing can match: no-op
+      val touchedDirs = touched.toSeq.map(l => s"$tableDir/${parseLine(l)._1}")
+      val inRange = (lo.map(l => col(colName) >= l) ++
+        hi.map(h => col(colName) <= h)).reduce(_ && _)
+      // delete matches ONLY: a null key evaluates inRange to null and
+      // coalesce(false) keeps it out of the tombstones
+      val matches = spark.read.parquet(touchedDirs: _*)
+        .filter(coalesce(inRange, lit(false)))
+        .select(col("_metadata.file_path").as("path"),
+          col("_metadata.row_index").as("row_idx"))
+      val oldDvs = touched.toSeq
+        .flatMap(l => dvOf(parseLine(l)._2)).map(_._1).distinct
+      val tomb = (if (oldDvs.isEmpty) matches
+        else matches.union(
+          spark.read.parquet(oldDvs.map(p => s"$tableDir/$p"): _*))
+        ).distinct()
+      val dvRel = s"dv/${java.util.UUID.randomUUID().toString.take(12)}"
+      tomb.write.parquet(s"$tableDir/$dvRel")
+      val cnt = spark.read.parquet(s"$tableDir/$dvRel").count()
+      // original line ORDER preserved: only touched lines change, and
+      // only their dv pointer
+      val newLines = lines.map(l =>
+        if (touched(l)) lineWithDv(l, dvRel, cnt) else l)
+      if (latestVersion(spark, tableDir) == base &&
+          writeManifestExclusive(f, tableDir, base + 1, newLines))
+        return base + 1
+      f.delete(new Path(s"$tableDir/$dvRel"), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"deleteVectored on $tableDir lost $maxRetries optimistic rounds")
+  }
+
+  /** Materialize deletion vectors: rewrite ONLY the vector-carrying
+    * batches (their files minus their tombstones, folded into one new
+    * batch); vector-free lines carry verbatim. After this the snapshot
+    * is vector-free, so the metadata fast paths ([[statsAgg]], TxAgg,
+    * [[approxDistinct]]) light up again and [[merge]] accepts the
+    * table. No-op (current version) when nothing carries a vector.
+    * Snapshot-pinned commit like [[deleteWhere]].
+    */
+  def purgeDeletes(spark: SparkSession, tableDir: String,
+      maxRetries: Int = 5): Long = {
+    val f = fs(spark, tableDir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, tableDir)
+      require(base > 0, s"no committed version in $tableDir")
+      val lines = readManifest(spark, tableDir, base)
+      val (dvLines, plain) = lines.partition(l =>
+        dvOf(parseLine(l)._2).isDefined)
+      if (dvLines.isEmpty) return base
+      val entries = dvLines.map(parseLineFull)
+      val survivors = applyDv(spark, tableDir,
+        spark.read.parquet(entries.map(e => s"$tableDir/${e._1}"): _*),
+        entries.map(_._2))
+      val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+      survivors.write.parquet(s"$tableDir/$batch")
+      val batchLine = encodeLine(batch,
+        footerStats(spark, new Path(s"$tableDir/$batch")),
+        Some(survivors.schema.json))
+      if (latestVersion(spark, tableDir) == base &&
+          writeManifestExclusive(f, tableDir, base + 1, plain :+ batchLine))
+        return base + 1
+      f.delete(new Path(s"$tableDir/$batch"), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"purgeDeletes on $tableDir lost $maxRetries optimistic rounds")
   }
 
   /** MERGE INTO — the Delta-style keyed upsert, rewritten to touch only
@@ -775,6 +957,15 @@ object TxLog {
           else lines.filter { l =>
             parseLine(l)._2.get(keyCol).forall(st => overlaps(st, lo, hi))
           }
+        // deletion vectors: a candidate batch would be REWRITTEN from a
+        // raw read, resurrecting its tombstoned rows -- refuse loudly.
+        // Vector-carrying batches OUTSIDE the key range are fine: their
+        // lines carry into the new version verbatim, vectors included.
+        candidates.find(l => dvOf(parseLine(l)._2).isDefined).foreach { l =>
+          throw new IllegalStateException(
+            s"merge on $tableDir: candidate batch ${parseLine(l)._1} carries " +
+              "a deletion vector; run purgeDeletes first")
+        }
         // phase 2: key-only probe scan -> the batch dirs that actually
         // hold matched keys (bounded collect: one row per touched FILE)
         val touchedUuids: Set[String] =
@@ -851,7 +1042,7 @@ object TxLog {
     // merged reads take the union from the manifest's recorded schemas
     // when every batch has one (planning never opens a footer); legacy
     // manifests fall back to Spark's distributed footer merge
-    if (mergeSchema) unionSchema(entries.map(_._3)) match {
+    val scan = if (mergeSchema) unionSchema(entries.map(_._3)) match {
       case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
       case None => spark.read.option("mergeSchema", true).parquet(dirs: _*)
     } else {
@@ -866,6 +1057,7 @@ object TxLog {
         case None => spark.read.parquet(dirs: _*)
       }
     }
+    applyDv(spark, tableDir, scan, entries.map(_._2))
   }
 
   /** [[read]] plus registration with the AUTOMATIC pruning rule
@@ -923,8 +1115,8 @@ object TxLog {
     // all-pruned fallback: the LATEST batch (deterministic, unlike
     // letting Spark pick a file at random); the residual predicate
     // yields zero rows against it either way
-    val keptDirs = (if (kept.nonEmpty) kept else entries.takeRight(1))
-      .map { case (d, _, _) => s"$tableDir/$d" }
+    val keptE = if (kept.nonEmpty) kept else entries.takeRight(1)
+    val keptDirs = keptE.map { case (d, _, _) => s"$tableDir/$d" }
     val base =
       if (!mergeSchema) spark.read.parquet(keptDirs: _*)
       else unionSchema(entries.map(_._3)) match {
@@ -937,7 +1129,8 @@ object TxLog {
             .schema
           spark.read.schema(inferred).parquet(keptDirs: _*)
       }
-    ranges.foldLeft(base) { case (df, (c, (lo, hi))) =>
+    val deleted = applyDv(spark, tableDir, base, keptE.map(_._2))
+    ranges.foldLeft(deleted) { case (df, (c, (lo, hi))) =>
       val b = lo.map(l => df.where(col(c) >= l)).getOrElse(df)
       hi.map(h => b.where(col(c) <= h)).getOrElse(b)
     }
@@ -1012,6 +1205,42 @@ object TxLog {
       from.filterNot(toSet).map(d => s"$tableDir/$d"))
   }
 
+  /** Streaming-source hook: batch dirs present in BOTH versions whose
+    * manifest LINE changed between them — today that means a deletion
+    * vector appeared or grew ([[deleteVectored]]): the dir set is
+    * unchanged but the data a read returns is not, which an append-only
+    * stream consumer must treat like a rewrite. Pure metadata.
+    */
+  /** Absolute batch dirs of version `v` whose lines carry a deletion
+    * vector (streaming-source hook). Pure metadata.
+    */
+  private[graft] def dvDirs(spark: SparkSession, tableDir: String,
+      v: Long): Set[String] =
+    readManifest(spark, tableDir, v).flatMap { l =>
+      val (d, st) = parseLine(l)
+      dvOf(st).map(_ => s"$tableDir/$d")
+    }.toSet
+
+  /** Whether any line of version `v` (latest when <= 0) carries a
+    * deletion vector — the "metadata can't speak for the rows" flag.
+    */
+  private[graft] def hasDeletionVectors(spark: SparkSession,
+      tableDir: String, v: Long = 0L): Boolean = {
+    val ver = if (v > 0) v else latestVersion(spark, tableDir)
+    ver > 0 && readManifest(spark, tableDir, ver)
+      .exists(l => dvOf(parseLine(l)._2).isDefined)
+  }
+
+  private[graft] def versionChangedShared(spark: SparkSession,
+      tableDir: String, fromV: Long, toV: Long): Seq[String] = {
+    if (fromV <= 0) return Seq.empty
+    val from = readManifest(spark, tableDir, fromV)
+      .map(l => parseLine(l)._1 -> l).toMap
+    readManifest(spark, tableDir, toV)
+      .filter(l => from.get(parseLine(l)._1).exists(_ != l))
+      .map(l => s"$tableDir/${parseLine(l)._1}")
+  }
+
   /** Streaming-source hook: the latest snapshot's schema from the
     * manifest's recorded batch schemas (additive union), falling back
     * to one footer read for legacy manifests. Never scans data.
@@ -1036,6 +1265,9 @@ object TxLog {
     val v = latestVersion(spark, tableDir)
     if (v <= 0) return None
     val parsed = readManifest(spark, tableDir, v).map(parseLineFull)
+    // a deletion vector means manifest stats describe the FILES, not the
+    // live rows -- metadata answers must decline until purgeDeletes
+    if (parsed.exists(e => dvOf(e._2).isDefined)) return None
     Some((parsed.map(e => s"$tableDir/${e._1}"),
       parsed.map(e => (e._2, e._3))))
   }
@@ -1156,6 +1388,8 @@ object TxLog {
     val v = asOf.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no committed version in $tableDir")
     val entries = readManifest(spark, tableDir, v).map(parseLine)
+    // deletion vectors: footer stats no longer describe the live rows
+    if (entries.exists(e => dvOf(e._2).isDefined)) return None
     val rowCounts = entries.map(_._2.get(RowsKey).map(_.min.toLong))
     // batches with zero rows contribute nothing to min/max and must not
     // veto the metadata path by having no column stats
@@ -1320,12 +1554,23 @@ object TxLog {
     val f = fs(spark, tableDir)
     val latest = latestVersion(spark, tableDir)
     require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
-    val keep = (retainFrom to latest)
-      .flatMap(v => readManifest(spark, tableDir, v).map(parseLine(_)._1)).toSet
+    val keepLines = (retainFrom to latest)
+      .flatMap(v => readManifest(spark, tableDir, v))
+    val keep = keepLines.map(parseLine(_)._1).toSet
+    // deletion-vector files referenced by any retained manifest survive
+    // with their snapshots; superseded/purged vectors go with vacuum
+    val keepDv = keepLines.flatMap(l => dvOf(parseLine(l)._2)).map(_._1).toSet
     val dataRoot = new Path(s"$tableDir/data")
     if (f.exists(dataRoot)) {
       f.listStatus(dataRoot).foreach { s =>
         if (!keep.contains(s"data/${s.getPath.getName}"))
+          f.delete(s.getPath, true)
+      }
+    }
+    val dvRoot = new Path(s"$tableDir/dv")
+    if (f.exists(dvRoot)) {
+      f.listStatus(dvRoot).foreach { s =>
+        if (!keepDv.contains(s"dv/${s.getPath.getName}"))
           f.delete(s.getPath, true)
       }
     }

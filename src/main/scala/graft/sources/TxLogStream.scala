@@ -62,6 +62,27 @@ class TxLogSource(spark: SparkSession, tableDir: String,
     val fromV = start.map(ver).getOrElse(startingVersion)
     val toV = ver(end)
     val (added, removed) = TxLog.versionDelta(spark, tableDir, fromV, toV)
+    // a deletion vector changes a batch's LINE in place (same dir set,
+    // different rows) -- an append-only consumer must treat that like a
+    // rewrite; and an ADDED dir whose line carries a vector (a DV table
+    // streamed from its initial snapshot) cannot stream raw at all: the
+    // scan would resurrect tombstoned rows
+    val changed = TxLog.versionChangedShared(spark, tableDir, fromV, toV)
+    if (changed.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        s"txlog stream $tableDir: versions ($fromV, $toV] changed " +
+          s"${changed.size} committed batch line(s) in place (deletion " +
+          "vectors). An append stream cannot represent row removals; " +
+          "re-derive the consumer, or set ignoreChanges=true to keep " +
+          "streaming added dirs only.")
+    val addedSet = added.toSet
+    val addedDv = TxLog.dvDirs(spark, tableDir, toV).intersect(addedSet)
+    if (addedDv.nonEmpty)
+      throw new IllegalStateException(
+        s"txlog stream $tableDir: ${addedDv.size} batch dir(s) in " +
+          s"($fromV, $toV] carry deletion vectors; a raw streamed scan " +
+          "would resurrect tombstoned rows. Run TxLog.purgeDeletes " +
+          "first, then stream.")
     if (removed.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(
         s"txlog stream $tableDir: versions ($fromV, $toV] removed " +
@@ -122,8 +143,15 @@ class TxLogSourceProvider extends StreamSourceProvider with RelationProvider
     val dir = dirOf(params)
     val p = params.map { case (k, v) => k.toLowerCase -> v }
     graft.plans.TxPruneRule.register(dir)
+    val asOfV = p.get("versionasof").map(_.toLong)
+    if (TxLog.hasDeletionVectors(ctx.sparkSession, dir, asOfV.getOrElse(0L)))
+      throw new IllegalStateException(
+        s"txlog batch format on $dir: the snapshot carries deletion " +
+          "vectors, which a bare file relation cannot represent. Read " +
+          "through TxLog.read (applies the vectors) or run " +
+          "TxLog.purgeDeletes first.")
     val df = TxLog.read(ctx.sparkSession, dir,
-      asOf = p.get("versionasof").map(_.toLong),
+      asOf = asOfV,
       mergeSchema = p.get("mergeschema").exists(_.toBoolean))
     df.queryExecution.analyzed match {
       case l: LogicalRelation => l.relation

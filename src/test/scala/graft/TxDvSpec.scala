@@ -1,0 +1,209 @@
+package graft
+
+import graft.sources.TxLog
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deletion vectors (merge-on-read deletes): tombstones instead of
+  * rewrites, every read path applies them, every metadata fast path
+  * declines while they exist, purge re-materializes.
+  */
+class TxDvSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def fresh(name: String): String = {
+    val dir = s"${GraftSession.scratchBase}/txdv_spec_$name"
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, String)].collect().sortBy(_._1).toSeq
+
+  private def batchDirs(t: String, v: Long): Seq[String] =
+    TxLog.manifest(spark, t, Some(v)).map(_._1)
+
+  private def quartiles(t: String): Unit =
+    (0L until 4L).foreach { i =>
+      TxLog.commit(spark, t,
+        (i * 10L until i * 10L + 10L).map(k => (k, s"s$k")).toDF("id", "s"),
+        append = true)
+    }
+
+  test("deleteVectored: rows gone, files untouched, line order kept") {
+    val t = fresh("basic")
+    quartiles(t)
+    val before = batchDirs(t, 4L)
+    val v = TxLog.deleteVectored(spark, t, "id", Some(13L), Some(16L))
+    assert(v == 5L)
+    // merge-on-read: the new version references the SAME batch dirs
+    assert(batchDirs(t, 5L) == before)
+    val got = rows(TxLog.read(spark, t))
+    assert(got.map(_._1) == (0L until 40L).filterNot(k => k >= 13L && k <= 16L))
+    // only the touched quartile's vector exists; data bytes unwritten
+    assert(fs.listStatus(new Path(s"$t/dv")).length == 1)
+  }
+
+  test("time travel: the pre-delete snapshot still has the rows") {
+    val t = fresh("tt")
+    quartiles(t)
+    TxLog.deleteVectored(spark, t, "id", Some(13L), Some(16L))
+    assert(rows(TxLog.read(spark, t, Some(4L))).size == 40)
+    assert(rows(TxLog.read(spark, t, Some(5L))).size == 36)
+  }
+
+  test("cumulative: a second delete on the same batch unions tombstones") {
+    val t = fresh("cum")
+    quartiles(t)
+    TxLog.deleteVectored(spark, t, "id", Some(13L), Some(14L))
+    TxLog.deleteVectored(spark, t, "id", Some(16L), Some(16L))
+    val got = rows(TxLog.read(spark, t)).map(_._1)
+    assert(got == (0L until 40L).filterNot(k => Set(13L, 14L, 16L)(k)))
+    // idempotence of overlap: re-deleting an already-tombstoned row
+    TxLog.deleteVectored(spark, t, "id", Some(13L), Some(16L))
+    assert(rows(TxLog.read(spark, t)).map(_._1) ==
+      (0L until 40L).filterNot(k => k >= 13L && k <= 16L))
+  }
+
+  test("null keys survive a vectored delete (SQL delete semantics)") {
+    val t = fresh("nulls")
+    TxLog.commit(spark, t, Seq((Some(1L), "a"), (None, "n"), (Some(5L), "e"))
+      .toDF("id", "s"))
+    TxLog.deleteVectored(spark, t, "id", Some(0L), Some(9L))
+    val got = TxLog.read(spark, t).collect()
+    assert(got.length == 1 && got(0).isNullAt(0) && got(0).getString(1) == "n")
+  }
+
+  test("readWhere applies vectors under manifest pruning") {
+    val t = fresh("rw")
+    quartiles(t)
+    TxLog.deleteVectored(spark, t, "id", Some(13L), Some(16L))
+    val got = TxLog.readWhere(spark, t, "id", Some(10L), Some(19L))
+    assert(rows(got).map(_._1) == Seq(10L, 11L, 12L, 17L, 18L, 19L))
+    // pruning still fires: only the touched quartile's files scan
+    assert(got.inputFiles.forall(f =>
+      f.contains(batchDirs(t, 5L)(1)) || f.contains("/dv/")))
+  }
+
+  test("metadata fast paths decline while a vector exists, return after purge") {
+    val t = fresh("meta")
+    quartiles(t)
+    assert(TxLog.statsAgg(spark, t, Seq("id")).isDefined)
+    TxLog.deleteVectored(spark, t, "id", Some(13L), Some(16L))
+    assert(TxLog.statsAgg(spark, t, Seq("id")).isEmpty)
+    assert(TxLog.approxDistinct(spark, t, "id").isEmpty)
+    // the TxAgg rule path declines too: a registered count must SCAN
+    // and therefore see the post-delete truth, not stale manifest rows
+    graft.plans.TxPruneRule.register(t)
+    assert(TxLog.table(spark, t).count() == 36L)
+    val vPurge = TxLog.purgeDeletes(spark, t)
+    assert(TxLog.statsAgg(spark, t, Seq("id")).isDefined)
+    assert(TxLog.read(spark, t, Some(vPurge)).count() == 36L)
+  }
+
+  test("purgeDeletes rewrites ONLY vector batches; others carry verbatim") {
+    val t = fresh("purge")
+    quartiles(t)
+    val before = batchDirs(t, 4L)
+    TxLog.deleteVectored(spark, t, "id", Some(13L), Some(16L))
+    val v = TxLog.purgeDeletes(spark, t)
+    val after = batchDirs(t, v)
+    // three untouched quartiles keep their dirs; the vector batch is new
+    assert(after.take(3).toSet.subsetOf(before.toSet) ||
+      before.toSet.intersect(after.toSet).size == 3)
+    assert(after.size == 4)
+    assert(rows(TxLog.read(spark, t)).size == 36)
+    // purge is a no-op when nothing carries a vector
+    assert(TxLog.purgeDeletes(spark, t) == v)
+    // vacuum reclaims the superseded vector file once history drops
+    TxLog.vacuum(spark, t, v)
+    assert(!fs.exists(new Path(s"$t/dv")) ||
+      fs.listStatus(new Path(s"$t/dv")).isEmpty)
+  }
+
+  test("vacuum keeps vectors referenced by retained snapshots") {
+    val t = fresh("vac")
+    quartiles(t)
+    val vDel = TxLog.deleteVectored(spark, t, "id", Some(13L), Some(16L))
+    TxLog.commit(spark, t, Seq((100L, "x")).toDF("id", "s"), append = true)
+    TxLog.vacuum(spark, t, vDel) // retain the vectored snapshot
+    assert(rows(TxLog.read(spark, t, Some(vDel))).size == 36)
+    assert(rows(TxLog.read(spark, t)).size == 37)
+  }
+
+  test("deleteWhere on a vectored batch does not resurrect tombstones") {
+    val t = fresh("dw")
+    quartiles(t)
+    TxLog.deleteVectored(spark, t, "id", Some(13L), Some(14L))
+    // copy-on-write delete touching the SAME batch: must fold the
+    // vector in, not resurrect 13/14
+    TxLog.deleteWhere(spark, t, "id", Some(16L), Some(16L))
+    assert(rows(TxLog.read(spark, t)).map(_._1) ==
+      (0L until 40L).filterNot(k => Set(13L, 14L, 16L)(k)))
+  }
+
+  test("merge refuses a vectored candidate batch; accepts after purge") {
+    val t = fresh("merge")
+    quartiles(t)
+    TxLog.deleteVectored(spark, t, "id", Some(13L), Some(14L))
+    val src = Seq((15L, "UPD")).toDF("id", "s")
+    val e = intercept[IllegalStateException] {
+      TxLog.merge(spark, t, src, "id")
+    }
+    assert(e.getMessage.contains("purgeDeletes"))
+    // a merge whose key range misses every vectored batch is fine
+    TxLog.merge(spark, t, Seq((35L, "UPD")).toDF("id", "s"), "id")
+    assert(rows(TxLog.read(spark, t)).count(_._2 == "UPD") == 1)
+    TxLog.purgeDeletes(spark, t)
+    TxLog.merge(spark, t, src, "id")
+    assert(rows(TxLog.read(spark, t)).count(_._2 == "UPD") == 2)
+  }
+
+  test("compact through read() materializes vectors") {
+    val t = fresh("compact")
+    quartiles(t)
+    TxLog.deleteVectored(spark, t, "id", Some(13L), Some(16L))
+    val v = TxLog.compact(spark, t)
+    assert(rows(TxLog.read(spark, t, Some(v))).size == 36)
+    assert(TxLog.statsAgg(spark, t, Seq("id")).isDefined) // vector-free again
+  }
+
+  test("txlog stream fails loudly on an in-place line change") {
+    val t = fresh("stream")
+    quartiles(t)
+    val src = new graft.sources.TxLogSource(spark, t,
+      TxLog.read(spark, t).schema, ignoreChanges = false)
+    TxLog.deleteVectored(spark, t, "id", Some(13L), Some(16L))
+    val e = intercept[IllegalStateException] {
+      src.getBatch(
+        Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(4L)),
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(5L))
+    }
+    assert(e.getMessage.contains("deletion"))
+    // initial snapshot of a vectored table can't stream raw either
+    val e2 = intercept[IllegalStateException] {
+      src.getBatch(None,
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(5L))
+    }
+    assert(e2.getMessage.contains("purgeDeletes"))
+  }
+
+  test("txlog batch format refuses a vectored snapshot with a clear error") {
+    val t = fresh("fmt")
+    quartiles(t)
+    assert(spark.read.format("txlog").load(t).count() == 40L)
+    TxLog.deleteVectored(spark, t, "id", Some(13L), Some(16L))
+    val e = intercept[IllegalStateException] {
+      spark.read.format("txlog").load(t).count()
+    }
+    assert(e.getMessage.contains("purgeDeletes"))
+    // time travel to the pre-delete version still works through the format
+    assert(spark.read.format("txlog").option("versionAsOf", "4")
+      .load(t).count() == 40L)
+  }
+}
