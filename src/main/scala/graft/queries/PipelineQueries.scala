@@ -3306,6 +3306,54 @@ object PipelineQueries extends QueryPack {
              |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents, p
              |WHERE doc_id < p.q + 5 OR doc_id > 2 * p.q - 1
-             |GROUP BY lang""".stripMargin))
+             |GROUP BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q210: BM25 top-k retrieval (TextRetrieval.bm25TopK) — the
+    // inverted-index keyword-search shape, on fixed-point integer
+    // arithmetic (rational RSJ idf in parts-per-million, the exact
+    // k1=1.2 / b=0.75 tf normalization multiplied through by 40·T) so
+    // DuckDB replays every score bit-for-bit. Queries = the term sets
+    // of every 211th document; deterministic (score DESC, doc_id)
+    // tie-break.
+    QueryDef(
+      "q210_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        val docs = T.documents(s, dir)
+        val queries = docs.filter($"doc_id" % 211L === 3L)
+          .select($"doc_id".as("query_id"),
+            explode(split($"text", "\\s+")).as("tok"))
+          .filter(length($"tok") > 0)
+        graft.operators.TextRetrieval.bm25TopK(docs, queries, k = 5)
+      },
+      Some("""WITH toks0 AS (SELECT doc_id,
+             |    unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+             |tk AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |       FROM tk GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+             |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_total,
+             |               CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+             |q AS (SELECT DISTINCT doc_id AS query_id, tok FROM tk
+             |      WHERE doc_id % 211 = 3),
+             |sc AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    CAST(sum(
+             |      CAST((CAST(1000000 AS HUGEINT) * (2 * (t.n_docs - df.df) + 1)
+             |            // (2 * df.df + 1))
+             |        * (CAST(88 AS HUGEINT) * t.t_total * tf.tf)
+             |        // (CAST(40 AS HUGEINT) * t.t_total * tf.tf
+             |           + 12 * t.t_total + 36 * dl.dl * t.n_docs)
+             |      AS BIGINT)) AS BIGINT) AS score_pm
+             |  FROM q JOIN tf USING (tok) JOIN df USING (tok)
+             |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot t
+             |  GROUP BY 1, 2)
+             |SELECT query_id, doc_id, score_pm, rnk FROM (
+             |  SELECT query_id, doc_id, score_pm,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score_pm DESC, doc_id) AS rnk
+             |  FROM sc) WHERE rnk <= 5""".stripMargin))
   )
 }

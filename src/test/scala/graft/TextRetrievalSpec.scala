@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.TextRetrieval
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixed-point BM25: hand-computed scores on a tiny corpus, ranking
+  * semantics, and the scale-shape plan claims.
+  */
+class TextRetrievalSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "durian durian durian durian")).toDF("doc_id", "text")
+
+  // N = 3 docs, T = 9 tokens; k1 = 1.2, b = 0.75 folded into integers:
+  // idf_pm = (1e6*(2*(N-df)+1)) div (2*df+1)
+  // tfpart = (88*T*tf) div-context (40*T*tf + 12*T + 36*dl*N)
+  test("hand-computed fixed-point scores match exactly") {
+    val q = Seq((100L, "apple"), (200L, "banana"), (200L, "durian"))
+      .toDF("query_id", "tok")
+    val got = TextRetrieval.bm25TopK(docs, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    // q100 'apple': only doc 1; idf = (1e6*5) div 3 = 1666666;
+    // tf=2, dl=3: (1666666*(88*9*2)) div (720+108+324) = 2291665
+    // q200 'banana durian': doc3 = (1666666*3168) div 1980 = 2666665;
+    // doc2 = (600000*792) div 684 = 694736; doc1 = 600000*792 div 792
+    assert(got == Seq(
+      (100L, 1L, 2291665L, 1),
+      (200L, 3L, 2666665L, 1),
+      (200L, 2L, 694736L, 2),
+      (200L, 1L, 600000L, 3)))
+  }
+
+  test("k bounds each query's list; ties break by doc_id ascending") {
+    val twins = Seq(
+      (1L, "kiwi mango"), (2L, "kiwi mango"), (3L, "kiwi mango"),
+      (4L, "papaya")).toDF("doc_id", "text")
+    val q = Seq((9L, "kiwi")).toDF("query_id", "tok")
+    val got = TextRetrieval.bm25TopK(twins, q, k = 2).collect()
+      .map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2).toSeq
+    assert(got == Seq((1L, 1), (2L, 2))) // identical scores -> doc_id order
+  }
+
+  test("a query matching no term returns nothing; empty-term filter holds") {
+    val q = Seq((7L, "zzz_nowhere")).toDF("query_id", "tok")
+    assert(TextRetrieval.bm25TopK(docs, q).count() == 0L)
+  }
+
+  test("plan shape: query side broadcast, vocabulary/corpus sides sort-merge") {
+    val q = Seq((1L, "apple"), (1L, "cherry")).toDF("query_id", "tok")
+    val plan = TextRetrieval.bm25TopK(docs, q)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "bounded query-term set must broadcast")
+    assert("SortMergeJoin".r.findAllIn(plan).size >= 2,
+      "df and dl joins must stay sort-merge (never broadcast a " +
+        "vocabulary- or corpus-scaled side)")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
