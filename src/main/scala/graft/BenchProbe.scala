@@ -278,6 +278,12 @@ object BenchProbe {
       }
       TxLog.restore(spark, mt, baseV); s0
     }.min
+    // third arm: MERGE-ON-READ (mergeVectored) — tombstone matched
+    // positions, append the delta; zero data-file rewrites
+    val mergeVec = (0 until mPasses).map { _ =>
+      val s0 = timedU(TxLog.mergeVectored(spark, mt, delta, "rk"))
+      TxLog.restore(spark, mt, baseV); s0
+    }.min
     // deterministic structure metrics alongside the wall-clock: batches
     // carried verbatim and BYTES REWRITTEN per strategy — the numbers
     // that translate to object-store scale, where every rewritten byte
@@ -299,6 +305,11 @@ object BenchProbe {
       TxLog.read(spark, mt).join(delta.select(col("rk")), Seq("rk"), "left_anti")
         .unionByName(delta))
     val fullBytes = newBytes()
+    TxLog.restore(spark, mt, baseV)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$mt/dv"), true)
+    TxLog.mergeVectored(spark, mt, delta, "rk")
+    val vecBytes = newBytes() + fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$mt/dv")).getLength
     delta.unpersist()
 
     // DELETION VECTORS vs copy-on-write delete (round-7): the doomed
@@ -330,10 +341,13 @@ object BenchProbe {
       f""""files_off":$filesOff,"files_on":$filesOn,"files_ratio":${filesOff.toDouble / filesOn.max(1)}%.2f},""" +
       f""""meta_agg":{"off":$metaOff%.3f,"on":$metaOn%.3f,"speedup":${metaOff / metaOn.max(0.001)}%.2f},""" +
       f""""merge":{"full_rewrite":$mergeFull%.3f,"surgical":$mergeSurgical%.3f,""" +
+      f""""vectored":$mergeVec%.3f,""" +
       f""""speedup":${mergeFull / mergeSurgical.max(0.001)}%.2f,""" +
       f""""batches_total":${baseDirs.size},"batches_carried":$carried,""" +
       f""""bytes_full":$fullBytes,"bytes_surgical":$surgicalBytes,""" +
-      f""""bytes_ratio":${fullBytes.toDouble / surgicalBytes.max(1L)}%.2f},""" +
+      f""""bytes_vectored":$vecBytes,""" +
+      f""""bytes_ratio":${fullBytes.toDouble / surgicalBytes.max(1L)}%.2f,""" +
+      f""""bytes_ratio_vectored":${fullBytes.toDouble / vecBytes.max(1L)}%.2f},""" +
       f""""delete":{"cow":$delCow%.3f,"dv":$delDv%.3f,""" +
       f""""speedup":${delCow / delDv.max(0.001)}%.2f,""" +
       f""""bytes_cow":$cowBytes,"bytes_dv":$dvBytes,""" +

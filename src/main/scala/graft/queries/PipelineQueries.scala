@@ -3354,6 +3354,64 @@ object PipelineQueries extends QueryPack {
              |  SELECT query_id, doc_id, score_pm,
              |    row_number() OVER (PARTITION BY query_id
              |      ORDER BY score_pm DESC, doc_id) AS rnk
-             |  FROM sc) WHERE rnk <= 5""".stripMargin))
+             |  FROM sc) WHERE rnk <= 5""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q211: MERGE-ON-READ upsert (TxLog.mergeVectored) — q194's exact
+    // merge semantics with ZERO data-file rewrites: matched positions
+    // tombstone into a vector sidecar, updates+inserts land as one
+    // delta-sized append. The requires prove the execution claim (all
+    // four original batch dirs still referenced, exactly ONE new batch,
+    // exactly ONE vector) and the rollup hash-matches DuckDB
+    // recomputing the merge from flat tables — value-equal to q194's
+    // copy-on-write path by construction.
+    QueryDef(
+      "q211_merge_vectored",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_mvec_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        val q = (docs.count() / 4L).max(1L)
+        (0L until 4L).foreach { i =>
+          val loB = i * q
+          val hiB = if (i == 3L) Long.MaxValue else (i + 1L) * q - 1L
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" >= loB && $"doc_id" <= hiB), append = true)
+        }
+        val updates = docs
+          .filter($"doc_id" >= q && $"doc_id" < 2L * q && $"doc_id" % 3L === 0L)
+          .withColumn("text", upper($"text"))
+        val inserts = docs.filter($"doc_id" % 10L === 4L)
+          .withColumn("doc_id", $"doc_id" + 10000000L)
+        val before = graft.sources.TxLog.manifest(s, t).map(_._1)
+        graft.sources.TxLog.mergeVectored(s, t,
+          updates.unionByName(inserts), "doc_id")
+        val after = graft.sources.TxLog.manifest(s, t).map(_._1)
+        require(after.take(4) == before && after.size == 5,
+          s"q211: merge-on-read must append ONE batch and rewrite none: before=$before after=$after")
+        val dvs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/dv"))
+        require(dvs.length == 1,
+          s"q211: one vectored merge must write exactly one vector, got ${dvs.length}")
+        graft.sources.TxLog.read(s, t)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"),
+            sum(when($"text" === upper($"text"), 1L).otherwise(0L)).as("upper_docs"))
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) // 4 AS q FROM documents),
+             |merged AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN d.doc_id >= p.q AND d.doc_id < 2*p.q AND d.doc_id % 3 = 0
+             |         THEN upper(d.text) ELSE d.text END AS text,
+             |    d.lang, d.source, d.n_chars
+             |  FROM documents d, p
+             |  UNION ALL
+             |  SELECT d.doc_id + 10000000, d.text, d.lang, d.source, d.n_chars
+             |  FROM documents d WHERE d.doc_id % 10 = 4)
+             |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+             |  CAST(count(*) FILTER (WHERE text = upper(text)) AS BIGINT) AS upper_docs
+             |FROM merged GROUP BY lang""".stripMargin))
   )
 }

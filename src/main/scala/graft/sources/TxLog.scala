@@ -1028,6 +1028,144 @@ object TxLog {
     } finally src.unpersist()
   }
 
+  /** MERGE-ON-READ upsert (deletion-vector MERGE — the Delta DV-merge
+    * shape): SEMANTICS identical to [[merge]] (update/delete matched,
+    * optional insert, duplicate source keys rejected, null-keyed target
+    * rows survive, null-keyed source rows insert) — EXECUTION rewrites
+    * ZERO data files. Matched target positions are tombstoned into one
+    * vector sidecar ([[deleteVectored]]'s shape, unioned with any
+    * existing vectors on the touched batches) and the merge's output
+    * rows (updates and/or inserts) land as ONE delta-sized appended
+    * batch. At 100 TB this turns "upsert 1k rows into a 1 GB batch"
+    * from a 1 GB rewrite into a KB tombstone + a KB append — the
+    * write-amplification profile a CDC ingest cadence needs; the read
+    * side pays the vector anti-join until [[purgeDeletes]].
+    *
+    * Existing vectors on candidate batches are handled natively: the
+    * probe applies them first, so a key whose only occurrences are
+    * already tombstoned counts as NOT matched (it inserts rather than
+    * "updating" a dead row). The probe collects one row per touched
+    * FILE (bounded) and the matched-position frame is delta-scaled —
+    * nothing table-sized ever collects. Snapshot-pinned commit like
+    * [[merge]]; a lost race discards the vector + batch and re-derives.
+    */
+  def mergeVectored(spark: SparkSession, tableDir: String, source: DataFrame,
+      keyCol: String, whenMatched: String = "update",
+      insertNotMatched: Boolean = true, maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin}
+    require(whenMatched == "update" || whenMatched == "delete",
+      s"whenMatched must be update|delete, got $whenMatched")
+    val f = fs(spark, tableDir)
+    val src = source.persist()
+    try {
+      val pre = src.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+        .agg(count(lit(1)).as("__groups"), fmax(col("__n")).as("__dupmax"),
+          fmin(col(keyCol)).as("__lo"), fmax(col(keyCol)).as("__hi"))
+        .head()
+      if (pre.getLong(0) == 0L) return latestVersion(spark, tableDir)
+      require(pre.getLong(1) <= 1L,
+        s"merge source holds duplicate $keyCol keys — a target row would match more than one source row")
+      val (loV, hiV) =
+        if (pre.isNullAt(2)) (None, None)
+        else (Some(pre.get(2)), Some(pre.get(3)))
+      val (lo, hi) = (loV.map(_.toString), hiV.map(_.toString))
+      val srcKeys = src.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+      var attempt = 0
+      while (attempt < maxRetries) {
+        val base = latestVersion(spark, tableDir)
+        require(base > 0, s"no committed version in $tableDir")
+        val lines = readManifest(spark, tableDir, base)
+        val candidates =
+          if (lo.isEmpty) Nil
+          else lines.filter { l =>
+            parseLine(l)._2.get(keyCol).forall(st => overlaps(st, lo, hi))
+          }
+        val candEntries = candidates.map(parseLineFull)
+        // matched LIVE positions: key-range probe over the candidates
+        // with their existing vectors applied, joined to source keys —
+        // (key, file, row) rows, delta-scaled
+        val matchedPos =
+          if (candidates.isEmpty) None
+          else {
+            val keyed = spark.read
+              .parquet(candEntries.map(e => s"$tableDir/${e._1}"): _*)
+              .where(col(keyCol) >= lit(loV.get) && col(keyCol) <= lit(hiV.get))
+              .select(col(keyCol),
+                col("_metadata.file_path").as("__path"),
+                col("_metadata.row_index").as("__idx"))
+            val oldDvPaths = candEntries.flatMap(e => dvOf(e._2)).map(_._1).distinct
+            val alive =
+              if (oldDvPaths.isEmpty) keyed
+              else keyed.join(
+                spark.read.parquet(oldDvPaths.map(p => s"$tableDir/$p"): _*)
+                  .select(col("path").as("__path"), col("row_idx").as("__idx")),
+                Seq("__path", "__idx"), "left_anti")
+            Some(alive.join(srcKeys, Seq(keyCol)).persist())
+          }
+        try {
+          // one row per touched FILE (bounded collect, merge's own shape)
+          val touchedUuids: Set[String] = matchedPos.map(
+            _.select(col("__path")).distinct().collect()
+              .map(r => new Path(new java.net.URI(r.getString(0))).getParent.getName)
+              .toSet).getOrElse(Set.empty)
+          val touched = lines.filter(l =>
+            touchedUuids.contains(new Path(parseLine(l)._1).getName)).toSet
+          val matchedKeys = matchedPos.map(_.select(col(keyCol)).distinct())
+          val tgtCols = read(spark, tableDir, Some(base)).columns.toSeq
+          require(tgtCols.forall(src.columns.contains),
+            s"merge source must carry every target column; missing ${tgtCols.filterNot(src.columns.contains)}")
+          val srcAligned = src.select(tgtCols.map(col): _*)
+          val newRows: Option[DataFrame] = (whenMatched, insertNotMatched) match {
+            case ("update", true) => Some(srcAligned)
+            case ("update", false) => matchedKeys.map(mk =>
+              srcAligned.join(mk, Seq(keyCol), "left_semi"))
+            case ("delete", true) => Some(matchedKeys match {
+              case Some(mk) => srcAligned.join(mk, Seq(keyCol), "left_anti")
+              case None => srcAligned
+            })
+            case _ => None // ("delete", false): matched rows just vanish
+          }
+          // the new vector: this merge's tombstones + the touched
+          // batches' existing tombstones (cumulative, one sidecar)
+          val newTomb = matchedPos.map(_.select(
+            col("__path").as("path"), col("__idx").as("row_idx")))
+          val oldTombPaths = touched.toSeq
+            .flatMap(l => dvOf(parseLine(l)._2)).map(_._1).distinct
+          val tomb = newTomb.map { nt =>
+            (if (oldTombPaths.isEmpty) nt
+             else nt.union(
+               spark.read.parquet(oldTombPaths.map(p => s"$tableDir/$p"): _*))
+            ).distinct()
+          }.filter(_ => touched.nonEmpty)
+          val dvRel = s"dv/${java.util.UUID.randomUUID().toString.take(12)}"
+          val dvCnt = tomb.map { t =>
+            t.write.parquet(s"$tableDir/$dvRel")
+            spark.read.parquet(s"$tableDir/$dvRel").count()
+          }
+          val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+          val batchLineOpt = newRows.flatMap { df =>
+            df.write.parquet(s"$tableDir/$batch")
+            val bd = new Path(s"$tableDir/$batch")
+            if (f.listStatus(bd).exists(_.getPath.getName.endsWith(".parquet")))
+              Some(encodeLine(batch, footerStats(spark, bd), Some(df.schema.json)))
+            else { f.delete(bd, true); None }
+          }
+          val newLines = lines.map(l =>
+            if (touched(l)) lineWithDv(l, dvRel, dvCnt.getOrElse(0L)) else l
+          ) ++ batchLineOpt
+          if (latestVersion(spark, tableDir) == base &&
+              writeManifestExclusive(f, tableDir, base + 1, newLines))
+            return base + 1
+          f.delete(new Path(s"$tableDir/$dvRel"), true)
+          f.delete(new Path(s"$tableDir/$batch"), true)
+          attempt += 1
+        } finally matchedPos.foreach(_.unpersist())
+      }
+      throw new IllegalStateException(
+        s"mergeVectored on $tableDir lost $maxRetries optimistic rounds")
+    } finally src.unpersist()
+  }
+
   /** Snapshot read; `asOf = None` resolves the latest version.
     * `mergeSchema = true` unions the column sets of a snapshot whose
     * appended batches evolved the schema (absent columns read as null)

@@ -164,6 +164,69 @@ class TxDvSpec extends AnyFunSuite {
     assert(rows(TxLog.read(spark, t)).count(_._2 == "UPD") == 2)
   }
 
+  test("mergeVectored ≡ copy-on-write merge, with zero data rewrites") {
+    val t1 = fresh("mv_a"); val t2 = fresh("mv_b")
+    quartiles(t1); quartiles(t2)
+    val src = Seq((13L, "UPD"), (16L, "UPD"), (100L, "NEW")).toDF("id", "s")
+    TxLog.merge(spark, t1, src, "id")
+    val before = batchDirs(t2, 4L)
+    TxLog.mergeVectored(spark, t2, src, "id")
+    assert(rows(TxLog.read(spark, t1)) == rows(TxLog.read(spark, t2)))
+    // zero rewrites: all four original dirs still referenced + ONE
+    // delta-sized append; the tombstones live in a vector sidecar
+    val after = batchDirs(t2, 5L)
+    assert(after.take(4) == before && after.size == 5)
+    assert(fs.listStatus(new Path(s"$t2/dv")).length == 1)
+  }
+
+  test("mergeVectored: a tombstoned-only key counts as NOT matched") {
+    val t = fresh("mv_dead")
+    quartiles(t)
+    TxLog.deleteVectored(spark, t, "id", Some(13L), Some(13L))
+    // update-only merge (no inserts): key 13 is dead, so nothing matches
+    TxLog.mergeVectored(spark, t, Seq((13L, "GHOST")).toDF("id", "s"), "id",
+      insertNotMatched = false)
+    assert(!rows(TxLog.read(spark, t)).exists(_._2 == "GHOST"))
+    // with inserts allowed the dead key INSERTS (it matched nothing)
+    TxLog.mergeVectored(spark, t, Seq((13L, "BACK")).toDF("id", "s"), "id")
+    assert(rows(TxLog.read(spark, t)).count(_._1 == 13L) == 1)
+    assert(rows(TxLog.read(spark, t)).exists(_._2 == "BACK"))
+  }
+
+  test("mergeVectored delete mode + null semantics") {
+    val t = fresh("mv_del")
+    TxLog.commit(spark, t,
+      Seq((Some(1L), "a"), (None, "n"), (Some(2L), "b")).toDF("id", "s"))
+    TxLog.mergeVectored(spark, t,
+      Seq((Some(1L), "x"), (None.asInstanceOf[Option[Long]], "srcnull"))
+        .toDF("id", "s"),
+      "id", whenMatched = "delete")
+    val got = TxLog.read(spark, t).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).sorted
+    // matched 1 deleted; null target row survives; null source inserts
+    assert(got.toSeq == Seq((-1L, "n"), (-1L, "srcnull"), (2L, "b")))
+  }
+
+  test("mergeVectored then purge: metadata paths return, values intact") {
+    val t = fresh("mv_purge")
+    quartiles(t)
+    TxLog.mergeVectored(spark, t, Seq((13L, "UPD")).toDF("id", "s"), "id")
+    assert(TxLog.statsAgg(spark, t, Seq("id")).isEmpty)
+    TxLog.purgeDeletes(spark, t)
+    assert(TxLog.statsAgg(spark, t, Seq("id")).isDefined)
+    val got = rows(TxLog.read(spark, t))
+    assert(got.size == 40 && got.count(_._2 == "UPD") == 1)
+  }
+
+  test("mergeVectored rejects duplicate source keys") {
+    val t = fresh("mv_dup")
+    quartiles(t)
+    intercept[IllegalArgumentException] {
+      TxLog.mergeVectored(spark, t,
+        Seq((13L, "a"), (13L, "b")).toDF("id", "s"), "id")
+    }
+  }
+
   test("compact through read() materializes vectors") {
     val t = fresh("compact")
     quartiles(t)
