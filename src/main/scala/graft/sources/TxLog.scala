@@ -101,10 +101,38 @@ object TxLog {
     if (n.startsWith("v")) n.drop(1).toLongOption else None
   }
 
-  /** Latest committed version, 0 when the table does not exist yet. */
+  private def hintPath(tableDir: String) = new Path(logDir(tableDir), "_latest")
+
+  /** Latest committed version, 0 when the table does not exist yet.
+    *
+    * O(1) at any history length: commits leave a best-effort `_latest`
+    * hint next to the manifests; resolving reads the hint, verifies its
+    * manifest exists, and probes FORWARD over the dense version line
+    * until the first miss (a hint gone stale by k commits costs k + 1
+    * existence checks, and the hint is rewritten every commit, so k is
+    * the concurrent-writer count, not the history length). Any missing/
+    * corrupt/unverifiable hint falls back to the one directory listing
+    * a hint-less table always needed. SAFETY does not rest on the hint:
+    * version claims are create-EXCLUSIVE, so a stale answer can only
+    * cost a commit retry, never a wrong snapshot — but at object-store
+    * scale, "LIST a 100k-entry prefix per metadata op" vs "one GET +
+    * two HEADs" is the difference between a table format and a
+    * scalability bug.
+    */
   def latestVersion(spark: SparkSession, tableDir: String): Long = {
     val f = fs(spark, tableDir)
-    if (!f.exists(logDir(tableDir))) 0L
+    val hinted =
+      try {
+        val in = f.open(hintPath(tableDir))
+        val s0 = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        s0.toLongOption.getOrElse(-1L)
+      } catch { case _: java.io.IOException => -1L }
+    if (hinted > 0 && f.exists(new Path(logDir(tableDir), s"v$hinted"))) {
+      var v = hinted
+      while (f.exists(new Path(logDir(tableDir), s"v${v + 1}"))) v += 1
+      v
+    } else if (!f.exists(logDir(tableDir))) 0L
     else f.listStatus(logDir(tableDir))
       .flatMap(s => versionOf(s.getPath)).sorted.lastOption.getOrElse(0L)
   }
@@ -408,6 +436,14 @@ object TxLog {
       }
       // committed: any MV registered over this table is now stale
       graft.plans.MvCatalog.invalidateByPath(tableDir)
+      // best-effort O(1) latest hint — advisory only (see
+      // [[latestVersion]]); a lost/failed hint write costs a forward
+      // probe or one listing, never correctness
+      try {
+        val out2 = f.create(hintPath(tableDir), true)
+        try out2.write(version.toString.getBytes("UTF-8"))
+        finally out2.close()
+      } catch { case _: Throwable => () }
       true
     }
   }

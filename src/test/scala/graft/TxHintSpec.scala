@@ -1,0 +1,102 @@
+package graft
+
+import java.net.URI
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.sources.TxLog
+import org.apache.hadoop.fs.{FileStatus, Path, RawLocalFileSystem}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LIST-counting local FS (scheme `countfs://`): proves the `_latest`
+  * hint makes latestVersion resolution listing-free — the object-store
+  * metadata-scalability claim a wall-clock spec can't pin down.
+  */
+class CountingFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "countfs"
+  override def getUri: URI = URI.create("countfs:///")
+  override def listStatus(f: Path): Array[FileStatus] = {
+    CountingFileSystem.lists.incrementAndGet()
+    super.listStatus(f)
+  }
+}
+object CountingFileSystem {
+  val lists = new AtomicLong(0L)
+}
+
+class TxHintSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  spark.sparkContext.hadoopConfiguration
+    .set("fs.countfs.impl", classOf[CountingFileSystem].getName)
+
+  private def localFs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def fresh(name: String): String = {
+    val dir = s"${GraftSession.scratchBase}/txhint_spec_$name"
+    localFs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def hint(t: String) = new Path(s"$t/_log/_latest")
+
+  test("hint tracks commits; resolution survives every hint corruption") {
+    val t = fresh("basic")
+    (1 to 5).foreach(i =>
+      TxLog.commit(spark, t, Seq((i.toLong, "x")).toDF("id", "s"), append = true))
+    assert(TxLog.latestVersion(spark, t) == 5L)
+    def writeHint(content: String): Unit = {
+      val out = localFs.create(hint(t), true)
+      out.write(content.getBytes("UTF-8")); out.close()
+    }
+    // stale hint (a crash between manifest write and hint update, or a
+    // concurrent writer): forward probe recovers the true latest
+    writeHint("2")
+    assert(TxLog.latestVersion(spark, t) == 5L)
+    // hint ahead of reality (corrupt): its manifest doesn't exist ->
+    // fall back to the listing
+    writeHint("99")
+    assert(TxLog.latestVersion(spark, t) == 5L)
+    // garbage hint -> listing
+    writeHint("not-a-number")
+    assert(TxLog.latestVersion(spark, t) == 5L)
+    // missing hint (legacy table) -> listing
+    localFs.delete(hint(t), false)
+    assert(TxLog.latestVersion(spark, t) == 5L)
+    // next commit restores the hint
+    TxLog.commit(spark, t, Seq((6L, "x")).toDF("id", "s"), append = true)
+    val in = localFs.open(hint(t))
+    val got = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+    assert(got == "6")
+  }
+
+  test("a fresh-hint resolution lists NO directories (countfs proof)") {
+    val t = s"countfs://${GraftSession.scratchBase}/txhint_spec_count"
+    val cfs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cfs.delete(new Path(t), true)
+    (1 to 3).foreach(i =>
+      TxLog.commit(spark, t, Seq((i.toLong, "x")).toDF("id", "s"), append = true))
+    CountingFileSystem.lists.set(0L)
+    assert(TxLog.latestVersion(spark, t) == 3L)
+    assert(CountingFileSystem.lists.get() == 0L,
+      s"hinted resolution must not LIST (got ${CountingFileSystem.lists.get()})")
+    // and without the hint the same call needs the listing fallback
+    cfs.delete(new Path(s"$t/_log/_latest"), false)
+    CountingFileSystem.lists.set(0L)
+    assert(TxLog.latestVersion(spark, t) == 3L)
+    assert(CountingFileSystem.lists.get() > 0L)
+  }
+
+  test("vacuum and restore keep resolving correctly under the hint") {
+    val t = fresh("vac")
+    (1 to 4).foreach(i =>
+      TxLog.commit(spark, t, Seq((i.toLong, "x")).toDF("id", "s"), append = true))
+    TxLog.restore(spark, t, 2L) // v5 = v2's lines
+    assert(TxLog.latestVersion(spark, t) == 5L)
+    TxLog.vacuum(spark, t, 5L)
+    assert(TxLog.latestVersion(spark, t) == 5L)
+    assert(TxLog.read(spark, t).count() == 2L)
+  }
+}
