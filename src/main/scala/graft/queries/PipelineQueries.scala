@@ -3412,6 +3412,43 @@ object PipelineQueries extends QueryPack {
              |  FROM documents d WHERE d.doc_id % 10 = 4)
              |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
              |  CAST(count(*) FILTER (WHERE text = upper(text)) AS BIGINT) AS upper_docs
-             |FROM merged GROUP BY lang""".stripMargin))
+             |FROM merged GROUP BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q212: VALUE-PARTITIONED commit (TxLog.commitPartitioned) — one
+    // compute pass splits the frame into one byCol-constant batch per
+    // value (hive partitioning as commit discipline: the value lives in
+    // the data, dirs are opaque). The requires prove (a) exactly one
+    // batch per lang landed, (b) the grouped metadata rule then answers
+    // GROUP BY lang with ZERO scans — q203's plan claim reached through
+    // the WRITER, not hand-split commits. Values hash-match DuckDB
+    // scanning the flat table.
+    QueryDef(
+      "q212_commit_partitioned",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txpart_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        graft.sources.TxLog.commitPartitioned(s, t, docs, "lang")
+        val nLangs = docs.select($"lang").distinct().count()
+        val batches = graft.sources.TxLog.manifest(s, t).size
+        require(batches == nLangs,
+          s"q212: one batch per lang value expected ($nLangs), got $batches")
+        val out = graft.sources.TxLog.table(s, t).groupBy($"lang")
+          .agg(count(lit(1)).as("n"),
+            min($"doc_id").as("id_min"), max($"doc_id").as("id_max"),
+            max($"n_chars").as("chars_max"))
+        require(out.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+        }.isEmpty, "q212: the grouped rollup must be answered with ZERO scans")
+        out
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             |  min(doc_id) AS id_min, max(doc_id) AS id_max,
+             |  max(n_chars) AS chars_max
+             |FROM documents GROUP BY lang""".stripMargin))
   )
 }

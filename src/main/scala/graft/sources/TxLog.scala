@@ -448,6 +448,33 @@ object TxLog {
     }
   }
 
+  /** Append-time TYPE guard: a batch whose recorded field type
+    * CONFLICTS with an existing batch's recorded type would poison
+    * every schema-merged read of the snapshot (additive evolution —
+    * new or missing columns — stays allowed). Fail the write, not the
+    * eventual reader.
+    */
+  private def appendTypeGuard(spark: SparkSession, tableDir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val base0 = latestVersion(spark, tableDir)
+    if (base0 > 0) {
+      val prev = readManifest(spark, tableDir, base0)
+        .flatMap(parseLineFull(_)._3).flatMap(_.fields)
+        .map(fld => fld.name -> nullableNorm(
+          org.apache.spark.sql.types.StructType(Seq(fld))).fields.head.dataType)
+        .toMap
+      nullableNorm(schema).fields.foreach { fld =>
+        prev.get(fld.name).filter(_ != fld.dataType).foreach { other =>
+          throw new IllegalArgumentException(
+            s"append to $tableDir rejected: column '${fld.name}' is " +
+              s"${fld.dataType.simpleString} but the table recorded " +
+              s"${other.simpleString} — a type conflict would break " +
+              "schema-merged reads; write to a new column or overwrite")
+        }
+      }
+    }
+  }
+
   def commit(spark: SparkSession, tableDir: String, df: DataFrame,
       append: Boolean = false, maxRetries: Int = 20,
       collectStats: Boolean = true,
@@ -466,30 +493,7 @@ object TxLog {
       if (bad > 0) throw new IllegalArgumentException(
         s"commit to $tableDir rejected: rows violate CHECK ($c)")
     }
-    // append-time TYPE guard: a batch whose recorded field type
-    // CONFLICTS with an existing batch's recorded type would poison
-    // every schema-merged read of the snapshot (additive evolution —
-    // new or missing columns — stays allowed). Fail the write, not the
-    // eventual reader.
-    if (append) {
-      val base0 = latestVersion(spark, tableDir)
-      if (base0 > 0) {
-        val prev = readManifest(spark, tableDir, base0)
-          .flatMap(parseLineFull(_)._3).flatMap(_.fields)
-          .map(fld => fld.name -> nullableNorm(
-            org.apache.spark.sql.types.StructType(Seq(fld))).fields.head.dataType)
-          .toMap
-        nullableNorm(df.schema).fields.foreach { fld =>
-          prev.get(fld.name).filter(_ != fld.dataType).foreach { other =>
-            throw new IllegalArgumentException(
-              s"append to $tableDir rejected: column '${fld.name}' is " +
-                s"${fld.dataType.simpleString} but the table recorded " +
-                s"${other.simpleString} — a type conflict would break " +
-                "schema-merged reads; write to a new column or overwrite")
-          }
-        }
-      }
-    }
+    if (append) appendTypeGuard(spark, tableDir, df.schema)
     val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$tableDir/$batch")
     // opt-in per-batch Bloom filters (col -> expected NDV): min/max can
@@ -541,6 +545,60 @@ object TxLog {
     }
     throw new IllegalStateException(
       s"commit to $tableDir lost $maxRetries optimistic rounds")
+  }
+
+  /** One-pass VALUE-PARTITIONED commit: `df` lands as one batch dir per
+    * distinct value of `byCol` — Hive-style partitioned layout
+    * re-expressed as COMMIT DISCIPLINE. Because every batch is then
+    * byCol-constant (footer min == max), the grouped metadata-aggregate
+    * rule answers `GROUP BY byCol` scan-free and ordinary byCol filters
+    * prune to one batch — with no partition columns in the schema
+    * contract and no directory-layout coupling (the value lives in the
+    * DATA, dirs are opaque).
+    *
+    * ONE compute pass: a shuffle on byCol routes each value to one task
+    * (`partitionBy` on a CLONE column, so the data files KEEP byCol);
+    * splitting the hive dirs into batch dirs is pure FS renames; stats
+    * are the usual free footer harvest. NULL values land in their own
+    * batch (the grouped rule's NULL group). A skewed value serializes
+    * into one task's write — the classic hive-partitioning caveat,
+    * acceptable at the append-per-day/per-lang cadence this targets.
+    * Same append semantics + type guard + optimistic retry as
+    * [[commit]]; a lost race retries the manifest only (the batch dirs
+    * are already immutable).
+    */
+  def commitPartitioned(spark: SparkSession, tableDir: String, df: DataFrame,
+      byCol: String, append: Boolean = false, maxRetries: Int = 20): Long = {
+    import org.apache.spark.sql.functions.col
+    require(df.columns.contains(byCol), s"no column $byCol in ${df.columns.toSeq}")
+    val f = fs(spark, tableDir)
+    if (append) appendTypeGuard(spark, tableDir, df.schema)
+    val tmp = new Path(s"$tableDir/.partcommit-tmp")
+    f.delete(tmp, true)
+    df.withColumn("__p", col(byCol))
+      .repartition(col("__p"))
+      .write.partitionBy("__p").parquet(tmp.toString)
+    val parts = f.listStatus(tmp).filter(_.isDirectory)
+      .sortBy(_.getPath.getName)
+    val lines = parts.map { pd =>
+      val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+      val dir = new Path(s"$tableDir/$batch")
+      f.mkdirs(dir.getParent)
+      f.rename(pd.getPath, dir)
+      encodeLine(batch, footerStats(spark, dir), Some(df.schema.json))
+    }.toSeq
+    f.delete(tmp, true)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, tableDir)
+      val carried =
+        if (append && base > 0) readManifest(spark, tableDir, base) else Nil
+      if (writeManifestExclusive(f, tableDir, base + 1, carried ++ lines))
+        return base + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commitPartitioned to $tableDir lost $maxRetries optimistic rounds")
   }
 
   private def packSketch(hs: Array[Long]): String = {
