@@ -1122,6 +1122,34 @@ object TxLog {
     } finally src.unpersist()
   }
 
+  /** TIMESTAMP time travel: the latest version whose manifest was
+    * committed at or before `tsMillis` (manifest-file modification time
+    * — the commit's own durability instant; one log listing, metadata
+    * only). Throws when the table's FIRST commit is later than the
+    * probe — "the table did not exist yet" must not silently read
+    * something else. Version mtimes are non-decreasing on a single
+    * writer clock; racing writers within one clock tick resolve to the
+    * higher version (max over qualifying versions, same as Delta).
+    */
+  def versionAt(spark: SparkSession, tableDir: String, tsMillis: Long): Long = {
+    val f = fs(spark, tableDir)
+    require(f.exists(logDir(tableDir)), s"no committed version in $tableDir")
+    val stamped = f.listStatus(logDir(tableDir))
+      .flatMap(st => versionOf(st.getPath).map(_ -> st.getModificationTime))
+    require(stamped.nonEmpty, s"no committed version in $tableDir")
+    val ok = stamped.filter(_._2 <= tsMillis)
+    require(ok.nonEmpty,
+      s"$tableDir has no version at or before $tsMillis " +
+        s"(first commit at ${stamped.map(_._2).min})")
+    ok.map(_._1).max
+  }
+
+  /** [[read]] at the snapshot current as of `tsMillis` ([[versionAt]]). */
+  def readAsOfTimestamp(spark: SparkSession, tableDir: String,
+      tsMillis: Long, mergeSchema: Boolean = false): DataFrame =
+    read(spark, tableDir, Some(versionAt(spark, tableDir, tsMillis)),
+      mergeSchema = mergeSchema)
+
   /** MERGE-ON-READ upsert (deletion-vector MERGE — the Delta DV-merge
     * shape): SEMANTICS identical to [[merge]] (update/delete matched,
     * optional insert, duplicate source keys rejected, null-keyed target
@@ -1452,6 +1480,17 @@ object TxLog {
       val (d, st) = parseLine(l)
       dvOf(st).map(_ => s"$tableDir/$d")
     }.toSet
+
+  /** Streaming-source hook: table-relative dv paths of version `v`'s
+    * lines whose batch dir is in `dirs` (absolute). Pure metadata.
+    */
+  private[graft] def dvPathsForDirs(spark: SparkSession, tableDir: String,
+      v: Long, dirs: Set[String]): Seq[String] =
+    readManifest(spark, tableDir, v).flatMap { l =>
+      val (d, st) = parseLine(l)
+      if (dirs.contains(s"$tableDir/$d")) dvOf(st).map(p => s"$tableDir/${p._1}")
+      else None
+    }.distinct
 
   /** Whether any line of version `v` (latest when <= 0) carries a
     * deletion vector — the "metadata can't speak for the rows" flag.

@@ -75,14 +75,6 @@ class TxLogSource(spark: SparkSession, tableDir: String,
           "vectors). An append stream cannot represent row removals; " +
           "re-derive the consumer, or set ignoreChanges=true to keep " +
           "streaming added dirs only.")
-    val addedSet = added.toSet
-    val addedDv = TxLog.dvDirs(spark, tableDir, toV).intersect(addedSet)
-    if (addedDv.nonEmpty)
-      throw new IllegalStateException(
-        s"txlog stream $tableDir: ${addedDv.size} batch dir(s) in " +
-          s"($fromV, $toV] carry deletion vectors; a raw streamed scan " +
-          "would resurrect tombstoned rows. Run TxLog.purgeDeletes " +
-          "first, then stream.")
     if (removed.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(
         s"txlog stream $tableDir: versions ($fromV, $toV] removed " +
@@ -100,10 +92,28 @@ class TxLogSource(spark: SparkSession, tableDir: String,
       // as streaming (the same move FileStreamSource makes): pruning and
       // pushdown work on streamed batches like on any scan
       val batch = spark.read.schema(schema).parquet(added: _*)
-      batch.queryExecution.analyzed match {
+      val streamed = batch.queryExecution.analyzed match {
         case l: LogicalRelation => SqlBridge.ofRows(spark, l.copy(isStreaming = true))
         case other => throw new IllegalStateException(
           s"txlog stream: unexpected batch plan ${other.getClass.getName}")
+      }
+      // an ADDED dir whose line carries a deletion vector (a vectored
+      // table streamed from its initial snapshot, or a batch committed
+      // AND vectored within one interval) streams its LIVE rows: the
+      // vector side is static and KB-sized, so this plans as the
+      // supported stream-static left-anti join
+      val dvPaths = TxLog.dvPathsForDirs(spark, tableDir, toV, added.toSet)
+      if (dvPaths.isEmpty) streamed
+      else {
+        import org.apache.spark.sql.functions.col
+        val dv = spark.read.parquet(dvPaths: _*)
+          .select(col("path").as("__dv_p"), col("row_idx").as("__dv_i"))
+        streamed
+          .withColumn("__dv_path", col("_metadata.file_path"))
+          .withColumn("__dv_idx", col("_metadata.row_index"))
+          .join(dv, col("__dv_path") === dv("__dv_p") &&
+            col("__dv_idx") === dv("__dv_i"), "left_anti")
+          .drop("__dv_path", "__dv_idx")
       }
     }
   }
@@ -143,7 +153,10 @@ class TxLogSourceProvider extends StreamSourceProvider with RelationProvider
     val dir = dirOf(params)
     val p = params.map { case (k, v) => k.toLowerCase -> v }
     graft.plans.TxPruneRule.register(dir)
+    val tsAsOf = p.get("timestampasof").map(v =>
+      v.toLongOption.getOrElse(java.sql.Timestamp.valueOf(v).getTime))
     val asOfV = p.get("versionasof").map(_.toLong)
+      .orElse(tsAsOf.map(TxLog.versionAt(ctx.sparkSession, dir, _)))
     if (TxLog.hasDeletionVectors(ctx.sparkSession, dir, asOfV.getOrElse(0L)))
       throw new IllegalStateException(
         s"txlog batch format on $dir: the snapshot carries deletion " +

@@ -248,12 +248,26 @@ class TxDvSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.streaming.runtime.LongOffset(5L))
     }
     assert(e.getMessage.contains("deletion"))
-    // initial snapshot of a vectored table can't stream raw either
-    val e2 = intercept[IllegalStateException] {
-      src.getBatch(None,
-        org.apache.spark.sql.execution.streaming.runtime.LongOffset(5L))
-    }
-    assert(e2.getMessage.contains("purgeDeletes"))
+  }
+
+  test("streaming a vectored table's initial snapshot yields LIVE rows") {
+    val t = fresh("stream_init")
+    val cp = fresh("stream_init_cp")
+    quartiles(t)
+    TxLog.deleteVectored(spark, t, "id", Some(13L), Some(16L))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("txlog").load(t)
+      .select($"id").writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.as[Long].collect().toSeq
+        got.synchronized { got ++= ids }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.sorted.toSeq ==
+      (0L until 40L).filterNot(k => k >= 13L && k <= 16L))
   }
 
   test("txlog batch format refuses a vectored snapshot with a clear error") {

@@ -89,6 +89,25 @@ class TxHintSpec extends AnyFunSuite {
     assert(CountingFileSystem.lists.get() > 0L)
   }
 
+  test("timestamp time travel resolves the snapshot current at the probe") {
+    val t = fresh("ts")
+    TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    TxLog.commit(spark, t, Seq((2L, "b")).toDF("id", "s"), append = true)
+    assert(TxLog.versionAt(spark, t, between) == 1L)
+    assert(TxLog.versionAt(spark, t, System.currentTimeMillis() + 1000L) == 2L)
+    assert(TxLog.readAsOfTimestamp(spark, t, between).count() == 1L)
+    // before the table existed: loud failure, never a silent other read
+    intercept[IllegalArgumentException] {
+      TxLog.versionAt(spark, t, 1L)
+    }
+    // the batch format's timestampAsOf option resolves the same way
+    assert(spark.read.format("txlog")
+      .option("timestampAsOf", between.toString).load(t).count() == 1L)
+  }
+
   test("vacuum and restore keep resolving correctly under the hint") {
     val t = fresh("vac")
     (1 to 4).foreach(i =>
