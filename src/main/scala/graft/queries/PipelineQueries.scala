@@ -3449,6 +3449,68 @@ object PipelineQueries extends QueryPack {
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
              |  min(doc_id) AS id_min, max(doc_id) AS id_max,
              |  max(n_chars) AS chars_max
-             |FROM documents GROUP BY lang""".stripMargin))
+             |FROM documents GROUP BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q213: TOKEN-BLOOM file skipping (commit(collectTokenBlooms) +
+    // TxLog.readWhereToken) — the "which files MENTION this term"
+    // question min/max and value blooms cannot answer, answered from
+    // the manifest: each commit stores a bloom over the batch's
+    // distinct text tokens; a contains-term read keeps only batches
+    // whose bloom admits the term, and the residual array_contains
+    // keeps it exact. The probe is the corpus's RAREST token (ties by
+    // spelling — deterministic both engines), so the require proves
+    // real pruning: ≤ 2 of 4 quartiles touched (1 true + ≤1 bloom fp,
+    // deterministic per fixture).
+    QueryDef(
+      "q213_token_bloom",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txtok_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        val q = (docs.count() / 4L).max(1L)
+        (0L until 4L).foreach { i =>
+          val loB = i * q
+          val hiB = if (i == 3L) Long.MaxValue else (i + 1L) * q - 1L
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" >= loB && $"doc_id" <= hiB), append = true,
+            collectTokenBlooms = Seq("text" -> 50000L))
+        }
+        // the corpus's rarest 3-word PHRASE (unigrams are useless here:
+        // the fixture's shared vocabulary spreads every token across
+        // all quartiles, which is exactly why a real corpus probe is a
+        // phrase) — deterministic tie-break by spelling
+        val rare = docs
+          .where(size(split($"text", "\\s+")) >= 3)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, size(split(text, '\\\\s+')) - 3), " +
+              "i -> concat_ws(' ', slice(split(text, '\\\\s+'), i + 1, 3)))"))
+            .as("gram"))
+          .groupBy($"gram").agg(countDistinct($"doc_id").as("c"))
+          .orderBy($"c", $"gram").limit(1)
+          .collect()(0).getString(0)
+        val out = graft.sources.TxLog.readWhereToken(s, t, "text", rare)
+        val touched = out.inputFiles.filter(_.contains(t))
+          .map(f => new org.apache.hadoop.fs.Path(f).getParent.getName).toSet
+        require(touched.size <= 2,
+          s"q213: token bloom must prune to ≤2 of 4 batches, touched $touched")
+        out.groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(text, '\s+') AS w FROM documents),
+             |g AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+             |  FROM w, unnest(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+             |rare AS (SELECT gram FROM (
+             |  SELECT gram, count(DISTINCT doc_id) AS c FROM g
+             |  GROUP BY gram ORDER BY c, gram LIMIT 1))
+             |SELECT d.lang, count(*) AS n, CAST(sum(d.n_chars) AS BIGINT) AS chars
+             |FROM documents d
+             |WHERE EXISTS (SELECT 1 FROM g
+             |  WHERE g.doc_id = d.doc_id AND g.gram = (SELECT gram FROM rare))
+             |GROUP BY d.lang""".stripMargin))
   )
 }

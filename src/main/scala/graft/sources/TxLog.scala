@@ -78,6 +78,16 @@ object TxLog {
     * LIVE rows ([[statsAgg]], the TxAgg rule, [[approxDistinct]])
     * decline while any vector is present ([[purgeDeletes]] clears them).
     */
+  /** Reserved BLOOM-map key for a text column's TOKEN bloom (opt-in,
+    * [[commit]]'s `collectTokenBlooms`): a Bloom filter over the
+    * batch's distinct whitespace tokens of the column, stored beside
+    * the per-value blooms. What min/max and value blooms cannot do —
+    * skip batches for a CONTAINS-TERM probe ([[readWhereToken]]) — the
+    * token bloom does: the Elasticsearch-shaped "which files mention
+    * this term" question answered from the manifest, no file I/O.
+    */
+  private def tokKey(col: String) = "\u0001tok:" + col
+
   private val DvKey = "\u0001dv"
 
   /** (dv path relative to the table dir, tombstone count) when the
@@ -480,6 +490,7 @@ object TxLog {
       collectStats: Boolean = true,
       collectBlooms: Seq[(String, Long)] = Nil,
       collectSketches: Seq[(String, Int)] = Nil,
+      collectTokenBlooms: Seq[(String, Long)] = Nil,
       check: Option[org.apache.spark.sql.Column] = None): Long = {
     val f = fs(spark, tableDir)
     // writer-side CHECK invariant (Delta-style): a commit carrying rows
@@ -503,15 +514,34 @@ object TxLog {
     // batch (page-cache warm) and ~1.2 KB per 1k NDV at 3% fpp in the
     // manifest; oversized filters (> 256 KB encoded) are dropped so a
     // mis-sized NDV can bloat planning, never break it.
-    val blooms = collectBlooms.flatMap { case (c, ndv) =>
+    def encodedBloom(df0: DataFrame, c: String, ndv: Long): Option[String] =
       scala.util.Try {
-        val bf = spark.read.parquet(s"$tableDir/$batch")
-          .stat.bloomFilter(c, ndv, 0.03)
+        val bf = df0.stat.bloomFilter(c, ndv, 0.03)
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
         val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
-        if (b64.length <= 256 * 1024) Some(c -> b64) else None
+        if (b64.length <= 256 * 1024) Some(b64) else None
       }.toOption.flatten
+    val blooms = collectBlooms.flatMap { case (c, ndv) =>
+      encodedBloom(spark.read.parquet(s"$tableDir/$batch"), c, ndv)
+        .map(c -> _)
+    }.toMap ++
+    // token/phrase blooms: one extra column scan of the just-written
+    // batch, exploded to the distinct 1-, 2- and 3-grams of the
+    // column's whitespace tokens — a single filter answers both "which
+    // batches mention TERM" and "which batches contain PHRASE" (up to
+    // three words) probes
+    collectTokenBlooms.flatMap { case (c, ndv) =>
+      import org.apache.spark.sql.functions.{col => fcol, explode, expr, length}
+      val w = spark.read.parquet(s"$tableDir/$batch")
+        .select(org.apache.spark.sql.functions.split(fcol(c), "\\s+").as("__w"))
+      val grams = (1 to 3).map { n =>
+        w.where(org.apache.spark.sql.functions.size(fcol("__w")) >= n)
+          .select(explode(expr(
+            s"transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', slice(__w, i + 1, $n)))"
+          )).as("__t"))
+      }.reduce(_.union(_)).filter(length(fcol("__t")) > 0)
+      encodedBloom(grams, "__t", ndv).map(tokKey(c) -> _)
     }.toMap
     // opt-in per-batch KMV distinct-count sketches (col -> k): one
     // column scan of the just-written batch harvests the k smallest
@@ -1394,6 +1424,42 @@ object TxLog {
       val b = lo.map(l => df.where(col(c) >= l)).getOrElse(df)
       hi.map(h => b.where(col(c) <= h)).getOrElse(b)
     }
+  }
+
+  /** CONTAINS-TERM read with manifest-level file skipping: batches
+    * whose committed TOKEN bloom (opt-in at [[commit]],
+    * `collectTokenBlooms`) says `term` is definitely absent from
+    * `colName` are dropped before Spark lists them; batches without a
+    * token bloom are conservatively kept, bloom false positives only
+    * keep. The residual `array_contains(split(col))` filter makes the
+    * result exact either way — pruning is a pure I/O win. Deletion
+    * vectors of kept batches apply as on every read path. Min/max and
+    * value blooms can never answer "which batches MENTION this term";
+    * this is that answer, from a KB manifest read at any table size.
+    */
+  def readWhereToken(spark: SparkSession, tableDir: String, colName: String,
+      term: String, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{array_contains, col, expr, lit, size, split}
+    val k = term.trim.split("\\s+").length
+    require(k >= 1 && k <= 3 && term.trim.nonEmpty,
+      s"probe must be a 1- to 3-word term/phrase, got '$term'")
+    val v = asOf.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no committed version in $tableDir")
+    val rawLines = readManifest(spark, tableDir, v)
+    val entries = rawLines.map(parseLineFull)
+    val keptIdx = rawLines.zipWithIndex.collect {
+      case (line, i) if parseBlooms(line).get(tokKey(colName))
+        .forall(bloomMayContain(_, term)) => i
+    }
+    val kept = (if (keptIdx.nonEmpty) keptIdx.map(entries)
+      else entries.takeRight(1))
+    val scan = spark.read.parquet(kept.map(e => s"$tableDir/${e._1}"): _*)
+    val w = split(col(colName), "\\s+")
+    applyDv(spark, tableDir, scan, kept.map(_._2))
+      .filter(size(w) >= k && array_contains(expr(
+        s"transform(sequence(0, size(split($colName, '\\\\s+')) - $k), " +
+          s"i -> concat_ws(' ', slice(split($colName, '\\\\s+'), i + 1, $k)))"),
+        lit(term)))
   }
 
   /** The manifest-selection core shared by [[readWhereAll]] and the
