@@ -711,6 +711,54 @@ object TxLog {
     else Some(compactClustered(spark, tableDir, cols, bits, batches))
   }
 
+  /** Surgical small-batch compaction (bin-packing OPTIMIZE — the
+    * Delta/Iceberg answer to streaming ingest's many tiny commits):
+    * fold ONLY the live batches whose manifest row count is below
+    * `minRows` into one consolidated batch; every batch already big
+    * enough (and every stats-less legacy batch — never surprise-rewrite
+    * what can't be judged) carries into the new version VERBATIM, in
+    * the original line order. Selection is METADATA-ONLY (the row
+    * counts were harvested at commit); only the folded fraction is ever
+    * read or written — at 100 TB that's "rewrite the KB-sized tail of
+    * last hour's micro-batches", not the table. Folding a
+    * vector-carrying small batch applies its deletion vector (a fold is
+    * a rewrite, so it materializes: the folded batch starts
+    * vector-free). Returns None (no new version) when fewer than
+    * `minBatches` batches qualify; snapshot-pinned commit like
+    * [[deleteWhere]].
+    */
+  def compactSmall(spark: SparkSession, tableDir: String, minRows: Long,
+      minBatches: Int = 2, maxRetries: Int = 3): Option[Long] = {
+    require(minBatches >= 2, s"folding fewer than 2 batches is a no-op")
+    val f = fs(spark, tableDir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, tableDir)
+      require(base > 0, s"no committed version in $tableDir")
+      val lines = readManifest(spark, tableDir, base)
+      val small = lines.filter(l =>
+        batchRows(parseLine(l)._2).exists(_ < minRows)).toSet
+      if (small.size < minBatches) return None
+      val kept = lines.filterNot(small)
+      val entries = small.toSeq.map(parseLineFull)
+      val folded = applyDv(spark, tableDir,
+        spark.read.parquet(entries.map(e => s"$tableDir/${e._1}"): _*),
+        entries.map(_._2))
+      val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+      folded.coalesce(1).write.parquet(s"$tableDir/$batch")
+      val batchLine = encodeLine(batch,
+        footerStats(spark, new Path(s"$tableDir/$batch")),
+        Some(folded.schema.json))
+      if (latestVersion(spark, tableDir) == base &&
+          writeManifestExclusive(f, tableDir, base + 1, kept :+ batchLine))
+        return Some(base + 1)
+      f.delete(new Path(s"$tableDir/$batch"), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"compactSmall on $tableDir lost $maxRetries optimistic rounds")
+  }
+
   /** METADATA-ONLY approximate distinct count of `colName` over a
     * snapshot, from the per-batch KMV sketches [[commit]] harvested
     * (`collectSketches`). The merge is EXACT — the k smallest hashes of
