@@ -3511,6 +3511,50 @@ object PipelineQueries extends QueryPack {
              |FROM documents d
              |WHERE EXISTS (SELECT 1 FROM g
              |  WHERE g.doc_id = d.doc_id AND g.gram = (SELECT gram FROM rare))
-             |GROUP BY d.lang""".stripMargin))
+             |GROUP BY d.lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q214: TABLE-LEVEL persistent constraints (TxLog.addConstraint) —
+    // q206's zero-trace CHECK discipline, stored ON the table: added
+    // once, enforced by every later write with NO check argument. The
+    // in-query requires prove persistence (a violating plain append is
+    // rejected, version unmoved) and pre-validation (a constraint the
+    // data already violates cannot be added). The final rollup
+    // hash-matches the full table, proving the rejected writes left
+    // zero trace and the accepted ones lost nothing.
+    QueryDef(
+      "q214_table_constraint",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txcons_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        val c = docs.agg(max($"n_chars")).head.getLong(0) / 2L
+        graft.sources.TxLog.addConstraint(s, t, "chars_low", s"n_chars <= $c")
+        graft.sources.TxLog.commit(s, t, docs.filter($"n_chars" <= c),
+          append = true)
+        val v1 = graft.sources.TxLog.latestVersion(s, t)
+        // a plain append (no check argument!) is gated by the STORED rule
+        val rejected = scala.util.Try(
+          graft.sources.TxLog.commit(s, t, docs.filter($"n_chars" > c),
+            append = true))
+        require(rejected.isFailure, "q214: stored constraint must gate the write")
+        require(graft.sources.TxLog.latestVersion(s, t) == v1,
+          "q214: a rejected write must not bump the version")
+        // a constraint the resident data violates cannot be added
+        require(scala.util.Try(graft.sources.TxLog.addConstraint(
+          s, t, "impossible", "n_chars < 0")).isFailure,
+          "q214: adding a violated constraint must fail")
+        graft.sources.TxLog.dropConstraint(s, t, "chars_low")
+        graft.sources.TxLog.commit(s, t, docs.filter($"n_chars" > c),
+          append = true)
+        graft.sources.TxLog.read(s, t).groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents GROUP BY lang""".stripMargin))
   )
 }

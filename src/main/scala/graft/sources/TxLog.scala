@@ -458,6 +458,82 @@ object TxLog {
     }
   }
 
+  private def metaPath(tableDir: String) = new Path(logDir(tableDir), "_meta")
+
+  /** TABLE-LEVEL persistent CHECK constraints (Delta's `ALTER TABLE ADD
+    * CONSTRAINT` shape): named SQL expressions stored beside the log in
+    * `_log/_meta`; EVERY subsequent write path that adds rows —
+    * [[commit]], [[commitPartitioned]], [[commitStreaming]], the
+    * streaming sink — enforces all of them before any data lands, same
+    * zero-trace atomicity as [[commit]]'s per-call `check`. SQL CHECK
+    * semantics (NULL passes). Adding a constraint validates the CURRENT
+    * snapshot first — a table can never hold a constraint its data
+    * already violates. Constraints are metadata: adding/dropping never
+    * rewrites data and costs one small file write.
+    */
+  def addConstraint(spark: SparkSession, tableDir: String, name: String,
+      sqlExpr: String): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad constraint name '$name'")
+    val f = fs(spark, tableDir)
+    val v = latestVersion(spark, tableDir)
+    if (v > 0) {
+      import org.apache.spark.sql.functions.{expr, lit}
+      val bad = read(spark, tableDir).filter(expr(sqlExpr) <=> lit(false))
+        .limit(1).count()
+      require(bad == 0L,
+        s"constraint '$name' rejected: existing rows violate ($sqlExpr)")
+    }
+    val cur = constraints(spark, tableDir)
+    require(!cur.contains(name), s"constraint '$name' already exists")
+    writeConstraints(f, tableDir, cur + (name -> sqlExpr))
+  }
+
+  def dropConstraint(spark: SparkSession, tableDir: String, name: String): Unit = {
+    val f = fs(spark, tableDir)
+    val cur = constraints(spark, tableDir)
+    require(cur.contains(name), s"no constraint '$name'")
+    writeConstraints(f, tableDir, cur - name)
+  }
+
+  /** The table's stored constraints (name -> SQL expression). */
+  def constraints(spark: SparkSession, tableDir: String): Map[String, String] = {
+    val f = fs(spark, tableDir)
+    try {
+      val in = f.open(metaPath(tableDir))
+      val txt = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      txt.split('\n').filter(_.nonEmpty).flatMap { l =>
+        l.split('\t') match {
+          case Array(n, e) => Some(dec(n) -> dec(e))
+          case _ => None
+        }
+      }.toMap
+    } catch { case _: java.io.IOException => Map.empty }
+  }
+
+  private def writeConstraints(f: FileSystem, tableDir: String,
+      cs: Map[String, String]): Unit = {
+    f.mkdirs(logDir(tableDir))
+    val out = f.create(metaPath(tableDir), true)
+    try out.write(cs.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"${enc(n)}\t${enc(e)}" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Enforce the table's stored constraints on a batch about to land:
+    * one bounded scan of the NEW rows only, zero-trace rejection.
+    */
+  private def enforceConstraints(spark: SparkSession, tableDir: String,
+      df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    constraints(spark, tableDir).foreach { case (n, e) =>
+      val bad = df.filter(expr(e) <=> lit(false)).limit(1).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"write to $tableDir rejected: rows violate table constraint '$n' ($e)")
+    }
+  }
+
   /** Append-time TYPE guard: a batch whose recorded field type
     * CONFLICTS with an existing batch's recorded type would poison
     * every schema-merged read of the snapshot (additive evolution —
@@ -504,6 +580,7 @@ object TxLog {
       if (bad > 0) throw new IllegalArgumentException(
         s"commit to $tableDir rejected: rows violate CHECK ($c)")
     }
+    enforceConstraints(spark, tableDir, df)
     if (append) appendTypeGuard(spark, tableDir, df.schema)
     val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$tableDir/$batch")
@@ -603,6 +680,7 @@ object TxLog {
     require(df.columns.contains(byCol), s"no column $byCol in ${df.columns.toSeq}")
     val f = fs(spark, tableDir)
     if (append) appendTypeGuard(spark, tableDir, df.schema)
+    enforceConstraints(spark, tableDir, df)
     val tmp = new Path(s"$tableDir/.partcommit-tmp")
     f.delete(tmp, true)
     df.withColumn("__p", col(byCol))
@@ -814,6 +892,7 @@ object TxLog {
     def committed(v: Long): Boolean =
       v > 0 && readManifest(spark, tableDir, v).exists(parseLine(_)._1 == batch)
     if (committed(latestVersion(spark, tableDir))) return None
+    enforceConstraints(spark, tableDir, df)
     df.write.mode("overwrite").parquet(s"$tableDir/$batch")
     val batchLine = encodeLine(batch,
       if (collectStats) footerStats(spark, new Path(s"$tableDir/$batch"))
