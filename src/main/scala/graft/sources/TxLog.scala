@@ -420,7 +420,7 @@ object TxLog {
     * corrupt directory list forward.
     */
   private def writeManifestExclusive(f: FileSystem, tableDir: String,
-      version: Long, lines: Seq[String]): Boolean = {
+      version: Long, op: String, lines: Seq[String]): Boolean = {
     val target = new Path(logDir(tableDir), s"v$version")
     f.mkdirs(logDir(tableDir))
     val created =
@@ -446,6 +446,14 @@ object TxLog {
       }
       // committed: any MV registered over this table is now stale
       graft.plans.MvCatalog.invalidateByPath(tableDir)
+      // best-effort operation record for [[history]] — a sidecar, never
+      // load-bearing (a lost .info row reads back as nulls)
+      try {
+        val info = f.create(new Path(logDir(tableDir), s"v$version.info"), true)
+        try info.write(
+          s"$op\t${System.currentTimeMillis()}\t${lines.size}".getBytes("UTF-8"))
+        finally info.close()
+      } catch { case _: Throwable => () }
       // best-effort O(1) latest hint — advisory only (see
       // [[latestVersion]]); a lost/failed hint write costs a forward
       // probe or one listing, never correctness
@@ -646,7 +654,7 @@ object TxLog {
       val base = latestVersion(spark, tableDir)
       val carried =
         if (append && base > 0) readManifest(spark, tableDir, base) else Nil
-      if (writeManifestExclusive(f, tableDir, base + 1, carried :+ batchLine))
+      if (writeManifestExclusive(f, tableDir, base + 1, if (append) "append" else "commit", carried :+ batchLine))
         return base + 1
       attempt += 1
     }
@@ -701,7 +709,7 @@ object TxLog {
       val base = latestVersion(spark, tableDir)
       val carried =
         if (append && base > 0) readManifest(spark, tableDir, base) else Nil
-      if (writeManifestExclusive(f, tableDir, base + 1, carried ++ lines))
+      if (writeManifestExclusive(f, tableDir, base + 1, "commit_partitioned", carried ++ lines))
         return base + 1
       attempt += 1
     }
@@ -828,7 +836,7 @@ object TxLog {
         footerStats(spark, new Path(s"$tableDir/$batch")),
         Some(folded.schema.json))
       if (latestVersion(spark, tableDir) == base &&
-          writeManifestExclusive(f, tableDir, base + 1, kept :+ batchLine))
+          writeManifestExclusive(f, tableDir, base + 1, "compact_small", kept :+ batchLine))
         return Some(base + 1)
       f.delete(new Path(s"$tableDir/$batch"), true)
       attempt += 1
@@ -903,7 +911,7 @@ object TxLog {
       val base = latestVersion(spark, tableDir)
       if (committed(base)) return None // a racing duplicate of this batch won
       val carried = if (base > 0) readManifest(spark, tableDir, base) else Nil
-      if (writeManifestExclusive(f, tableDir, base + 1, carried :+ batchLine))
+      if (writeManifestExclusive(f, tableDir, base + 1, "streaming_append", carried :+ batchLine))
         return Some(base + 1)
       attempt += 1
     }
@@ -976,7 +984,7 @@ object TxLog {
         Some(survivors.schema.json))
       // commit only on top of the SNAPSHOT the rewrite was derived from
       if (latestVersion(spark, tableDir) == base &&
-          writeManifestExclusive(f, tableDir, base + 1, kept :+ batchLine))
+          writeManifestExclusive(f, tableDir, base + 1, "delete", kept :+ batchLine))
         return base + 1
       // lost: drop the orphaned rewrite and re-derive from the winner
       f.delete(new Path(s"$tableDir/$batch"), true)
@@ -1095,7 +1103,7 @@ object TxLog {
       val newLines = lines.map(l =>
         if (touched(l)) lineWithDv(l, dvRel, cnt) else l)
       if (latestVersion(spark, tableDir) == base &&
-          writeManifestExclusive(f, tableDir, base + 1, newLines))
+          writeManifestExclusive(f, tableDir, base + 1, "delete_vectored", newLines))
         return base + 1
       f.delete(new Path(s"$tableDir/$dvRel"), true)
       attempt += 1
@@ -1133,7 +1141,7 @@ object TxLog {
         footerStats(spark, new Path(s"$tableDir/$batch")),
         Some(survivors.schema.json))
       if (latestVersion(spark, tableDir) == base &&
-          writeManifestExclusive(f, tableDir, base + 1, plain :+ batchLine))
+          writeManifestExclusive(f, tableDir, base + 1, "purge_deletes", plain :+ batchLine))
         return base + 1
       f.delete(new Path(s"$tableDir/$batch"), true)
       attempt += 1
@@ -1268,7 +1276,7 @@ object TxLog {
           else { f.delete(dir, true); None }
         }
         if (latestVersion(spark, tableDir) == base &&
-            writeManifestExclusive(f, tableDir, base + 1, kept ++ batchLineOpt))
+            writeManifestExclusive(f, tableDir, base + 1, "merge", kept ++ batchLineOpt))
           return base + 1
         // lost the race: drop the orphaned rewrite, re-derive on the winner
         f.delete(new Path(s"$tableDir/$batch"), true)
@@ -1433,7 +1441,7 @@ object TxLog {
             if (touched(l)) lineWithDv(l, dvRel, dvCnt.getOrElse(0L)) else l
           ) ++ batchLineOpt
           if (latestVersion(spark, tableDir) == base &&
-              writeManifestExclusive(f, tableDir, base + 1, newLines))
+              writeManifestExclusive(f, tableDir, base + 1, "merge_vectored", newLines))
             return base + 1
           f.delete(new Path(s"$tableDir/$dvRel"), true)
           f.delete(new Path(s"$tableDir/$batch"), true)
@@ -1960,7 +1968,7 @@ object TxLog {
       }.toSeq
       f.delete(tmp, true)
       if (latestVersion(spark, tableDir) == base &&
-          writeManifestExclusive(f, tableDir, base + 1, lines))
+          writeManifestExclusive(f, tableDir, base + 1, "optimize_zorder", lines))
         return base + 1
       // lost: remove the orphaned batch dirs and re-derive
       lines.map(parseLine(_)._1)
@@ -1988,7 +1996,7 @@ object TxLog {
       val base = latestVersion(spark, tableDir)
       require(toVersion <= base,
         s"restore target v$toVersion is ahead of latest v$base")
-      if (writeManifestExclusive(f, tableDir, base + 1, lines))
+      if (writeManifestExclusive(f, tableDir, base + 1, "restore", lines))
         return base + 1
       attempt += 1
     }
@@ -2009,6 +2017,39 @@ object TxLog {
       read(spark, tableDir, Some(fromV)),
       read(spark, tableDir, Some(toV)),
       keyCol, seq = toV.toInt)
+
+  /** DESCRIBE HISTORY: one row per committed version — version,
+    * commit timestamp (millis), operation name, batch count — from the
+    * `.info` sidecars each commit writes best-effort (pre-history
+    * versions read back with null op/ts). Newest first. Metadata only.
+    */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val f = fs(spark, tableDir)
+    val vs = f.listStatus(logDir(tableDir))
+      .flatMap(st => versionOf(st.getPath)).sorted.reverse
+    val rows = vs.map { v =>
+      val info =
+        try {
+          val in = f.open(new Path(logDir(tableDir), s"v$v.info"))
+          val txt = try scala.io.Source.fromInputStream(in).mkString
+            finally in.close()
+          txt.split('\t') match {
+            case Array(op, ts, n) => Some((op, ts.toLong, n.toInt))
+            case _ => None
+          }
+        } catch { case _: java.io.IOException => None }
+      org.apache.spark.sql.Row(v, info.map(_._2).orNull,
+        info.map(_._1).orNull, info.map(_._3).orNull)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("timestamp_ms", LongType),
+        StructField("operation", StringType),
+        StructField("num_batches", IntegerType))))
+  }
 
   /** Drop data directories referenced by NO manifest ≥ `retainFrom`
     * (and the manifests below it). Readers of retained snapshots are
@@ -2039,7 +2080,11 @@ object TxLog {
       }
     }
     f.listStatus(logDir(tableDir)).foreach { s =>
-      versionOf(s.getPath).foreach(v => if (v < retainFrom) f.delete(s.getPath, false))
+      val n = s.getPath.getName
+      val v = versionOf(s.getPath)
+        .orElse(if (n.startsWith("v") && n.endsWith(".info"))
+          n.stripPrefix("v").stripSuffix(".info").toLongOption else None)
+      v.foreach(x => if (x < retainFrom) f.delete(s.getPath, false))
     }
   }
 }

@@ -108,6 +108,26 @@ class TxHintSpec extends AnyFunSuite {
       .option("timestampAsOf", between.toString).load(t).count() == 1L)
   }
 
+  test("history records one row per version with its operation") {
+    val t = fresh("hist")
+    TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    TxLog.commit(spark, t, Seq((2L, "b")).toDF("id", "s"), append = true)
+    TxLog.deleteVectored(spark, t, "id", Some(1L), Some(1L))
+    TxLog.purgeDeletes(spark, t)
+    TxLog.restore(spark, t, 2L)
+    val h = TxLog.history(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(h == Seq((5L, "restore"), (4L, "purge_deletes"),
+      (3L, "delete_vectored"), (2L, "append"), (1L, "commit")))
+    // timestamps are non-null and non-decreasing oldest-first
+    val ts = TxLog.history(spark, t).collect().map(_.getLong(1)).reverse
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // vacuum drops the dropped versions' info rows too
+    TxLog.vacuum(spark, t, 4L)
+    assert(TxLog.history(spark, t).collect().map(_.getLong(0)).toSeq ==
+      Seq(5L, 4L))
+  }
+
   test("vacuum and restore keep resolving correctly under the hint") {
     val t = fresh("vac")
     (1 to 4).foreach(i =>
