@@ -2055,6 +2055,40 @@ object TxLog {
     * (and the manifests below it). Readers of retained snapshots are
     * unaffected — their files are never touched.
     */
+  /** [[vacuum]] preview: the data dirs, vector files, and manifests a
+    * real vacuum at `retainFrom` would delete, with their total bytes —
+    * the look-before-you-leap every retention runbook wants. Touches
+    * only metadata plus one `getContentSummary` per doomed path.
+    */
+  def vacuumDryRun(spark: SparkSession, tableDir: String,
+      retainFrom: Long): (Seq[String], Long) = {
+    val f = fs(spark, tableDir)
+    val latest = latestVersion(spark, tableDir)
+    require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
+    val keepLines = (retainFrom to latest)
+      .flatMap(v => readManifest(spark, tableDir, v))
+    val keep = keepLines.map(parseLine(_)._1).toSet
+    val keepDv = keepLines.flatMap(l => dvOf(parseLine(l)._2)).map(_._1).toSet
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dataRoot = new Path(s"$tableDir/data")
+    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { s =>
+      if (!keep.contains(s"data/${s.getPath.getName}"))
+        doomed += s.getPath.toString
+    }
+    val dvRoot = new Path(s"$tableDir/dv")
+    if (f.exists(dvRoot)) f.listStatus(dvRoot).foreach { s =>
+      if (!keepDv.contains(s"dv/${s.getPath.getName}"))
+        doomed += s.getPath.toString
+    }
+    f.listStatus(logDir(tableDir)).foreach { s =>
+      versionOf(s.getPath).foreach(v =>
+        if (v < retainFrom) doomed += s.getPath.toString)
+    }
+    val bytes = doomed.map(p =>
+      scala.util.Try(f.getContentSummary(new Path(p)).getLength).getOrElse(0L)).sum
+    (doomed.toSeq.sorted, bytes)
+  }
+
   def vacuum(spark: SparkSession, tableDir: String, retainFrom: Long): Unit = {
     val f = fs(spark, tableDir)
     val latest = latestVersion(spark, tableDir)

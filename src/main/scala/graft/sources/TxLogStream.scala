@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.SqlBridge
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over a [[TxLog]] table — the read-side
@@ -140,9 +140,39 @@ class TxLogSource(spark: SparkSession, tableDir: String,
   * skipped; default 0 = snapshot-then-deltas).
   */
 class TxLogSourceProvider extends StreamSourceProvider with RelationProvider
-    with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "txlog"
+
+  /** `df.write.format("txlog").mode(...).save(dir)` — the WRITE side of
+    * the format: Overwrite/ErrorIfExists/Ignore map to a snapshot
+    * commit, Append to an append commit (type guard, stored
+    * constraints, optimistic retry — everything [[TxLog.commit]]
+    * enforces). Completes the format triple: read, readStream, write.
+    */
+  override def createRelation(ctx: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      params: Map[String, String], df: DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val dir = dirOf(params)
+    val exists = TxLog.latestVersion(ctx.sparkSession, dir) > 0
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"txlog table $dir already exists (mode ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case m =>
+        TxLog.commit(ctx.sparkSession, dir, df,
+          append = m == SaveMode.Append)
+    }
+    // the writer's return value is unused by DataFrameWriter; a bare
+    // schema carrier avoids re-resolving the snapshot (which would
+    // throw for an append onto a vectored table — a legal write)
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = df.schema
+    }
+  }
 
   private def dirOf(params: Map[String, String]): String =
     params.getOrElse("path", throw new IllegalArgumentException(

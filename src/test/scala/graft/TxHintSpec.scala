@@ -108,6 +108,45 @@ class TxHintSpec extends AnyFunSuite {
       .option("timestampAsOf", between.toString).load(t).count() == 1L)
   }
 
+  test("format(\"txlog\") write path: overwrite/append/errorIfExists/ignore") {
+    val t = fresh("wfmt")
+    Seq((1L, "a")).toDF("id", "s").write.format("txlog").save(t)
+    assert(TxLog.read(spark, t).count() == 1L)
+    Seq((2L, "b")).toDF("id", "s").write.format("txlog")
+      .mode("append").save(t)
+    assert(TxLog.read(spark, t).count() == 2L)
+    intercept[IllegalStateException] {
+      Seq((3L, "c")).toDF("id", "s").write.format("txlog")
+        .mode("errorifexists").save(t)
+    }
+    Seq((3L, "c")).toDF("id", "s").write.format("txlog")
+      .mode("ignore").save(t)
+    assert(TxLog.read(spark, t).count() == 2L)
+    Seq((9L, "z")).toDF("id", "s").write.format("txlog")
+      .mode("overwrite").save(t)
+    assert(TxLog.read(spark, t).count() == 1L)
+    // the write path honors stored constraints like every commit
+    TxLog.addConstraint(spark, t, "id_pos", "id > 0")
+    intercept[IllegalArgumentException] {
+      Seq((-1L, "x")).toDF("id", "s").write.format("txlog")
+        .mode("append").save(t)
+    }
+  }
+
+  test("vacuumDryRun previews exactly what vacuum deletes") {
+    val t = fresh("dry")
+    (1 to 3).foreach(i =>
+      TxLog.commit(spark, t, Seq((i.toLong, "x")).toDF("id", "s")))
+    val (doomed, bytes) = TxLog.vacuumDryRun(spark, t, 3L)
+    assert(doomed.nonEmpty && bytes > 0L)
+    TxLog.vacuum(spark, t, 3L)
+    doomed.foreach(p =>
+      assert(!localFs.exists(new Path(p)), s"$p should be gone"))
+    // post-vacuum dry run: nothing left to reclaim
+    assert(TxLog.vacuumDryRun(spark, t, 3L)._1.isEmpty)
+    assert(TxLog.read(spark, t).count() == 1L)
+  }
+
   test("history records one row per version with its operation") {
     val t = fresh("hist")
     TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
