@@ -3555,6 +3555,74 @@ object PipelineQueries extends QueryPack {
       },
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(n_chars) AS BIGINT) AS chars
-             |FROM documents GROUP BY lang""".stripMargin))
+             |FROM documents GROUP BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q215: METADATA-ONLY quantile bounds (commit(collectHistograms) +
+    // TxLog.quantileBounds) — per-batch equi-width histograms with
+    // integer-exact bucket arithmetic give CERTAIN [lb, ub] enclosures
+    // for any rank, from a KB manifest read. The oracle is the hard
+    // part and the proof: DuckDB REPLAYS the whole pipeline from the
+    // flat table — quartile batch split, per-batch lo/hi, the
+    // ((x−lo)·16) // (hi−lo+1) bucketing, ceil-ed bucket value ranges,
+    // ceil ranks, and the two cumulative-mass bound rules — and must
+    // reproduce every bound bit-for-bit. The in-query require checks
+    // the bounds against true scan quantiles (certain enclosure).
+    QueryDef(
+      "q215_quantile_bounds",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_txquant_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+        val q = (docs.count() / 4L).max(1L)
+        (0L until 4L).foreach { i =>
+          val loB = i * q
+          val hiB = if (i == 3L) Long.MaxValue else (i + 1L) * q - 1L
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" >= loB && $"doc_id" <= hiB), append = true,
+            collectHistograms = Seq("n_chars" -> 16))
+        }
+        val pms = Seq(250, 500, 900)
+        val bounds = graft.sources.TxLog.quantileBounds(s, t, "n_chars", pms)
+          .getOrElse(sys.error("q215: histograms must be present"))
+        // certain enclosure vs the true scan quantiles
+        val vals = docs.select($"n_chars").as[Long].collect().sorted
+        bounds.foreach { case (pm, lb, ub) =>
+          val r = ((vals.length.toLong * pm + 999L) / 1000L).toInt
+          val exact = vals(r - 1)
+          require(lb <= exact && exact <= ub,
+            s"q215: rank $pm exact $exact outside [$lb, $ub]")
+        }
+        bounds.toDF("pm", "lb", "ub")
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) // 4 AS q FROM documents),
+             |b AS (SELECT least(doc_id // p.q, 3) AS batch, n_chars
+             |      FROM documents, p),
+             |st AS (SELECT batch, min(n_chars) AS lo, max(n_chars) AS hi,
+             |              hi - lo + 1 AS w FROM b GROUP BY batch),
+             |bk AS (SELECT b.batch, ((b.n_chars - st.lo) * 16) // st.w AS i,
+             |              CAST(count(*) AS BIGINT) AS c
+             |       FROM b JOIN st USING (batch) GROUP BY 1, 2),
+             |rng AS (SELECT st.lo + (bk.i * st.w + 15) // 16 AS blo,
+             |               st.lo + ((bk.i + 1) * st.w + 15) // 16 - 1 AS bhi,
+             |               bk.c
+             |        FROM bk JOIN st USING (batch)),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM rng),
+             |qs AS (SELECT unnest([250, 500, 900]) AS pm),
+             |rk AS (SELECT pm, (tot.n * pm + 999) // 1000 AS r FROM qs, tot),
+             |cum AS (SELECT blo, bhi, c,
+             |  sum(c) OVER (ORDER BY bhi) AS cum_hi,
+             |  sum(c) OVER (ORDER BY blo) - sum(c) OVER (PARTITION BY blo)
+             |    AS cum_strict_lo
+             |  FROM rng)
+             |SELECT rk.pm,
+             |  CAST((SELECT max(blo) FROM cum WHERE cum_strict_lo < rk.r)
+             |    AS BIGINT) AS lb,
+             |  CAST((SELECT min(bhi) FROM cum WHERE cum_hi >= rk.r)
+             |    AS BIGINT) AS ub
+             |FROM rk""".stripMargin))
   )
 }

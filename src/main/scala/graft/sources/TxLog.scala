@@ -69,6 +69,19 @@ object TxLog {
     */
   private def sketchKey(col: String) = "\u0001kmv:" + col
 
+  /** Reserved per-column stats key for the batch's equi-width HISTOGRAM
+    * (opt-in, [[commit]]'s `collectHistograms`): exact integer bucket
+    * counts over the batch's own [min, max], packed as
+    * "lo,hi,c0,...,c{nb-1}" in the `min` slot (bucket count in `max`).
+    * Bucket membership is pure integer arithmetic —
+    * ((x − lo) · nb) div (hi − lo + 1) — so any engine replays it
+    * bit-for-bit, and [[quantileBounds]] can answer quantile questions
+    * METADATA-ONLY with guaranteed enclosing bounds (exact counts +
+    * exact bucket value ranges ⇒ interval arithmetic on ranks, never an
+    * estimate passed off as truth).
+    */
+  private def histKey(col: String) = "\u0001hist:" + col
+
   /** Reserved stats key for a batch's DELETION VECTOR ([[deleteVectored]]
     * merge-on-read deletes): `min` holds the table-relative path of a
     * parquet file of (path, row_idx) tombstones, `max` the tombstone
@@ -575,6 +588,7 @@ object TxLog {
       collectBlooms: Seq[(String, Long)] = Nil,
       collectSketches: Seq[(String, Int)] = Nil,
       collectTokenBlooms: Seq[(String, Long)] = Nil,
+      collectHistograms: Seq[(String, Int)] = Nil,
       check: Option[org.apache.spark.sql.Column] = None): Long = {
     val f = fs(spark, tableDir)
     // writer-side CHECK invariant (Delta-style): a commit carrying rows
@@ -644,9 +658,32 @@ object TxLog {
         sketchKey(c) -> ColStats("k", packSketch(hs), k.toString)
       }.toOption
     }.toMap
+    // opt-in per-batch equi-width histograms (col -> buckets): one
+    // bounded agg + one bucket groupBy of the just-written batch;
+    // integer-only columns (quantile bounds need exact value ranges)
+    val hists: Map[String, ColStats] = collectHistograms.flatMap { case (c, nb) =>
+      scala.util.Try {
+        import org.apache.spark.sql.functions.{col => fcol, count => fcount, expr, max => fmax, min => fmin}
+        val d0 = spark.read.parquet(s"$tableDir/$batch")
+        val mm = d0.agg(fmin(fcol(c)), fmax(fcol(c))).head()
+        if (mm.isNullAt(0)) None
+        else {
+          val lo = mm.getLong(0); val hi = mm.getLong(1)
+          val w = hi - lo + 1L
+          val counts = d0.where(fcol(c).isNotNull)
+            .select(expr(
+              s"CAST((CAST($c AS DECIMAL(38,0)) - $lo) * $nb div $w AS INT)").as("__b"))
+            .groupBy(fcol("__b")).agg(fcount(org.apache.spark.sql.functions.lit(1)))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val packed = (Seq(lo, hi) ++ (0 until nb).map(i =>
+            counts.getOrElse(i, 0L))).mkString(",")
+          Some(histKey(c) -> ColStats("h", packed, nb.toString))
+        }
+      }.toOption.flatten
+    }.toMap
     val batchLine = encodeLine(batch,
       (if (collectStats) footerStats(spark, new Path(s"$tableDir/$batch"))
-       else Map.empty[String, ColStats]) ++ sketches,
+       else Map.empty[String, ColStats]) ++ sketches ++ hists,
       Some(df.schema.json),
       blooms)
     var attempt = 0
@@ -843,6 +880,59 @@ object TxLog {
     }
     throw new IllegalStateException(
       s"compactSmall on $tableDir lost $maxRetries optimistic rounds")
+  }
+
+  /** METADATA-ONLY quantile BOUNDS from the per-batch histograms
+    * [[commit]] harvested (`collectHistograms`): for each requested
+    * per-mille rank p, the r-th smallest value (r = ceil(N·p/1000),
+    * N = non-null rows) is guaranteed to lie in the returned
+    * [lb, ub] — derived purely by interval arithmetic over exact
+    * bucket counts and exact integer bucket value ranges, so the
+    * bounds are CERTAIN, not estimates (the honest counterpart of an
+    * approx-percentile: at 100 TB, "p50 is between 1874 and 1903"
+    * from a KB manifest read, with the scan reserved for when the gap
+    * matters). Tighter with more buckets and with value-clustered
+    * commits (narrow per-batch ranges ⇒ narrow bucket ranges). None
+    * when any live batch lacks the histogram (legacy commits, rewrites
+    * — which drop harvest-time stats, same contract as the KMV
+    * sketches) or carries a deletion vector; Nil input → Nil.
+    */
+  def quantileBounds(spark: SparkSession, tableDir: String, colName: String,
+      permille: Seq[Int], asOf: Option[Long] = None)
+      : Option[Seq[(Int, Long, Long)]] = {
+    require(permille.forall(p => p >= 1 && p <= 1000), s"bad ranks $permille")
+    val v = asOf.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no committed version in $tableDir")
+    val entries = readManifest(spark, tableDir, v).map(parseLine)
+    if (entries.exists(e => dvOf(e._2).isDefined)) return None
+    val live = entries.filter(_._2.get(RowsKey).forall(_.min.toLong > 0L))
+    val hs = live.map(_._2.get(histKey(colName)))
+    if (hs.isEmpty || hs.exists(_.isEmpty)) return None
+    // (bucket value lo, bucket value hi, count) across all batches
+    val buckets = hs.flatten.flatMap { st =>
+      val parts = st.min.split(',').map(_.toLong)
+      val nb = st.max.toInt
+      val (lo, hi) = (parts(0), parts(1))
+      val w = hi - lo + 1L
+      (0 until nb).flatMap { i =>
+        val c = parts(2 + i)
+        if (c == 0L) None
+        else Some((lo + (i.toLong * w + nb - 1) / nb,
+          lo + ((i + 1).toLong * w + nb - 1) / nb - 1L, c))
+      }
+    }
+    val n = buckets.map(_._3).sum
+    if (n == 0L) return Some(permille.map(p => (p, 0L, 0L)))
+    Some(permille.map { p =>
+      val r = (n * p + 999L) / 1000L
+      // ub: smallest bucket-top whose guaranteed-at-or-below mass >= r
+      val ub = buckets.map(_._2).filter(t =>
+        buckets.filter(_._2 <= t).map(_._3).sum >= r).min
+      // lb: largest bucket-start below which even the maximal mass < r
+      val lb = buckets.map(_._1).filter(s0 =>
+        buckets.filter(_._1 < s0).map(_._3).sum < r).max
+      (p, lb, ub)
+    })
   }
 
   /** METADATA-ONLY approximate distinct count of `colName` over a
