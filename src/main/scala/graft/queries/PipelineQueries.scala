@@ -3614,8 +3614,9 @@ object PipelineQueries extends QueryPack {
              |qs AS (SELECT unnest([250, 500, 900]) AS pm),
              |rk AS (SELECT pm, (tot.n * pm + 999) // 1000 AS r FROM qs, tot),
              |cum AS (SELECT blo, bhi, c,
-             |  sum(c) OVER (ORDER BY bhi) AS cum_hi,
-             |  sum(c) OVER (ORDER BY blo) - sum(c) OVER (PARTITION BY blo)
+             |  CAST(sum(c) OVER (ORDER BY bhi) AS BIGINT) AS cum_hi,
+             |  CAST(sum(c) OVER (ORDER BY blo) AS BIGINT)
+             |    - CAST(sum(c) OVER (PARTITION BY blo) AS BIGINT)
              |    AS cum_strict_lo
              |  FROM rng)
              |SELECT rk.pm,
