@@ -935,6 +935,43 @@ object TxLog {
     })
   }
 
+  /** METADATA-ONLY range-count bounds — [[quantileBounds]]'s inverse,
+    * and the selectivity-estimation primitive a planner wants: how many
+    * rows have `colName` in [lo, hi]? Returns a CERTAIN [cMin, cMax]
+    * from the same per-batch histograms — buckets fully inside the
+    * probe count toward the floor, buckets merely overlapping toward
+    * the ceiling. Exact (cMin == cMax) whenever the probe aligns with
+    * bucket edges. Same decline contract as [[quantileBounds]].
+    */
+  def countBounds(spark: SparkSession, tableDir: String, colName: String,
+      lo: Long, hi: Long, asOf: Option[Long] = None): Option[(Long, Long)] = {
+    require(lo <= hi, s"bad range [$lo, $hi]")
+    val v = asOf.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no committed version in $tableDir")
+    val entries = readManifest(spark, tableDir, v).map(parseLine)
+    if (entries.exists(e => dvOf(e._2).isDefined)) return None
+    val live = entries.filter(_._2.get(RowsKey).forall(_.min.toLong > 0L))
+    val hs = live.map(_._2.get(histKey(colName)))
+    if (hs.isEmpty || hs.exists(_.isEmpty)) return None
+    var cMin = 0L; var cMax = 0L
+    hs.flatten.foreach { st =>
+      val parts = st.min.split(',').map(_.toLong)
+      val nb = st.max.toInt
+      val (bLo, bHi) = (parts(0), parts(1))
+      val w = bHi - bLo + 1L
+      (0 until nb).foreach { i =>
+        val c = parts(2 + i)
+        if (c != 0L) {
+          val vLo = bLo + (i.toLong * w + nb - 1) / nb
+          val vHi = bLo + ((i + 1).toLong * w + nb - 1) / nb - 1L
+          if (vLo >= lo && vHi <= hi) { cMin += c; cMax += c }
+          else if (vHi >= lo && vLo <= hi) cMax += c
+        }
+      }
+    }
+    Some((cMin, cMax))
+  }
+
   /** METADATA-ONLY approximate distinct count of `colName` over a
     * snapshot, from the per-batch KMV sketches [[commit]] harvested
     * (`collectSketches`). The merge is EXACT — the k smallest hashes of

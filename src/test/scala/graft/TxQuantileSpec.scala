@@ -72,6 +72,28 @@ class TxQuantileSpec extends AnyFunSuite {
     assert(lb <= 7L && 7L <= ub)
   }
 
+  test("countBounds certainly encloses the exact range count") {
+    val t = fresh("cnt")
+    val vals = (0L until 1000L).map(i => (i * 37L) % 1009L)
+    (0 until 4).foreach { b =>
+      TxLog.commit(spark, t,
+        vals.slice(b * 250, (b + 1) * 250).map(v => Tuple1(v)).toDF("x"),
+        append = true, collectHistograms = Seq("x" -> 16))
+    }
+    for ((lo, hi) <- Seq((0L, 1008L), (100L, 200L), (500L, 501L), (2000L, 3000L))) {
+      val (cMin, cMax) = TxLog.countBounds(spark, t, "x", lo, hi).get
+      val exact = vals.count(v => v >= lo && v <= hi).toLong
+      assert(cMin <= exact && exact <= cMax, s"[$lo,$hi]: $exact not in [$cMin,$cMax]")
+    }
+    // whole-domain probe is exact: every bucket fully inside
+    assert(TxLog.countBounds(spark, t, "x", -1L, 2000L).get == ((1000L, 1000L)))
+    // disjoint probe is exactly zero
+    assert(TxLog.countBounds(spark, t, "x", 5000L, 6000L).get == ((0L, 0L)))
+    // same decline contract as quantileBounds
+    TxLog.deleteVectored(spark, t, "x", Some(3L), Some(3L))
+    assert(TxLog.countBounds(spark, t, "x", 0L, 10L).isEmpty)
+  }
+
   test("single-value batches (hi == lo) bound exactly") {
     val t = fresh("const")
     (0 until 3).foreach(_ => TxLog.commit(spark, t,
