@@ -41,7 +41,8 @@ object BenchProbe {
     "minhash_dedup" -> "q41_dedup_minhash",
     "incremental_dedup" -> "q117_dedup_incremental",
     "duplicated_spans" -> "q109_duplicated_spans",
-    "prefix_jaccard" -> "q133_prefix_jaccard")
+    "prefix_jaccard" -> "q133_prefix_jaccard",
+    "bm25_retrieval" -> "q210_bm25_topk")
 
   private def replicateDocuments(spark: SparkSession, sfDir: String,
       replicas: Int): DataFrame = {

@@ -3327,7 +3327,8 @@ object PipelineQueries extends QueryPack {
           .filter(length($"tok") > 0)
         graft.operators.TextRetrieval.bm25TopK(docs, queries, k = 5)
       },
-      Some("""WITH toks0 AS (SELECT doc_id,
+      headline = true,
+      oracle = Some("""WITH toks0 AS (SELECT doc_id,
              |    unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
              |tk AS (SELECT * FROM toks0 WHERE length(tok) > 0),
              |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
