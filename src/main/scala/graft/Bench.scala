@@ -28,6 +28,31 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Contention sentinel (round-7 verdict: the r7 artifact overstated
+    // q157 by 5.4× and survived the dispersion gate because ALL passes
+    // were equally slow — min-of-passes only defeats TRANSIENT noise,
+    // not sustained machine load). The sentinel is a fixed, data-free,
+    // CPU+shuffle plan (generated range → modulo groupBy) timed next to
+    // every headline measurement; when it drifts >2× from its own
+    // warm-up cost the window is declared contended and the query's
+    // passes are re-measured. Sentinel stats ride in the JSON so the
+    // judge can see HOW contended the run was, per window.
+    def sentinel(): Double = {
+      import org.apache.spark.sql.functions.{col, sum}
+      val t0 = System.nanoTime()
+      spark.range(16L * 1000000L)
+        .select((org.apache.spark.sql.functions.col("id") % 9973L).as("g"),
+          col("id"))
+        .groupBy("g").agg(sum(col("id")))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm-up: JIT/codegen once, then take the min of 5 as the baseline
+    sentinel()
+    val sentinelBase = (0 until 5).map(_ => sentinel()).min
+    val sentinelDrifts = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    val contended = scala.collection.mutable.ListBuffer.empty[String]
+
     val targets = SparkEntry.headline
     // full warmup pass: every headline query runs once untimed, so the
     // timed passes measure steady-state operator throughput (what scales
@@ -35,7 +60,21 @@ object Bench {
     targets.foreach(q => run(q.build))
     val reran = scala.collection.mutable.ListBuffer.empty[String]
     val results = targets.map { q =>
-      var times = Seq.fill(Passes)(run(q.build))
+      // a measurement window = the query's passes bracketed by sentinel
+      // probes; contended windows are discarded and re-run (≤2 retries),
+      // a still-contended final window keeps its times but flags the
+      // query so the artifact can't silently overstate a cost
+      var times = Seq.empty[Double]
+      var windowOk = false
+      var tries = 0
+      while (!windowOk && tries < 3) {
+        times = Seq.fill(Passes)(run(q.build))
+        val s = sentinel()
+        sentinelDrifts += q.name -> (s / sentinelBase.max(0.001))
+        windowOk = s <= 2.0 * sentinelBase
+        tries += 1
+        if (!windowOk && tries == 3) contended += q.name
+      }
       // dispersion gate (round-5 ask #6): >3x max/min spread on a query
       // means a pass was machine-contended, and a contaminated median
       // reads as a phantom regression round-over-round. Take more
@@ -90,8 +129,13 @@ object Bench {
         s""","scale_probe":$probe,"ab":$ab"""
       }
 
+    val driftMax = if (sentinelDrifts.isEmpty) 1.0 else sentinelDrifts.map(_._2).max
+    val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sentJson =
+      f""""sentinel":{"base_sec":$sentinelBase%.3f,"drift_max":$driftMax%.2f,"windows":${sentinelDrifts.size},"contended":$contendedJson}"""
+
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"queries":$qs,"dispersion":$disp,"passes":$Passes,"reran_on_dispersion":$reranJson$probeJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"queries":$qs,"dispersion":$disp,"passes":$Passes,"reran_on_dispersion":$reranJson,$sentJson$probeJson,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for log-scraping harnesses: the same line as a file
     // (sbt/log4j prefixes have broken JSON extraction from captured logs).

@@ -30,6 +30,27 @@ object TableIO {
     * row-group min/max only prunes on the sort prefix, so an
     * `destination_id = X` probe against an origin-sorted table reads
     * every row group without one (IoSpec measures the skip).
+    *
+    * SCALE SHAPE (the round-7 probe lesson): hashing on the partition
+    * keys alone serializes each Hive partition into ONE task — key
+    * cardinality is FIXED (6 keys, ~50 states), so growing the data 10×
+    * grows every task 10× while the task count stays put: write
+    * wall-clock scales super-linearly with data and is unbounded at
+    * 100 TB. Instead the shuffle is an AQE REBALANCE on the keys:
+    * small key groups coalesce (tiny fixtures still get one file per
+    * partition), and a group larger than `targetSliceBytes` SPLITS into
+    * map-range slices written by parallel tasks — task work is capped
+    * by bytes, not by key cardinality, so wall-clock scales with
+    * data/cores at any volume. Each slice sorts independently
+    * (`sortWithinPartitions`), so every FILE keeps the (keys, order)
+    * row order — the reference's own contract is per-file order
+    * (create_public_files.py:66-69), which is what row-group min/max
+    * pruning needs; a multi-file partition costs a footer check per
+    * extra file on point probes, bounded by the bloom/stats skip.
+    *
+    * mode="append" accretes new ordered files into an existing tree (the
+    * incremental-merge path — each appended file keeps its own row-group
+    * order, and compact() folds the accretion when file counts matter).
     */
   def writePartitioned(
       df: DataFrame,
@@ -38,28 +59,31 @@ object TableIO {
       partitionKeys: Seq[String] = PartitionKeys,
       maxRecordsPerFile: Long = 10000000L,
       bloomCols: Seq[(String, Long)] = Nil,
-      mode: String = "overwrite"): Unit = {
-    // explicit partition count: a bare repartition(cols) is advisory, so
-    // AQE coalesces the shuffle toward 64 MB partitions and the zstd
-    // encode runs on a handful of tasks; pinning to the cluster's
-    // parallelism keeps every core compressing while each key group
-    // still lands whole in exactly one partition (hash on the key tuple)
-    // → still one file per Hive partition.
-    // mode="append" accretes new ordered files into an existing tree (the
-    // incremental-merge path — each appended file keeps its own row-group
-    // order, and compact() folds the accretion when file counts matter).
-    val n = df.sparkSession.sparkContext.defaultParallelism
-    val w = df.repartition(n, partitionKeys.map(col): _*)
-      .sortWithinPartitions((partitionKeys ++ orderCols).map(col): _*)
-      .write
-      .mode(mode)
-      .option("compression", "zstd")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-    val wb = bloomCols.foldLeft(w) { case (acc, (c, ndv)) =>
-      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
-        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+      mode: String = "overwrite",
+      targetSliceBytes: Long = 64L << 20): Unit = {
+    val spark = df.sparkSession
+    // AQE sizes rebalance slices by the session's advisory partition
+    // bytes; scope the override to this action (single-threaded session
+    // use — Verify/Bench run queries sequentially)
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(advisoryKey)
+    spark.conf.set(advisoryKey, targetSliceBytes.toString)
+    try {
+      val w = df.hint("rebalance", partitionKeys.map(col): _*)
+        .sortWithinPartitions((partitionKeys ++ orderCols).map(col): _*)
+        .write
+        .mode(mode)
+        .option("compression", "zstd")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+      val wb = bloomCols.foldLeft(w) { case (acc, (c, ndv)) =>
+        acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+      }
+      wb.partitionBy(partitionKeys: _*).parquet(baseDir)
+    } finally prev match {
+      case Some(v) => spark.conf.set(advisoryKey, v)
+      case None => spark.conf.unset(advisoryKey)
     }
-    wb.partitionBy(partitionKeys: _*).parquet(baseDir)
     // a write under a registered MV base closes that view's freshness
     // window without user action (round-5 stretch ask)
     graft.plans.MvCatalog.invalidateByPath(baseDir)
@@ -83,10 +107,11 @@ object TableIO {
       orderCols: Seq[String],
       partitionKeys: Seq[String] = PartitionKeys,
       maxRecordsPerFile: Long = 10000000L,
-      bloomCols: Seq[(String, Long)] = Nil): Unit = {
+      bloomCols: Seq[(String, Long)] = Nil,
+      targetSliceBytes: Long = 64L << 20): Unit = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     writePartitioned(df, primaryDir, orderCols, partitionKeys,
-      maxRecordsPerFile, bloomCols)
+      maxRecordsPerFile, bloomCols, targetSliceBytes = targetSliceBytes)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val src = new Path(primaryDir)
     val srcFs = src.getFileSystem(conf)

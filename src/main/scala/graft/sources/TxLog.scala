@@ -415,9 +415,17 @@ object TxLog {
     case _ => BigDecimal(a) <= BigDecimal(b)
   }
 
-  /** Does this batch's [min,max] overlap the query range [lo,hi]? */
+  /** Does this batch's [min,max] overlap the query range [lo,hi]?
+    * Unorderable probes (NaN/Infinity reach [[lte]]'s BigDecimal parse
+    * via a double probe or a NaN join key) must DISABLE skipping, not
+    * fail planning: conservative keep on any comparison error — the
+    * same Try-guard contract TxAggRule applies to these stats.
+    */
   private def overlaps(st: ColStats, lo: Option[String], hi: Option[String]): Boolean =
-    lo.forall(l => lte(st.kind, l, st.max)) && hi.forall(h => lte(st.kind, st.min, h))
+    scala.util.Try(
+      lo.forall(l => lte(st.kind, l, st.max)) &&
+        hi.forall(h => lte(st.kind, st.min, h))
+    ).getOrElse(true)
 
   /** Commit `df` as the next version. `append = true` carries the
     * previous snapshot's directories forward; otherwise the new snapshot
@@ -666,7 +674,13 @@ object TxLog {
         import org.apache.spark.sql.functions.{col => fcol, count => fcount, expr, max => fmax, min => fmin}
         val d0 = spark.read.parquet(s"$tableDir/$batch")
         val mm = d0.agg(fmin(fcol(c)), fmax(fcol(c))).head()
-        if (mm.isNullAt(0)) None
+        // decline when hi-lo+1 overflows Long (e.g. signed 64-bit hash
+        // keys spanning > 2^63): packed zero-width buckets would feed
+        // quantileBounds/countBounds wrong answers presented as CERTAIN
+        // — no histogram means those APIs decline, which is the honest
+        // guaranteed-enclosure contract
+        if (mm.isNullAt(0) ||
+            BigInt(mm.getLong(1)) - BigInt(mm.getLong(0)) + 1 > Long.MaxValue) None
         else {
           val lo = mm.getLong(0); val hi = mm.getLong(1)
           val w = hi - lo + 1L
@@ -726,21 +740,26 @@ object TxLog {
     val f = fs(spark, tableDir)
     if (append) appendTypeGuard(spark, tableDir, df.schema)
     enforceConstraints(spark, tableDir, df)
-    val tmp = new Path(s"$tableDir/.partcommit-tmp")
-    f.delete(tmp, true)
-    df.withColumn("__p", col(byCol))
-      .repartition(col("__p"))
-      .write.partitionBy("__p").parquet(tmp.toString)
-    val parts = f.listStatus(tmp).filter(_.isDirectory)
-      .sortBy(_.getPath.getName)
-    val lines = parts.map { pd =>
-      val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
-      val dir = new Path(s"$tableDir/$batch")
-      f.mkdirs(dir.getParent)
-      f.rename(pd.getPath, dir)
-      encodeLine(batch, footerStats(spark, dir), Some(df.schema.json))
-    }.toSeq
-    f.delete(tmp, true)
+    // writer-private staging dir (UUID-suffixed, like commit's data
+    // dirs): two concurrent commitPartitioned callers must never
+    // delete/list each other's in-flight output, or one could commit a
+    // manifest referencing dirs the other removed mid-rename
+    val tmp = new Path(s"$tableDir/.partcommit-tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val lines =
+      try {
+        df.withColumn("__p", col(byCol))
+          .repartition(col("__p"))
+          .write.partitionBy("__p").parquet(tmp.toString)
+        val parts = f.listStatus(tmp).filter(_.isDirectory)
+          .sortBy(_.getPath.getName)
+        parts.map { pd =>
+          val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+          val dir = new Path(s"$tableDir/$batch")
+          f.mkdirs(dir.getParent)
+          f.rename(pd.getPath, dir)
+          encodeLine(batch, footerStats(spark, dir), Some(df.schema.json))
+        }.toSeq
+      } finally f.delete(tmp, true)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, tableDir)
@@ -864,8 +883,12 @@ object TxLog {
       if (small.size < minBatches) return None
       val kept = lines.filterNot(small)
       val entries = small.toSeq.map(parseLineFull)
+      // mergeSchema: rewrite must carry the evolved column union (see
+      // deleteWhere's note) — small batches are exactly where ragged
+      // schemas accumulate
       val folded = applyDv(spark, tableDir,
-        spark.read.parquet(entries.map(e => s"$tableDir/${e._1}"): _*),
+        spark.read.option("mergeSchema", "true")
+          .parquet(entries.map(e => s"$tableDir/${e._1}"): _*),
         entries.map(_._2))
       val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
       folded.coalesce(1).write.parquet(s"$tableDir/$batch")
@@ -909,16 +932,18 @@ object TxLog {
     val hs = live.map(_._2.get(histKey(colName)))
     if (hs.isEmpty || hs.exists(_.isEmpty)) return None
     // (bucket value lo, bucket value hi, count) across all batches
+    // bucket edges in BigInt: i*w overflows Long once w > 2^63/nb even
+    // though every EDGE fits a Long (edges are <= hi by construction)
     val buckets = hs.flatten.flatMap { st =>
       val parts = st.min.split(',').map(_.toLong)
       val nb = st.max.toInt
       val (lo, hi) = (parts(0), parts(1))
-      val w = hi - lo + 1L
+      val w = BigInt(hi) - BigInt(lo) + 1
       (0 until nb).flatMap { i =>
         val c = parts(2 + i)
         if (c == 0L) None
-        else Some((lo + (i.toLong * w + nb - 1) / nb,
-          lo + ((i + 1).toLong * w + nb - 1) / nb - 1L, c))
+        else Some(((BigInt(lo) + (BigInt(i) * w + nb - 1) / nb).toLong,
+          (BigInt(lo) + (BigInt(i + 1) * w + nb - 1) / nb - 1).toLong, c))
       }
     }
     val n = buckets.map(_._3).sum
@@ -958,12 +983,13 @@ object TxLog {
       val parts = st.min.split(',').map(_.toLong)
       val nb = st.max.toInt
       val (bLo, bHi) = (parts(0), parts(1))
-      val w = bHi - bLo + 1L
+      // same BigInt edge math as quantileBounds (i*w Long overflow)
+      val w = BigInt(bHi) - BigInt(bLo) + 1
       (0 until nb).foreach { i =>
         val c = parts(2 + i)
         if (c != 0L) {
-          val vLo = bLo + (i.toLong * w + nb - 1) / nb
-          val vHi = bLo + ((i + 1).toLong * w + nb - 1) / nb - 1L
+          val vLo = (BigInt(bLo) + (BigInt(i) * w + nb - 1) / nb).toLong
+          val vHi = (BigInt(bLo) + (BigInt(i + 1) * w + nb - 1) / nb - 1).toLong
           if (vLo >= lo && vHi <= hi) { cMin += c; cMax += c }
           else if (vHi >= lo && vLo <= hi) cMax += c
         }
@@ -1099,8 +1125,11 @@ object TxLog {
       // a touched batch may carry a deletion vector: the rewrite must
       // not resurrect its tombstoned rows, so apply it first (the
       // rewritten batch line then starts vector-free)
+      // mergeSchema: on an additively-evolved table a plain read infers
+      // ONE file's schema and the rewrite would silently drop columns
+      // present only in other touched batches — permanent data loss
       val survivors = applyDv(spark, tableDir,
-          spark.read.parquet(touchedDirs: _*),
+          spark.read.option("mergeSchema", "true").parquet(touchedDirs: _*),
           touched.map(parseLine(_)._2))
         .filter(org.apache.spark.sql.functions.coalesce(
           !inRange, org.apache.spark.sql.functions.lit(true)))
@@ -1259,8 +1288,10 @@ object TxLog {
         dvOf(parseLine(l)._2).isDefined)
       if (dvLines.isEmpty) return base
       val entries = dvLines.map(parseLineFull)
+      // mergeSchema: preserve the evolved column union (deleteWhere's note)
       val survivors = applyDv(spark, tableDir,
-        spark.read.parquet(entries.map(e => s"$tableDir/${e._1}"): _*),
+        spark.read.option("mergeSchema", "true")
+          .parquet(entries.map(e => s"$tableDir/${e._1}"): _*),
         entries.map(_._2))
       val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
       survivors.write.parquet(s"$tableDir/$batch")
@@ -1356,7 +1387,7 @@ object TxLog {
         // hold matched keys (bounded collect: one row per touched FILE)
         val touchedUuids: Set[String] =
           if (candidates.isEmpty) Set.empty
-          else spark.read
+          else spark.read.option("mergeSchema", "true")
             .parquet(candidates.map(l => s"$tableDir/${parseLine(l)._1}"): _*)
             .where(col(keyCol) >= org.apache.spark.sql.functions.lit(loV.get) &&
               col(keyCol) <= org.apache.spark.sql.functions.lit(hiV.get))
@@ -1367,14 +1398,28 @@ object TxLog {
             .toSet
         val (touched, kept) = lines.partition(l =>
           touchedUuids.contains(new Path(parseLine(l)._1).getName))
-        val tgtCols = read(spark, tableDir, Some(base)).columns.toSeq
+        // mergeSchema: the target column set is the snapshot's UNION —
+        // a plain read of an evolved table infers one file's schema and
+        // the merge would rewrite touched batches without the evolved
+        // columns (silent data loss)
+        val tgtSchema = read(spark, tableDir, Some(base), mergeSchema = true).schema
+        val tgtCols = tgtSchema.fieldNames.toSeq
         require(tgtCols.forall(src.columns.contains),
           s"merge source must carry every target column; missing ${tgtCols.filterNot(src.columns.contains)}")
         val srcAligned = src.select(tgtCols.map(col): _*)
         val touchedDf =
           if (touched.isEmpty) None
-          else Some(spark.read.parquet(
-            touched.map(l => s"$tableDir/${parseLine(l)._1}"): _*))
+          // mergeSchema: the rewrite must carry the evolved column union
+          // (deleteWhere's note); a target column living only in
+          // UNtouched batches is still absent from this read — null-fill
+          // it at the recorded type so select(tgtCols) stays total
+          else Some {
+            val raw = spark.read.option("mergeSchema", "true").parquet(
+              touched.map(l => s"$tableDir/${parseLine(l)._1}"): _*)
+            tgtSchema.fields.filterNot(f0 => raw.columns.contains(f0.name))
+              .foldLeft(raw)((d, f0) => d.withColumn(f0.name,
+                org.apache.spark.sql.functions.lit(null).cast(f0.dataType)))
+          }
         val survivors = touchedDf.map(
           _.join(srcKeys, Seq(keyCol), "left_anti").select(tgtCols.map(col): _*))
         val fromSource: Option[DataFrame] = (whenMatched, insertNotMatched) match {
@@ -1501,7 +1546,10 @@ object TxLog {
         val matchedPos =
           if (candidates.isEmpty) None
           else {
-            val keyed = spark.read
+            // mergeSchema: keyCol may be absent from SOME candidate
+            // batches on an evolved table — plain inference from one
+            // file would fail the probe's analysis
+            val keyed = spark.read.option("mergeSchema", "true")
               .parquet(candEntries.map(e => s"$tableDir/${e._1}"): _*)
               .where(col(keyCol) >= lit(loV.get) && col(keyCol) <= lit(hiV.get))
               .select(col(keyCol),
@@ -1525,7 +1573,9 @@ object TxLog {
           val touched = lines.filter(l =>
             touchedUuids.contains(new Path(parseLine(l)._1).getName)).toSet
           val matchedKeys = matchedPos.map(_.select(col(keyCol)).distinct())
-          val tgtCols = read(spark, tableDir, Some(base)).columns.toSeq
+          // union column set on evolved tables (see merge's note)
+          val tgtCols = read(spark, tableDir, Some(base), mergeSchema = true)
+            .columns.toSeq
           require(tgtCols.forall(src.columns.contains),
             s"merge source must carry every target column; missing ${tgtCols.filterNot(src.columns.contains)}")
           val srcAligned = src.select(tgtCols.map(col): _*)
@@ -2075,7 +2125,9 @@ object TxLog {
       val base = latestVersion(spark, tableDir)
       require(base > 0, s"no committed version in $tableDir")
       val snap = read(spark, tableDir, Some(base))
-      val tmp = new Path(s"$tableDir/.zorder-tmp")
+      // writer-private staging dir — same concurrency contract as
+      // commitPartitioned's (two optimistic writers never share staging)
+      val tmp = new Path(s"$tableDir/.zorder-tmp-${java.util.UUID.randomUUID().toString.take(12)}")
       f.delete(tmp, true)
       snap.withColumn("__z",
           graft.operators.ZOrder.zValue(zCols.map(col), bits))

@@ -712,4 +712,52 @@ class TxLogSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("n_rows") == 151L)
     assert(r2.getAs[Long]("id_min") == 50L)
   }
+
+  test("NaN/Infinity probes disable pruning instead of failing planning") {
+    val t = fresh("nanprobe")
+    TxLog.commit(spark, t,
+      Seq((1L, 1.5), (2L, 2.5)).toDF("id", "x"), append = true)
+    TxLog.commit(spark, t,
+      Seq((3L, 3.5), (4L, Double.NaN)).toDF("id", "x"), append = true)
+    // an unorderable bound reaches the stat compare (BigDecimal parse
+    // would throw NumberFormatException) -- conservative keep, not a
+    // planning crash; the residual filter then answers exactly under
+    // Spark's NaN semantics (NaN == NaN, NaN greatest)
+    val nan = TxLog.readWhere(spark, t, "x",
+      Some(Double.NaN), Some(Double.NaN))
+    assert(nan.count() == 1L) // exactly the NaN row
+    assert(TxLog.readWhere(spark, t, "x", Some(Double.NaN), None).count() == 1L)
+    // point DELETE with a NaN bound: same conservative path, no throw,
+    // and it deletes exactly the NaN row
+    val v = TxLog.deleteWhere(spark, t, "x",
+      Some(Double.NaN), Some(Double.NaN))
+    assert(v > 0L)
+    assert(TxLog.read(spark, t).count() == 3L)
+  }
+
+  test("rewrites preserve additively-evolved columns (no silent drop)") {
+    val t = fresh("evorw")
+    TxLog.commit(spark, t, Seq((1L, "a")).toDF("id", "s"), append = true)
+    // additive evolution: second batch carries an extra column
+    TxLog.commit(spark, t,
+      Seq((2L, "b", 20L), (3L, "c", 30L)).toDF("id", "s", "extra"),
+      append = true)
+    // the delete range touches BOTH batches; the rewrite must keep
+    // `extra` for rows that had it (plain one-file inference drops it)
+    TxLog.deleteWhere(spark, t, "id", Some(1L), Some(2L))
+    val back = TxLog.read(spark, t)
+    assert(back.columns.contains("extra"))
+    val r = back.orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(r.head.getAs[Long]("extra") == 30L)
+    // merge across the evolved pair keeps the union schema too
+    val t2 = fresh("evomrg")
+    TxLog.commit(spark, t2, Seq((1L, "a")).toDF("id", "s"), append = true)
+    TxLog.commit(spark, t2,
+      Seq((2L, "b", 20L)).toDF("id", "s", "extra"), append = true)
+    TxLog.merge(spark, t2,
+      Seq((1L, "A1", 11L), (2L, "B2", 22L)).toDF("id", "s", "extra"), "id")
+    val m = TxLog.read(spark, t2).orderBy("id").collect()
+    assert(m.map(_.getAs[Long]("extra")).toSeq == Seq(11L, 22L))
+  }
 }

@@ -102,4 +102,27 @@ class TxQuantileSpec extends AnyFunSuite {
     val Seq((_, lb, ub)) = TxLog.quantileBounds(spark, t, "x", Seq(500)).get
     assert(lb == 42L && ub == 42L)
   }
+
+  test("a column spanning more than Long range declines histograms") {
+    val t = fresh("span64")
+    // hi - lo + 1 overflows Long (signed 64-bit hash-key shape): the
+    // harvest must DECLINE rather than pack zero-width buckets that
+    // quantileBounds would present as CERTAIN wrong bounds
+    TxLog.commit(spark, t,
+      Seq(Tuple1(Long.MinValue), Tuple1(0L), Tuple1(Long.MaxValue)).toDF("x"),
+      collectHistograms = Seq("x" -> 8))
+    assert(TxLog.quantileBounds(spark, t, "x", Seq(500)).isEmpty)
+    assert(TxLog.countBounds(spark, t, "x", 0L, 10L).isEmpty)
+    // a wide-but-representable range still harvests, with BigInt-safe
+    // bucket edges (i*w would overflow Long past 2^63/nb)
+    val t2 = fresh("span63")
+    val (wLo, wHi) = (-(1L << 62), (1L << 62) - 2L) // width = 2^63 - 1: representable
+    TxLog.commit(spark, t2,
+      Seq(Tuple1(wLo), Tuple1(0L), Tuple1(wHi)).toDF("x"),
+      collectHistograms = Seq("x" -> 8))
+    val Seq((_, lb, ub)) = TxLog.quantileBounds(spark, t2, "x", Seq(500)).get
+    assert(lb <= 0L && 0L <= ub)
+    val (cMin, cMax) = TxLog.countBounds(spark, t2, "x", wLo, wHi).get
+    assert(cMin <= 3L && cMax >= 3L)
+  }
 }
