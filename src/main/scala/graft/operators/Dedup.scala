@@ -119,6 +119,38 @@ object Dedup {
           .as("dup_coverage"))
   }
 
+  /** Actual-size gate for the corpus-scaled merge pins (the round-7
+    * lesson cuts BOTH ways): Catalyst estimates exploded shingle frames
+    * from the COMPRESSED text scan, so near the broadcast threshold it
+    * happily builds gigabyte broadcasts — the 100× probe's driver OOM.
+    * But an UNCONDITIONAL sort-merge pin forbids broadcasting provably
+    * tiny sides and costs small corpora ~2× latency (q133 measured
+    * 3.0s → 5.2s at sf0.1). So pin only when the side's estimated
+    * SERIALIZED bytes could outgrow a safe broadcast build:
+    * threshold/4, budgeting the ~4× Java-object expansion a broadcast
+    * hash relation pays over serialized rows. With broadcasting
+    * disabled (threshold <= 0) no broadcast can happen and the pin is
+    * free — keep it (the plan specs assert ReusedExchange under
+    * exactly that config).
+    */
+  private def pinLarge(estBytes: Long): Boolean = {
+    val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    thr <= 0L || estBytes > thr / 4
+  }
+
+  /** One narrow agg over the text column: (total chars, docs). The
+    * cheap upstream measurement the pin gates derive exploded-side
+    * estimates from — rows ≈ chars/5 (avg token ~5 chars), so an
+    * n-gram shingle frame serializes to ~chars·n for the strings plus
+    * ~28 bytes/row of row+pointer overhead ≈ chars·(n+6).
+    */
+  private def textStats(docs: DataFrame): (Long, Long) = {
+    val r = docs.agg(
+      coalesce(sum(length(col("text"))), lit(0L)),
+      count(lit(1))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Distinct word n-gram shingles per doc (docs shorter than n words
     * produce none — Spark's sequence() would go descending on a negative
     * span, hence the pre-filter).
@@ -160,17 +192,21 @@ object Dedup {
   def ngramPairs(docs: DataFrame, n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
     val g = dfCapped(shingles(docs, n), maxDf)
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // corpus-proportional sides pinned to sort-merge: the shingle frame
-    // and the per-doc size table are estimated from the COMPRESSED text
-    // scan, so near the broadcast threshold the planner would broadcast
-    // gigabytes of exploded shingles (see minhashPairs' verify note)
-    val inter = g.as("ga").join(g.as("gb").hint("merge"),
+    // corpus-proportional sides pinned to sort-merge WHEN BIG: the
+    // shingle frame and the per-doc size table are estimated from the
+    // COMPRESSED text scan, so near the broadcast threshold the planner
+    // would broadcast gigabytes of exploded shingles (see minhashPairs'
+    // verify note); a measured-tiny corpus keeps the broadcast plans
+    val (chars, _) = textStats(docs)
+    def mp(df: DataFrame): DataFrame =
+      if (pinLarge(chars * (n + 6L))) df.hint("merge") else df
+    val inter = g.as("ga").join(mp(g.as("gb")),
         col("ga.gram") === col("gb.gram") && col("ga.doc_id") < col("gb.doc_id"))
       .groupBy(col("ga.doc_id").as("id_a"), col("gb.doc_id").as("id_b"))
       .agg(count(lit(1)).as("both"))
     inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("na")).hint("merge"), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("nb")).hint("merge"), Seq("id_b"))
+      .join(mp(sizes.select(col("doc_id").as("id_a"), col("sz").as("na"))), Seq("id_a"))
+      .join(mp(sizes.select(col("doc_id").as("id_b"), col("sz").as("nb"))), Seq("id_b"))
       .withColumn("jaccard", col("both").cast("double") / (col("na") + col("nb") - col("both")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -219,10 +255,20 @@ object Dedup {
       else shingles(docs, n).withColumnRenamed("gram", "tok")
       ).localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // the eager checkpoint makes an EXACT size measurement nearly free
+    // (one agg over cached blocks): gate every corpus-scaled pin on it
+    // — pin when big (the 100× task-OOM fix), let Catalyst broadcast
+    // when measured-tiny (recovers the small-corpus latency the
+    // unconditional pins cost, round-7 finding #3)
+    val sizeRow = toks.agg(count(lit(1)),
+      coalesce(sum(length(col("tok"))), lit(0L))).head()
+    val toksBytes = sizeRow.getLong(1) + 28L * sizeRow.getLong(0)
+    def mp(df: DataFrame): DataFrame =
+      if (pinLarge(toksBytes)) df.hint("merge") else df
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val bySize = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    // vocabulary-scaled side, never broadcast (see minhashPairs' note)
-    val pre = toks.join(dfreq.hint("merge"), "tok")
+    // vocabulary-scaled side, never broadcast when big (minhashPairs' note)
+    val pre = toks.join(mp(dfreq), "tok")
       .withColumn("rn", row_number().over(bySize))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
@@ -243,7 +289,7 @@ object Dedup {
     // On low-entropy corpora (small shared vocabulary) these kill the
     // bulk of prefix collisions BEFORE the token-level verify fan-out —
     // the filters, not the verify, absorb the hot-vocabulary blowup.
-    val cand = pre.as("a").join(pre.as("b").hint("merge"),
+    val cand = pre.as("a").join(mp(pre.as("b")),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.sz"), col("b.sz")).cast("double") /
             greatest(col("a.sz"), col("b.sz")) >= threshold)
@@ -267,14 +313,14 @@ object Dedup {
     // probe's driver-OOM lesson).
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("tok")).hint("merge"), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("tok")).hint("merge"),
+      .join(mp(toks.select(col("doc_id").as("doc_a"), col("tok"))), Seq("doc_a"))
+      .join(mp(toks.select(col("doc_id").as("doc_b"), col("tok"))),
         Seq("doc_b", "tok"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")).hint("merge"), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")).hint("merge"), Seq("doc_b"))
+      .join(mp(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na"))), Seq("doc_a"))
+      .join(mp(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb"))), Seq("doc_b"))
       .withColumn("jac",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= threshold)
@@ -314,12 +360,16 @@ object Dedup {
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("gram"), col("pos"))
     // dfreq is VOCABULARY-scaled (grows with the corpus) with a
-    // compressed-scan-derived estimate — never broadcast it
-    val pre = grams.join(dfreq.hint("merge"), "gram")
+    // compressed-scan-derived estimate — never broadcast it when big
+    // (positional q-grams: ~1 row/char, ~q+32 serialized bytes/row)
+    val (chars, _) = textStats(txt)
+    def mp(df0: DataFrame): DataFrame =
+      if (pinLarge(chars * (q + 32L))) df0.hint("merge") else df0
+    val pre = grams.join(mp(dfreq), "gram")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= q * d + 1)
       .select(col("doc_id"), col("len"), col("gram"), col("pos"))
-    val candLong = pre.as("a").join(pre.as("b").hint("merge"),
+    val candLong = pre.as("a").join(mp(pre.as("b")),
         col("a.gram") === col("b.gram") &&
         col("a.doc_id") < col("b.doc_id") &&
         abs(col("a.pos") - col("b.pos")) <= d &&
@@ -412,11 +462,21 @@ object Dedup {
     val gh = g.withColumn("gh", hash(col("gram")).cast("long") + 2147483648L)
     val sigs = bandSignatures(gh, nHashes, nBands)
 
+    // size-gated pins (see pinLarge): the shingle frame estimate comes
+    // from one narrow text agg; the signature table is docs × nHashes
+    // fixed-width rows
+    val (chars, nDocs) = textStats(docs)
+    def mpG(df: DataFrame): DataFrame =
+      if (pinLarge(chars * (n + 6L))) df.hint("merge") else df
+    def mpS(df: DataFrame): DataFrame =
+      if (pinLarge(nDocs * nHashes * 28L)) df.hint("merge") else df
+
     // the signature table is corpus-scaled too (nHashes mins per doc):
-    // pin the self-join to sort-merge — hints are erased into JoinHint
-    // before physical planning, so both sides still canonicalize to the
-    // SAME exchange and the ReusedExchange the plan spec asserts survives
-    val candidates = sigs.as("sa").join(sigs.as("sb").hint("merge"),
+    // pin the self-join to sort-merge when big — hints are erased into
+    // JoinHint before physical planning, so both sides still canonicalize
+    // to the SAME exchange and the ReusedExchange the plan spec asserts
+    // survives (that spec disables broadcast, which keeps the pin on)
+    val candidates = sigs.as("sa").join(mpS(sigs.as("sb")),
         col("sa.band") === col("sb.band") && col("sa.bucket") === col("sb.bucket") &&
           col("sa.doc_id") < col("sb.doc_id"))
       .select(col("sa.doc_id").as("id_a"), col("sb.doc_id").as("id_b"))
@@ -431,14 +491,14 @@ object Dedup {
     // broadcast at ANY scale: pin it to sort-merge.
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = candidates
-      .join(gh.select(col("doc_id").as("id_a"), col("gram")).hint("merge"), Seq("id_a"))
-      .join(gh.select(col("doc_id").as("id_b"), col("gram").as("gram_b")).hint("merge"), Seq("id_b"))
+      .join(mpG(gh.select(col("doc_id").as("id_a"), col("gram"))), Seq("id_a"))
+      .join(mpG(gh.select(col("doc_id").as("id_b"), col("gram").as("gram_b"))), Seq("id_b"))
       .filter(col("gram") === col("gram_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("both"))
     inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("na")).hint("merge"), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("nb")).hint("merge"), Seq("id_b"))
+      .join(mpG(sizes.select(col("doc_id").as("id_a"), col("sz").as("na"))), Seq("id_a"))
+      .join(mpG(sizes.select(col("doc_id").as("id_b"), col("sz").as("nb"))), Seq("id_b"))
       .withColumn("jaccard", col("both").cast("double") / (col("na") + col("nb") - col("both")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

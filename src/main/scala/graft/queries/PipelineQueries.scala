@@ -3625,6 +3625,79 @@ object PipelineQueries extends QueryPack {
              |    AS BIGINT) AS lb,
              |  CAST((SELECT min(bhi) FROM cum WHERE cum_hi >= rk.r)
              |    AS BIGINT) AS ub
-             |FROM rk""".stripMargin))
+             |FROM rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q216: MAX-SCORE-PRUNED BM25 (TextRetrieval.bm25TopKPruned) — the
+    // WAND-family upper-bound pruning, exactness-preserving: per-term
+    // score ceilings (idf × tf-part at (tfmax, dlmin), both monotone,
+    // floor monotone), doc ceilings by a narrow constant-sum pass, θ =
+    // min exact score of the k highest-ceiling docs, full scoring only
+    // for ceilings ≥ θ. The query mix is deliberately STOPWORD-HEAVY
+    // (each query doc's terms plus the global top-10 df tokens), the
+    // shape that degrades plain BM25 toward a corpus scan. The in-query
+    // require certifies the point: strictly fewer postings reach the
+    // expensive scoring pipeline than the candidate postings. The
+    // oracle scores the SAME queries with q210's plain SQL — the pruned
+    // operator must reproduce every (score, rank) bit-for-bit.
+    QueryDef(
+      "q216_bm25_maxscore",
+      (s, dir) => {
+        import s.implicits._
+        val docs = T.documents(s, dir)
+        val toks = docs
+          .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
+          .filter(length($"tok") > 0)
+        // document frequency + deterministic top-10 (df DESC, tok)
+        val dfreq = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)))
+          .groupBy($"tok").agg(count(lit(1)).as("dfc"))
+        val top = dfreq.orderBy($"dfc".desc, $"tok").limit(10).select($"tok")
+        val qdocs = docs.filter($"doc_id" % 419L === 2L)
+        val queries = qdocs
+          .select($"doc_id".as("query_id"),
+            explode(split($"text", "\\s+")).as("tok"))
+          .filter(length($"tok") > 0)
+          .unionByName(qdocs.select($"doc_id".as("query_id")).crossJoin(top))
+        val (res, survPosts, allPosts) =
+          graft.operators.TextRetrieval.bm25Pruned(docs, queries, 5)
+        val (scored, candidates) = (survPosts.count(), allPosts.count())
+        require(scored < candidates,
+          s"q216: pruning must score fewer postings ($scored vs $candidates)")
+        res
+      },
+      Some("""WITH toks0 AS (SELECT doc_id,
+             |    unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+             |tk AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |       FROM tk GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+             |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_total,
+             |               CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+             |top10 AS (SELECT tok FROM (
+             |    SELECT tok, row_number() OVER (ORDER BY df DESC, tok) AS r
+             |    FROM df) WHERE r <= 10),
+             |q AS (SELECT DISTINCT query_id, tok FROM (
+             |    SELECT doc_id AS query_id, tok FROM tk WHERE doc_id % 419 = 2
+             |    UNION ALL
+             |    SELECT d.doc_id AS query_id, t.tok
+             |    FROM documents d CROSS JOIN top10 t WHERE d.doc_id % 419 = 2)),
+             |sc AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    CAST(sum(
+             |      CAST((CAST(1000000 AS HUGEINT) * (2 * (t.n_docs - df.df) + 1)
+             |            // (2 * df.df + 1))
+             |        * (CAST(88 AS HUGEINT) * t.t_total * tf.tf)
+             |        // (CAST(40 AS HUGEINT) * t.t_total * tf.tf
+             |           + 12 * t.t_total + 36 * dl.dl * t.n_docs)
+             |      AS BIGINT)) AS BIGINT) AS score_pm
+             |  FROM q JOIN tf USING (tok) JOIN df USING (tok)
+             |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot t
+             |  GROUP BY 1, 2)
+             |SELECT query_id, doc_id, score_pm, rnk FROM (
+             |  SELECT query_id, doc_id, score_pm,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score_pm DESC, doc_id) AS rnk
+             |  FROM sc) WHERE rnk <= 5""".stripMargin))
   )
 }

@@ -160,8 +160,11 @@ object TxLog {
       .flatMap(s => versionOf(s.getPath)).sorted.lastOption.getOrElse(0L)
   }
 
-  private def readManifest(spark: SparkSession, tableDir: String, v: Long): Seq[String] = {
-    val in = fs(spark, tableDir).open(new Path(logDir(tableDir), s"v$v"))
+  private def readManifest(spark: SparkSession, tableDir: String, v: Long): Seq[String] =
+    readManifestF(fs(spark, tableDir), tableDir, v)
+
+  private def readManifestF(f: FileSystem, tableDir: String, v: Long): Seq[String] = {
+    val in = f.open(new Path(logDir(tableDir), s"v$v"))
     try scala.io.Source.fromInputStream(in).getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
@@ -483,8 +486,138 @@ object TxLog {
         try out2.write(version.toString.getBytes("UTF-8"))
         finally out2.close()
       } catch { case _: Throwable => () }
+      // best-effort manifest checkpoint every CkptEvery commits —
+      // advisory like the hint (readers fall back to per-version files)
+      if (version % CkptEvery == 0L)
+        try buildCheckpoint(f, tableDir, version)
+        catch { case _: Throwable => () }
       true
     }
+  }
+
+  // ---- manifest checkpoints -----------------------------------------
+  // Every [[CkptEvery]]-th commit consolidates the log into one
+  // `_log/ckpt-v<version>` file: a history row per version (ts/op/
+  // batch count, from the .info sidecars) plus BATCH-REFERENCE RUNS —
+  // (dir, dvRel, firstVersion, lastVersion) intervals over the dense
+  // version line (reference sets are unions of contiguous runs: a dir
+  // leaves a snapshot only by rewrite/delete and returns only via
+  // restore, which opens a new run). Enumeration-shaped ops
+  // ([[history]], [[vacuum]], [[vacuumDryRun]]) then read checkpoint +
+  // the post-checkpoint TAIL instead of one file per version — the
+  // Delta-checkpoint answer to "100k commits = 100k metadata GETs".
+  // Checkpoints are best-effort and advisory: every reader falls back
+  // to the per-version files when absent/corrupt, and manifests are
+  // immutable so a checkpoint can never go stale for the versions it
+  // covers (a lost checkpoint costs reads, never correctness).
+  private val CkptEvery = 10L
+
+  private def ckptVersionOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("ckpt-v")) n.stripPrefix("ckpt-v").toLongOption else None
+  }
+
+  /** (version covered, v → (op, ts, nbatches), reference runs). */
+  private case class Ckpt(version: Long,
+      info: Map[Long, (Option[String], Option[Long], Option[Int])],
+      runs: Seq[(String, Option[String], Long, Long)])
+
+  private def readInfoRow(f: FileSystem, tableDir: String, v: Long)
+      : Option[(String, Long, Int)] =
+    try {
+      val in = f.open(new Path(logDir(tableDir), s"v$v.info"))
+      val txt = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      txt.split('\t') match {
+        case Array(op, ts, n) => Some((op, ts.toLong, n.toInt))
+        case _ => None
+      }
+    } catch { case _: java.io.IOException => None }
+
+  private def readCkpt(f: FileSystem, tableDir: String, v: Long): Option[Ckpt] =
+    scala.util.Try {
+      val in = f.open(new Path(logDir(tableDir), s"ckpt-v$v"))
+      val lines = try scala.io.Source.fromInputStream(in).getLines().toList
+        finally in.close()
+      require(lines.headOption.exists(_.startsWith("ckptv1\t")), "bad header")
+      val info = Map.newBuilder[Long, (Option[String], Option[Long], Option[Int])]
+      val runs = Seq.newBuilder[(String, Option[String], Long, Long)]
+      lines.drop(1).foreach { l =>
+        l.split('\t') match {
+          case Array("i", iv, ts, op, n) =>
+            info += iv.toLong -> (
+              (if (op == "-") None else Some(dec(op)),
+                ts.toLongOption, n.toIntOption))
+          case Array("r", d, dv, first, last) =>
+            runs += ((dec(d), if (dv == "-") None else Some(dec(dv)),
+              first.toLong, last.toLong))
+          case _ => ()
+        }
+      }
+      Ckpt(v, info.result(), runs.result())
+    }.toOption
+
+  /** Latest readable checkpoint from an already-taken log listing. */
+  private def latestCkptFrom(f: FileSystem, tableDir: String,
+      statuses: Seq[org.apache.hadoop.fs.FileStatus]): Option[Ckpt] =
+    statuses.flatMap(s => ckptVersionOf(s.getPath)).sorted.reverse
+      .view.flatMap(v => readCkpt(f, tableDir, v)).headOption
+
+  /** A manifest line's (batch dir, deletion-vector rel) identity. */
+  private def lineRefs(line: String): (String, Option[String]) = {
+    val (d, stats) = parseLine(line)
+    (d, dvOf(stats).map(_._1))
+  }
+
+  /** Build + write `ckpt-v<version>` incrementally from the previous
+    * checkpoint plus the ≤ [[CkptEvery]] manifests after it (amortized
+    * ~1 manifest read per commit). Runs inside the commit path,
+    * best-effort (callers swallow failures).
+    */
+  private def buildCheckpoint(f: FileSystem, tableDir: String,
+      version: Long): Unit = {
+    val statuses = f.listStatus(logDir(tableDir)).toSeq
+    val prev = statuses.flatMap(s => ckptVersionOf(s.getPath))
+      .filter(_ < version).sorted.reverse
+      .view.flatMap(v => readCkpt(f, tableDir, v)).headOption
+    val fromV = prev.map(_.version + 1L).getOrElse(1L)
+    val existing = statuses.flatMap(s => versionOf(s.getPath)).toSet
+    val info = Map.newBuilder[Long, (Option[String], Option[Long], Option[Int])]
+    prev.foreach(p => info ++= p.info)
+    (fromV to version).foreach { v =>
+      val row = readInfoRow(f, tableDir, v)
+      info += v -> ((row.map(_._1), row.map(_._2), row.map(_._3)))
+    }
+    // advance the reference runs over the tail manifests
+    val done = Seq.newBuilder[(String, Option[String], Long, Long)]
+    var open: Map[(String, Option[String]), Long] = prev match {
+      case Some(p) =>
+        val (o, d) = p.runs.partition(_._4 == p.version)
+        done ++= d
+        o.map(r => (r._1, r._2) -> r._3).toMap
+      case None => Map.empty
+    }
+    (fromV to version).foreach { v =>
+      val present: Set[(String, Option[String])] =
+        if (existing(v)) readManifestF(f, tableDir, v).map(lineRefs).toSet
+        else Set.empty
+      val (still, gone) = open.partition { case (k, _) => present(k) }
+      gone.foreach { case ((d, dv), first) => done += ((d, dv, first, v - 1L)) }
+      open = still ++ present.filterNot(still.contains)
+        .map(k => k -> v).toMap
+    }
+    val runs = done.result() ++ open.map { case ((d, dv), first) =>
+      (d, dv, first, version)
+    }
+    val body = (Seq(s"ckptv1\t$version") ++
+      info.result().toSeq.sortBy(_._1).map { case (v, (op, ts, n)) =>
+        s"i\t$v\t${ts.map(_.toString).getOrElse("-")}\t${op.map(enc).getOrElse("-")}\t${n.map(_.toString).getOrElse("-")}"
+      } ++
+      runs.sortBy(r => (r._3, r._1)).map { case (d, dv, first, last) =>
+        s"r\t${enc(d)}\t${dv.map(enc).getOrElse("-")}\t$first\t$last"
+      }).mkString("\n")
+    val out = f.create(new Path(logDir(tableDir), s"ckpt-v$version"), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
   private def metaPath(tableDir: String) = new Path(logDir(tableDir), "_meta")
@@ -2200,24 +2333,26 @@ object TxLog {
   /** DESCRIBE HISTORY: one row per committed version — version,
     * commit timestamp (millis), operation name, batch count — from the
     * `.info` sidecars each commit writes best-effort (pre-history
-    * versions read back with null op/ts). Newest first. Metadata only.
+    * versions read back with null op/ts). Newest first. Metadata only,
+    * and O(tail) metadata at that: versions covered by the latest
+    * manifest checkpoint come from its consolidated rows (one read);
+    * only post-checkpoint versions open their own sidecar. One log-dir
+    * listing either way (it also discovers vacuumed-away versions).
     */
   def history(spark: SparkSession, tableDir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val f = fs(spark, tableDir)
-    val vs = f.listStatus(logDir(tableDir))
-      .flatMap(st => versionOf(st.getPath)).sorted.reverse
+    val statuses = f.listStatus(logDir(tableDir)).toSeq
+    val vs = statuses.flatMap(st => versionOf(st.getPath)).sorted.reverse
+    val ck = latestCkptFrom(f, tableDir, statuses)
     val rows = vs.map { v =>
-      val info =
-        try {
-          val in = f.open(new Path(logDir(tableDir), s"v$v.info"))
-          val txt = try scala.io.Source.fromInputStream(in).mkString
-            finally in.close()
-          txt.split('\t') match {
-            case Array(op, ts, n) => Some((op, ts.toLong, n.toInt))
-            case _ => None
+      val info = ck.filter(_.version >= v) match {
+        case Some(c) =>
+          c.info.get(v).flatMap { case (op, ts, n) =>
+            for (o <- op; t <- ts; k <- n) yield (o, t, k)
           }
-        } catch { case _: java.io.IOException => None }
+        case None => readInfoRow(f, tableDir, v)
+      }
       org.apache.spark.sql.Row(v, info.map(_._2).orNull,
         info.map(_._1).orNull, info.map(_._3).orNull)
     }
@@ -2239,15 +2374,33 @@ object TxLog {
     * the look-before-you-leap every retention runbook wants. Touches
     * only metadata plus one `getContentSummary` per doomed path.
     */
+  /** The (batch dirs, dv rels) referenced by any manifest in
+    * [retainFrom, latest] — from the latest checkpoint's reference runs
+    * plus the post-checkpoint tail manifests (O(tail) manifest reads;
+    * no checkpoint → every retained manifest, as before). Missing
+    * middles (a prior deeper vacuum) contribute nothing.
+    */
+  private def keepRefs(f: FileSystem, tableDir: String, retainFrom: Long,
+      latest: Long, statuses: Seq[org.apache.hadoop.fs.FileStatus])
+      : (Set[String], Set[String]) = {
+    val ck = latestCkptFrom(f, tableDir, statuses).filter(_.version <= latest)
+    val tailFrom = ck.map(c => math.max(retainFrom, c.version + 1L))
+      .getOrElse(retainFrom)
+    val fromCk = ck.toSeq.flatMap(_.runs)
+      .filter(_._4 >= retainFrom).map(r => (r._1, r._2))
+    val fromTail = (tailFrom to latest).flatMap(v =>
+      scala.util.Try(readManifestF(f, tableDir, v)).getOrElse(Nil).map(lineRefs))
+    val all = fromCk ++ fromTail
+    (all.map(_._1).toSet, all.flatMap(_._2).toSet)
+  }
+
   def vacuumDryRun(spark: SparkSession, tableDir: String,
       retainFrom: Long): (Seq[String], Long) = {
     val f = fs(spark, tableDir)
     val latest = latestVersion(spark, tableDir)
     require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
-    val keepLines = (retainFrom to latest)
-      .flatMap(v => readManifest(spark, tableDir, v))
-    val keep = keepLines.map(parseLine(_)._1).toSet
-    val keepDv = keepLines.flatMap(l => dvOf(parseLine(l)._2)).map(_._1).toSet
+    val statuses = f.listStatus(logDir(tableDir)).toSeq
+    val (keep, keepDv) = keepRefs(f, tableDir, retainFrom, latest, statuses)
     val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
     val dataRoot = new Path(s"$tableDir/data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { s =>
@@ -2259,8 +2412,8 @@ object TxLog {
       if (!keepDv.contains(s"dv/${s.getPath.getName}"))
         doomed += s.getPath.toString
     }
-    f.listStatus(logDir(tableDir)).foreach { s =>
-      versionOf(s.getPath).foreach(v =>
+    statuses.foreach { s =>
+      (versionOf(s.getPath) orElse ckptVersionOf(s.getPath)).foreach(v =>
         if (v < retainFrom) doomed += s.getPath.toString)
     }
     val bytes = doomed.map(p =>
@@ -2272,12 +2425,10 @@ object TxLog {
     val f = fs(spark, tableDir)
     val latest = latestVersion(spark, tableDir)
     require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
-    val keepLines = (retainFrom to latest)
-      .flatMap(v => readManifest(spark, tableDir, v))
-    val keep = keepLines.map(parseLine(_)._1).toSet
+    val statuses = f.listStatus(logDir(tableDir)).toSeq
     // deletion-vector files referenced by any retained manifest survive
     // with their snapshots; superseded/purged vectors go with vacuum
-    val keepDv = keepLines.flatMap(l => dvOf(parseLine(l)._2)).map(_._1).toSet
+    val (keep, keepDv) = keepRefs(f, tableDir, retainFrom, latest, statuses)
     val dataRoot = new Path(s"$tableDir/data")
     if (f.exists(dataRoot)) {
       f.listStatus(dataRoot).foreach { s =>
@@ -2292,11 +2443,14 @@ object TxLog {
           f.delete(s.getPath, true)
       }
     }
-    f.listStatus(logDir(tableDir)).foreach { s =>
+    statuses.foreach { s =>
       val n = s.getPath.getName
       val v = versionOf(s.getPath)
         .orElse(if (n.startsWith("v") && n.endsWith(".info"))
           n.stripPrefix("v").stripSuffix(".info").toLongOption else None)
+        // checkpoints below the retention point go with their versions
+        // (readers fall back to per-version files until the next one)
+        .orElse(ckptVersionOf(s.getPath))
       v.foreach(x => if (x < retainFrom) f.delete(s.getPath, false))
     }
   }

@@ -61,4 +61,44 @@ class TextRetrievalSpec extends AnyFunSuite {
         "vocabulary- or corpus-scaled side)")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("max-score pruning is exact: pruned == plain on a mixed corpus, fewer postings scored") {
+    // synthetic corpus with genuine stopwords: every doc carries 'the'
+    // and 'of'; content words are doc-specific with planted overlaps
+    val rows = (1L to 200L).map { i =>
+      val rare = s"w${i % 37} v${i % 11} u${i % 53}"
+      (i, s"the of $rare the of x${i % 7}")
+    }
+    val corpus = rows.toDF("doc_id", "text")
+    // stopword-heavy queries: a rare term plus the two corpus stopwords
+    val qs = Seq(
+      (1L, "the"), (1L, "of"), (1L, "w3"),
+      (2L, "the"), (2L, "of"), (2L, "u13"),
+      (3L, "the"), (3L, "of")).toDF("query_id", "tok")
+    val plain = TextRetrieval.bm25TopK(corpus, qs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val (prunedDf, scored, all) =
+      graft.operators.TextRetrieval.bm25Pruned(corpus, qs, 4)
+    val pruned = prunedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    assert(pruned == plain)
+    // the whole point: the stopword postings of docs that cannot reach
+    // the top-k never enter the expensive scoring pipeline
+    val (nScored, nAll) = (scored.count(), all.count())
+    assert(nScored < nAll, s"expected pruning, scored $nScored of $nAll")
+    // and a query that is ONLY stopwords still answers exactly
+    assert(pruned.count(_._1 == 3L) == 4)
+  }
+
+  test("pruned == plain when nothing can be pruned (rare-term queries, < k candidates)") {
+    val qs = Seq((7L, "apple"), (8L, "cherry"), (8L, "durian"))
+      .toDF("query_id", "tok")
+    val plain = TextRetrieval.bm25TopK(docs, qs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val pruned = TextRetrieval.bm25TopKPruned(docs, qs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(pruned == plain)
+  }
 }

@@ -18,9 +18,15 @@ class CountingFileSystem extends RawLocalFileSystem {
     CountingFileSystem.lists.incrementAndGet()
     super.listStatus(f)
   }
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    CountingFileSystem.opens.incrementAndGet()
+    super.open(f, bufferSize)
+  }
 }
 object CountingFileSystem {
   val lists = new AtomicLong(0L)
+  val opens = new AtomicLong(0L)
 }
 
 class TxHintSpec extends AnyFunSuite {
@@ -176,5 +182,71 @@ class TxHintSpec extends AnyFunSuite {
     TxLog.vacuum(spark, t, 5L)
     assert(TxLog.latestVersion(spark, t) == 5L)
     assert(TxLog.read(spark, t).count() == 2L)
+  }
+
+  test("manifest checkpoint: history + vacuum resolve with O(tail) metadata reads") {
+    val t = s"countfs://${GraftSession.scratchBase}/txhint_spec_ckpt"
+    val cfs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cfs.delete(new Path(t), true)
+    (1 to 25).foreach(i =>
+      TxLog.commit(spark, t, Seq((i.toLong, "x")).toDF("id", "s")))
+    // checkpoints landed at the every-10 cadence
+    assert(cfs.exists(new Path(s"$t/_log/ckpt-v10")))
+    assert(cfs.exists(new Path(s"$t/_log/ckpt-v20")))
+    // history: versions <= 20 come from the checkpoint — one read —
+    // and only the 5 tail versions open their own .info sidecar
+    CountingFileSystem.opens.set(0L)
+    val h = TxLog.history(spark, t).collect()
+    assert(h.length == 25 && h.head.getLong(0) == 25L)
+    assert(h.forall(r => r.getString(2) == "commit"))
+    val historyOpens = CountingFileSystem.opens.get()
+    assert(historyOpens <= 8L,
+      s"history should read ckpt + 5 tail sidecars, opened $historyOpens files")
+    // the checkpoint really is the source for covered versions: drop
+    // their sidecars — rows still carry the op
+    (1 to 20).foreach(v => cfs.delete(new Path(s"$t/_log/v$v.info"), false))
+    val h2 = TxLog.history(spark, t).collect()
+    assert(h2.count(_.getString(2) == "commit") == 25)
+    // vacuum keep-set: manifest reads confined to the post-ckpt tail
+    CountingFileSystem.opens.set(0L)
+    val (doomed, _) = TxLog.vacuumDryRun(spark, t, 15L)
+    val dryOpens = CountingFileSystem.opens.get()
+    assert(dryOpens <= 10L,
+      s"vacuumDryRun should read ckpt + 5 tail manifests, opened $dryOpens files")
+    // versions 1-14 doomed (overwrite commits: one batch each)
+    assert(doomed.count(_.contains("/_log/v")) >= 14)
+    // the run-based keep-set is CORRECT: after the real vacuum, every
+    // retained snapshot still reads, pre-retention dirs are gone
+    TxLog.vacuum(spark, t, 15L)
+    assert(TxLog.read(spark, t, Some(15L)).as[(Long, String)].collect()
+      .toSeq == Seq((15L, "x")))
+    assert(TxLog.read(spark, t).as[(Long, String)].collect()
+      .toSeq == Seq((25L, "x")))
+    val dataDirs = cfs.listStatus(new Path(s"$t/data")).length
+    assert(dataDirs == 11, s"expected batches of v15..v25 only, got $dataDirs")
+    // pre-retention checkpoint went with its versions; the surviving
+    // tail still resolves history
+    assert(!cfs.exists(new Path(s"$t/_log/ckpt-v10")))
+    assert(TxLog.history(spark, t).collect().length == 11)
+  }
+
+  test("manifest checkpoint: runs survive append/delete/restore (vacuum keeps exactly the referenced)") {
+    val t = fresh("ckptrun")
+    // v1..v12 appends (ckpt at 10), then a delete rewrite and a restore
+    (1 to 12).foreach(i =>
+      TxLog.commit(spark, t, Seq((i.toLong, "x")).toDF("id", "s"), append = true))
+    TxLog.deleteWhere(spark, t, "id", Some(1L), Some(3L)) // v13: rewrites 3 batches
+    val v13 = TxLog.latestVersion(spark, t)
+    TxLog.restore(spark, t, 12L) // v14: re-references the rewritten dirs
+    (1 to 7).foreach(i => // push a ckpt PAST the restore (v20 > v14)
+      TxLog.commit(spark, t,
+        Seq((100L + i, "y")).toDF("id", "s"), append = true))
+    assert(localFs.exists(new Path(s"$t/_log/ckpt-v20")))
+    // retain from the restore point: v13's rewrite batch is UNREFERENCED
+    // by [14, latest] and must go; all 12 original batches must stay
+    TxLog.vacuum(spark, t, 14L)
+    assert(TxLog.read(spark, t, Some(14L)).count() == 12L)
+    assert(TxLog.read(spark, t).count() == 19L)
+    intercept[Exception] { TxLog.read(spark, t, Some(v13)).count() }
   }
 }
