@@ -337,6 +337,58 @@ object BenchProbe {
     val dvBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(s"$mt/dv")).getLength
 
+    // DV READ cost under a mixed workload (round-8 ask #8): writes love
+    // merge-on-read (the bytes ratios above) but every subsequent READ
+    // pays the tombstone anti-join. Measure the same filtered aggregate
+    // on the vectored table vs after purgeDeletes — the measured
+    // trigger for the "purge when read-degraded" policy (see FIXTURES
+    // §E for the documented threshold).
+    def dvReadAgg(df: DataFrame): DataFrame = df
+      .filter(col("l_quantity") >= 5.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), min(col("l_extendedprice")).as("lo"))
+    val dvRead = best(dvReadAgg(TxLog.read(spark, mt)))
+    TxLog.purgeDeletes(spark, mt)
+    val purgedRead = best(dvReadAgg(TxLog.read(spark, mt)))
+    TxLog.restore(spark, mt, baseV)
+
+    // MAX-SCORE BM25 on a stopword-heavy query mix (round-8 ask #4's
+    // bench row): OFF = plain bm25TopK scores every posting of every
+    // query term; ON = bm25TopKPruned's essential-term candidate
+    // generation skips the stopword posting lists. Same queries, same
+    // answers (q216's oracle pins equality at sf0.01).
+    //
+    // Fixture honesty note: the synthetic documents table has a ~285-
+    // word UNIFORM vocabulary (every term df ≈ 7.8%) — natural
+    // language's Zipf distribution, the phenomenon this operator
+    // targets, simply does not exist in it, and no exact pruning can
+    // beat a structure-free corpus. The A/B corpus is therefore
+    // GENERATED with a true Zipf(1) vocabulary (rank-r frequency
+    // ∝ 1/r, V = 50k: the head ranks are genuine df≈90% stopwords,
+    // the tail is genuinely rare — web text's shape), deterministic
+    // via hash-seeded inverse-CDF sampling. Queries are document term
+    // sets, so they mix head and tail terms exactly like user queries
+    // over natural text do.
+    val bmV = 50000
+    val docsN = spark.range(200000L).select(col("id").as("doc_id"),
+      expr(s"""concat_ws(' ', transform(sequence(1, 40),
+           | s -> concat('t', cast(pow(CAST($bmV AS DOUBLE),
+           |   pmod(hash(id * 53 + s), 1048576) / 1048576.0D) as int))))"""
+        .stripMargin.replace("\n", " ")).as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+    val bmQdocs = docsN.filter(col("doc_id") % 4169L === 3L)
+    val bmQueries = bmQdocs
+      .select(col("doc_id").as("query_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+      .localCheckpoint(true)
+    val bmPasses = passes.max(2)
+    val bmOff = (0 until bmPasses).map(_ => timed(
+      graft.operators.TextRetrieval.bm25TopK(docsN, bmQueries, 5))).min
+    val bmOn = (0 until bmPasses).map(_ => timed(
+      graft.operators.TextRetrieval.bm25TopKPruned(docsN, bmQueries, 5))).min
+
     f"""{"mv_rewrite":{"off":$mvOff%.3f,"on":$mvOn%.3f,"speedup":${mvOff / mvOn.max(0.001)}%.2f},""" +
       f""""stats_skip":{"off":$skipOff%.3f,"on":$skipOn%.3f,"speedup":${skipOff / skipOn.max(0.001)}%.2f,""" +
       f""""files_off":$filesOff,"files_on":$filesOn,"files_ratio":${filesOff.toDouble / filesOn.max(1)}%.2f},""" +
@@ -352,6 +404,10 @@ object BenchProbe {
       f""""delete":{"cow":$delCow%.3f,"dv":$delDv%.3f,""" +
       f""""speedup":${delCow / delDv.max(0.001)}%.2f,""" +
       f""""bytes_cow":$cowBytes,"bytes_dv":$dvBytes,""" +
-      f""""bytes_ratio":${cowBytes.toDouble / dvBytes.max(1L)}%.2f}}"""
+      f""""bytes_ratio":${cowBytes.toDouble / dvBytes.max(1L)}%.2f},""" +
+      f""""dv_read":{"vectored":$dvRead%.3f,"purged":$purgedRead%.3f,""" +
+      f""""overhead":${dvRead / purgedRead.max(0.001)}%.2f},""" +
+      f""""bm25_maxscore":{"off":$bmOff%.3f,"on":$bmOn%.3f,""" +
+      f""""speedup":${bmOff / bmOn.max(0.001)}%.2f}}"""
   }
 }

@@ -36,6 +36,19 @@ object TextRetrieval {
       " div (CAST(40 AS DECIMAL(38,0)) * t_total * tfmax" +
       " + 12 * t_total + 36 * dlmin * n_docs)"
 
+  /** Per-POSTING score floor: [[ContribSql]] at the posting's own tf
+    * but dl = dlmax — monotone the other way, so this integer is ≤ the
+    * posting's true contribution. Sums of these certify a LOWER bound
+    * on a doc's true score, which is what lets θ come from bounds
+    * alone (no scoring pass, no corpus-scaled joins).
+    */
+  private val LbSql =
+    "((CAST(1000000 AS DECIMAL(38,0)) * (2 * (n_docs - df) + 1))" +
+      " div (2 * df + 1))" +
+      " * (CAST(88 AS DECIMAL(38,0)) * t_total * tf)" +
+      " div (CAST(40 AS DECIMAL(38,0)) * t_total * tf" +
+      " + 12 * t_total + 36 * dlmax * n_docs)"
+
   private case class CorpusStats(tf: DataFrame, dl: DataFrame,
       dfreq: DataFrame, tot: DataFrame)
 
@@ -119,37 +132,39 @@ object TextRetrieval {
     topK(exactScores(posts, st), k)
   }
 
-  /** Max-score-pruned BM25 top-k (Turtle & Flood's max-score / the
-    * WAND family's upper-bound idea, batch-shaped) — output
-    * BIT-IDENTICAL to [[bm25TopK]] on the same inputs, by construction:
+  /** Max-score-pruned BM25 top-k — Turtle & Flood's max-score with
+    * ESSENTIAL TERM LISTS (the WAND family's candidate-generation
+    * pruning), batch-shaped, output BIT-IDENTICAL to [[bm25TopK]]:
     *
-    *  1. per query TERM, a provable score ceiling ub(t) = idf_pm(t) ×
-    *     tf-part(tfmax(t), dlmin) ([[UbSql]]; monotone in both knobs,
-    *     floor monotone — never below any posting's true contribution);
-    *  2. per candidate DOC, ceiling(d) = Σ ub(t) over its query terms —
-    *     a NARROW pass over the postings (sum of broadcast constants:
-    *     no df/dl joins, no per-row decimal division);
-    *  3. the k docs with the highest ceilings are scored EXACTLY; the
-    *     minimum of those true scores is θ — a certified lower bound on
-    *     the true k-th best (any k true scores bound it);
-    *  4. only docs with ceiling(d) ≥ θ get the full scoring pipeline —
-    *     a doc with ceiling < θ has true score < θ ≤ k-th best and can
-    *     be dropped without scoring (ties survive: equality keeps).
+    *  1. per query term, a provable score ceiling ub(t) = idf_pm(t) ×
+    *     tf-part(tfmax(t), dlmin) ([[UbSql]]) and per posting a
+    *     provable floor at dl = dlmax ([[LbSql]]) — monotone bounds,
+    *     floor-of-monotone, never on the wrong side of the truth;
+    *  2. θ(q) = the k-th largest FLOOR among docs matching the query's
+    *     R ≤ 16 highest-ceiling (≈ rarest) terms — k docs provably
+    *     score ≥ θ, from rare-term posting lists only;
+    *  3. ESSENTIAL terms: sort the query's terms by ascending ceiling;
+    *     the maximal prefix whose cumulative ceiling stays < θ is
+    *     non-essential — a doc containing ONLY those terms scores
+    *     ≤ that cumulative sum < θ ≤ true k-th, so candidates are
+    *     docs with ≥ 1 essential-term posting. Stopwords have tiny
+    *     ceilings and land in the non-essential prefix: their
+    *     corpus-sized posting lists NEVER generate candidates — the
+    *     batch analogue of WAND's pointer skipping;
+    *  4. exact scoring runs only over candidate docs' postings
+    *     (semi-joined by doc, then by (query, term)), with the
+    *     query-bounded df slice broadcast and dl confined to
+    *     candidates. The candidate set is MEASURED (the dedup pins'
+    *     actual-size gate): small → broadcast semi-joins, the pinned
+    *     posting frame never reshuffles; large → sort-merge.
     *
-    * This is exactness-preserving pruning: every drop is justified by
-    * an arithmetic bound, never an estimate, so results stay
-    * hash-verifiable against the same oracle SQL as [[bm25TopK]].
-    *
-    * What it buys at scale: a stopword's postings are corpus-sized but
-    * its idf (and hence ub) is tiny, so docs reachable ONLY through
-    * stopwords fall under θ and skip the expensive path (df/dl
-    * sort-merge joins + DECIMAL(38,0) math + the top-k window). The
-    * unavoidable cost floor in a batch engine is one narrow scan of
-    * the query terms' postings (step 2) — the analogue of WAND's
-    * pointer advance; the saved work is everything downstream, which
-    * dominates. Rare-term queries see no benefit (everything survives)
-    * and pay one extra narrow aggregate — use [[bm25TopK]] when the
-    * query mix is known stopword-free.
+    * Every drop is justified by an arithmetic bound, never an
+    * estimate, so results stay hash-verifiable against the same oracle
+    * SQL as [[bm25TopK]] (q216 pins it). Rare-term queries see no
+    * benefit (every term essential) and pay the bounds pass as pure
+    * overhead — use [[bm25TopK]] when the query mix is known
+    * stopword-free. θ tightness degrades with document-length variance
+    * (the dlmax floor), never exactness.
     */
   def bm25TopKPruned(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     bm25Pruned(docs, queries, k)._1
@@ -164,38 +179,103 @@ object TextRetrieval {
     require(k > 0, s"bad k $k")
     val st = corpusStats(docs)
     val qTerms = queries.select(col("query_id"), col("tok")).distinct()
-    val qtf = st.tf.join(broadcast(qTerms), "tok")
-    // per-term ceilings: tfmax over the term's postings (one combiner
-    // aggregate of the semi-joined tf — narrow), dlmin global (one row)
-    val tmax = qtf.groupBy(col("tok")).agg(max(col("tf")).as("tfmax"))
-    val minDl = st.dl.agg(min(col("dl")).as("dlmin"))
-    val ub = tmax.join(st.dfreq.hint("merge"), "tok")
-      .crossJoin(broadcast(st.tot))
-      .crossJoin(broadcast(minDl))
+    val qToks = qTerms.select(col("tok")).distinct()
+    // DISTINCT postings of the query vocabulary (tok, doc, tf) — the
+    // one corpus-scaled frame; pinned eagerly (serialized) because the
+    // term stats, the seed pass and the scoring pass all consume it,
+    // and re-deriving re-runs the corpus tokenization+tf shuffle
+    val ptf = st.tf.join(broadcast(qToks), "tok").localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // dl is consumed twice (the global extremes and the scoring join):
+    // pin the narrow (doc, dl) longs too, or each consumer re-runs the
+    // corpus tokenization+tf shuffle — measured as the dominant cost
+    val dlP = st.dl.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // query-bounded term stats from the pinned postings themselves:
+    // ptf holds every posting of each query term, so df(t) is its
+    // posting count — no second corpus pass; the frame is
+    // <= |distinct query terms| rows (broadcastable by the same
+    // contract as qTerms)
+    val termStats = ptf.groupBy(col("tok"))
+      .agg(max(col("tf")).as("tfmax"), count(lit(1)).as("df"))
+    // one corpus agg row: totals + dl extremes together
+    val glob = dlP.agg(sum(col("dl")).as("t_total"),
+      count(lit(1)).as("n_docs"),
+      min(col("dl")).as("dlmin"), max(col("dl")).as("dlmax"))
+    // per-(query, term) ceilings with the ascending cumulative sum the
+    // essential-prefix rule needs — query-bounded rows throughout
+    val qub = qTerms
+      .join(broadcast(termStats), "tok")
+      .crossJoin(broadcast(glob))
       .withColumn("ub_pm", expr(UbSql))
-      .select(col("tok"), col("ub_pm"))
-    // ub has ≤ |distinct query terms| rows — broadcast by contract
-    val docUb = qtf.join(broadcast(ub), "tok")
+      .select(col("query_id"), col("tok"), col("ub_pm"))
+    val byUbAsc = Window.partitionBy(col("query_id"))
+      .orderBy(col("ub_pm").asc, col("tok"))
+    val qubRanked = qub.withColumn("cum_ub",
+      sum(col("ub_pm")).over(byUbAsc
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // θ seed: the R highest-ceiling (≈ rarest) terms per query — their
+    // posting lists are short by construction; k floors bound the
+    // true k-th best from below with no corpus-scaled expansion
+    val seedR = math.max(k, 16)
+    val byUbDesc = Window.partitionBy(col("query_id"))
+      .orderBy(col("ub_pm").desc, col("tok"))
+    val seedTerms = qub.withColumn("__r", row_number().over(byUbDesc))
+      .filter(col("__r") <= seedR)
+      .select(col("query_id"), col("tok"))
+    val seedLb = ptf
+      .join(broadcast(seedTerms), "tok")
+      .join(broadcast(termStats), "tok")
+      .crossJoin(broadcast(glob))
+      .withColumn("lb_pm", expr(LbSql))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("ub_pm")).as("doc_ub"))
-    val byUb = Window.partitionBy(col("query_id"))
-      .orderBy(col("doc_ub").desc, col("doc_id"))
-    val seed = docUb.withColumn("__r", row_number().over(byUb))
+      .agg(sum(col("lb_pm")).as("doc_lb"))
+    val byLb = Window.partitionBy(col("query_id"))
+      .orderBy(col("doc_lb").desc, col("doc_id"))
+    val theta = seedLb.withColumn("__r", row_number().over(byLb))
       .filter(col("__r") <= k)
-      .select(col("query_id"), col("doc_id"))
-    // θ per query from the seed's EXACT scores (k·|queries| postings —
-    // bounded); with fewer than k candidates nothing may be pruned
-    val theta = exactScores(
-        qtf.join(broadcast(seed), Seq("query_id", "doc_id"), "left_semi"), st)
       .groupBy(col("query_id"))
-      .agg(min(col("score_pm")).as("theta"), count(lit(1)).as("nseed"))
-    val surv = docUb.join(broadcast(theta), Seq("query_id"), "left")
+      .agg(min(col("doc_lb")).as("theta"), count(lit(1)).as("nseed"))
+    // essential terms: everything whose cumulative ceiling reaches θ
+    // (θ missing or a short seed ⇒ ALL terms essential — no pruning)
+    val ess = qubRanked.join(broadcast(theta), Seq("query_id"), "left")
       .filter(col("theta").isNull || col("nseed") < k ||
-        col("doc_ub") >= col("theta"))
-      .select(col("query_id"), col("doc_id"))
-    // survivors are doc-scaled: semi-join pinned to sort-merge
-    val survPosts = qtf.join(surv.hint("merge"),
-      Seq("query_id", "doc_id"), "left_semi")
-    (topK(exactScores(survPosts, st), k), survPosts, qtf)
+        col("cum_ub") >= col("theta"))
+      .select(col("query_id"), col("tok"))
+    // candidate (query, doc) pairs: one essential-term posting suffices;
+    // non-essential (stopword) posting lists never expand here. The set
+    // is pinned and MEASURED so the scoring semi-joins can broadcast
+    // when provably safe and fall back to sort-merge when not.
+    val cand = ptf.join(broadcast(ess), "tok")
+      .select(col("query_id"), col("doc_id")).distinct()
+      .localCheckpoint(true)
+    val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val candN = cand.count()
+    val candDocs = cand.select(col("doc_id")).distinct()
+    // independent gates: the doc set is usually far smaller than the
+    // (query, doc) pair set — broadcast each only when provably safe
+    val smallDocs = thr > 0L && candDocs.count() * 32L <= thr / 4
+    val smallPairs = thr > 0L && candN * 48L <= thr / 4
+    def semiDocs(df: DataFrame): DataFrame =
+      if (smallDocs) df.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      else df.join(candDocs.hint("merge"), Seq("doc_id"), "left_semi")
+    // exact scoring over candidate docs' postings only: expand by doc,
+    // keep (query, term) pairs of the query, df broadcast, dl confined
+    val candPosts = semiDocs(ptf)
+      .join(broadcast(qTerms), "tok") // attach query_id per matching query
+      .join(if (smallPairs) broadcast(cand) else cand.hint("merge"),
+        Seq("query_id", "doc_id"), "left_semi")
+    val survPosts = candPosts
+    val scores = survPosts
+      .join(broadcast(termStats.select(col("tok"), col("df"))), "tok")
+      .join(semiDocs(dlP).hint("merge"), "doc_id")
+      .crossJoin(broadcast(glob.select(col("t_total"), col("n_docs"))))
+      .withColumn("c", expr(ContribSql))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_pm"))
+    // instrumentation: postings fully scored vs all candidate postings
+    (topK(scores, k), survPosts, ptf.join(broadcast(qTerms), "tok"))
   }
+
+
 }

@@ -337,10 +337,10 @@ object TxAggRule extends Rule[LogicalPlan] {
         val tris = cs.map(classify(_, b, rows))
         if (!tris.contains(NoRows)) {
           // fully inside the filter AND every group/aggregate answerable
-          // from this batch's stats -> one partial row; otherwise scan it
-          val row: Option[Seq[Any]] =
-            if (!tris.forall(_ == AllRows)) None
-            else specs.foldLeft(Option(Vector.empty[Any])) { (acc, sp) =>
+          // from this batch's stats -> one partial row; otherwise try
+          // the histogram salvage before conceding a scan
+          if (tris.forall(_ == AllRows)) {
+            val row = specs.foldLeft(Option(Vector.empty[Any])) { (acc, sp) =>
               acc.flatMap { vs =>
                 (sp match {
                   case GroupOut(ar, _, _) => groupVal(b, ar, rows)
@@ -348,15 +348,96 @@ object TxAggRule extends Rule[LogicalPlan] {
                 }).map(vs :+ _)
               }
             }
-          row match {
-            case Some(v) => metaRows += v
-            case None => boundary += dir
+            row match {
+              case Some(v) => metaRows += v
+              case None => boundary += dir
+            }
+          } else histSalvage(b, rows, cs, tris, specs) match {
+            case HMeta(v) => metaRows += v
+            case HDrop => () // histogram proves zero in-range rows
+            case HBoundary => boundary += dir
           }
         }
       }
     }
     rewrite(agg, scan, fsRel, condOpt, specs, metaRows.toSeq, boundary.toSeq,
       present.size)
+  }
+
+  private sealed trait HistOut
+  private case class HMeta(row: Seq[Any]) extends HistOut
+  private case object HDrop extends HistOut
+  private case object HBoundary extends HistOut
+
+  /** Histogram salvage for a PARTIALLY-overlapping batch (round-8 ask:
+    * countBounds' certainty reaching the automatic rule). When every
+    * straddling condition is an integer range on ONE column whose
+    * commit harvested an equi-width histogram, the batch's own
+    * [[graft.sources.TxLog.histCountBounds]] may pin the in-range
+    * count EXACTLY (probe aligned with its bucket edges — always true
+    * for single-valued buckets) or prove it ZERO:
+    *
+    *  - zero → the batch drops from the plan entirely (a boundary scan
+    *    of a provably-empty batch saved);
+    *  - exact → COUNT aggregates answer metadata-only: count(*) is the
+    *    in-range count (null keys fail the range anyway, and the
+    *    histogram never counted them); count(x) likewise; count(y)
+    *    only with a proven zero null count for y;
+    *  - anything else (a gap between cMin and cMax, min/max aggregates,
+    *    multi-column straddles, non-integer probes) → boundary scan,
+    *    exactly as before. Conservative at every turn — a salvage that
+    *    cannot PROVE its value never replaces a scan.
+    */
+  private def histSalvage(b: Batch, rows: Long, cs: Seq[Cond],
+      tris: Seq[Tri], specs: Seq[OutSpec]): HistOut = {
+    val strad = cs.zip(tris).collect { case (c, SomeRows) => c }
+    val cols = strad.map(_.col).distinct
+    if (cols.size != 1) return HBoundary
+    val x = cols.head
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    strad.foreach { c =>
+      val v = c.v match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case s: Short => s.toLong
+        case bb: Byte => bb.toLong
+        case _ => return HBoundary
+      }
+      c.op match {
+        case Ge => lo = math.max(lo, v)
+        case Gt =>
+          if (v == Long.MaxValue) return HBoundary else lo = math.max(lo, v + 1)
+        case Le => hi = math.min(hi, v)
+        case Lt =>
+          if (v == Long.MinValue) return HBoundary else hi = math.min(hi, v - 1)
+        case Eq => lo = math.max(lo, v); hi = math.min(hi, v)
+        // IsNotNull adds nothing beyond the range (comparisons already
+        // exclude nulls, and the histogram never counted them)
+        case NotNull => ()
+      }
+    }
+    if (lo > hi) return HDrop // contradictory range: no rows anywhere
+    graft.sources.TxLog.histCountBounds(b._1, x, lo, hi) match {
+      case None => HBoundary
+      case Some((_, 0L)) => HDrop
+      case Some((cMin, cMax)) if cMin == cMax =>
+        val row = specs.foldLeft(Option(Vector.empty[Any])) { (acc, sp) =>
+          acc.flatMap { vs =>
+            (sp match {
+              case GroupOut(ar, _, _) => groupVal(b, ar, rows)
+              case AggOut(Count(Seq(Literal(v0, _))), _, _, _, _) if v0 != null =>
+                Some(cMin)
+              case AggOut(Count(Seq(ar: AttributeReference)), _, _, _, _) =>
+                if (ar.name == x) Some(cMin)
+                else nullsOf(b, ar.name, rows).collect { case 0L => cMin }
+              case _ => None // min/max inside a straddling batch: scan
+            }).map(vs :+ _)
+          }
+        }
+        row.map(HMeta(_)).getOrElse(HBoundary)
+      case _ => HBoundary
+    }
   }
 
   private def rewrite(agg: Aggregate, scan: LogicalRelation,

@@ -668,6 +668,51 @@ object NetworkQueries extends QueryPack {
            |SELECT node, count(*) AS core_deg FROM (
            |  SELECT u AS node FROM e6 UNION ALL SELECT v FROM e6) t
            |GROUP BY 1""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q218: label-propagation community detection (GraphOps.
+    // labelPropagation) — synchronous LPA with the deterministic
+    // (most-frequent, then smallest) tie-break, 4 rounds over the
+    // mod-499 orders graph. Every round is one label join + one integer
+    // argmax, so the result is partition- and engine-independent; the
+    // oracle replays the rounds as chained CTEs (the q132 pattern) with
+    // row_number() implementing the identical tie-break.
+    QueryDef(
+      "q218_label_propagation",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.GraphOps.labelPropagation(
+          T.orders(s, dir).select(
+            ($"o_custkey" % 499).as("src"),
+            ($"o_orderkey" % 499).as("dst")),
+          rounds = 4)
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""r$i AS MATERIALIZED (
+             |  SELECT node, label FROM (
+             |    SELECT a AS node, label,
+             |      row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+             |    FROM (
+             |      SELECT u.a, r.label, CAST(count(*) AS BIGINT) AS c
+             |      FROM und u JOIN r${i - 1} r ON r.node = u.b
+             |      GROUP BY 1, 2))
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT
+           |    least(o_custkey % 499, o_orderkey % 499) AS u,
+           |    greatest(o_custkey % 499, o_orderkey % 499) AS v
+           |  FROM orders
+           |  WHERE o_custkey % 499 <> o_orderkey % 499),
+           |und AS MATERIALIZED (
+           |  SELECT u AS a, v AS b FROM e0
+           |  UNION ALL SELECT v AS a, u AS b FROM e0),
+           |nodes AS (SELECT DISTINCT a AS node FROM und),
+           |r0 AS (SELECT node, node AS label FROM nodes),
+           |$rounds
+           |SELECT node, label FROM r4""".stripMargin
       })
   )
 }

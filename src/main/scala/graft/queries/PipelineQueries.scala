@@ -3629,35 +3629,35 @@ object PipelineQueries extends QueryPack {
 
     // ------------------------------------------------------------------
     // q216: MAX-SCORE-PRUNED BM25 (TextRetrieval.bm25TopKPruned) — the
-    // WAND-family upper-bound pruning, exactness-preserving: per-term
-    // score ceilings (idf × tf-part at (tfmax, dlmin), both monotone,
-    // floor monotone), doc ceilings by a narrow constant-sum pass, θ =
-    // min exact score of the k highest-ceiling docs, full scoring only
-    // for ceilings ≥ θ. The query mix is deliberately STOPWORD-HEAVY
-    // (each query doc's terms plus the global top-10 df tokens), the
-    // shape that degrades plain BM25 toward a corpus scan. The in-query
-    // require certifies the point: strictly fewer postings reach the
-    // expensive scoring pipeline than the candidate postings. The
-    // oracle scores the SAME queries with q210's plain SQL — the pruned
+    // WAND-family ESSENTIAL-TERM pruning, exactness-preserving: per-term
+    // ceilings (idf × tf-part at (tfmax, dlmin)), θ = k-th certified
+    // floor (dl = dlmax) over rare-term postings, and candidate
+    // generation confined to terms whose cumulative ceiling reaches θ —
+    // stopword posting lists never generate candidates. The synthetic
+    // corpus has a UNIFORM vocabulary (no Zipf head), so the fixture
+    // injects four true corpus-wide stopwords into every doc — mirrored
+    // verbatim in the oracle — and each query mixes 3 content terms
+    // (the doc's lexicographically-first distinct tokens) with those
+    // stopwords: the web-search shape. The in-query require certifies
+    // strictly fewer postings reach the scoring pipeline; the oracle
+    // scores the SAME queries with q210's plain SQL — the pruned
     // operator must reproduce every (score, rank) bit-for-bit.
     QueryDef(
       "q216_bm25_maxscore",
       (s, dir) => {
         import s.implicits._
-        val docs = T.documents(s, dir)
-        val toks = docs
-          .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
-          .filter(length($"tok") > 0)
-        // document frequency + deterministic top-10 (df DESC, tok)
-        val dfreq = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)))
-          .groupBy($"tok").agg(count(lit(1)).as("dfc"))
-        val top = dfreq.orderBy($"dfc".desc, $"tok").limit(10).select($"tok")
-        val qdocs = docs.filter($"doc_id" % 419L === 2L)
-        val queries = qdocs
-          .select($"doc_id".as("query_id"),
-            explode(split($"text", "\\s+")).as("tok"))
-          .filter(length($"tok") > 0)
-          .unionByName(qdocs.select($"doc_id".as("query_id")).crossJoin(top))
+        val stops = Seq("the", "of", "and", "to")
+        val docs0 = T.documents(s, dir)
+        val docs = docs0.select($"doc_id",
+          concat_ws(" ", $"text", lit(stops.mkString(" "))).as("text"))
+        val qdocs = docs0.filter($"doc_id" % 419L === 2L)
+        val content = qdocs.select($"doc_id".as("query_id"),
+          explode(expr(
+            """slice(filter(array_sort(array_distinct(split(text, '\\s+'))),
+              |  t -> NOT t IN ('the', 'of', 'and', 'to')), 1, 3)"""
+              .stripMargin.replace("\n", " "))).as("tok"))
+        val queries = content.unionByName(
+          qdocs.select($"doc_id".as("query_id")).crossJoin(stops.toDF("tok")))
         val (res, survPosts, allPosts) =
           graft.operators.TextRetrieval.bm25Pruned(docs, queries, 5)
         val (scored, candidates) = (survPosts.count(), allPosts.count())
@@ -3665,8 +3665,10 @@ object PipelineQueries extends QueryPack {
           s"q216: pruning must score fewer postings ($scored vs $candidates)")
         res
       },
-      Some("""WITH toks0 AS (SELECT doc_id,
-             |    unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+      Some("""WITH d AS (SELECT doc_id, text || ' the of and to' AS text
+             |           FROM documents),
+             |toks0 AS (SELECT doc_id,
+             |    unnest(string_split_regex(text, '\s+')) AS tok FROM d),
              |tk AS (SELECT * FROM toks0 WHERE length(tok) > 0),
              |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
              |       FROM tk GROUP BY 1, 2),
@@ -3674,14 +3676,15 @@ object PipelineQueries extends QueryPack {
              |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
              |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_total,
              |               CAST(count(*) AS BIGINT) AS n_docs FROM dl),
-             |top10 AS (SELECT tok FROM (
-             |    SELECT tok, row_number() OVER (ORDER BY df DESC, tok) AS r
-             |    FROM df) WHERE r <= 10),
              |q AS (SELECT DISTINCT query_id, tok FROM (
-             |    SELECT doc_id AS query_id, tok FROM tk WHERE doc_id % 419 = 2
+             |    SELECT doc_id AS query_id,
+             |      unnest(list_slice(list_filter(
+             |        list_sort(list_distinct(string_split_regex(text, '\s+'))),
+             |        t -> t NOT IN ('the', 'of', 'and', 'to')), 1, 3)) AS tok
+             |    FROM documents WHERE doc_id % 419 = 2
              |    UNION ALL
-             |    SELECT d.doc_id AS query_id, t.tok
-             |    FROM documents d CROSS JOIN top10 t WHERE d.doc_id % 419 = 2)),
+             |    SELECT doc_id AS query_id, unnest(['the', 'of', 'and', 'to'])
+             |    FROM documents WHERE doc_id % 419 = 2)),
              |sc AS (
              |  SELECT q.query_id, tf.doc_id,
              |    CAST(sum(
@@ -3698,6 +3701,45 @@ object PipelineQueries extends QueryPack {
              |  SELECT query_id, doc_id, score_pm,
              |    row_number() OVER (PARTITION BY query_id
              |      ORDER BY score_pm DESC, doc_id) AS rnk
-             |  FROM sc) WHERE rnk <= 5""".stripMargin))
+             |  FROM sc) WHERE rnk <= 5""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q217: FILTERED metadata-only count through the automatic rule
+    // (TxAggRule histogram salvage) — a range-filtered count over a
+    // txlog table answers with ZERO scans when every straddling batch's
+    // equi-width histogram pins its in-range count exactly. Here the
+    // histogrammed column (doc_id % 50) spans fewer values than the
+    // bucket count, so every bucket is single-valued and ANY probe
+    // aligns — all four batches straddle [7, 23], all four salvage.
+    // The require proves the optimized plan holds no relation at all;
+    // DuckDB recomputes the count from the flat table.
+    QueryDef(
+      "q217_filtered_meta_count",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_histcnt_$sfName"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val docs = T.documents(s, dir)
+          .withColumn("code", $"doc_id" % 50L)
+        (0L until 4L).foreach { i =>
+          graft.sources.TxLog.commit(s, t,
+            docs.filter($"doc_id" % 4L === i), append = true,
+            collectHistograms = Seq("code" -> 64))
+        }
+        val out = graft.sources.TxLog.table(s, t)
+          .filter($"code" >= 7L && $"code" <= 23L)
+          .agg(count(lit(1)).as("n"), count($"code").as("n_code"))
+        require(out.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+        }.isEmpty,
+          "q217 must answer the filtered count from histograms, not a scan:\n" +
+            out.queryExecution.optimizedPlan.toString.take(1500))
+        out
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(*) AS BIGINT) AS n_code
+             |FROM documents WHERE doc_id % 50 BETWEEN 7 AND 23""".stripMargin))
   )
 }

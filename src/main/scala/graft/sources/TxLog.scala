@@ -1109,15 +1109,32 @@ object TxLog {
     val entries = readManifest(spark, tableDir, v).map(parseLine)
     if (entries.exists(e => dvOf(e._2).isDefined)) return None
     val live = entries.filter(_._2.get(RowsKey).forall(_.min.toLong > 0L))
-    val hs = live.map(_._2.get(histKey(colName)))
+    val hs = live.map(e => histCountBounds(e._2, colName, lo, hi))
     if (hs.isEmpty || hs.exists(_.isEmpty)) return None
-    var cMin = 0L; var cMax = 0L
-    hs.flatten.foreach { st =>
+    Some(hs.flatten.foldLeft((0L, 0L)) { case ((mn, mx), (a, b)) =>
+      (mn + a, mx + b)
+    })
+  }
+
+  /** ONE batch's histogram range-count bounds: CERTAIN [cMin, cMax] of
+    * its rows with `colName` in [lo, hi] (null values never count —
+    * the histogram only holds non-null values). Exact (cMin == cMax)
+    * when the probe aligns with the batch's bucket edges, e.g. always
+    * when buckets are single-valued (value range ≤ bucket count).
+    * None when the batch carries no histogram for the column.
+    * The planning-time primitive behind [[countBounds]] and
+    * [[graft.plans.TxAggRule]]'s boundary-batch salvage.
+    */
+  private[graft] def histCountBounds(stats: Map[String, ColStats],
+      colName: String, lo: Long, hi: Long): Option[(Long, Long)] =
+    stats.get(histKey(colName)).map { st =>
       val parts = st.min.split(',').map(_.toLong)
       val nb = st.max.toInt
       val (bLo, bHi) = (parts(0), parts(1))
-      // same BigInt edge math as quantileBounds (i*w Long overflow)
+      // BigInt edge math — same rationale as quantileBounds (i*w can
+      // overflow Long even when every edge fits)
       val w = BigInt(bHi) - BigInt(bLo) + 1
+      var cMin = 0L; var cMax = 0L
       (0 until nb).foreach { i =>
         val c = parts(2 + i)
         if (c != 0L) {
@@ -1127,9 +1144,8 @@ object TxLog {
           else if (vHi >= lo && vLo <= hi) cMax += c
         }
       }
+      (cMin, cMax)
     }
-    Some((cMin, cMax))
-  }
 
   /** METADATA-ONLY approximate distinct count of `colName` over a
     * snapshot, from the per-batch KMV sketches [[commit]] harvested

@@ -135,4 +135,49 @@ class GraphSpec extends AnyFunSuite {
     val n = r.count()
     assert(r.filter($"rank" < base || $"rank" > lit(n) * GraphOps.Scale).isEmpty)
   }
+
+  test("labelPropagation: two cliques with one bridge resolve to two communities") {
+    // K4 {0,1,2,3} and K4 {10,11,12,13}, bridged 3-10; labels converge
+    // to each clique's minimum (0 and 10) — the bridge cannot flip
+    // either side (one vote vs three)
+    val k4a = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val k4b = for (i <- 10L to 13L; j <- 10L to 13L if i < j) yield (i, j)
+    val e = (k4a ++ k4b :+ ((3L, 10L))).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(e, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(got(_) == 0L), s"clique A: $got")
+    assert((10L to 13L).forall(got(_) == 10L), s"clique B: $got")
+  }
+
+  test("labelPropagation: deterministic across partition counts; rounds/rounds+1 fixed point") {
+    val e = (for (i <- 0L until 40L) yield (i, (i * 7L + 3L) % 40L))
+      .toDF("src", "dst")
+    val a = GraphOps.labelPropagation(e.repartition(1), rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.labelPropagation(e.repartition(13), rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "partition count changed the labeling")
+    // q218's round budget on ITS graph shape: fixture-scale convergence
+    // is asserted by the oracle; here the clique fixture reaches its
+    // fixed point (rounds == rounds+1)
+    val cl = (for (i <- 0L to 4L; j <- 0L to 4L if i < j) yield (i, j))
+      .toDF("src", "dst")
+    val r3 = GraphOps.labelPropagation(cl, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r4 = GraphOps.labelPropagation(cl, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == r4 && r3.values.toSet == Set(0L))
+  }
+
+  test("labelPropagation: direction/duplicates/self-loops normalize away") {
+    // triangle 1-2-3 expressed with reversed duplicates and a self-loop;
+    // odd cycles converge under synchronous LPA (bipartite structures
+    // oscillate — documented, still deterministic at a fixed round count)
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val got = GraphOps.labelPropagation(e, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.toSet == Set(1L))
+  }
 }

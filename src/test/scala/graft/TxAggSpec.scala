@@ -364,4 +364,81 @@ class TxAggSpec extends AnyFunSuite {
     assert(r.getAs[java.sql.Date]("dlo").toString == "2024-01-15")
     assert(r.getAs[java.sql.Date]("dhi").toString == "2024-03-02")
   }
+
+  test("histogram salvage: aligned straddling counts answer scan-free") {
+    val t = fresh("histsalv")
+    // code spans 0..9 with 16 buckets -> single-valued buckets: every
+    // range probe aligns, so straddling batches salvage exactly
+    TxLog.commit(spark, t, (0L until 40L).map(i => (i, i % 10L))
+      .toDF("id", "code"), append = true,
+      collectHistograms = Seq("code" -> 16))
+    TxLog.commit(spark, t, (40L until 100L).map(i => (i, i % 10L))
+      .toDF("id", "code"), append = true,
+      collectHistograms = Seq("code" -> 16))
+    val df = TxLog.table(spark, t).filter($"code" >= 3L && $"code" <= 6L)
+      .agg(count(lit(1)).as("n"), count($"code").as("nc"))
+    assert(scanFree(df), "aligned histogram salvage must not scan:\n" +
+      df.queryExecution.optimizedPlan.toString.take(1200))
+    val r = df.collect().head
+    assert(r.getAs[Long]("n") == 40L && r.getAs[Long]("nc") == 40L)
+  }
+
+  test("histogram salvage: provably-empty boundary batches drop from the plan") {
+    val t = fresh("histdrop")
+    // batch values cluster at 0..9 and 90..99: min/max straddle a mid
+    // probe but the histogram (single-valued buckets) proves it empty
+    TxLog.commit(spark, t,
+      ((0L until 10L) ++ (90L until 100L)).map(i => (i, i)).toDF("id", "code"),
+      append = true, collectHistograms = Seq("code" -> 128))
+    TxLog.commit(spark, t, (40L until 50L).map(i => (i, i)).toDF("id", "code"),
+      append = true, collectHistograms = Seq("code" -> 128))
+    val df = TxLog.table(spark, t).filter($"code" >= 42L && $"code" <= 47L)
+      .agg(count(lit(1)).as("n"))
+    assert(scanFree(df))
+    assert(df.collect().head.getAs[Long]("n") == 6L)
+  }
+
+  test("histogram salvage declines: non-aligned probes scan the boundary and stay exact") {
+    val t = fresh("histfall")
+    // wide value range (0..999) with 8 buckets -> 125-wide buckets: a
+    // probe cutting through a bucket cannot be pinned, so the batch
+    // scans — and the answer still matches the brute recount
+    TxLog.commit(spark, t, (0L until 1000L).map(i => (i, i)).toDF("id", "code"),
+      append = true, collectHistograms = Seq("code" -> 8))
+    val df = TxLog.table(spark, t).filter($"code" >= 130L && $"code" <= 140L)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanFree(df), "a mid-bucket probe must fall back to the scan")
+    assert(df.collect().head.getAs[Long]("n") == 11L)
+    // min/max through a straddling batch also stay scan-backed
+    val mm = TxLog.table(spark, t).filter($"code" >= 100L && $"code" <= 300L)
+      .agg(min($"code").as("lo"), max($"code").as("hi"))
+    val r = mm.collect().head
+    assert(r.getAs[Long]("lo") == 100L && r.getAs[Long]("hi") == 300L)
+    // and a batch WITHOUT a histogram never salvages
+    val t2 = fresh("histnone")
+    TxLog.commit(spark, t2, (0L until 20L).map(i => (i, i % 5L))
+      .toDF("id", "code"), append = true)
+    val df2 = TxLog.table(spark, t2).filter($"code" >= 1L && $"code" <= 3L)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanFree(df2))
+    assert(df2.collect().head.getAs[Long]("n") == 12L)
+  }
+
+  test("histogram salvage: count(other col) needs a proven zero null count") {
+    val t = fresh("histnull")
+    TxLog.commit(spark, t,
+      (0L until 30L).map(i => (i, i % 10L, if (i % 3L == 0L) null else s"v$i"))
+        .toDF("id", "code", "s"),
+      append = true, collectHistograms = Seq("code" -> 16))
+    // count(s) over a straddling batch with s-nulls: must scan, exact
+    val df = TxLog.table(spark, t).filter($"code" >= 2L && $"code" <= 5L)
+      .agg(count($"s").as("ns"))
+    assert(!scanFree(df))
+    assert(df.collect().head.getAs[Long]("ns") == 8L)
+    // count(id) with id never null: salvages scan-free
+    val df2 = TxLog.table(spark, t).filter($"code" >= 2L && $"code" <= 5L)
+      .agg(count($"id").as("ni"))
+    assert(scanFree(df2))
+    assert(df2.collect().head.getAs[Long]("ni") == 12L)
+  }
 }
