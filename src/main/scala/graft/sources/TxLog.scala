@@ -1308,6 +1308,29 @@ object TxLog {
     * scan under the join. No-op (the scan itself) when no entry carries
     * a vector.
     */
+  /** [[applyDv]] with the scan SPLIT by vector-carriage: batches
+    * without a deletion vector scan clean — no `_metadata` columns, no
+    * anti-join — and only the vector-carrying batches pay the
+    * tombstone join; the halves union. Tombstones concentrate in
+    * recently-written batches, so at scale this confines the measured
+    * read tax (`ab.dv_read`: ~7.5× on an all-batches join) to the
+    * touched fraction. `mkScan` builds a scan for a dir subset with
+    * the CALLER's schema/options decision (made over the full entry
+    * set, so the two halves always agree).
+    */
+  private def applyDvSplit(spark: SparkSession, tableDir: String,
+      dirEntries: Seq[(String, Map[String, ColStats])],
+      mkScan: Seq[String] => DataFrame): DataFrame = {
+    val (withDv, clean) = dirEntries.partition(e => dvOf(e._2).isDefined)
+    if (withDv.isEmpty) mkScan(dirEntries.map(_._1))
+    else {
+      val joined = applyDv(spark, tableDir,
+        mkScan(withDv.map(_._1)), withDv.map(_._2))
+      if (clean.isEmpty) joined
+      else mkScan(clean.map(_._1)).unionByName(joined)
+    }
+  }
+
   private def applyDv(spark: SparkSession, tableDir: String,
       base: DataFrame,
       entries: Seq[Map[String, ColStats]]): DataFrame = {
@@ -1789,14 +1812,22 @@ object TxLog {
     val v = asOf.getOrElse(latestVersion(spark, tableDir))
     require(v > 0, s"no committed version in $tableDir")
     val entries = readManifest(spark, tableDir, v).map(parseLineFull)
-    val dirs = entries.map { case (d, _, _) => s"$tableDir/$d" }
     // merged reads take the union from the manifest's recorded schemas
     // when every batch has one (planning never opens a footer); legacy
-    // manifests fall back to Spark's distributed footer merge
-    val scan = if (mergeSchema) unionSchema(entries.map(_._3)) match {
-      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
-      case None => spark.read.option("mergeSchema", true).parquet(dirs: _*)
-    } else {
+    // manifests fall back to Spark's distributed footer merge. The
+    // schema decision is made ONCE over the full entry set so the
+    // DV-split scan halves (applyDvSplit) always agree.
+    val allDirs = entries.map { case (d, _, _) => s"$tableDir/$d" }
+    val mkScan: Seq[String] => DataFrame = if (mergeSchema)
+      unionSchema(entries.map(_._3)) match {
+        case Some(sc) => ds => spark.read.schema(sc).parquet(ds: _*)
+        case None =>
+          // one footer sweep resolves the union; subsets reuse it
+          val inferred = spark.read.option("mergeSchema", true)
+            .parquet(allDirs: _*).schema
+          ds => spark.read.schema(inferred).parquet(ds: _*)
+      }
+    else {
       // plain reads too skip footer inference when every batch RECORDED
       // the same schema (the unevolved common case — compared nullable-
       // normalized, since parquet always reads back nullable). At object-
@@ -1804,11 +1835,14 @@ object TxLog {
       // legacy tables keep Spark's inference untouched.
       val rec = entries.map(_._3.map(nullableNorm))
       rec.headOption.flatten.filter(h => rec.forall(_.contains(h))) match {
-        case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
-        case None => spark.read.parquet(dirs: _*)
+        case Some(sc) => ds => spark.read.schema(sc).parquet(ds: _*)
+        case None =>
+          val inferred = spark.read.parquet(allDirs: _*).schema
+          ds => spark.read.schema(inferred).parquet(ds: _*)
       }
     }
-    applyDv(spark, tableDir, scan, entries.map(_._2))
+    applyDvSplit(spark, tableDir,
+      entries.map(e => (s"$tableDir/${e._1}", e._2)), mkScan)
   }
 
   /** [[read]] plus registration with the AUTOMATIC pruning rule
@@ -1867,20 +1901,26 @@ object TxLog {
     // letting Spark pick a file at random); the residual predicate
     // yields zero rows against it either way
     val keptE = if (kept.nonEmpty) kept else entries.takeRight(1)
-    val keptDirs = keptE.map { case (d, _, _) => s"$tableDir/$d" }
-    val base =
-      if (!mergeSchema) spark.read.parquet(keptDirs: _*)
+    val mkScan: Seq[String] => DataFrame =
+      if (!mergeSchema) {
+        // one schema decision for BOTH dv-split halves (a per-subset
+        // inference could disagree on an evolved table)
+        val inferred = spark.read
+          .parquet(keptE.map(e => s"$tableDir/${e._1}"): _*).schema
+        ds => spark.read.schema(inferred).parquet(ds: _*)
+      }
       else unionSchema(entries.map(_._3)) match {
         // the schema pruning would have produced comes from the FULL
         // manifest, so which batches survive can never change it
-        case Some(sc) => spark.read.schema(sc).parquet(keptDirs: _*)
+        case Some(sc) => ds => spark.read.schema(sc).parquet(ds: _*)
         case None => // legacy lines without schema: one footer sweep
           val inferred = spark.read.option("mergeSchema", true)
             .parquet(entries.map { case (d, _, _) => s"$tableDir/$d" }: _*)
             .schema
-          spark.read.schema(inferred).parquet(keptDirs: _*)
+          ds => spark.read.schema(inferred).parquet(ds: _*)
       }
-    val deleted = applyDv(spark, tableDir, base, keptE.map(_._2))
+    val deleted = applyDvSplit(spark, tableDir,
+      keptE.map(e => (s"$tableDir/${e._1}", e._2)), mkScan)
     ranges.foldLeft(deleted) { case (df, (c, (lo, hi))) =>
       val b = lo.map(l => df.where(col(c) >= l)).getOrElse(df)
       hi.map(h => b.where(col(c) <= h)).getOrElse(b)
