@@ -368,13 +368,14 @@ object DomainQueries extends QueryPack {
           .withColumn("state", substring($"origin_id", 8, 2))
           .withColumn("centroid_type", lit("weighted"))
         // fixture-proportionate slice target: the reference's production
-        // geometry is ~475 MB files; at sf0.1 (8 MB total tree) 2 MB
-        // preserves the files-per-partition ratio, and holding the knob
-        // constant across the 1×/10× scale probe is what makes the
+        // geometry is ~475 MB files; at fixture scale 4 MB keeps the
+        // sf0.1 tree a handful of coalesced write tasks (trivial bytes)
+        // while the 10× probe's grown key groups SPLIT — holding the
+        // knob constant across the 1×/10× scale probe is what makes the
         // probe's ratio measure the ENGINE (task work capped by bytes),
         // not the knob
         TableIO.writePartitioned(ptimes, out, Seq("origin_id", "destination_id"),
-          targetSliceBytes = 2L << 20)
+          targetSliceBytes = 4L << 20)
         val back = TableIO.withChunkId(TableIO.readPartitioned(s, out))
         back.groupBy($"state")
           .agg(
