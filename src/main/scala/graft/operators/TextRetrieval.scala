@@ -277,5 +277,37 @@ object TextRetrieval {
     (topK(scores, k), survPosts, ptf.join(broadcast(qTerms), "tok"))
   }
 
-
+  /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: given per-query rankings from
+    * heterogeneous retrievers (sparse BM25, dense cosine ANN, …), each
+    * doc's fused score is Σ_lists 1/(k0 + rank). Rank-based, so
+    * incomparable score scales (idf-weighted integers vs cosine
+    * doubles) fuse without calibration — the RAG retrieval stack's
+    * default. Fixed-point: each reciprocal is the integer
+    * `10⁹ div (k0 + rank)`, so fused scores are order-independent
+    * integer sums and hash-verify cross-engine (the [[bm25TopK]]
+    * convention). Ties break by doc_id.
+    *
+    * `rankings`: frames with (query_id, doc_id, rnk) — ranks 1-based,
+    * anything beyond a retriever's list simply absent (absent = no
+    * contribution, standard RRF). Scale shape: one union of
+    * (queries × list length)-bounded frames, one combiner groupBy, one
+    * per-query top-k window — nothing corpus-scaled.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0 && k0 >= 0, s"bad k=$k k0=$k0")
+    val u = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rnk")))
+      .reduce(_ unionByName _)
+    val fused = u
+      .select(col("query_id"), col("doc_id"),
+        expr(s"CAST(1000000000 div ($k0 + rnk) AS BIGINT)").as("rc"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("rc")).as("rrf_pm"))
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_pm").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(byScore))
+      .filter(col("rnk") <= k)
+  }
 }

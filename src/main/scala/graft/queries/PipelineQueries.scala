@@ -3704,6 +3704,81 @@ object PipelineQueries extends QueryPack {
              |  FROM sc) WHERE rnk <= 5""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q219: HYBRID RETRIEVAL via reciprocal-rank fusion (TextRetrieval.
+    // rrfFuse — Cormack et al. 2009): sparse BM25 ranks (q210's
+    // operator) and dense exact-cosine ranks (q44's operator) fuse as
+    // Σ 10⁹ div (60 + rank) — rank-based, so the incomparable score
+    // scales need no calibration, and fixed-point integer sums keep the
+    // fusion hash-verifiable. The RAG retrieval stack's default shape:
+    // keyword recall + semantic recall, one fused top-k. The oracle
+    // replays BOTH retrievers (q210's integer BM25 SQL, q44's exact
+    // cosine SQL) and the fusion arithmetic.
+    QueryDef(
+      "q219_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val docs = T.documents(s, dir)
+        val emb = T.embeddings(s, dir)
+        val queries = docs.filter($"doc_id" % 97L === 1L)
+          .select($"doc_id".as("query_id"),
+            explode(split($"text", "\\s+")).as("tok"))
+          .filter(length($"tok") > 0)
+        val sparse = graft.operators.TextRetrieval.bm25TopK(docs, queries, k = 20)
+          .select($"query_id", $"doc_id", $"rnk")
+        val dense = graft.operators.Similarity
+          .cosineTopK(emb, emb.filter($"vec_id" % 97L === 1L), k = 20)
+          .select($"query_id", $"neighbor_id".as("doc_id"), $"rnk")
+        graft.operators.TextRetrieval.rrfFuse(Seq(sparse, dense), k = 5)
+      },
+      Some("""WITH toks0 AS (SELECT doc_id,
+             |    unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+             |tk AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |       FROM tk GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+             |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_total,
+             |               CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+             |q AS (SELECT DISTINCT doc_id AS query_id, tok FROM tk
+             |      WHERE doc_id % 97 = 1),
+             |sc AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    CAST(sum(
+             |      CAST((CAST(1000000 AS HUGEINT) * (2 * (t.n_docs - df.df) + 1)
+             |            // (2 * df.df + 1))
+             |        * (CAST(88 AS HUGEINT) * t.t_total * tf.tf)
+             |        // (CAST(40 AS HUGEINT) * t.t_total * tf.tf
+             |           + 12 * t.t_total + 36 * dl.dl * t.n_docs)
+             |      AS BIGINT)) AS BIGINT) AS score_pm
+             |  FROM q JOIN tf USING (tok) JOIN df USING (tok)
+             |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot t
+             |  GROUP BY 1, 2),
+             |btop AS (SELECT query_id, doc_id, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY score_pm DESC, doc_id) AS rnk
+             |  FROM sc),
+             |sims AS (
+             |  SELECT qe.vec_id AS query_id, e.vec_id AS doc_id,
+             |    CAST(list_dot_product(qe.embedding, e.embedding) AS DOUBLE) /
+             |      (sqrt(CAST(list_dot_product(qe.embedding, qe.embedding) AS DOUBLE)) *
+             |       sqrt(CAST(list_dot_product(e.embedding, e.embedding) AS DOUBLE))) AS cosine
+             |  FROM embeddings qe JOIN embeddings e
+             |    ON qe.vec_id % 97 = 1 AND e.vec_id <> qe.vec_id),
+             |ctop AS (SELECT query_id, doc_id, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk
+             |  FROM sims),
+             |u AS (SELECT query_id, doc_id, rnk FROM btop WHERE rnk <= 20
+             |      UNION ALL
+             |      SELECT query_id, doc_id, rnk FROM ctop WHERE rnk <= 20),
+             |f AS (SELECT query_id, doc_id,
+             |        CAST(sum(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_pm
+             |      FROM u GROUP BY 1, 2)
+             |SELECT query_id, doc_id, rrf_pm, rnk FROM (
+             |  SELECT query_id, doc_id, rrf_pm,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY rrf_pm DESC, doc_id) AS rnk
+             |  FROM f) WHERE rnk <= 5""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q217: FILTERED metadata-only count through the automatic rule
     // (TxAggRule histogram salvage) — a range-filtered count over a
     // txlog table answers with ZERO scans when every straddling batch's

@@ -101,4 +101,27 @@ class TextRetrievalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(pruned == plain)
   }
+
+  test("rrfFuse: hand-computed reciprocal-rank sums, ties by doc_id, absent = no contribution") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2))
+      .toDF("query_id", "doc_id", "rnk")
+    val got = TextRetrieval.rrfFuse(Seq(a, b), k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._3).toSeq
+    // doc 11: 1e9/62 + 1e9/61 = 16129032 + 16393442 = 32522474
+    // doc 10: 1e9/61 = 16393442; doc 13: 1e9/62 = 16129032
+    // doc 12: 1e9/63 = 15873015
+    assert(got == Seq(
+      (11L, 32522474L, 1),
+      (10L, 16393442L, 2),
+      (13L, 16129032L, 3),
+      (12L, 15873015L, 4)))
+    // exact tie (same single-list rank on both): doc_id ascending
+    val c = Seq((9L, 5L, 1), (9L, 3L, 1)).toDF("query_id", "doc_id", "rnk")
+    val t = TextRetrieval.rrfFuse(Seq(c), k = 2).collect()
+      .map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2).toSeq
+    assert(t == Seq((3L, 1), (5L, 2)))
+  }
 }
