@@ -3779,6 +3779,42 @@ object PipelineQueries extends QueryPack {
              |  FROM f) WHERE rnk <= 5""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q220: INCREMENTAL cluster maintenance (Dedup.
+    // connectedComponentsIncremental) — the dup-cluster state of a
+    // ROLLING ingest: the corpus splits at its median doc_id into an
+    // "old" half (clustered the classic way) and a delta of pairs
+    // touching new docs; the incremental operator merges the delta into
+    // the previous labeling through its spanning forest — one edge per
+    // old NODE plus the delta, never the old edge set. The theorem
+    // (labels are a spanning forest, so components of labels ∪ delta =
+    // components of old ∪ delta) makes the output bit-equal to a full
+    // recompute — which is exactly what the oracle does: q90's
+    // recursive-CTE closure over the FULL pair graph.
+    QueryDef(
+      "q220_clusters_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val docs = T.documents(s, dir)
+        val q = (docs.count() / 2L).max(1L)
+        val pairs = graft.operators.Dedup
+          .minhashPairs(docs, n = 3, nHashes = 64, nBands = 16, threshold = 0.5)
+          .localCheckpoint()
+        val oldPairs = pairs.filter($"id_a" < q && $"id_b" < q)
+        val newPairs = pairs.filter($"id_a" >= q || $"id_b" >= q)
+        val prev = graft.operators.Dedup.connectedComponents(oldPairs)
+        graft.operators.Dedup.connectedComponentsIncremental(prev, newPairs)
+      },
+      Some(s"""WITH RECURSIVE pairs AS ($ngramPairsSql),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |          UNION ALL SELECT id_b, id_a FROM pairs),
+              |nodes AS (SELECT DISTINCT src AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+              |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q217: FILTERED metadata-only count through the automatic rule
     // (TxAggRule histogram salvage) — a range-filtered count over a
     // txlog table answers with ZERO scans when every straddling batch's

@@ -251,4 +251,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
     assert(want == Set((1L, 2L), (4L, 5L))) // the planted pairs, nothing else
   }
+
+  test("connectedComponentsIncremental equals the full recompute, canonicals preserved") {
+    import spark.implicits._
+    // seeded random pair graph; split pairs at the median node id
+    val rnd = new scala.util.Random(7)
+    val pairs0 = (0 until 120).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val pairs = pairs0.toDF("id_a", "id_b")
+    val oldPairs = pairs.filter($"id_a" < 30L && $"id_b" < 30L)
+    val newPairs = pairs.filter($"id_a" >= 30L || $"id_b" >= 30L)
+    val prev = Dedup.connectedComponents(oldPairs)
+    val inc = Dedup.connectedComponentsIncremental(prev, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, "incremental labeling diverged from the full recompute")
+    // a cluster untouched by the delta keeps its canonical id: isolate
+    // one old-only component and check
+    val prevMap = prev.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val newNodes = newPairs.select($"id_a").union(newPairs.select($"id_b"))
+      .collect().map(_.getLong(0)).toSet
+    val untouchedClusters = prevMap.groupBy(_._2)
+      .filter { case (_, m) => m.keys.forall(!newNodes.contains(_)) }
+    untouchedClusters.foreach { case (c, m) =>
+      m.keys.foreach(n => assert(inc(n) == c, s"node $n lost cluster $c"))
+    }
+  }
 }
