@@ -37,19 +37,11 @@ object Bench {
     // warm-up cost the window is declared contended and the query's
     // passes are re-measured. Sentinel stats ride in the JSON so the
     // judge can see HOW contended the run was, per window.
-    def sentinel(): Double = {
-      import org.apache.spark.sql.functions.{col, sum}
-      val t0 = System.nanoTime()
-      spark.range(16L * 1000000L)
-        .select((org.apache.spark.sql.functions.col("id") % 9973L).as("g"),
-          col("id"))
-        .groupBy("g").agg(sum(col("id")))
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    // warm-up: JIT/codegen once, then take the min of 5 as the baseline
-    sentinel()
-    val sentinelBase = (0 until 5).map(_ => sentinel()).min
+    // shared sentinel plan ([[Sentinel]]); headline keeps its bespoke
+    // window loop below, the probe/A-B sections guard via Sentinel.guard
+    val sent = new Sentinel(spark)
+    def sentinel(): Double = sent.probe()
+    val sentinelBase = sent.base
     val sentinelDrifts = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     val contended = scala.collection.mutable.ListBuffer.empty[String]
 

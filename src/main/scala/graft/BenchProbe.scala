@@ -130,16 +130,20 @@ object BenchProbe {
     val d1 = synthesize(spark, sfDir, 1, "probe1x")
     val dN = synthesize(spark, sfDir, replicas, s"probe${replicas}x",
       includeLineitem = only.isEmpty)
+    // round-9 ask #3: the r8 driver probe published 8.46×/8.03× for
+    // families that idle-measure 1.42×/5.10× — every probe window is
+    // now sentinel-guarded (contended windows re-run, survivors named)
+    val sent = new Sentinel(spark)
     val fams = Families
       .filter { case (fam, _) => only.isEmpty || only(fam) }
       .map { case (fam, q) =>
       // 1x first (also warms the plan shapes on the probe fixture paths)
-      val t1 = minTime(spark, d1, q, passes)
-      val tN = minTime(spark, dN, q, passes)
+      val t1 = sent.guard(s"$fam:1x")(minTime(spark, d1, q, passes))
+      val tN = sent.guard(s"$fam:${replicas}x")(minTime(spark, dN, q, passes))
       val ratio = if (t1 > 0 && tN > 0) tN / t1 else -1.0
       f""""$fam":{"query":"$q","t1":$t1%.3f,"t$replicas":$tN%.3f,"ratio":$ratio%.2f}"""
     }
-    s"""{"replicas":$replicas,"passes":$passes,"families":{${fams.mkString(",")}}}"""
+    s"""{"replicas":$replicas,"passes":$passes,${sent.json},"families":{${fams.mkString(",")}}}"""
   }
 
   /** A/B the optimizer features (round-6 ask #8): the MV rewrite and
@@ -155,6 +159,11 @@ object BenchProbe {
     import graft.sources.TxLog
     val dir = s"${GraftSession.scratchBase}/graft_probe${replicas}x"
     val liPath = s"$dir/lineitem.parquet"
+    // round-9 ask #3: every A/B arm is a sentinel-guarded window (the
+    // r8 driver recorded ab.bm25_maxscore 1.52× where idle is 1.97×).
+    // Every arm restores its state between passes, so a contended
+    // window's re-run is safe by construction.
+    val sent = new Sentinel(spark)
 
     // quantity/price are floats (sum would fall through by design) —
     // count/min/max is the guard-compatible rollup the view answers
@@ -173,10 +182,10 @@ object BenchProbe {
     def best(f: => DataFrame): Double = (0 until abPasses).map(_ => timed(f)).min
 
     // MV rewrite: same rollup with no view registered vs answered from it
-    val mvOff = best(rollup)
+    val mvOff = sent.guard("mv_off")(best(rollup))
     MvCatalog.register(spark, "probe_ab_mv", liPath,
       Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), s"$dir/mv_ab")
-    val mvOn = best(rollup)
+    val mvOn = sent.guard("mv_on")(best(rollup))
     MvCatalog.drop("probe_ab_mv")
 
     // manifest skipping: 8 committed key-range batches, probe one range;
@@ -207,8 +216,8 @@ object BenchProbe {
       .filter(col("l_orderkey") >= probeLo && col("l_orderkey") <= probeHi)
     def full = TxLog.read(spark, t)
       .filter(col("l_orderkey") >= probeLo && col("l_orderkey") <= probeHi)
-    val skipOn = best(agg(pruned))
-    val skipOff = best(agg(full))
+    val skipOn = sent.guard("skip_on")(best(agg(pruned)))
+    val skipOff = sent.guard("skip_off")(best(agg(full)))
     // wall-clock alone under-reports the feature on THIS box: the table
     // sits in tmpfs, so the skipped bytes cost ~0 to "read" — the
     // deterministic planning-side metric (files Spark lists/opens) is
@@ -223,8 +232,8 @@ object BenchProbe {
     // registers the dir even plain reads become answerable.
     def metaQ(df: DataFrame) = df.groupBy().agg(count(lit(1)).as("n"),
       min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
-    val metaOff = best(metaQ(TxLog.read(spark, t)))
-    val metaOn = best(metaQ(TxLog.table(spark, t)))
+    val metaOff = sent.guard("meta_off")(best(metaQ(TxLog.read(spark, t))))
+    val metaOn = sent.guard("meta_on")(best(metaQ(TxLog.table(spark, t))))
 
     // surgical MERGE vs full-rewrite upsert (round-7): the manifest
     // stats that skip READS skip REWRITES — a delta confined to one of
@@ -266,11 +275,11 @@ object BenchProbe {
     }
     // these arms are multi-second: `passes` (not abPasses) bounds probe time
     val mPasses = passes.max(2)
-    val mergeSurgical = (0 until mPasses).map { _ =>
+    val mergeSurgical = sent.guard("merge_surgical")((0 until mPasses).map { _ =>
       val s0 = timedU(TxLog.merge(spark, mt, delta, "rk"))
       TxLog.restore(spark, mt, baseV); s0
-    }.min
-    val mergeFull = (0 until mPasses).map { _ =>
+    }.min)
+    val mergeFull = sent.guard("merge_full")((0 until mPasses).map { _ =>
       val s0 = timedU {
         val full = TxLog.read(spark, mt)
         TxLog.commit(spark, mt,
@@ -278,13 +287,13 @@ object BenchProbe {
             .unionByName(delta))
       }
       TxLog.restore(spark, mt, baseV); s0
-    }.min
+    }.min)
     // third arm: MERGE-ON-READ (mergeVectored) — tombstone matched
     // positions, append the delta; zero data-file rewrites
-    val mergeVec = (0 until mPasses).map { _ =>
+    val mergeVec = sent.guard("merge_vectored")((0 until mPasses).map { _ =>
       val s0 = timedU(TxLog.mergeVectored(spark, mt, delta, "rk"))
       TxLog.restore(spark, mt, baseV); s0
-    }.min
+    }.min)
     // deterministic structure metrics alongside the wall-clock: batches
     // carried verbatim and BYTES REWRITTEN per strategy — the numbers
     // that translate to object-store scale, where every rewritten byte
@@ -321,14 +330,14 @@ object BenchProbe {
     // at object-store scale every written byte is a PUT).
     TxLog.restore(spark, mt, baseV)
     val (delLo, delHi) = (rLo, rLo + 63999L)
-    val delCow = (0 until mPasses).map { _ =>
+    val delCow = sent.guard("delete_cow")((0 until mPasses).map { _ =>
       val s0 = timedU(TxLog.deleteWhere(spark, mt, "rk", Some(delLo), Some(delHi)))
       TxLog.restore(spark, mt, baseV); s0
-    }.min
-    val delDv = (0 until mPasses).map { _ =>
+    }.min)
+    val delDv = sent.guard("delete_dv")((0 until mPasses).map { _ =>
       val s0 = timedU(TxLog.deleteVectored(spark, mt, "rk", Some(delLo), Some(delHi)))
       TxLog.restore(spark, mt, baseV); s0
-    }.min
+    }.min)
     TxLog.deleteWhere(spark, mt, "rk", Some(delLo), Some(delHi))
     val cowBytes = newBytes()
     TxLog.restore(spark, mt, baseV)
@@ -347,9 +356,9 @@ object BenchProbe {
       .filter(col("l_quantity") >= 5.0)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), min(col("l_extendedprice")).as("lo"))
-    val dvRead = best(dvReadAgg(TxLog.read(spark, mt)))
+    val dvRead = sent.guard("dv_read")(best(dvReadAgg(TxLog.read(spark, mt))))
     TxLog.purgeDeletes(spark, mt)
-    val purgedRead = best(dvReadAgg(TxLog.read(spark, mt)))
+    val purgedRead = sent.guard("dv_read_purged")(best(dvReadAgg(TxLog.read(spark, mt))))
     TxLog.restore(spark, mt, baseV)
 
     // MAX-SCORE BM25 on a stopword-heavy query mix (round-8 ask #4's
@@ -370,13 +379,18 @@ object BenchProbe {
     // sets, so they mix head and tail terms exactly like user queries
     // over natural text do.
     val bmV = 50000
-    val docsN = spark.range(200000L).select(col("id").as("doc_id"),
+    // corpus materialized to parquet and read back: every arm (plain,
+    // max-score, indexed query) starts from STORAGE, the way a real
+    // deployment would — a RAM-pinned corpus flatters the recompute
+    // arms, which never pay the scan the index exists to amortize
+    spark.range(200000L).select(col("id").as("doc_id"),
       expr(s"""concat_ws(' ', transform(sequence(1, 40),
            | s -> concat('t', cast(pow(CAST($bmV AS DOUBLE),
            |   pmod(hash(id * 53 + s), 1048576) / 1048576.0D) as int))))"""
         .stripMargin.replace("\n", " ")).as("text"))
       .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$dir/zipf_docs.parquet")
+    val docsN = spark.read.parquet(s"$dir/zipf_docs.parquet")
     val bmQdocs = docsN.filter(col("doc_id") % 4169L === 3L)
     val bmQueries = bmQdocs
       .select(col("doc_id").as("query_id"),
@@ -384,10 +398,59 @@ object BenchProbe {
           org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
       .localCheckpoint(true)
     val bmPasses = passes.max(2)
-    val bmOff = (0 until bmPasses).map(_ => timed(
-      graft.operators.TextRetrieval.bm25TopK(docsN, bmQueries, 5))).min
-    val bmOn = (0 until bmPasses).map(_ => timed(
-      graft.operators.TextRetrieval.bm25TopKPruned(docsN, bmQueries, 5))).min
+    val bmOff = sent.guard("bm25_off")((0 until bmPasses).map(_ => timed(
+      graft.operators.TextRetrieval.bm25TopK(docsN, bmQueries, 5))).min)
+    val bmOn = sent.guard("bm25_maxscore")((0 until bmPasses).map(_ => timed(
+      graft.operators.TextRetrieval.bm25TopKPruned(docsN, bmQueries, 5))).min)
+
+    // PERSISTENT INVERTED INDEX (round-9 ask #1's bench row): build the
+    // postings/df/dl/totals tables ONCE on the same Zipf corpus, then
+    // time a query batch through the index vs plain bm25TopK on the
+    // SAME queries. The query mix is the index's target workload — a
+    // few RARE terms per query (rank ≥ 1000 ⇒ posting lists of ~hundreds
+    // of docs), the reference's pruned-point-read shape: the plain arm
+    // pays the full corpus tokenize+aggregate pass to score a handful
+    // of postings; the indexed arm reads the manifest-pruned token
+    // slice. (The stopword-heavy bmQueries mix above is the WRONG
+    // workload for this row — there exact scoring dominates both arms
+    // equally and the amortized corpus pass disappears in the noise.)
+    val ixDir = s"$dir/bm25_index"
+    val ixBuild = timedU(
+      graft.operators.TextRetrieval.buildIndex(spark, ixDir, docsN, 32))
+    val ixQueries = docsN.filter(col("doc_id") % 25013L === 7L)
+      .select(col("doc_id").as("query_id"),
+        explode(expr(
+          "slice(filter(array_sort(array_distinct(split(text, ' '))), t -> length(t) >= 5), 1, 3)")).as("tok"))
+      .localCheckpoint(true)
+    val bmPlainFew = sent.guard("bm25_plain_few")((0 until bmPasses).map(_ => timed(
+      graft.operators.TextRetrieval.bm25TopK(docsN, ixQueries, 5))).min)
+    val bmIndexed = sent.guard("bm25_indexed")((0 until bmPasses).map(_ => timed(
+      graft.operators.TextRetrieval.bm25TopKIndexed(spark, ixDir, ixQueries, 5))).min)
+
+    // PERSISTENT IVF INDEX (round-9 ask #2's bench row): recompute arm
+    // re-assigns the whole 200k-vector corpus per call; the indexed arm
+    // encodes 48 queries and scans the probed cells' committed lists.
+    spark.range(200000L).select(col("id").as("vec_id"),
+      expr("""transform(sequence(1, 64),
+           | s -> cast((pmod(hash(id * 131 + s), 997) + 1) / 998.0D as float))"""
+        .stripMargin.replace("\n", " ")).as("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/zipf_emb.parquet")
+    val embN = spark.read.parquet(s"$dir/zipf_emb.parquet")
+    // online-serving query shape (the workload the committed index is
+    // FOR): a small batch probing 4 of 64 cells each — the indexed arm
+    // scans the ≤25% probed fraction; the recompute arm re-assigns all
+    // 200k corpus vectors against all 64 centroids per call. A large
+    // batch whose probes UNION to every cell measures only the shared
+    // dedup+rerank tail and hides the assignment amortization.
+    val qEmb = embN.filter(col("vec_id") % 50021L === 11L).localCheckpoint(true)
+    val annRecompute = sent.guard("ann_recompute")((0 until bmPasses).map(_ => timed(
+      graft.operators.Similarity.ivfTopKSeeded(embN, qEmb, 5, 64, 4))).min)
+    val annIxDir = s"$dir/ivf_index"
+    val annBuild = timedU(
+      graft.operators.Similarity.buildIvfIndex(spark, annIxDir, embN, 64))
+    val annIndexed = sent.guard("ann_indexed")((0 until bmPasses).map(_ => timed(
+      graft.operators.Similarity.ivfTopKIndexed(spark, annIxDir, qEmb, 5, 4))).min)
 
     f"""{"mv_rewrite":{"off":$mvOff%.3f,"on":$mvOn%.3f,"speedup":${mvOff / mvOn.max(0.001)}%.2f},""" +
       f""""stats_skip":{"off":$skipOff%.3f,"on":$skipOn%.3f,"speedup":${skipOff / skipOn.max(0.001)}%.2f,""" +
@@ -408,6 +471,13 @@ object BenchProbe {
       f""""dv_read":{"vectored":$dvRead%.3f,"purged":$purgedRead%.3f,""" +
       f""""overhead":${dvRead / purgedRead.max(0.001)}%.2f},""" +
       f""""bm25_maxscore":{"off":$bmOff%.3f,"on":$bmOn%.3f,""" +
-      f""""speedup":${bmOff / bmOn.max(0.001)}%.2f}}"""
+      f""""speedup":${bmOff / bmOn.max(0.001)}%.2f},""" +
+      f""""bm25_indexed":{"build":$ixBuild%.3f,"plain":$bmPlainFew%.3f,""" +
+      f""""indexed":$bmIndexed%.3f,""" +
+      f""""speedup":${bmPlainFew / bmIndexed.max(0.001)}%.2f},""" +
+      f""""ann_indexed":{"build":$annBuild%.3f,"recompute":$annRecompute%.3f,""" +
+      f""""indexed":$annIndexed%.3f,""" +
+      f""""speedup":${annRecompute / annIndexed.max(0.001)}%.2f},""" +
+      sent.json + "}"
   }
 }

@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.DynPruneRule)
     // metadata-only count/min/max/count(col) for registered TxLog scans
     e.injectOptimizerRule(_ => graft.plans.TxAggRule)
+    // manifest-exact row counts → Catalyst Statistics for registered
+    // TxLog scans (broadcast-vs-merge from real counts, not file bytes)
+    e.injectOptimizerRule(_ => graft.plans.TxStatsRule)
     // whole-operator extension: the native as-of join's physical planning
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((

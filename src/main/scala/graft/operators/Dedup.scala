@@ -261,10 +261,33 @@ object Dedup {
     // when measured-tiny (recovers the small-corpus latency the
     // unconditional pins cost, round-7 finding #3)
     val sizeRow = toks.agg(count(lit(1)),
-      coalesce(sum(length(col("tok"))), lit(0L))).head()
-    val toksBytes = sizeRow.getLong(1) + 28L * sizeRow.getLong(0)
+      coalesce(sum(length(col("tok"))), lit(0L)),
+      count_distinct(col("doc_id"))).head()
+    val nToks = sizeRow.getLong(0)
+    val strBytes = sizeRow.getLong(1)
+    val nDocs = sizeRow.getLong(2)
+    // PER-FRAME gates (the round-9 ADVICE: a hinted frame's estimate
+    // must include ITS OWN columns, or a corpus near the boundary
+    // under-estimates and re-admits the broadcast OOM — while gating
+    // every frame on the widest model over-pins and re-pays the
+    // unconditional-pin latency round 7 measured):
+    //  - (doc_id, tok) verify frames: strings + ~28 B row overhead;
+    //  - `pre` adds df/rn/sz longs (52 B/row) but holds ONLY the prefix
+    //    subset — per doc sz − ceil(t·sz) + 1 ≤ (1−t)·sz + 1 rows, an
+    //    EXACT bound, so its estimate scales by (1−threshold) plus one
+    //    avg-width row per doc;
+    //  - per-doc `sizes`: three longs a row.
+    val toksBytes = strBytes + 28L * nToks
+    val avgRow = strBytes / math.max(nToks, 1L) + 52L
+    val preBytes =
+      ((strBytes + 52L * nToks) * (1.0 - threshold)).toLong + avgRow * nDocs
+    val sizesBytes = 36L * nDocs
     def mp(df: DataFrame): DataFrame =
       if (pinLarge(toksBytes)) df.hint("merge") else df
+    def mpPre(df: DataFrame): DataFrame =
+      if (pinLarge(preBytes)) df.hint("merge") else df
+    def mpSizes(df: DataFrame): DataFrame =
+      if (pinLarge(sizesBytes)) df.hint("merge") else df
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val bySize = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
     // vocabulary-scaled side, never broadcast when big (minhashPairs' note)
@@ -289,7 +312,7 @@ object Dedup {
     // On low-entropy corpora (small shared vocabulary) these kill the
     // bulk of prefix collisions BEFORE the token-level verify fan-out —
     // the filters, not the verify, absorb the hot-vocabulary blowup.
-    val cand = pre.as("a").join(mp(pre.as("b")),
+    val cand = pre.as("a").join(mpPre(pre.as("b")),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.sz"), col("b.sz")).cast("double") /
             greatest(col("a.sz"), col("b.sz")) >= threshold)
@@ -319,8 +342,8 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(mp(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na"))), Seq("doc_a"))
-      .join(mp(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb"))), Seq("doc_b"))
+      .join(mpSizes(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na"))), Seq("doc_a"))
+      .join(mpSizes(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb"))), Seq("doc_b"))
       .withColumn("jac",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= threshold)

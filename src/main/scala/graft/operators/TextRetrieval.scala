@@ -277,6 +277,155 @@ object TextRetrieval {
     (topK(scores, k), survPosts, ptf.join(broadcast(qTerms), "tok"))
   }
 
+  // ------------------------------------------------------------------
+  // Persistent inverted index — precompute once, query many (the
+  // reference's whole consumption thesis: README.md:128-138 precomputes
+  // 140B+ pairs so consumers do pruned point reads; its pointer DB
+  // data/src/utils/duckdb.py:40-84 IS a prebuilt index artifact). Plain
+  // bm25TopK re-tokenizes the WHOLE corpus inside every call — at
+  // 100 TB that is a full corpus scan per query batch. buildIndex pays
+  // that scan ONCE into four TxLog-committed tables; every subsequent
+  // query batch reads the token-pruned slice of them and nothing else.
+  // ------------------------------------------------------------------
+
+  private def postingsDir(indexDir: String) = s"$indexDir/postings"
+  private def dlDir(indexDir: String) = s"$indexDir/dl"
+  private def dfDir(indexDir: String) = s"$indexDir/df"
+  private def totalsDir(indexDir: String) = s"$indexDir/totals"
+
+  /** Build (or rebuild) the persistent BM25 index for `docs` under
+    * `indexDir`: four TxLog tables —
+    *
+    *  - `postings` (tok, doc_id, tf), range-CLUSTERED by token
+    *    ([[graft.sources.TxLog.commitClustered]]) so a query's terms
+    *    manifest-prune to the few batches whose token range is touched;
+    *  - `df` (tok, df), token-clustered the same way;
+    *  - `dl` (doc_id, dl), clustered by doc id;
+    *  - `totals` (t_total, n_docs), one row.
+    *
+    * ONE corpus tokenization feeds all four (the tf frame is pinned
+    * eagerly; without the pin each commit would re-run the corpus
+    * shuffle). The stored values are bit-for-bit the aggregates
+    * [[bm25TopK]] computes inline, so [[bm25TopKIndexed]] scores
+    * bit-identically by construction (q221 pins it against q210's
+    * oracle). The index is versioned data: snapshots, time travel,
+    * vacuum, and [[graft.sources.TxLog.autoCluster]] all apply.
+    */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      docs: DataFrame, batches: Int = 32): Unit = {
+    import graft.sources.TxLog
+    val f = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+    val st = corpusStats(docs)
+    val tfP = st.tf.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    TxLog.commitClustered(spark, postingsDir(indexDir), tfP,
+      Seq("tok", "doc_id"), batches)
+    TxLog.commitClustered(spark, dlDir(indexDir),
+      tfP.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+      Seq("doc_id"), batches)
+    TxLog.commitClustered(spark, dfDir(indexDir),
+      tfP.groupBy(col("tok")).agg(count(lit(1)).as("df")),
+      Seq("tok"), math.max(batches / 4, 1))
+    TxLog.commit(spark, totalsDir(indexDir),
+      tfP.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .agg(sum(col("dl")).as("t_total"), count(lit(1)).as("n_docs")))
+    tfP.unpersist()
+  }
+
+  /** Incremental index maintenance: fold `newDocs` (doc_ids DISJOINT
+    * from every indexed doc — the append contract; re-ingesting an id
+    * double-counts it) into an existing index WITHOUT touching the old
+    * corpus:
+    *
+    *  - delta postings and dl rows APPEND as new clustered batches
+    *    (old batches carry verbatim — O(delta) write);
+    *  - df MERGES surgically: only the batches holding the delta's
+    *    vocabulary rewrite ([[graft.sources.TxLog.merge]]'s two-phase
+    *    pruning) — O(touched vocabulary), never O(corpus);
+    *  - totals recommit (one row).
+    *
+    * Post-append the index answers EXACTLY as a fresh [[buildIndex]]
+    * over the union corpus (IndexSpec pins bit-equality). Appended
+    * posting batches overlap old token ranges; [[graft.sources.TxLog
+    * .autoCluster]] on the postings table re-tightens the layout when
+    * the manifest says probes read too much.
+    */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, newDocs: DataFrame, batches: Int = 8): Unit = {
+    import graft.sources.TxLog
+    val st = corpusStats(newDocs)
+    val tfP = st.tf.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    if (tfP.isEmpty) { tfP.unpersist(); return }
+    TxLog.commitClustered(spark, postingsDir(indexDir), tfP,
+      Seq("tok", "doc_id"), batches, append = true)
+    TxLog.commitClustered(spark, dlDir(indexDir),
+      tfP.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+      Seq("doc_id"), batches, append = true)
+    val deltaDf = tfP.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // vocabulary-scaled (never corpus-scaled) reconciliation: old df
+    // rows of the delta's vocabulary + the delta, summed; merge
+    // rewrites only the touched df batches
+    val merged = TxLog.read(spark, dfDir(indexDir))
+      .join(deltaDf.select(col("tok")), Seq("tok"), "left_semi")
+      .withColumnRenamed("df", "df_old")
+      .join(deltaDf.withColumnRenamed("df", "df_new"), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
+          .as("df"))
+    TxLog.merge(spark, dfDir(indexDir), merged, "tok")
+    TxLog.commit(spark, totalsDir(indexDir),
+      TxLog.read(spark, totalsDir(indexDir))
+        .unionByName(tfP.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+          .agg(sum(col("dl")).as("t_total"), count(lit(1)).as("n_docs")))
+        .agg(sum(col("t_total")).as("t_total"), sum(col("n_docs")).as("n_docs")))
+    tfP.unpersist()
+  }
+
+  /** [[bm25TopK]] answered from a prebuilt [[buildIndex]] — ZERO
+    * corpus-scaled work at query time: the query's terms prune the
+    * postings and df tables at the MANIFEST level
+    * ([[graft.sources.TxLog.readWhereIn]] — KB metadata read, then a
+    * scan of only the touched batches), dl joins by its committed
+    * layout, totals is one row. Identical fixed-point arithmetic over
+    * identical stored aggregates ⇒ scores are bit-for-bit
+    * [[bm25TopK]]'s (q221 hash-pins it against q210's oracle SQL).
+    *
+    * No hand join pins here (contrast [[exactScores]]'s `hint("merge")`
+    * — forced because Catalyst sizes in-flight frames from the
+    * compressed text scan): the index tables are REGISTERED TxLog scans
+    * whose manifest-exact row counts reach the planner via
+    * [[graft.plans.TxStatsRule]], so broadcast-vs-merge is decided from
+    * real counts at any scale.
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, k: Int = 10): DataFrame = {
+    import graft.sources.TxLog
+    require(k > 0, s"bad k $k")
+    val qTerms = queries.select(col("query_id"), col("tok")).distinct()
+    // the query side is driver-bounded by the operator's contract (the
+    // same contract that lets bm25TopK broadcast it)
+    val toks = qTerms.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    graft.plans.TxStatsRule.register(dlDir(indexDir))
+    graft.plans.TxStatsRule.register(postingsDir(indexDir))
+    val posts = TxLog.readWhereIn(spark, postingsDir(indexDir), "tok", toks)
+    val dfq = TxLog.readWhereIn(spark, dfDir(indexDir), "tok", toks)
+    val dl = TxLog.read(spark, dlDir(indexDir))
+    val tot = TxLog.read(spark, totalsDir(indexDir))
+    val scores = posts
+      .join(broadcast(qTerms), "tok")
+      .join(broadcast(dfq), "tok") // ≤ |query vocabulary| rows
+      .join(dl, "doc_id") // stats-informed strategy, no hint
+      .crossJoin(broadcast(tot))
+      .withColumn("c", expr(ContribSql))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_pm"))
+    topK(scores, k)
+  }
+
   /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher 2009) — the
     * standard hybrid-retrieval combiner: given per-query rankings from
     * heterogeneous retrievers (sparse BM25, dense cosine ANN, …), each

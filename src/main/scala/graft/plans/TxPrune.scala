@@ -59,18 +59,24 @@ object TxPruneRule extends Rule[LogicalPlan] {
     */
   private[plans] def anyRegistered: Boolean = !tables.isEmpty
 
-  /** The registered table dir these scan roots belong to, if all of
-    * them sit under one registered `<dir>/data/` tree (roots must be
-    * pre-normalized with [[norm]]).
+  /** The single table dir these scan roots sit under (all must share
+    * one `<dir>/data/` tree; roots pre-normalized with [[norm]]) —
+    * membership-agnostic, shared with [[TxStatsRule]]'s own registry.
     */
-  private[plans] def registeredDirOf(roots: Seq[String]): Option[String] = {
+  private[plans] def dirOf(roots: Seq[String]): Option[String] = {
     val dirs = roots.map { r =>
       val i = r.lastIndexOf("/data/")
       if (i < 0) return None else r.substring(0, i)
     }.toSet
-    if (dirs.size == 1 && tables.contains(dirs.head)) Some(dirs.head)
-    else None
+    if (dirs.size == 1) Some(dirs.head) else None
   }
+
+  /** The registered table dir these scan roots belong to, if all of
+    * them sit under one registered `<dir>/data/` tree (roots must be
+    * pre-normalized with [[norm]]).
+    */
+  private[plans] def registeredDirOf(roots: Seq[String]): Option[String] =
+    dirOf(roots).filter(tables.contains)
 
   /** Register a TxLog table root for automatic pruning (idempotent;
     * called by `TxLog.table`).

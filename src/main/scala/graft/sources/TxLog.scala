@@ -421,14 +421,15 @@ object TxLog {
   /** Does this batch's [min,max] overlap the query range [lo,hi]?
     * Unorderable probes (NaN/Infinity reach [[lte]]'s BigDecimal parse
     * via a double probe or a NaN join key) must DISABLE skipping, not
-    * fail planning: conservative keep on any comparison error — the
-    * same Try-guard contract TxAggRule applies to these stats.
+    * fail planning: conservative keep on exactly that parse failure
+    * (NumberFormatException). Any OTHER exception is a planning bug
+    * and must surface — an unconditional catch would silently disable
+    * data skipping everywhere, an undiagnosable perf regression.
     */
   private def overlaps(st: ColStats, lo: Option[String], hi: Option[String]): Boolean =
-    scala.util.Try(
-      lo.forall(l => lte(st.kind, l, st.max)) &&
-        hi.forall(h => lte(st.kind, st.min, h))
-    ).getOrElse(true)
+    try lo.forall(l => lte(st.kind, l, st.max)) &&
+      hi.forall(h => lte(st.kind, st.min, h))
+    catch { case _: NumberFormatException => true }
 
   /** Commit `df` as the next version. `append = true` carries the
     * previous snapshot's directories forward; otherwise the new snapshot
@@ -904,6 +905,57 @@ object TxLog {
     }
     throw new IllegalStateException(
       s"commitPartitioned to $tableDir lost $maxRetries optimistic rounds")
+  }
+
+  /** Range-CLUSTERED commit: write `df` as up to `batches` batch dirs,
+    * each a CONTIGUOUS range of `byCols` (one range-shuffle +
+    * in-partition sort, the [[compactClustered]] write body for a fresh
+    * frame). The manifest's per-batch min/max on `byCols` come out
+    * tight and disjoint, so point/range probes ([[readWhere]],
+    * [[readWhereIn]], TxPruneRule) prune to the touched fraction — the
+    * committed-index layout: a postings table clustered by token, an
+    * IVF list table clustered by cell. `append = true` carries the
+    * previous snapshot forward and clusters ONLY the delta (incremental
+    * index maintenance never rewrites the old batches; run
+    * [[autoCluster]] when enough deltas accumulate).
+    */
+  def commitClustered(spark: SparkSession, tableDir: String, df: DataFrame,
+      byCols: Seq[String], batches: Int = 8, append: Boolean = false,
+      maxRetries: Int = 20): Long = {
+    import org.apache.spark.sql.functions.col
+    require(byCols.nonEmpty, "commitClustered needs at least one cluster column")
+    val f = fs(spark, tableDir)
+    enforceConstraints(spark, tableDir, df)
+    if (append) appendTypeGuard(spark, tableDir, df.schema)
+    // writer-private staging dir — commitPartitioned's concurrency contract
+    val tmp = new Path(s"$tableDir/.cluster-tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val lines =
+      try {
+        df.repartitionByRange(batches, byCols.map(col): _*)
+          .sortWithinPartitions(byCols.map(col): _*)
+          .write.parquet(tmp.toString)
+        // one range-contiguous FILE per partition; part-N order = key order
+        val parts = f.listStatus(tmp).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.map { p =>
+          val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+          val dir = new Path(s"$tableDir/$batch")
+          f.mkdirs(dir)
+          f.rename(p, new Path(dir, p.getName))
+          encodeLine(batch, footerStats(spark, dir), Some(df.schema.json))
+        }.toSeq
+      } finally f.delete(tmp, true)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, tableDir)
+      val carried =
+        if (append && base > 0) readManifest(spark, tableDir, base) else Nil
+      if (writeManifestExclusive(f, tableDir, base + 1, "commit_clustered", carried ++ lines))
+        return base + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commitClustered to $tableDir lost $maxRetries optimistic rounds")
   }
 
   private def packSketch(hs: Array[Long]): String = {
@@ -1480,6 +1532,38 @@ object TxLog {
       s"purgeDeletes on $tableDir lost $maxRetries optimistic rounds")
   }
 
+  /** Measure-then-act DV maintenance — the policy the measured
+    * `ab.dv_read` tax calibrates (FIXTURES §F): with [[applyDvSplit]]
+    * the read tax is proportional to the TOMBSTONE-CARRYING fraction of
+    * scan bytes, so purge exactly when that fraction outgrows
+    * `maxDvFraction` (default the documented ~¼). The decision costs
+    * one KB manifest read plus one `getContentSummary` per
+    * vector-carrying batch (vacuumDryRun's budget); only a YES pays the
+    * rewrite, and the rewrite is [[purgeDeletes]]' surgical one —
+    * vector-free batches carry verbatim. Returns the new version when
+    * it purged, None when the table is vector-free or still below the
+    * threshold — so a scheduler can call this after every
+    * delete/merge burst and read plans (and the metadata-only answer
+    * paths the vectors disable) recover exactly when the tax says so.
+    */
+  def autoPurge(spark: SparkSession, tableDir: String,
+      maxDvFraction: Double = 0.25): Option[Long] = {
+    require(maxDvFraction >= 0.0 && maxDvFraction <= 1.0,
+      s"bad maxDvFraction $maxDvFraction")
+    val f = fs(spark, tableDir)
+    val latest = latestVersion(spark, tableDir)
+    require(latest > 0, s"no committed version in $tableDir")
+    val entries = readManifest(spark, tableDir, latest).map(parseLine)
+    val (withDv, clean) = entries.partition(e => dvOf(e._2).isDefined)
+    if (withDv.isEmpty) return None
+    def bytes(dirs: Seq[String]): Long = dirs.map(d =>
+      f.getContentSummary(new Path(s"$tableDir/$d")).getLength).sum
+    val dvBytes = bytes(withDv.map(_._1))
+    val total = dvBytes + bytes(clean.map(_._1))
+    if (total == 0L || dvBytes.toDouble / total <= maxDvFraction) None
+    else Some(purgeDeletes(spark, tableDir))
+  }
+
   /** MERGE INTO — the Delta-style keyed upsert, rewritten to touch only
     * the files that hold matched keys. Semantics (classic SQL MERGE with
     * a single equi-key):
@@ -1963,6 +2047,48 @@ object TxLog {
         lit(term)))
   }
 
+  /** MEMBERSHIP read with manifest-level file skipping: keep only the
+    * batches whose committed stats say SOME probe value could be
+    * present — per value, the [min,max] range must contain it AND the
+    * committed value bloom (when one exists) must not rule it out. On a
+    * [[commitClustered]] table this is the committed-index probe: a
+    * query's handful of keys (the tokens of a search query, the cells
+    * an ANN probe selects) prunes a thousand-batch table to the few
+    * batches whose key range is touched, from one KB manifest read.
+    * Batches without stats for the column are conservatively kept; the
+    * residual `isin` filter keeps results exact either way. `values`
+    * must be DRIVER-BOUNDED (a query's keys, never a corpus column).
+    * Deletion vectors of kept batches apply as on every read path.
+    */
+  def readWhereIn(spark: SparkSession, tableDir: String, colName: String,
+      values: Seq[Any], asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "readWhereIn needs at least one probe value")
+    val v = asOf.getOrElse(latestVersion(spark, tableDir))
+    require(v > 0, s"no committed version in $tableDir")
+    val rawLines = readManifest(spark, tableDir, v)
+    val entries = rawLines.map(parseLineFull)
+    val strs = values.map(_.toString)
+    val kept = entries.zip(rawLines).collect {
+      case (e @ (_, stats, _), line) if stats.get(colName).forall { st =>
+        lazy val blooms = parseBlooms(line)
+        values.zip(strs).exists { case (v0, s0) =>
+          overlaps(st, Some(s0), Some(s0)) &&
+            blooms.get(colName).forall(bloomMayContain(_, v0))
+        }
+      } => e
+    }
+    // all-pruned fallback: readWhereAll's deterministic schema batch
+    val keptE = if (kept.nonEmpty) kept else entries.takeRight(1)
+    val inferred = spark.read
+      .parquet(keptE.map(e => s"$tableDir/${e._1}"): _*).schema
+    val mkScan: Seq[String] => DataFrame =
+      ds => spark.read.schema(inferred).parquet(ds: _*)
+    applyDvSplit(spark, tableDir,
+      keptE.map(e => (s"$tableDir/${e._1}", e._2)), mkScan)
+      .filter(col(colName).isin(values: _*))
+  }
+
   /** The manifest-selection core shared by [[readWhereAll]] and the
     * automatic [[graft.plans.TxPruneRule]]: batches surviving the ANDed
     * per-column ranges. POINT probes (lo == hi, non-null) additionally
@@ -2113,6 +2239,26 @@ object TxLog {
   /** Exact footer row count of one batch, when its manifest line
     * carries it (commits since the stats era always do).
     */
+  /** Relative batch dir → LIVE row count (committed footer rows minus
+    * the dir's deletion-vector tombstones) of the LATEST snapshot —
+    * [[graft.plans.TxStatsRule]]'s planning input. Per-dir counts are
+    * immutable facts (files never rewrite in place), so they stay
+    * valid for any subset scan of the snapshot. None when any line
+    * lacks a row count (legacy manifest) — planning falls back to file
+    * sizes rather than guess.
+    */
+  private[graft] def liveRowsByDir(spark: SparkSession, tableDir: String)
+      : Option[Map[String, Long]] = {
+    val v = latestVersion(spark, tableDir)
+    if (v <= 0) return None
+    Some(readManifest(spark, tableDir, v).map(parseLine).map {
+      case (d, stats) =>
+        val rows = batchRows(stats).getOrElse(return None)
+        val dv = dvOf(stats).map(_._2).getOrElse(0L)
+        d -> math.max(rows - dv, 0L)
+    }.toMap)
+  }
+
   private[graft] def batchRows(stats: Map[String, ColStats]): Option[Long] =
     stats.get(RowsKey).map(_.min.toLong)
 
@@ -2444,8 +2590,13 @@ object TxLog {
       .getOrElse(retainFrom)
     val fromCk = ck.toSeq.flatMap(_.runs)
       .filter(_._4 >= retainFrom).map(r => (r._1, r._2))
+    // ONLY a genuinely-absent manifest (a prior deeper vacuum removed
+    // the middle) may contribute nothing; any other failure (transient
+    // IO, corrupt-but-present manifest) must abort the vacuum — an
+    // under-built keep-set here permanently deletes live data files.
     val fromTail = (tailFrom to latest).flatMap(v =>
-      scala.util.Try(readManifestF(f, tableDir, v)).getOrElse(Nil).map(lineRefs))
+      (try readManifestF(f, tableDir, v)
+       catch { case _: java.io.FileNotFoundException => Nil }).map(lineRefs))
     val all = fromCk ++ fromTail
     (all.map(_._1).toSet, all.flatMap(_._2).toSet)
   }

@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.{Similarity, TextRetrieval}
+import graft.sources.TxLog
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persistent retrieval indexes (round-9 asks #1/#2): build once, query
+  * many — the indexed paths must answer BIT-IDENTICALLY to the inline
+  * recompute paths, appends must fold in without touching the old
+  * corpus, and the committed layouts must manifest-prune.
+  */
+class IndexSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def fresh(name: String): String = {
+    val dir = s"${GraftSession.scratchBase}/ixspec_$name"
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private lazy val docs = Tables.documents(spark, sf0001).cache()
+  private lazy val emb = Tables.embeddings(spark, sf0001).cache()
+
+  private def asSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def bmQueries(src: DataFrame): DataFrame = src
+    .filter(col("doc_id") % 97L === 1L)
+    .select(col("doc_id").as("query_id"),
+      explode(split(col("text"), "\\s+")).as("tok"))
+    .filter(length(col("tok")) > 0)
+
+  // ---------------------------------------------------------------- BM25
+
+  test("indexed BM25 answers bit-identically to the inline operator") {
+    val ix = fresh("bm25_full")
+    TextRetrieval.buildIndex(spark, ix, docs, batches = 8)
+    val q = bmQueries(docs)
+    val got = asSet(TextRetrieval.bm25TopKIndexed(spark, ix, q, 5))
+    val want = asSet(TextRetrieval.bm25TopK(docs, q, 5))
+    assert(got == want)
+  }
+
+  test("append maintenance ≡ full rebuild: old postings never rewrite") {
+    val ix = fresh("bm25_append")
+    val half = docs.count() / 2
+    TextRetrieval.buildIndex(spark, ix,
+      docs.filter(col("doc_id") < half), batches = 4)
+    val v1Posts = TxLog.manifest(spark, s"$ix/postings").map(_._1)
+    TextRetrieval.appendToIndex(spark, ix,
+      docs.filter(col("doc_id") >= half))
+    // delta-only write: every pre-append postings batch carries verbatim
+    val afterPosts = TxLog.manifest(spark, s"$ix/postings").map(_._1)
+    assert(afterPosts.take(v1Posts.size) == v1Posts,
+      s"append must carry old postings batches: $v1Posts vs $afterPosts")
+    // the maintained index answers exactly as one built on the union
+    val q = bmQueries(docs)
+    val got = asSet(TextRetrieval.bm25TopKIndexed(spark, ix, q, 5))
+    val want = asSet(TextRetrieval.bm25TopK(docs, q, 5))
+    assert(got == want)
+    // df reconciliation was surgical AND exact: totals match the corpus
+    val tot = TxLog.read(spark, s"$ix/totals").head()
+    val wantDocs = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0).select(col("doc_id")).distinct().count()
+    assert(tot.getAs[Long]("n_docs") == wantDocs)
+  }
+
+  test("readWhereIn prunes a clustered table to the touched batches") {
+    val t = fresh("wherein")
+    val df = spark.range(0L, 8000L).select(col("id"),
+      (col("id") % 7L).as("v"))
+    TxLog.commitClustered(spark, t, df, Seq("id"), batches = 8)
+    val total = TxLog.manifest(spark, t).size
+    assert(total >= 8, s"expected >=8 clustered batches, got $total")
+    val got = TxLog.readWhereIn(spark, t, "id", Seq(5L, 4005L))
+    assert(got.collect().map(_.getLong(0)).toSet == Set(5L, 4005L))
+    assert(got.inputFiles.length <= 2 && got.inputFiles.length < total,
+      s"2-point probe read ${got.inputFiles.length} of $total batches")
+    // deletion vectors apply on this read path too
+    TxLog.deleteVectored(spark, t, "id", Some(5L), Some(5L))
+    val after = TxLog.readWhereIn(spark, t, "id", Seq(5L, 4005L))
+    assert(after.collect().map(_.getLong(0)).toSet == Set(4005L))
+  }
+
+  // ----------------------------------------------------------------- IVF
+
+  test("indexed IVF ANN answers bit-identically to the seeded recompute") {
+    val ix = fresh("ivf_full")
+    Similarity.buildIvfIndex(spark, ix, emb, nCells = 16)
+    val q = emb.filter(col("vec_id") < 10)
+    val got = asSet(Similarity.ivfTopKIndexed(spark, ix, q, 5, nProbe = 4))
+    val want = asSet(Similarity.ivfTopKSeeded(emb, q, 5, 16, 4))
+    assert(got == want)
+  }
+
+  test("IVF append: frozen centroids, delta-only write, exact answers") {
+    val ix = fresh("ivf_append")
+    val half = emb.count() / 2
+    assert(half > 16, "first half must contain the 16 seed vectors")
+    Similarity.buildIvfIndex(spark, ix,
+      emb.filter(col("vec_id") < half), nCells = 16)
+    val v1Cells = TxLog.manifest(spark, s"$ix/cells").map(_._1)
+    Similarity.appendIvfIndex(spark, ix, emb.filter(col("vec_id") >= half))
+    val afterCells = TxLog.manifest(spark, s"$ix/cells").map(_._1)
+    assert(afterCells.take(v1Cells.size) == v1Cells,
+      "append must carry old cell batches verbatim")
+    val q = emb.filter(col("vec_id") < 10)
+    val got = asSet(Similarity.ivfTopKIndexed(spark, ix, q, 5, nProbe = 4))
+    // centroids = 16 lowest-id vectors, identical for half and union ⇒
+    // the maintained index must equal the full recompute
+    val want = asSet(Similarity.ivfTopKSeeded(emb, q, 5, 16, 4))
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------------ PQ
+
+  test("indexed PQ ANN answers bit-identically to the recompute (incl. append)") {
+    val ix = fresh("pq")
+    val half = emb.count() / 2
+    Similarity.buildPqIndex(spark, ix, emb.filter(col("vec_id") < half),
+      dim = 64, m = 4, nCells = 16, batches = 4)
+    Similarity.appendPqIndex(spark, ix, emb.filter(col("vec_id") >= half))
+    val q = emb.filter(col("vec_id") < 10)
+    val got = asSet(Similarity.pqTopKIndexed(spark, ix, q, 5))
+    val want = asSet(Similarity.pqTopK(emb, q, 5, dim = 64, m = 4, nCells = 16))
+    assert(got == want)
+  }
+}

@@ -270,6 +270,29 @@ class TxDvSpec extends AnyFunSuite {
       (0L until 40L).filterNot(k => k >= 13L && k <= 16L))
   }
 
+  test("autoPurge acts only past the byte-fraction threshold (FIXTURES §F policy)") {
+    val t = fresh("autopurge")
+    quartiles(t)
+    // tombstone ONE of four equal batches: dv-carrying fraction ≈ ¼ of
+    // scan bytes — at (or under) the documented threshold ⇒ no-op
+    TxLog.deleteVectored(spark, t, "id", Some(13L), Some(16L))
+    assert(TxLog.autoPurge(spark, t, maxDvFraction = 0.30).isEmpty,
+      "below/at threshold must be a metadata-only no-op")
+    // still vectored: metadata fast paths stay declined
+    assert(TxLog.statsAgg(spark, t, Seq("id")).isEmpty)
+    val vBefore = TxLog.latestVersion(spark, t)
+    // a second batch's delete pushes the carrying fraction to ~½ ⇒ acts
+    TxLog.deleteVectored(spark, t, "id", Some(23L), Some(26L))
+    val purged = TxLog.autoPurge(spark, t, maxDvFraction = 0.30)
+    assert(purged.exists(_ > vBefore), "past threshold must purge")
+    // metadata fast paths light up after, values intact
+    assert(TxLog.statsAgg(spark, t, Seq("id")).isDefined)
+    assert(rows(TxLog.read(spark, t)).map(_._1) ==
+      (0L until 40L).filterNot(k => (k >= 13L && k <= 16L) || (k >= 23L && k <= 26L)))
+    // vector-free table: always a no-op
+    assert(TxLog.autoPurge(spark, t, maxDvFraction = 0.0).isEmpty)
+  }
+
   test("txlog batch format refuses a vectored snapshot with a clear error") {
     val t = fresh("fmt")
     quartiles(t)

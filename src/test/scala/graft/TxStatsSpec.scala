@@ -1,0 +1,92 @@
+package graft
+
+import graft.sources.TxLog
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TxStatsRule (round-9 ask #4): manifest-exact row counts must reach
+  * Catalyst's planner for registered TxLog scans, flipping
+  * broadcast-vs-merge decisions that file-byte estimation gets wrong.
+  */
+class TxStatsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def fresh(name: String): String = {
+    val dir = s"${GraftSession.scratchBase}/txstats_spec_$name"
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("misestimated-by-bytes join flips to sort-merge when registered (no hint)") {
+    val t = fresh("flip")
+    // 200k rows of a CONSTANT 400-char pad: zstd crushes the files to a
+    // few KB (⇒ file-byte estimation says "broadcastable") while the
+    // in-memory relation is tens of MB — the exact shape that used to
+    // OOM drivers before the operator-level pins
+    val big = spark.range(0L, 200000L).select(col("id").as("k"),
+      lit("x" * 400).as("pad"))
+    TxLog.commit(spark, t, big)
+    val fileBytes = fs.getContentSummary(new Path(s"$t/data")).getLength
+    val other = spark.range(0L, 200000L)
+      .select(col("id").as("k"), (col("id") % 5L).as("g"))
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1L << 20).toString)
+      assert(fileBytes < (1L << 20),
+        s"fixture files must under-shoot the 1 MB threshold, got $fileBytes")
+      // UNREGISTERED: the planner sees only compressed file bytes and
+      // (wrongly, at scale) broadcasts the 200k-row side
+      val pUnreg = plan(other.join(TxLog.read(spark, t), "k"))
+      assert(pUnreg.contains("BroadcastHashJoin"),
+        "control arm: byte-estimation should broadcast:\n" + pUnreg.take(1200))
+      // REGISTERED: manifest row count × schema row width > threshold ⇒
+      // the same join plans sort-merge with no hint anywhere
+      val pReg = plan(other.join(TxLog.table(spark, t), "k"))
+      assert(pReg.contains("SortMergeJoin") && !pReg.contains("BroadcastHashJoin"),
+        "manifest stats must flip the strategy:\n" + pReg.take(1200))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("a genuinely small registered table still broadcasts (stats are exact, not a pin)") {
+    val t = fresh("small")
+    TxLog.commit(spark, t, spark.range(0L, 50L)
+      .select(col("id").as("k"), lit("y").as("tag")))
+    val other = spark.range(0L, 100000L).select(col("id").as("k"))
+    val p = plan(other.join(TxLog.table(spark, t), "k"))
+    assert(p.contains("BroadcastHashJoin"),
+      "50 exact rows must stay broadcastable:\n" + p.take(1200))
+  }
+
+  test("row counts survive manifest-pruned subset scans and subtract tombstones") {
+    val t = fresh("subset")
+    (0L until 4L).foreach { i =>
+      TxLog.commit(spark, t, spark.range(i * 100L, (i + 1) * 100L)
+        .select(col("id").as("k"), lit("z").as("tag")), append = true)
+    }
+    TxLog.deleteVectored(spark, t, "k", Some(0L), Some(49L))
+    def scanRows(df: DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if l.catalogTable.exists(_.stats.isDefined) =>
+          l.catalogTable.get.stats.get.rowCount.get
+      }.foldLeft(BigInt(0))(_ + _)
+    graft.plans.TxPruneRule.register(t)
+    // full read: 400 committed minus 50 tombstoned, summed across the
+    // DV-split scan halves (the dv SIDECAR scan gets no stats — its
+    // files aren't manifest batch dirs)
+    assert(scanRows(TxLog.read(spark, t)) == BigInt(350),
+      "live row count must reach the planner")
+    // a manifest-pruned subset reports exactly the touched batches
+    val sub = TxLog.readWhere(spark, t, "k", Some(150L), Some(250L))
+    assert(scanRows(sub) == BigInt(200),
+      "subset scan must report the touched fraction's rows")
+  }
+}
