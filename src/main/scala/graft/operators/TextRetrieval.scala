@@ -191,6 +191,22 @@ object TextRetrieval {
     // corpus tokenization+tf shuffle — measured as the dominant cost
     val dlP = st.dl.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // one corpus agg row: totals + dl extremes together
+    val glob = dlP.agg(sum(col("dl")).as("t_total"),
+      count(lit(1)).as("n_docs"),
+      min(col("dl")).as("dlmin"), max(col("dl")).as("dlmax"))
+    prunedCore(ptf, dlP, glob, qTerms, k)
+  }
+
+  /** The max-score machinery shared by [[bm25Pruned]] (in-flight corpus
+    * stats) and [[bm25TopKPrunedIndexed]] (stats read from the committed
+    * index): bounds, θ seeding, essential-term candidate generation,
+    * measured-size scoring joins. `ptf` = pinned postings of the query
+    * vocabulary (tok, doc_id, tf); `dlP` = (doc_id, dl); `glob` = one
+    * row (t_total, n_docs, dlmin, dlmax).
+    */
+  private def prunedCore(ptf: DataFrame, dlP: DataFrame, glob: DataFrame,
+      qTerms: DataFrame, k: Int): (DataFrame, DataFrame, DataFrame) = {
     // query-bounded term stats from the pinned postings themselves:
     // ptf holds every posting of each query term, so df(t) is its
     // posting count — no second corpus pass; the frame is
@@ -198,10 +214,6 @@ object TextRetrieval {
     // contract as qTerms)
     val termStats = ptf.groupBy(col("tok"))
       .agg(max(col("tf")).as("tfmax"), count(lit(1)).as("df"))
-    // one corpus agg row: totals + dl extremes together
-    val glob = dlP.agg(sum(col("dl")).as("t_total"),
-      count(lit(1)).as("n_docs"),
-      min(col("dl")).as("dlmin"), max(col("dl")).as("dlmax"))
     // per-(query, term) ceilings with the ascending cumulative sum the
     // essential-prefix rule needs — query-bounded rows throughout
     val qub = qTerms
@@ -330,7 +342,8 @@ object TextRetrieval {
       Seq("tok"), math.max(batches / 4, 1))
     TxLog.commit(spark, totalsDir(indexDir),
       tfP.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        .agg(sum(col("dl")).as("t_total"), count(lit(1)).as("n_docs")))
+        .agg(sum(col("dl")).as("t_total"), count(lit(1)).as("n_docs"),
+          min(col("dl")).as("dlmin"), max(col("dl")).as("dlmax")))
     tfP.unpersist()
   }
 
@@ -376,11 +389,14 @@ object TextRetrieval {
         (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
           .as("df"))
     TxLog.merge(spark, dfDir(indexDir), merged, "tok")
+    // disjoint doc sets ⇒ sums add and dl extremes merge exactly
     TxLog.commit(spark, totalsDir(indexDir),
       TxLog.read(spark, totalsDir(indexDir))
         .unionByName(tfP.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-          .agg(sum(col("dl")).as("t_total"), count(lit(1)).as("n_docs")))
-        .agg(sum(col("t_total")).as("t_total"), sum(col("n_docs")).as("n_docs")))
+          .agg(sum(col("dl")).as("t_total"), count(lit(1)).as("n_docs"),
+            min(col("dl")).as("dlmin"), max(col("dl")).as("dlmax")))
+        .agg(sum(col("t_total")).as("t_total"), sum(col("n_docs")).as("n_docs"),
+          min(col("dlmin")).as("dlmin"), max(col("dlmax")).as("dlmax")))
     tfP.unpersist()
   }
 
@@ -424,6 +440,44 @@ object TextRetrieval {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("score_pm"))
     topK(scores, k)
+  }
+
+  /** [[bm25TopKPruned]] answered from a prebuilt [[buildIndex]] — the
+    * max-score/essential-terms pruning composed with the committed
+    * index: postings of the query vocabulary arrive MANIFEST-PRUNED
+    * (readWhereIn), dl is the committed table, and the global totals +
+    * dl extremes the bounds need are ONE committed row — zero
+    * corpus-scaled work even in the bounds pass. Output bit-identical
+    * to [[bm25TopKPruned]] and [[bm25TopK]] (q224 pins it against
+    * q216's oracle).
+    */
+  def bm25TopKPrunedIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, k: Int = 10): DataFrame =
+    bm25PrunedIndexed(spark, indexDir, queries, k)._1
+
+  /** [[bm25TopKPrunedIndexed]] plus the instrumentation frames of
+    * [[bm25Pruned]] (result, postings scored, all candidate postings).
+    */
+  private[graft] def bm25PrunedIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, k: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.sources.TxLog
+    require(k > 0, s"bad k $k")
+    val qTerms = queries.select(col("query_id"), col("tok")).distinct()
+    val toks = qTerms.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    graft.plans.TxStatsRule.register(dlDir(indexDir))
+    graft.plans.TxStatsRule.register(postingsDir(indexDir))
+    // pinned for the same reason as bm25Pruned's ptf: term stats, the
+    // seed pass and the scoring pass all consume it — here the re-read
+    // would only re-scan the pruned batches, but the pin also keeps
+    // the three consumers' inputs byte-identical
+    val ptf = TxLog.readWhereIn(spark, postingsDir(indexDir), "tok", toks)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val dlP = TxLog.read(spark, dlDir(indexDir))
+    val glob = TxLog.read(spark, totalsDir(indexDir))
+    prunedCore(ptf, dlP, glob, qTerms, k)
   }
 
   /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher 2009) — the

@@ -4078,6 +4078,82 @@ object PipelineQueries extends QueryPack {
              |  SELECT query_id, doc_id, rrf_pm,
              |    row_number() OVER (PARTITION BY query_id
              |      ORDER BY rrf_pm DESC, doc_id) AS rnk
-             |  FROM f) WHERE rnk <= 5""".stripMargin))
+             |  FROM f) WHERE rnk <= 5""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q224: MAX-SCORE PRUNING OVER THE COMMITTED INDEX
+    // (TextRetrieval.bm25TopKPrunedIndexed) — q216's essential-terms
+    // exactness-preserving pruning composed with q221's persistent
+    // index: the bounds pass reads ONE committed totals row (t_total,
+    // n_docs, dlmin, dlmax) and the query vocabulary's manifest-pruned
+    // postings — zero corpus passes anywhere, even for θ. Same
+    // stopword-injected fixture and query mix as q216, and the oracle
+    // is q216's SQL verbatim: the indexed+pruned path must reproduce
+    // every (score, rank) bit-for-bit. The require certifies pruning
+    // still fires through the index (fewer postings scored than the
+    // query vocabulary's candidate postings).
+    QueryDef(
+      "q224_bm25_maxscore_indexed",
+      (s, dir) => {
+        import s.implicits._
+        val stops = Seq("the", "of", "and", "to")
+        val docs0 = T.documents(s, dir)
+        val docs = docs0.select($"doc_id",
+          concat_ws(" ", $"text", lit(stops.mkString(" "))).as("text"))
+        val sfName = new java.io.File(dir).getName
+        val ix = s"${graft.GraftSession.scratchBase}/graft_bm25pix_$sfName"
+        graft.operators.TextRetrieval.buildIndex(s, ix, docs, batches = 32)
+        val qdocs = docs0.filter($"doc_id" % 419L === 2L)
+        val content = qdocs.select($"doc_id".as("query_id"),
+          explode(expr(
+            """slice(filter(array_sort(array_distinct(split(text, '\\s+'))),
+              |  t -> NOT t IN ('the', 'of', 'and', 'to')), 1, 3)"""
+              .stripMargin.replace("\n", " "))).as("tok"))
+        val queries = content.unionByName(
+          qdocs.select($"doc_id".as("query_id")).crossJoin(stops.toDF("tok")))
+        val (res, survPosts, allPosts) =
+          graft.operators.TextRetrieval.bm25PrunedIndexed(s, ix, queries, 5)
+        val (scored, candidates) = (survPosts.count(), allPosts.count())
+        require(scored < candidates,
+          s"q224: pruning must score fewer postings ($scored vs $candidates)")
+        res
+      },
+      Some("""WITH d AS (SELECT doc_id, text || ' the of and to' AS text
+             |           FROM documents),
+             |toks0 AS (SELECT doc_id,
+             |    unnest(string_split_regex(text, '\s+')) AS tok FROM d),
+             |tk AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |       FROM tk GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+             |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_total,
+             |               CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+             |q AS (SELECT DISTINCT query_id, tok FROM (
+             |    SELECT doc_id AS query_id,
+             |      unnest(list_slice(list_filter(
+             |        list_sort(list_distinct(string_split_regex(text, '\s+'))),
+             |        t -> t NOT IN ('the', 'of', 'and', 'to')), 1, 3)) AS tok
+             |    FROM documents WHERE doc_id % 419 = 2
+             |    UNION ALL
+             |    SELECT doc_id AS query_id, unnest(['the', 'of', 'and', 'to'])
+             |    FROM documents WHERE doc_id % 419 = 2)),
+             |sc AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    CAST(sum(
+             |      CAST((CAST(1000000 AS HUGEINT) * (2 * (t.n_docs - df.df) + 1)
+             |            // (2 * df.df + 1))
+             |        * (CAST(88 AS HUGEINT) * t.t_total * tf.tf)
+             |        // (CAST(40 AS HUGEINT) * t.t_total * tf.tf
+             |           + 12 * t.t_total + 36 * dl.dl * t.n_docs)
+             |      AS BIGINT)) AS BIGINT) AS score_pm
+             |  FROM q JOIN tf USING (tok) JOIN df USING (tok)
+             |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot t
+             |  GROUP BY 1, 2)
+             |SELECT query_id, doc_id, score_pm, rnk FROM (
+             |  SELECT query_id, doc_id, score_pm,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score_pm DESC, doc_id) AS rnk
+             |  FROM sc) WHERE rnk <= 5""".stripMargin))
   )
 }

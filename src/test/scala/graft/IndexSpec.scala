@@ -72,6 +72,22 @@ class IndexSpec extends AnyFunSuite {
     assert(tot.getAs[Long]("n_docs") == wantDocs)
   }
 
+  test("indexed max-score BM25 ≡ pruned ≡ plain, including after append") {
+    val ix = fresh("bm25_pruned")
+    val half = docs.count() / 2
+    TextRetrieval.buildIndex(spark, ix,
+      docs.filter(col("doc_id") < half), batches = 4)
+    TextRetrieval.appendToIndex(spark, ix,
+      docs.filter(col("doc_id") >= half))
+    val q = bmQueries(docs)
+    val got = asSet(TextRetrieval.bm25TopKPrunedIndexed(spark, ix, q, 5))
+    assert(got == asSet(TextRetrieval.bm25TopKPruned(docs, q, 5)))
+    assert(got == asSet(TextRetrieval.bm25TopK(docs, q, 5)))
+    // the committed totals row carries the dl extremes the bounds need
+    val tot = TxLog.read(spark, s"$ix/totals").head()
+    assert(tot.getAs[Long]("dlmin") <= tot.getAs[Long]("dlmax"))
+  }
+
   test("readWhereIn prunes a clustered table to the touched batches") {
     val t = fresh("wherein")
     val df = spark.range(0L, 8000L).select(col("id"),
