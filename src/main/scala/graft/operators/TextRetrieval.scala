@@ -417,7 +417,8 @@ object TextRetrieval {
     * real counts at any scale.
     */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, queries: DataFrame, k: Int = 10): DataFrame = {
+      indexDir: String, queries: DataFrame, k: Int = 10,
+      asOf: Option[Long] = None): DataFrame = {
     import graft.sources.TxLog
     require(k > 0, s"bad k $k")
     val qTerms = queries.select(col("query_id"), col("tok")).distinct()
@@ -427,10 +428,17 @@ object TextRetrieval {
       .collect().map(_.getString(0)).toSeq
     graft.plans.TxStatsRule.register(dlDir(indexDir))
     graft.plans.TxStatsRule.register(postingsDir(indexDir))
-    val posts = TxLog.readWhereIn(spark, postingsDir(indexDir), "tok", toks)
-    val dfq = TxLog.readWhereIn(spark, dfDir(indexDir), "tok", toks)
-    val dl = TxLog.read(spark, dlDir(indexDir))
-    val tot = TxLog.read(spark, totalsDir(indexDir))
+    // INDEX TIME TRAVEL: build and every maintenance call bump each of
+    // the four tables by exactly one version in lockstep (build = v1;
+    // appendToIndex = one clustered append / merge / recommit apiece;
+    // compactIndex = one clustered rewrite apiece), so a single asOf
+    // names a consistent cross-table snapshot — querying the
+    // pre-append index reproduces bm25TopK over the pre-append corpus
+    // bit-for-bit (IndexSpec pins it).
+    val posts = TxLog.readWhereIn(spark, postingsDir(indexDir), "tok", toks, asOf)
+    val dfq = TxLog.readWhereIn(spark, dfDir(indexDir), "tok", toks, asOf)
+    val dl = TxLog.read(spark, dlDir(indexDir), asOf)
+    val tot = TxLog.read(spark, totalsDir(indexDir), asOf)
     val scores = posts
       .join(broadcast(qTerms), "tok")
       .join(broadcast(dfq), "tok") // ≤ |query vocabulary| rows
@@ -440,6 +448,33 @@ object TextRetrieval {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("score_pm"))
     topK(scores, k)
+  }
+
+  /** Re-tighten the committed layouts after appends: every
+    * [[appendToIndex]] adds delta batches spanning the full token
+    * range, so a point probe that read ONE batch reads 1 + n_appends
+    * of them — the manifest's `clusterHealth` overlap count is the
+    * measured signal. One range-clustered rewrite per table
+    * ([[graft.sources.TxLog.commitClustered]], replace mode) restores
+    * probe-reads-one; the fragmented history stays time-travelable.
+    * The dedicated rewrite exists because `TxLog.autoCluster`'s
+    * z-order path is integer-keyed — token strings need the
+    * range-shuffle layout the index was built with.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batches: Int = 32): Unit = {
+    import graft.sources.TxLog
+    TxLog.commitClustered(spark, postingsDir(indexDir),
+      TxLog.read(spark, postingsDir(indexDir)), Seq("tok", "doc_id"), batches)
+    TxLog.commitClustered(spark, dfDir(indexDir),
+      TxLog.read(spark, dfDir(indexDir)), Seq("tok"),
+      math.max(batches / 4, 1))
+    TxLog.commitClustered(spark, dlDir(indexDir),
+      TxLog.read(spark, dlDir(indexDir)), Seq("doc_id"), batches)
+    // totals is one row; recommit keeps the four versions in lockstep
+    // (the asOf contract of bm25TopKIndexed)
+    TxLog.commit(spark, totalsDir(indexDir),
+      TxLog.read(spark, totalsDir(indexDir)))
   }
 
   /** [[bm25TopKPruned]] answered from a prebuilt [[buildIndex]] — the

@@ -88,6 +88,50 @@ class IndexSpec extends AnyFunSuite {
     assert(tot.getAs[Long]("dlmin") <= tot.getAs[Long]("dlmax"))
   }
 
+  test("index time travel: asOf names the pre-append snapshot exactly") {
+    val ix = fresh("bm25_asof")
+    val half = docs.count() / 2
+    val oldDocs = docs.filter(col("doc_id") < half)
+    TextRetrieval.buildIndex(spark, ix, oldDocs, batches = 4)
+    TextRetrieval.appendToIndex(spark, ix, docs.filter(col("doc_id") >= half))
+    // all four tables moved 1 → 2 in lockstep (the asOf contract)
+    Seq("postings", "dl", "df", "totals").foreach { t =>
+      assert(TxLog.latestVersion(spark, s"$ix/$t") == 2L, t)
+    }
+    val q = bmQueries(docs)
+    assert(asSet(TextRetrieval.bm25TopKIndexed(spark, ix, q, 5, asOf = Some(1L))) ==
+      asSet(TextRetrieval.bm25TopK(oldDocs, q, 5)))
+    assert(asSet(TextRetrieval.bm25TopKIndexed(spark, ix, q, 5)) ==
+      asSet(TextRetrieval.bm25TopK(docs, q, 5)))
+  }
+
+  test("compactIndex restores probe-reads-one after append fragmentation") {
+    val ix = fresh("bm25_compact")
+    val n = docs.count()
+    TextRetrieval.buildIndex(spark, ix, docs.filter(col("doc_id") < n / 3),
+      batches = 4)
+    TextRetrieval.appendToIndex(spark, ix,
+      docs.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3))
+    TextRetrieval.appendToIndex(spark, ix, docs.filter(col("doc_id") >= 2 * n / 3))
+    val term = docs.select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0).orderBy(col("tok")).limit(1)
+      .head().getString(0)
+    def probeFiles(): Int = TxLog
+      .readWhereIn(spark, s"$ix/postings", "tok", Seq(term)).inputFiles.length
+    // each append spans the full token range: the point probe reads one
+    // batch per epoch
+    val before = probeFiles()
+    assert(before >= 3, s"expected fragmentation, probe read $before")
+    TextRetrieval.compactIndex(spark, ix, batches = 4)
+    assert(probeFiles() == 1, "compaction must restore probe-reads-one")
+    // answers unchanged, and the fragmented history is still queryable
+    val q = bmQueries(docs)
+    assert(asSet(TextRetrieval.bm25TopKIndexed(spark, ix, q, 5)) ==
+      asSet(TextRetrieval.bm25TopK(docs, q, 5)))
+    assert(asSet(TextRetrieval.bm25TopKIndexed(spark, ix, q, 5, asOf = Some(3L))) ==
+      asSet(TextRetrieval.bm25TopK(docs, q, 5)))
+  }
+
   test("readWhereIn prunes a clustered table to the touched batches") {
     val t = fresh("wherein")
     val df = spark.range(0L, 8000L).select(col("id"),
