@@ -450,6 +450,47 @@ object TextRetrieval {
     topK(scores, k)
   }
 
+  /** DELETE documents from the index — the lifecycle's last verb
+    * (build / append / compact / remove, all time-travelable):
+    *
+    *  - postings and dl rows of the doomed docs TOMBSTONE via
+    *    [[graft.sources.TxLog.mergeVectored]] (merge-on-read: every
+    *    data file carries forward, one KB vector sidecar) — every read
+    *    path, including [[graft.sources.TxLog.readWhereIn]]'s pruned
+    *    scans, applies the vectors;
+    *  - df and totals RECOMPUTE from the post-delete postings/dl (df is
+    *    a whole-column truth — a removed doc decrements every term it
+    *    contained, so the recompute reads the postings once; deletes
+    *    are the rare verb and queries stay corpus-pass-free, which is
+    *    the index's actual contract).
+    *
+    * All four tables bump one version (the [[bm25TopKIndexed]] asOf
+    * lockstep); the pre-delete index remains queryable at the prior
+    * version. Accumulated tombstones degrade scans per FIXTURES §F —
+    * [[graft.sources.TxLog.autoPurge]] on the postings/dl tables is
+    * the measured re-materialization policy.
+    */
+  def removeFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, docIds: DataFrame): Unit = {
+    import graft.sources.TxLog
+    val ids = docIds.select(col("doc_id")).distinct()
+    // mergeVectored's source must carry the target schema; only the key
+    // matters in (delete, insertNotMatched = false) mode
+    TxLog.mergeVectored(spark, postingsDir(indexDir),
+      ids.withColumn("tok", lit("")).withColumn("tf", lit(0L)),
+      "doc_id", whenMatched = "delete", insertNotMatched = false)
+    TxLog.mergeVectored(spark, dlDir(indexDir),
+      ids.withColumn("dl", lit(0L)),
+      "doc_id", whenMatched = "delete", insertNotMatched = false)
+    val posts = TxLog.read(spark, postingsDir(indexDir))
+    TxLog.commitClustered(spark, dfDir(indexDir),
+      posts.groupBy(col("tok")).agg(count(lit(1)).as("df")), Seq("tok"), 8)
+    TxLog.commit(spark, totalsDir(indexDir),
+      TxLog.read(spark, dlDir(indexDir))
+        .agg(sum(col("dl")).as("t_total"), count(lit(1)).as("n_docs"),
+          min(col("dl")).as("dlmin"), max(col("dl")).as("dlmax")))
+  }
+
   /** Re-tighten the committed layouts after appends: every
     * [[appendToIndex]] adds delta batches spanning the full token
     * range, so a point probe that read ONE batch reads 1 + n_appends

@@ -4154,6 +4154,75 @@ object PipelineQueries extends QueryPack {
              |  SELECT query_id, doc_id, score_pm,
              |    row_number() OVER (PARTITION BY query_id
              |      ORDER BY score_pm DESC, doc_id) AS rnk
+             |  FROM sc) WHERE rnk <= 5""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q225: DELETE FROM THE COMMITTED INDEX (TextRetrieval.
+    // removeFromIndex) — the lifecycle's last verb: postings/dl rows of
+    // the doomed docs TOMBSTONE merge-on-read (mergeVectored: every
+    // data file carries forward, one vector sidecar), df/totals
+    // recompute from the post-delete truth, and the SAME indexed query
+    // path then answers exactly as an index built on the survivors.
+    // The requires prove the merge-on-read execution claim (postings
+    // batch dirs carried verbatim, all four tables bump one version in
+    // lockstep); the oracle replays q210's BM25 over the survivor
+    // corpus — deleted docs must vanish from scores AND from df/dl/
+    // totals, not merely from the output rows.
+    QueryDef(
+      "q225_bm25_index_delete",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val ix = s"${graft.GraftSession.scratchBase}/graft_bm25del_$sfName"
+        val docs = T.documents(s, dir)
+        graft.operators.TextRetrieval.buildIndex(s, ix, docs, batches = 16)
+        val before = graft.sources.TxLog.manifest(s, s"$ix/postings").map(_._1)
+        graft.operators.TextRetrieval.removeFromIndex(s, ix,
+          docs.filter($"doc_id" % 9L === 5L).select($"doc_id"))
+        val after = graft.sources.TxLog.manifest(s, s"$ix/postings").map(_._1)
+        require(after == before,
+          s"q225: delete must tombstone, not rewrite ($before vs $after)")
+        Seq("postings", "dl", "df", "totals").foreach { t =>
+          val v = graft.sources.TxLog.latestVersion(s, s"$ix/$t")
+          require(v == 2L, s"q225: $t at v$v, lockstep broken")
+        }
+        val queries = docs.filter($"doc_id" % 211L === 3L)
+          .select($"doc_id".as("query_id"),
+            explode(split($"text", "\\s+")).as("tok"))
+          .filter(length($"tok") > 0)
+        graft.operators.TextRetrieval.bm25TopKIndexed(s, ix, queries, k = 5)
+      },
+      oracle = Some("""WITH d AS (SELECT * FROM documents WHERE doc_id % 9 <> 5),
+             |toks0 AS (SELECT doc_id,
+             |    unnest(string_split_regex(text, '\s+')) AS tok FROM d),
+             |tk AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |       FROM tk GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+             |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_total,
+             |               CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+             |q AS (SELECT DISTINCT doc_id AS query_id, tok FROM (
+             |    SELECT doc_id,
+             |      unnest(string_split_regex(text, '\s+')) AS tok
+             |    FROM documents WHERE doc_id % 211 = 3) t0
+             |    WHERE length(tok) > 0),
+             |sc AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    CAST(sum(
+             |      CAST((CAST(1000000 AS HUGEINT) * (2 * (t.n_docs - df.df) + 1)
+             |            // (2 * df.df + 1))
+             |        * (CAST(88 AS HUGEINT) * t.t_total * tf.tf)
+             |        // (CAST(40 AS HUGEINT) * t.t_total * tf.tf
+             |           + 12 * t.t_total + 36 * dl.dl * t.n_docs)
+             |      AS BIGINT)) AS BIGINT) AS score_pm
+             |  FROM q JOIN tf USING (tok) JOIN df USING (tok)
+             |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot t
+             |  GROUP BY 1, 2)
+             |SELECT query_id, doc_id, score_pm, rnk FROM (
+             |  SELECT query_id, doc_id, score_pm,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score_pm DESC, doc_id) AS rnk
              |  FROM sc) WHERE rnk <= 5""".stripMargin))
   )
 }

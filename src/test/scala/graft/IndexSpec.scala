@@ -132,6 +132,35 @@ class IndexSpec extends AnyFunSuite {
       asSet(TextRetrieval.bm25TopK(docs, q, 5)))
   }
 
+  test("removeFromIndex: merge-on-read delete, answers ≡ rebuild on survivors") {
+    val ix = fresh("bm25_remove")
+    TextRetrieval.buildIndex(spark, ix, docs, batches = 4)
+    val before = TxLog.manifest(spark, s"$ix/postings").map(_._1)
+    val doomed = docs.filter(col("doc_id") % 7L === 2L).select(col("doc_id"))
+    TextRetrieval.removeFromIndex(spark, ix, doomed)
+    // merge-on-read: every postings batch dir carries forward verbatim
+    val after = TxLog.manifest(spark, s"$ix/postings").map(_._1)
+    assert(after == before, "delete must tombstone, not rewrite")
+    // all four tables moved in lockstep
+    Seq("postings", "dl", "df", "totals").foreach { t =>
+      assert(TxLog.latestVersion(spark, s"$ix/$t") == 2L, t)
+    }
+    val survivors = docs.filter(col("doc_id") % 7L =!= 2L)
+    val q = bmQueries(docs) // query terms independent of membership
+    assert(asSet(TextRetrieval.bm25TopKIndexed(spark, ix, q, 5)) ==
+      asSet(TextRetrieval.bm25TopK(survivors, q, 5)))
+    // the pruned path sees the same post-delete truth
+    assert(asSet(TextRetrieval.bm25TopKPrunedIndexed(spark, ix, q, 5)) ==
+      asSet(TextRetrieval.bm25TopKPruned(survivors, q, 5)))
+    // the pre-delete snapshot is still queryable
+    assert(asSet(TextRetrieval.bm25TopKIndexed(spark, ix, q, 5, asOf = Some(1L))) ==
+      asSet(TextRetrieval.bm25TopK(docs, q, 5)))
+    // compaction materializes the tombstones away; answers unchanged
+    TextRetrieval.compactIndex(spark, ix, batches = 4)
+    assert(asSet(TextRetrieval.bm25TopKIndexed(spark, ix, q, 5)) ==
+      asSet(TextRetrieval.bm25TopK(survivors, q, 5)))
+  }
+
   test("readWhereIn prunes a clustered table to the touched batches") {
     val t = fresh("wherein")
     val df = spark.range(0L, 8000L).select(col("id"),
