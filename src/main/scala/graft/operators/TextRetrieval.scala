@@ -450,6 +450,66 @@ object TextRetrieval {
     topK(scores, k)
   }
 
+  /** All four index tables at the same version — the invariant every
+    * maintenance verb preserves (each bumps all four by one). False
+    * means a maintenance call died mid-flight; readers can still time
+    * travel to the last consistent version, but [[refreshIndex]] must
+    * not fold more deltas on top.
+    */
+  def indexConsistent(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Boolean = {
+    import graft.sources.TxLog
+    val vs = Seq(postingsDir(indexDir), dlDir(indexDir), dfDir(indexDir),
+      totalsDir(indexDir)).map(TxLog.latestVersion(spark, _))
+    vs.distinct.size == 1 && vs.head > 0
+  }
+
+  /** STREAMING/CDC maintenance: fold every staged corpus version the
+    * index hasn't seen. `stagingDir` is an APPEND-ONLY TxLog documents
+    * table — the exactly-once landing zone
+    * [[graft.streaming.StreamingOps.streamingTxIngest]] maintains
+    * (micro-batches commit with deterministic names, so checkpoint
+    * replays never double-land) — and `$indexDir/ledger` records the
+    * staged version the index reflects. The fold reads ONLY the delta
+    * batch dirs (`versionDelta` — KB metadata), never the accumulated
+    * corpus.
+    *
+    * Semantics: a refresh finding ledger ≥ latest is a metadata-only
+    * no-op (trigger replays are free); the staging table must be
+    * append-only over the folded range (refuses otherwise — deletes go
+    * through [[removeFromIndex]]); a refresh that died between table
+    * commits leaves the versions unequal, and the next refresh FAILS
+    * LOUD on [[indexConsistent]] instead of double-applying — restore
+    * the tables to the last common version or rebuild. Returns the
+    * staged version now reflected, None when already current.
+    */
+  def refreshIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, stagingDir: String): Option[Long] = {
+    import graft.sources.TxLog
+    val ledgerDir = s"$indexDir/ledger"
+    val latest = TxLog.latestVersion(spark, stagingDir)
+    require(latest > 0, s"no committed staging version in $stagingDir")
+    val seen =
+      if (TxLog.latestVersion(spark, ledgerDir) > 0)
+        TxLog.read(spark, ledgerDir).head().getAs[Long]("src_version")
+      else 0L
+    if (seen >= latest) return None
+    if (seen > 0L) require(indexConsistent(spark, indexDir),
+      s"index at $indexDir is mid-maintenance (table versions disagree); " +
+        "restore to the last common version or rebuild before refreshing")
+    val (added, removed) = TxLog.versionDelta(spark, stagingDir, seen, latest)
+    require(removed.isEmpty,
+      s"staging table must be append-only over the folded range: " +
+        s"($seen, $latest] removed ${removed.size} batch dirs")
+    if (seen == 0L)
+      buildIndex(spark, indexDir, spark.read.parquet(added: _*))
+    else
+      appendToIndex(spark, indexDir, spark.read.parquet(added: _*))
+    TxLog.commit(spark, ledgerDir,
+      spark.range(1).select(lit(latest).as("src_version")))
+    Some(latest)
+  }
+
   /** DELETE documents from the index — the lifecycle's last verb
     * (build / append / compact / remove, all time-travelable):
     *

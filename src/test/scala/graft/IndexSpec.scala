@@ -161,6 +161,37 @@ class IndexSpec extends AnyFunSuite {
       asSet(TextRetrieval.bm25TopK(survivors, q, 5)))
   }
 
+  test("refreshIndex folds staged deltas exactly once and fails loud mid-flight") {
+    val ix = fresh("bm25_refresh")
+    val staging = fresh("bm25_staging")
+    val half = docs.count() / 2
+    TxLog.commit(spark, staging, docs.filter(col("doc_id") < half))
+    // first refresh = build over staged v1
+    assert(TextRetrieval.refreshIndex(spark, ix, staging).contains(1L))
+    val q = bmQueries(docs)
+    assert(asSet(TextRetrieval.bm25TopKIndexed(spark, ix, q, 5)) ==
+      asSet(TextRetrieval.bm25TopK(docs.filter(col("doc_id") < half), q, 5)))
+    // replayed trigger: metadata-only no-op
+    assert(TextRetrieval.refreshIndex(spark, ix, staging).isEmpty)
+    // staged append folds as a delta; answers = full corpus
+    TxLog.commit(spark, staging, docs.filter(col("doc_id") >= half), append = true)
+    assert(TextRetrieval.refreshIndex(spark, ix, staging).contains(2L))
+    assert(asSet(TextRetrieval.bm25TopKIndexed(spark, ix, q, 5)) ==
+      asSet(TextRetrieval.bm25TopK(docs, q, 5)))
+    assert(TextRetrieval.indexConsistent(spark, ix))
+    // a maintenance call that died mid-flight (simulated: one table
+    // moved alone) must fail loud, not double-apply
+    TxLog.commit(spark, s"$ix/totals", TxLog.read(spark, s"$ix/totals"))
+    assert(!TextRetrieval.indexConsistent(spark, ix))
+    TxLog.commit(spark, staging,
+      docs.filter(col("doc_id") < 3).withColumn("doc_id", col("doc_id") + 900000L),
+      append = true)
+    val e = intercept[IllegalArgumentException] {
+      TextRetrieval.refreshIndex(spark, ix, staging)
+    }
+    assert(e.getMessage.contains("mid-maintenance"))
+  }
+
   test("readWhereIn prunes a clustered table to the touched batches") {
     val t = fresh("wherein")
     val df = spark.range(0L, 8000L).select(col("id"),
