@@ -42,7 +42,14 @@ object BenchProbe {
     "incremental_dedup" -> "q117_dedup_incremental",
     "duplicated_spans" -> "q109_duplicated_spans",
     "prefix_jaccard" -> "q133_prefix_jaccard",
-    "bm25_retrieval" -> "q210_bm25_topk")
+    "bm25_retrieval" -> "q210_bm25_topk",
+    // the committed inverted index's QUERY path: q221 builds once per
+    // fixture dir (process-local cache) and later passes reuse it, so
+    // min-of-passes isolates the post-build query cost — 10× corpus
+    // brings 10× queries over disjoint-vocab shards (posting lists stay
+    // 1×-length), so the honest expectation is ≲ linear; the build's
+    // own cost is measured by ab.bm25_indexed.build
+    "bm25_indexed_query" -> "q221_bm25_indexed")
 
   private def replicateDocuments(spark: SparkSession, sfDir: String,
       replicas: Int): DataFrame = {
