@@ -300,6 +300,19 @@ object TextRetrieval {
   // query batch reads the token-pruned slice of them and nothing else.
   // ------------------------------------------------------------------
 
+  /** Empty results in the operators' output shapes — the indexed paths
+    * must DEGRADE like the inline operators (empty in, empty out), not
+    * throw from readWhereIn's non-empty-probe contract.
+    */
+  private def emptyTopK(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("query_id"), col("id").as("doc_id"),
+      col("id").cast("decimal(38,0)").as("score_pm"),
+      col("id").cast("int").as("rnk"))
+
+  private def emptyPostings(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("doc_id"),
+      col("id").cast("string").as("tok"), col("id").as("tf"))
+
   private def postingsDir(indexDir: String) = s"$indexDir/postings"
   private def dlDir(indexDir: String) = s"$indexDir/dl"
   private def dfDir(indexDir: String) = s"$indexDir/df"
@@ -340,8 +353,10 @@ object TextRetrieval {
     TxLog.commitClustered(spark, dfDir(indexDir),
       tfP.groupBy(col("tok")).agg(count(lit(1)).as("df")),
       Seq("tok"), math.max(batches / 4, 1))
+    // totals from the JUST-COMMITTED dl table — a narrow O(n_docs)
+    // scan, not a second corpus-scaled shuffle over the tf frame
     TxLog.commit(spark, totalsDir(indexDir),
-      tfP.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      TxLog.read(spark, dlDir(indexDir))
         .agg(sum(col("dl")).as("t_total"), count(lit(1)).as("n_docs"),
           min(col("dl")).as("dlmin"), max(col("dl")).as("dlmax")))
     tfP.unpersist()
@@ -389,14 +404,12 @@ object TextRetrieval {
         (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
           .as("df"))
     TxLog.merge(spark, dfDir(indexDir), merged, "tok")
-    // disjoint doc sets ⇒ sums add and dl extremes merge exactly
+    // totals recompute from the post-append dl table (narrow O(n_docs)
+    // scan — no union arithmetic, no second corpus-scaled shuffle)
     TxLog.commit(spark, totalsDir(indexDir),
-      TxLog.read(spark, totalsDir(indexDir))
-        .unionByName(tfP.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-          .agg(sum(col("dl")).as("t_total"), count(lit(1)).as("n_docs"),
-            min(col("dl")).as("dlmin"), max(col("dl")).as("dlmax")))
-        .agg(sum(col("t_total")).as("t_total"), sum(col("n_docs")).as("n_docs"),
-          min(col("dlmin")).as("dlmin"), max(col("dlmax")).as("dlmax")))
+      TxLog.read(spark, dlDir(indexDir))
+        .agg(sum(col("dl")).as("t_total"), count(lit(1)).as("n_docs"),
+          min(col("dl")).as("dlmin"), max(col("dl")).as("dlmax")))
     tfP.unpersist()
   }
 
@@ -426,6 +439,7 @@ object TextRetrieval {
     // same contract that lets bm25TopK broadcast it)
     val toks = qTerms.select(col("tok")).distinct()
       .collect().map(_.getString(0)).toSeq
+    if (toks.isEmpty) return emptyTopK(spark) // empty in, empty out
     graft.plans.TxStatsRule.register(dlDir(indexDir))
     graft.plans.TxStatsRule.register(postingsDir(indexDir))
     // INDEX TIME TRAVEL: build and every maintenance call bump each of
@@ -489,25 +503,80 @@ object TextRetrieval {
     val ledgerDir = s"$indexDir/ledger"
     val latest = TxLog.latestVersion(spark, stagingDir)
     require(latest > 0, s"no committed staging version in $stagingDir")
-    val seen =
+    val ledger =
       if (TxLog.latestVersion(spark, ledgerDir) > 0)
-        TxLog.read(spark, ledgerDir).head().getAs[Long]("src_version")
-      else 0L
+        Some(TxLog.read(spark, ledgerDir).head())
+      else None
+    val seen = ledger.map(_.getAs[Long]("src_version")).getOrElse(0L)
     if (seen >= latest) return None
-    if (seen > 0L) require(indexConsistent(spark, indexDir),
-      s"index at $indexDir is mid-maintenance (table versions disagree); " +
-        "restore to the last common version or rebuild before refreshing")
+    if (seen > 0L) {
+      // two distinct mid-maintenance states, both fail LOUD instead of
+      // double-applying: (a) a maintenance call died BETWEEN table
+      // commits (versions unequal); (b) a refresh died AFTER its four
+      // lockstep commits but BEFORE the ledger commit — versions are
+      // equal but AHEAD of what the ledger recorded, so re-folding the
+      // same staged delta would double-count it. (b) also fires when
+      // the index was maintained manually (remove/compact) since the
+      // last refresh — recommit the ledger via [[resyncIndexLedger]]
+      // to resume streaming maintenance after manual verbs.
+      require(indexConsistent(spark, indexDir),
+        s"index at $indexDir is mid-maintenance (table versions disagree); " +
+          "restore to the last common version or rebuild before refreshing")
+      val idxV = TxLog.latestVersion(spark, postingsDir(indexDir))
+      val ledgerIdxV = ledger.get.getAs[Long]("index_version")
+      require(idxV == ledgerIdxV,
+        s"index at $indexDir is at v$idxV but the ledger recorded " +
+          s"v$ledgerIdxV: a refresh died before its ledger commit (restore " +
+          "or rebuild), or the index was maintained manually since the " +
+          "last refresh (resyncIndexLedger to resume)")
+    }
     val (added, removed) = TxLog.versionDelta(spark, stagingDir, seen, latest)
     require(removed.isEmpty,
       s"staging table must be append-only over the folded range: " +
         s"($seen, $latest] removed ${removed.size} batch dirs")
-    if (seen == 0L)
-      buildIndex(spark, indexDir, spark.read.parquet(added: _*))
-    else
-      appendToIndex(spark, indexDir, spark.read.parquet(added: _*))
+    // deletion vectors change a batch's CONTENT without changing the
+    // dir set — versionDelta is blind to them, and folding only the
+    // added dirs would silently keep dv-deleted staging docs indexed
+    val dvChanged = TxLog.versionChangedShared(spark, stagingDir, seen, latest)
+    require(dvChanged.isEmpty,
+      s"staging table must be append-only over the folded range: " +
+        s"($seen, $latest] changed ${dvChanged.size} existing batch lines " +
+        "(deletion vectors?) — deletes go through removeFromIndex")
+    if (added.nonEmpty) {
+      if (seen == 0L)
+        buildIndex(spark, indexDir, spark.read.parquet(added: _*))
+      else
+        appendToIndex(spark, indexDir, spark.read.parquet(added: _*))
+    } else if (seen == 0L)
+      require(added.nonEmpty, s"staging $stagingDir v$latest holds no batch dirs")
+    // metadata-only staging commits (e.g. a restore) advance the ledger
+    // with no fold
     TxLog.commit(spark, ledgerDir,
-      spark.range(1).select(lit(latest).as("src_version")))
+      spark.range(1).select(lit(latest).as("src_version"),
+        lit(TxLog.latestVersion(spark, postingsDir(indexDir)))
+          .as("index_version")))
     Some(latest)
+  }
+
+  /** Recommit the [[refreshIndex]] ledger's index-version watermark
+    * after MANUAL maintenance (removeFromIndex / compactIndex /
+    * appendToIndex called directly) so streaming refreshes can resume.
+    * Refuses a mid-maintenance index — resync never papers over a
+    * crashed refresh.
+    */
+  def resyncIndexLedger(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    import graft.sources.TxLog
+    val ledgerDir = s"$indexDir/ledger"
+    require(TxLog.latestVersion(spark, ledgerDir) > 0,
+      s"no refresh ledger at $ledgerDir")
+    require(indexConsistent(spark, indexDir),
+      s"index at $indexDir is mid-maintenance (table versions disagree)")
+    val seen = TxLog.read(spark, ledgerDir).head().getAs[Long]("src_version")
+    TxLog.commit(spark, ledgerDir,
+      spark.range(1).select(lit(seen).as("src_version"),
+        lit(TxLog.latestVersion(spark, postingsDir(indexDir)))
+          .as("index_version")))
   }
 
   /** DELETE documents from the index — the lifecycle's last verb
@@ -534,6 +603,12 @@ object TextRetrieval {
       indexDir: String, docIds: DataFrame): Unit = {
     import graft.sources.TxLog
     val ids = docIds.select(col("doc_id")).distinct()
+      .localCheckpoint(true) // consumed by two merges; bounded by contract
+    // an empty delete set must be a FULL no-op: mergeVectored
+    // early-returns without committing on an empty source, so letting
+    // df/totals recommit below would break the four-table version
+    // lockstep permanently (indexConsistent false forever)
+    if (ids.isEmpty) return
     // mergeVectored's source must carry the target schema; only the key
     // matters in (delete, insertNotMatched = false) mode
     TxLog.mergeVectored(spark, postingsDir(indexDir),
@@ -602,6 +677,8 @@ object TextRetrieval {
     val qTerms = queries.select(col("query_id"), col("tok")).distinct()
     val toks = qTerms.select(col("tok")).distinct()
       .collect().map(_.getString(0)).toSeq
+    if (toks.isEmpty) // empty in, empty out (the inline operators' shape)
+      return (emptyTopK(spark), emptyPostings(spark), emptyPostings(spark))
     graft.plans.TxStatsRule.register(dlDir(indexDir))
     graft.plans.TxStatsRule.register(postingsDir(indexDir))
     // pinned for the same reason as bm25Pruned's ptf: term stats, the

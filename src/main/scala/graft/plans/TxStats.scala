@@ -14,9 +14,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * (`HadoopFsRelation.sizeInBytes`), and zstd text compresses so hard
   * that a multi-GB-in-memory frame can look broadcastable — the
   * driver-OOM failure mode the operator-level `hint("merge")` pins
-  * exist to prevent. The TxLog manifest already holds the EXACT live
-  * row count of every batch (harvested free at commit, tombstones
-  * subtracted); this rule reports it through the relation as
+  * exist to prevent. The TxLog manifest already holds the EXACT footer
+  * row count of every batch (harvested free at commit; tombstones NOT
+  * subtracted — they don't apply to asOf scans of the same dirs, and
+  * over-estimating is the safe direction for broadcast decisions);
+  * this rule reports it through the relation as
   * `CatalogStatistics(rowCount, rowCount × schema-derived row width)`,
   * so broadcast-vs-merge flips on real cardinalities at any scale —
   * the planner makes the decision the pins hand-made, from data. The

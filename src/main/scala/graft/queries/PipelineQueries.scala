@@ -34,7 +34,11 @@ object PipelineQueries extends QueryPack {
   private val builtIndexes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def buildOnce(ix: String)(build: => Unit): Unit =
-    if (!builtIndexes.contains(ix)) { build; builtIndexes.add(ix) }
+    // atomic claim-then-build: a lost check-then-act race would let a
+    // second builder DELETE the dir under the first's in-flight build.
+    // A failed build releases the claim so the next execution retries.
+    if (builtIndexes.add(ix))
+      try build catch { case e: Throwable => builtIndexes.remove(ix); throw e }
 
   private val ngramPairsSql =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1535,32 +1535,34 @@ object TxLog {
   /** Measure-then-act DV maintenance — the policy the measured
     * `ab.dv_read` tax calibrates (FIXTURES §F): with [[applyDvSplit]]
     * the read tax is proportional to the TOMBSTONE-CARRYING fraction of
-    * scan bytes, so purge exactly when that fraction outgrows
-    * `maxDvFraction` (default the documented ~¼). The decision costs
-    * one KB manifest read plus one `getContentSummary` per
-    * vector-carrying batch (vacuumDryRun's budget); only a YES pays the
-    * rewrite, and the rewrite is [[purgeDeletes]]' surgical one —
-    * vector-free batches carry verbatim. Returns the new version when
-    * it purged, None when the table is vector-free or still below the
-    * threshold — so a scheduler can call this after every
-    * delete/merge burst and read plans (and the metadata-only answer
-    * paths the vectors disable) recover exactly when the tax says so.
+    * the scan, so purge exactly when that fraction outgrows
+    * `maxDvFraction` (default the documented ~¼). The fraction is
+    * measured in manifest ROW counts — a byte-exact fraction would cost
+    * one `getContentSummary` per batch, O(table) metadata RPCs per
+    * scheduler tick, and rows track bytes for a homogeneous schema —
+    * so the decision is METADATA-ONLY (one KB manifest read). Only a
+    * YES pays the rewrite, and the rewrite is [[purgeDeletes]]'
+    * surgical one — vector-free batches carry verbatim. Returns the
+    * new version when it purged, None when the table is vector-free or
+    * still below the threshold — so a scheduler can call this after
+    * every delete/merge burst and read plans (and the metadata-only
+    * answer paths the vectors disable) recover exactly when the tax
+    * says so. Batches without a recorded row count (legacy manifests)
+    * count as vector-carrying — unknown is degraded.
     */
   def autoPurge(spark: SparkSession, tableDir: String,
       maxDvFraction: Double = 0.25): Option[Long] = {
     require(maxDvFraction >= 0.0 && maxDvFraction <= 1.0,
       s"bad maxDvFraction $maxDvFraction")
-    val f = fs(spark, tableDir)
     val latest = latestVersion(spark, tableDir)
     require(latest > 0, s"no committed version in $tableDir")
     val entries = readManifest(spark, tableDir, latest).map(parseLine)
-    val (withDv, clean) = entries.partition(e => dvOf(e._2).isDefined)
-    if (withDv.isEmpty) return None
-    def bytes(dirs: Seq[String]): Long = dirs.map(d =>
-      f.getContentSummary(new Path(s"$tableDir/$d")).getLength).sum
-    val dvBytes = bytes(withDv.map(_._1))
-    val total = dvBytes + bytes(clean.map(_._1))
-    if (total == 0L || dvBytes.toDouble / total <= maxDvFraction) None
+    val (withDv, clean) = entries.partition(e =>
+      dvOf(e._2).isDefined || batchRows(e._2).isEmpty)
+    if (withDv.forall(e => dvOf(e._2).isEmpty)) return None
+    val dvRows = withDv.map(e => batchRows(e._2).getOrElse(0L)).sum
+    val total = dvRows + clean.map(e => batchRows(e._2).getOrElse(0L)).sum
+    if (total == 0L || dvRows.toDouble / total <= maxDvFraction) None
     else Some(purgeDeletes(spark, tableDir))
   }
 
@@ -2080,10 +2082,14 @@ object TxLog {
     }
     // all-pruned fallback: readWhereAll's deterministic schema batch
     val keptE = if (kept.nonEmpty) kept else entries.takeRight(1)
-    val inferred = spark.read
-      .parquet(keptE.map(e => s"$tableDir/${e._1}"): _*).schema
+    // the manifest already recorded each batch's schema — use it (one
+    // footer sweep per query otherwise; at object-store scale that's a
+    // GET per kept batch of pure planning overhead). Legacy lines
+    // without schemas fall back to inference.
+    val scanSchema = unionSchema(keptE.map(_._3)).getOrElse(
+      spark.read.parquet(keptE.map(e => s"$tableDir/${e._1}"): _*).schema)
     val mkScan: Seq[String] => DataFrame =
-      ds => spark.read.schema(inferred).parquet(ds: _*)
+      ds => spark.read.schema(scanSchema).parquet(ds: _*)
     applyDvSplit(spark, tableDir,
       keptE.map(e => (s"$tableDir/${e._1}", e._2)), mkScan)
       .filter(col(colName).isin(values: _*))
@@ -2239,11 +2245,17 @@ object TxLog {
   /** Exact footer row count of one batch, when its manifest line
     * carries it (commits since the stats era always do).
     */
-  /** Relative batch dir → LIVE row count (committed footer rows minus
-    * the dir's deletion-vector tombstones) of the LATEST snapshot —
-    * [[graft.plans.TxStatsRule]]'s planning input. Per-dir counts are
-    * immutable facts (files never rewrite in place), so they stay
-    * valid for any subset scan of the snapshot. None when any line
+  /** Relative batch dir → committed FOOTER row count of the latest
+    * manifest — [[graft.plans.TxStatsRule]]'s planning input. Per-dir
+    * FILE rows are immutable facts (files never rewrite in place), so
+    * they stay valid for ANY scan of those dirs: the latest snapshot, a
+    * pruned subset, or a time-travel read whose dirs survive into the
+    * latest manifest. Deletion-vector tombstones are deliberately NOT
+    * subtracted: the latest vectors do not apply to an older asOf scan
+    * of the same dirs (indistinguishable from the roots alone), and for
+    * join planning an over-estimate is the SAFE error direction — an
+    * under-count could wrongly broadcast a large side, the exact
+    * failure mode this rule exists to prevent. None when any line
     * lacks a row count (legacy manifest) — planning falls back to file
     * sizes rather than guess.
     */
@@ -2252,10 +2264,7 @@ object TxLog {
     val v = latestVersion(spark, tableDir)
     if (v <= 0) return None
     Some(readManifest(spark, tableDir, v).map(parseLine).map {
-      case (d, stats) =>
-        val rows = batchRows(stats).getOrElse(return None)
-        val dv = dvOf(stats).map(_._2).getOrElse(0L)
-        d -> math.max(rows - dv, 0L)
+      case (d, stats) => d -> batchRows(stats).getOrElse(return None)
     }.toMap)
   }
 

@@ -192,6 +192,50 @@ class IndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("mid-maintenance"))
   }
 
+  test("refresh watermark: a fold the ledger missed fails loud; resync resumes") {
+    val ix = fresh("bm25_watermark")
+    val staging = fresh("bm25_wm_staging")
+    val half = docs.count() / 2
+    TxLog.commit(spark, staging, docs.filter(col("doc_id") < half))
+    assert(TextRetrieval.refreshIndex(spark, ix, staging).contains(1L))
+    // manual maintenance moves all four tables in LOCKSTEP — versions
+    // equal but AHEAD of the ledger, the same signature as a refresh
+    // that died after its table commits but before its ledger commit;
+    // refresh must not re-fold on top of either
+    TextRetrieval.appendToIndex(spark, ix, docs.filter(col("doc_id") >= half))
+    assert(TextRetrieval.indexConsistent(spark, ix))
+    TxLog.commit(spark, staging,
+      docs.filter(col("doc_id") < 3).withColumn("doc_id", col("doc_id") + 800000L),
+      append = true)
+    val e = intercept[IllegalArgumentException] {
+      TextRetrieval.refreshIndex(spark, ix, staging)
+    }
+    assert(e.getMessage.contains("resyncIndexLedger"))
+    // the documented manual-maintenance resume path
+    TextRetrieval.resyncIndexLedger(spark, ix)
+    assert(TextRetrieval.refreshIndex(spark, ix, staging).contains(2L))
+    assert(TextRetrieval.indexConsistent(spark, ix))
+  }
+
+  test("indexed paths degrade on empty inputs like the inline operators") {
+    val ix = fresh("bm25_empty")
+    TextRetrieval.buildIndex(spark, ix, docs, batches = 4)
+    val noQueries = bmQueries(docs).filter(col("query_id") < 0)
+    assert(TextRetrieval.bm25TopKIndexed(spark, ix, noQueries, 5).isEmpty)
+    assert(TextRetrieval.bm25TopKPrunedIndexed(spark, ix, noQueries, 5).isEmpty)
+    // an empty delete set is a FULL no-op (a partial commit here would
+    // break the four-table lockstep permanently)
+    TextRetrieval.removeFromIndex(spark, ix,
+      docs.filter(col("doc_id") < 0).select(col("doc_id")))
+    Seq("postings", "dl", "df", "totals").foreach { t =>
+      assert(TxLog.latestVersion(spark, s"$ix/$t") == 1L, t)
+    }
+    val vix = fresh("ivf_empty")
+    Similarity.buildIvfIndex(spark, vix, emb, nCells = 16)
+    assert(Similarity.ivfTopKIndexed(spark, vix,
+      emb.filter(col("vec_id") < 0), 5, 4).isEmpty)
+  }
+
   test("readWhereIn prunes a clustered table to the touched batches") {
     val t = fresh("wherein")
     val df = spark.range(0L, 8000L).select(col("id"),

@@ -65,7 +65,7 @@ class TxStatsSpec extends AnyFunSuite {
       "50 exact rows must stay broadcastable:\n" + p.take(1200))
   }
 
-  test("row counts survive manifest-pruned subset scans and subtract tombstones") {
+  test("row counts survive manifest-pruned subset scans; tombstones NOT subtracted (safe direction)") {
     val t = fresh("subset")
     (0L until 4L).foreach { i =>
       TxLog.commit(spark, t, spark.range(i * 100L, (i + 1) * 100L)
@@ -79,11 +79,13 @@ class TxStatsSpec extends AnyFunSuite {
           l.catalogTable.get.stats.get.rowCount.get
       }.foldLeft(BigInt(0))(_ + _)
     graft.plans.TxPruneRule.register(t)
-    // full read: 400 committed minus 50 tombstoned, summed across the
-    // DV-split scan halves (the dv SIDECAR scan gets no stats — its
-    // files aren't manifest batch dirs)
-    assert(scanRows(TxLog.read(spark, t)) == BigInt(350),
-      "live row count must reach the planner")
+    // full read: 400 FOOTER rows across the DV-split scan halves — the
+    // 50 tombstones are deliberately not subtracted (an asOf scan of
+    // the same dirs returns them, and over-estimating is the safe
+    // direction for broadcast decisions); the dv SIDECAR scan gets no
+    // stats — its files aren't manifest batch dirs
+    assert(scanRows(TxLog.read(spark, t)) == BigInt(400),
+      "footer row count must reach the planner")
     // a manifest-pruned subset reports exactly the touched batches
     val sub = TxLog.readWhere(spark, t, "k", Some(150L), Some(250L))
     assert(scanRows(sub) == BigInt(200),
