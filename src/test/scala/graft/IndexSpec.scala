@@ -268,8 +268,8 @@ class IndexSpec extends AnyFunSuite {
     val ix = fresh("ivf_append")
     val half = emb.count() / 2
     assert(half > 16, "first half must contain the 16 seed vectors")
-    Similarity.buildIvfIndex(spark, ix,
-      emb.filter(col("vec_id") < half), nCells = 16)
+    val oldEmb = emb.filter(col("vec_id") < half)
+    Similarity.buildIvfIndex(spark, ix, oldEmb, nCells = 16)
     val v1Cells = TxLog.manifest(spark, s"$ix/cells").map(_._1)
     Similarity.appendIvfIndex(spark, ix, emb.filter(col("vec_id") >= half))
     val afterCells = TxLog.manifest(spark, s"$ix/cells").map(_._1)
@@ -281,6 +281,9 @@ class IndexSpec extends AnyFunSuite {
     // the maintained index must equal the full recompute
     val want = asSet(Similarity.ivfTopKSeeded(emb, q, 5, 16, 4))
     assert(got == want)
+    // time travel: the pre-append cell lists answer over the old corpus
+    assert(asSet(Similarity.ivfTopKIndexed(spark, ix, q, 5, 4, asOf = Some(1L))) ==
+      asSet(Similarity.ivfTopKSeeded(oldEmb, q, 5, 16, 4)))
   }
 
   // ------------------------------------------------------------------ PQ
