@@ -1233,6 +1233,31 @@ object TxLog {
     else Some((k - 1) * 4294967296.0 / merged(k - 1).toDouble)
   }
 
+  /** Merged KMV NDV estimate over a SUBSET of batch stats maps — the
+    * [[approxDistinct]] merge core exposed for the planner's
+    * scanned-dirs view ([[graft.plans.TxStatsRule]] feeds per-column
+    * `distinctCount` to Catalyst CBO from exactly the batches a scan
+    * touches). Same exact-merge semantics: the k smallest hashes of a
+    * union of per-batch k-smallest sets ARE the global k smallest.
+    * None when any line lacks the sketch (legacy commits, rewrites
+    * without `collectSketches`) — the caller attaches nothing rather
+    * than guess. DV handling is the CALLER's duty (tombstoned values
+    * still count here, mirroring [[approxDistinct]]'s decline rule).
+    */
+  private[graft] def mergeNdv(lines: Seq[Map[String, ColStats]],
+      colName: String): Option[Double] = {
+    if (lines.isEmpty) return Some(0.0)
+    val sks = lines.map(_.get(sketchKey(colName)))
+    if (sks.exists(_.isEmpty)) return None
+    val got = sks.flatten
+    val k = got.map(_.max.toInt).min
+    if (k < 2) return None
+    val merged = got.flatMap(st => unpackSketch(st.min)).distinct.sorted
+    if (merged.isEmpty) Some(0.0)
+    else if (merged.length < k) Some(merged.length.toDouble)
+    else Some((k - 1) * 4294967296.0 / merged(k - 1).toDouble)
+  }
+
   /** EXACTLY-ONCE streaming append — the transactional sink contract a
     * `foreachBatch` writer needs. The batch directory is named
     * deterministically from (queryId, batchId) and the MANIFEST is the
@@ -2242,32 +2267,19 @@ object TxLog {
       parsed.map(e => (e._2, e._3))))
   }
 
-  /** Exact footer row count of one batch, when its manifest line
-    * carries it (commits since the stats era always do).
-    */
-  /** Relative batch dir → committed FOOTER row count of the latest
-    * manifest — [[graft.plans.TxStatsRule]]'s planning input. Per-dir
-    * FILE rows are immutable facts (files never rewrite in place), so
-    * they stay valid for ANY scan of those dirs: the latest snapshot, a
-    * pruned subset, or a time-travel read whose dirs survive into the
-    * latest manifest. Deletion-vector tombstones are deliberately NOT
+  /** Exact FOOTER row count of one batch, when its manifest line
+    * carries it (commits since the stats era always do) — a planning
+    * input of [[graft.plans.TxStatsRule]]. Per-dir file rows are
+    * immutable facts (files never rewrite in place), so they stay
+    * valid for ANY scan of those dirs: the latest snapshot, a pruned
+    * subset, or a time-travel read whose dirs survive into the latest
+    * manifest. Deletion-vector tombstones are deliberately NOT
     * subtracted: the latest vectors do not apply to an older asOf scan
-    * of the same dirs (indistinguishable from the roots alone), and for
-    * join planning an over-estimate is the SAFE error direction — an
-    * under-count could wrongly broadcast a large side, the exact
-    * failure mode this rule exists to prevent. None when any line
-    * lacks a row count (legacy manifest) — planning falls back to file
-    * sizes rather than guess.
+    * of the same dirs (indistinguishable from the roots alone), and
+    * for join planning an over-estimate is the SAFE error direction —
+    * an under-count could wrongly broadcast a large side, the exact
+    * failure mode that rule exists to prevent.
     */
-  private[graft] def liveRowsByDir(spark: SparkSession, tableDir: String)
-      : Option[Map[String, Long]] = {
-    val v = latestVersion(spark, tableDir)
-    if (v <= 0) return None
-    Some(readManifest(spark, tableDir, v).map(parseLine).map {
-      case (d, stats) => d -> batchRows(stats).getOrElse(return None)
-    }.toMap)
-  }
-
   private[graft] def batchRows(stats: Map[String, ColStats]): Option[Long] =
     stats.get(RowsKey).map(_.min.toLong)
 

@@ -65,6 +65,41 @@ class TxStatsSpec extends AnyFunSuite {
       "50 exact rows must stay broadcastable:\n" + p.take(1200))
   }
 
+  test("CBO: manifest column stats cost a selective filter from facts — filtered side broadcasts, no hint") {
+    val t = fresh("cbo")
+    // wide enough that the UNfiltered 200k rows overshoot the 1 MB
+    // threshold by row-width arithmetic alone
+    val big = spark.range(0L, 200000L).select(col("id").as("k"),
+      lit("x" * 60).as("pad"))
+    TxLog.commit(spark, t, big, collectSketches = Seq(("k", 1024)))
+    val other = spark.range(0L, 200000L)
+      .select(col("id").as("k"), (col("id") % 7L).as("g"))
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val cbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1L << 20).toString)
+      // rowCount alone can't see through a Filter: the unestimated
+      // filtered side keeps the full-table size and plans sort-merge
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val pOff = plan(other.join(TxLog.table(spark, t).filter(col("k") < 50L), "k"))
+      assert(pOff.contains("SortMergeJoin") && !pOff.contains("BroadcastHashJoin"),
+        "control arm: without CBO the filtered side must stay unestimated:\n" +
+          pOff.take(1200))
+      // with CBO, FilterEstimation consumes the manifest-fed min/max/
+      // NDV/nulls: est. rows ≈ (50/200000)·200000 = 50 ⇒ the filtered
+      // side is provably tiny and broadcasts — ANALYZE TABLE's outcome
+      // from stats harvested free at commit
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val pOn = plan(other.join(TxLog.table(spark, t).filter(col("k") < 50L), "k"))
+      assert(pOn.contains("BroadcastHashJoin"),
+        "column stats must make the selective filter broadcastable:\n" +
+          pOn.take(1200))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("spark.sql.cbo.enabled", cbo)
+    }
+  }
+
   test("row counts survive manifest-pruned subset scans; tombstones NOT subtracted (safe direction)") {
     val t = fresh("subset")
     (0L until 4L).foreach { i =>
