@@ -459,6 +459,36 @@ object BenchProbe {
     val annIndexed = sent.guard("ann_indexed")((0 until bmPasses).map(_ => timed(
       graft.operators.Similarity.ivfTopKIndexed(spark, annIxDir, qEmb, 5, 4))).min)
 
+    // PERSISTENT IVF-PQ INDEX (the composed coarse×product quantizer):
+    // same online-serving batch as ann_indexed — the recompute arm
+    // re-assigns AND re-encodes the probed fraction of the 200k corpus
+    // per call; the indexed arm encodes the queries and ADC-scans the
+    // probed cells' committed (id + m codes) rows.
+    val pqRecompute = sent.guard("ivfpq_recompute")((0 until bmPasses).map(_ => timed(
+      graft.operators.Similarity.ivfPqTopK(embN, qEmb, 5, nCells = 64))).min)
+    val pqIxDir = s"$dir/ivfpq_index"
+    val pqBuild = timedU(
+      graft.operators.Similarity.buildIvfPqIndex(spark, pqIxDir, embN, nCells = 64))
+    val pqIndexed = sent.guard("ivfpq_indexed")((0 until bmPasses).map(_ => timed(
+      graft.operators.Similarity.ivfPqTopKIndexed(spark, pqIxDir, qEmb, 5))).min)
+
+    // POSITIONAL INDEX (phrase search): the recompute arm pays the full
+    // corpus position-tokenize per call; the indexed arm reads the
+    // phrase vocabulary's manifest-pruned posting lists. Phrases are
+    // each query doc's first 3 tokens — the natural mix of head and
+    // tail terms a quoted web query carries.
+    val phQueries = docsN.filter(col("doc_id") % 25013L === 7L)
+      .select(col("doc_id").as("query_id"),
+        expr("concat_ws(' ', slice(split(text, ' '), 1, 3))").as("phrase"))
+      .localCheckpoint(true)
+    val phPlain = sent.guard("phrase_plain")((0 until bmPasses).map(_ => timed(
+      graft.operators.TextRetrieval.phraseTopK(docsN, phQueries, 5))).min)
+    val posIxDir = s"$dir/pos_index"
+    val posBuild = timedU(graft.operators.TextRetrieval
+      .buildPositionalIndex(spark, posIxDir, docsN, 32))
+    val phIndexed = sent.guard("phrase_indexed")((0 until bmPasses).map(_ => timed(
+      graft.operators.TextRetrieval.phraseTopKIndexed(spark, posIxDir, phQueries, 5))).min)
+
     f"""{"mv_rewrite":{"off":$mvOff%.3f,"on":$mvOn%.3f,"speedup":${mvOff / mvOn.max(0.001)}%.2f},""" +
       f""""stats_skip":{"off":$skipOff%.3f,"on":$skipOn%.3f,"speedup":${skipOff / skipOn.max(0.001)}%.2f,""" +
       f""""files_off":$filesOff,"files_on":$filesOn,"files_ratio":${filesOff.toDouble / filesOn.max(1)}%.2f},""" +
@@ -485,6 +515,12 @@ object BenchProbe {
       f""""ann_indexed":{"build":$annBuild%.3f,"recompute":$annRecompute%.3f,""" +
       f""""indexed":$annIndexed%.3f,""" +
       f""""speedup":${annRecompute / annIndexed.max(0.001)}%.2f},""" +
+      f""""ivfpq_indexed":{"build":$pqBuild%.3f,"recompute":$pqRecompute%.3f,""" +
+      f""""indexed":$pqIndexed%.3f,""" +
+      f""""speedup":${pqRecompute / pqIndexed.max(0.001)}%.2f},""" +
+      f""""phrase_indexed":{"build":$posBuild%.3f,"plain":$phPlain%.3f,""" +
+      f""""indexed":$phIndexed%.3f,""" +
+      f""""speedup":${phPlain / phIndexed.max(0.001)}%.2f},""" +
       sent.json + "}"
   }
 }

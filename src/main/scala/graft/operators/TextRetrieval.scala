@@ -726,4 +726,133 @@ object TextRetrieval {
     fused.withColumn("rnk", row_number().over(byScore))
       .filter(col("rnk") <= k)
   }
+
+  // ------------------------------------------------------------------
+  // PHRASE retrieval — positional postings (the Lucene positions file):
+  // term-at-a-time BM25 cannot answer "these words ADJACENT, in this
+  // order"; a postings row per (tok, doc, position) can, via the
+  // classic alignment join. Positions are 1-based (both engines'
+  // natural enumeration).
+  // ------------------------------------------------------------------
+
+  /** (doc_id, p, tok): 1-based token positions. Empty tokens drop
+    * BEFORE enumeration (a run of whitespace must not widen a gap —
+    * adjacency is over the surviving token sequence).
+    */
+  private def tokenPositions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\\s+"),
+          t => length(t) > lit(0))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+
+  /** (query_id, j, tok): the phrase's 1-based term sequence. */
+  private def phraseTerms(phrases: DataFrame): DataFrame =
+    phrases.select(col("query_id"),
+        posexplode(filter(split(col("phrase"), "\\s+"),
+          t => length(t) > lit(0))).as(Seq("j0", "tok")))
+      .select(col("query_id"), (col("j0") + 1).as("j"), col("tok"))
+
+  /** Alignment-count core shared by the recompute and indexed paths:
+    * token position p matching phrase term j witnesses a candidate
+    * occurrence START s = p − j + 1; a start witnessed by ALL n terms
+    * is a true occurrence ((s, j) witnesses are unique — one position
+    * row per (doc, p), one term row per j — so count(*) = n is exact,
+    * repeated phrase tokens included). Docs are ranked by occurrence
+    * count (ties by doc_id). The only corpus-scaled input is `pos`,
+    * already confined to the query vocabulary by the caller; matches
+    * are posting-list-bounded, the classic positional-index cost.
+    */
+  private def phraseCore(pos: DataFrame, terms: DataFrame, k: Int): DataFrame = {
+    val nTerms = terms.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+    val occ = pos.join(broadcast(terms), Seq("tok"))
+      .select(col("query_id"), col("doc_id"),
+        (col("p") - col("j") + 1).as("start"))
+      .groupBy(col("query_id"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("hits"))
+      .join(broadcast(nTerms), Seq("query_id"))
+      .filter(col("hits") === col("n"))
+    val scores = occ.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    val byOcc = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_occ").desc, col("doc_id"))
+    scores.withColumn("rnk", row_number().over(byOcc).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_occ"), col("rnk"))
+  }
+
+  /** Exact-phrase top-k: for each (query_id, phrase), the k docs with
+    * the most exact (ordered, adjacent, whitespace-tokenized)
+    * occurrences of the phrase — (query_id, doc_id, n_occ, rnk). All
+    * integer arithmetic; hash-verifies cross-engine (q228). A doc
+    * containing the phrase's terms scattered or reordered scores
+    * ZERO — the semantics BM25's bag-of-words cannot express.
+    *
+    * Scale shape: one corpus tokenization (map-side semi-join against
+    * the broadcast query vocabulary — docs sharing no phrase term
+    * never materialize), combiner-aggregated alignment counts, a
+    * per-query top-k window. [[phraseTopKIndexed]] answers the same
+    * question with the tokenization PRECOMPUTED.
+    */
+  def phraseTopK(docs: DataFrame, phrases: DataFrame, k: Int = 10): DataFrame = {
+    require(k > 0, s"bad k $k")
+    val terms = phraseTerms(phrases)
+    phraseCore(tokenPositions(docs), terms, k)
+  }
+
+  private def posDir(indexDir: String) = s"$indexDir/postings_pos"
+
+  /** Build (or rebuild) the persistent POSITIONAL index under
+    * `indexDir`: one TxLog table `postings_pos` (tok, doc_id, p),
+    * token-clustered so a phrase's vocabulary manifest-prunes to the
+    * touched batches. Deliberately a separate index family from
+    * [[buildIndex]]'s four-table BM25 lockstep (positions triple the
+    * postings payload; a user who never phrase-searches shouldn't pay
+    * for them — Lucene's optional positions file, same trade).
+    */
+  def buildPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, docs: DataFrame, batches: Int = 32): Unit = {
+    import graft.sources.TxLog
+    val f = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+    TxLog.commitClustered(spark, posDir(indexDir), tokenPositions(docs),
+      Seq("tok", "doc_id"), batches)
+  }
+
+  /** Incremental positional maintenance: the delta's positions append
+    * as new clustered batches (disjoint doc_ids — the [[appendToIndex]]
+    * contract; positions are per-doc facts, so no cross-doc
+    * reconciliation exists and append IS the whole merge).
+    */
+  def appendToPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, newDocs: DataFrame, batches: Int = 8): Unit = {
+    import graft.sources.TxLog
+    val delta = tokenPositions(newDocs)
+    if (!delta.isEmpty)
+      TxLog.commitClustered(spark, posDir(indexDir), delta,
+        Seq("tok", "doc_id"), batches, append = true)
+  }
+
+  /** [[phraseTopK]] answered from a prebuilt [[buildPositionalIndex]]
+    * — zero corpus-scaled work at query time: the phrase's vocabulary
+    * manifest-prunes `postings_pos` ([[graft.sources.TxLog
+    * .readWhereIn]]), and the alignment join runs over the touched
+    * posting lists only. Same alignment arithmetic ⇒ bit-identical to
+    * the recompute path (q229 hash-pins it against q228's oracle).
+    */
+  def phraseTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, phrases: DataFrame, k: Int = 10,
+      asOf: Option[Long] = None): DataFrame = {
+    import graft.sources.TxLog
+    require(k > 0, s"bad k $k")
+    val terms = phraseTerms(phrases)
+    val toks = terms.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (toks.isEmpty)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("n_occ"), col("id").as("rnk"))
+    graft.plans.TxStatsRule.register(posDir(indexDir))
+    val pos = TxLog.readWhereIn(spark, posDir(indexDir), "tok", toks, asOf)
+    phraseCore(pos, terms, k)
+  }
 }

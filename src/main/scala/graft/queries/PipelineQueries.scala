@@ -4246,6 +4246,225 @@ object PipelineQueries extends QueryPack {
              |  SELECT query_id, doc_id, score_pm,
              |    row_number() OVER (PARTITION BY query_id
              |      ORDER BY score_pm DESC, doc_id) AS rnk
-             |  FROM sc) WHERE rnk <= 5""".stripMargin))
+             |  FROM sc) WHERE rnk <= 5""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q226: IVF-PQ ANN (Similarity.ivfPqTopK — Jégou et al. 2011 §V
+    // "IVFADC", the FAISS IndexIVFPQ composition, by_residual=false):
+    // q53's seeded coarse quantizer CONFINES the scan to the probed
+    // cells' lists, q162's product codes shrink what that scan reads
+    // per vector — the two approximations compose, then the exact
+    // rerank of the k·4 ADC survivors restores precision over the
+    // candidate set. The oracle replays assignment → probing →
+    // encoding → per-cell ADC → rerank with identical float-dot
+    // arithmetic and tie rules, so BOTH approximation axes
+    // hash-verify.
+    QueryDef(
+      "q226_ann_ivfpq",
+      (s, dir) => {
+        import s.implicits._
+        val emb = T.embeddings(s, dir)
+        Similarity.ivfPqTopK(emb, emb.filter($"vec_id" < 10), k = 5)
+      },
+      Some(ivfPqSql)),
+
+    // ------------------------------------------------------------------
+    // q227: INDEX-BACKED IVF-PQ (Similarity.buildIvfPqIndex +
+    // ivfPqTopKIndexed): the composition committed once — frozen
+    // centroids + codebook, one-batch-per-cell code lists (the ADC
+    // scan manifest-prunes to the probed fraction AND reads m codes
+    // per vector, never the float payload), id-clustered raw vectors
+    // for the rerank's point reads. Oracle is q226's SQL VERBATIM —
+    // the indexed path must reproduce every (cosine, rank)
+    // bit-for-bit. The require certifies the per-cell layout prunes.
+    QueryDef(
+      "q227_ann_ivfpq_indexed",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val ix = s"${graft.GraftSession.scratchBase}/graft_ivfpqix_$sfName"
+        val emb = T.embeddings(s, dir)
+        buildOnce(ix)(Similarity.buildIvfPqIndex(s, ix, emb))
+        val total = graft.sources.TxLog.manifest(s, s"$ix/cellcodes").size
+        val one = graft.sources.TxLog
+          .readWhereIn(s, s"$ix/cellcodes", "cell", Seq(0L))
+        require(one.inputFiles.length < total,
+          s"q227: a one-cell probe must manifest-prune the code lists " +
+            s"(${one.inputFiles.length} of $total batches read)")
+        Similarity.ivfPqTopKIndexed(s, ix, emb.filter($"vec_id" < 10), k = 5)
+      },
+      Some(ivfPqSql)),
+
+    // ------------------------------------------------------------------
+    // q228: EXACT-PHRASE TOP-K (TextRetrieval.phraseTopK) — positional
+    // retrieval: "these words ADJACENT, in THIS order", the semantics
+    // term-at-a-time BM25 cannot express. One corpus tokenization with
+    // 1-based positions, map-side semi-join against the broadcast
+    // phrase vocabulary, then the classic alignment count: position p
+    // matching term j witnesses start p−j+1, and a start witnessed by
+    // all n terms is an occurrence. Docs rank by occurrence count.
+    // Queries are the first-3-token phrase of every 97th doc (each
+    // matches its own source doc at least once — self-matches are
+    // REAL phrase hits and stay in).
+    QueryDef(
+      "q228_phrase_topk",
+      (s, dir) => {
+        import s.implicits._
+        val docs = T.documents(s, dir)
+        val phrases = docs.filter($"doc_id" % 97L === 1L)
+          .select($"doc_id".as("query_id"),
+            concat_ws(" ", slice(filter(split($"text", "\\s+"),
+              t => length(t) > lit(0)), 1, 3)).as("phrase"))
+        graft.operators.TextRetrieval.phraseTopK(docs, phrases, k = 5)
+      },
+      Some(phraseSql)),
+
+    // ------------------------------------------------------------------
+    // q229: INDEX-BACKED PHRASE SEARCH (TextRetrieval.
+    // buildPositionalIndex + phraseTopKIndexed): the positional
+    // postings (tok, doc_id, p) committed once, token-clustered; the
+    // phrase's vocabulary manifest-prunes the table and the alignment
+    // join runs over the touched posting lists only. Oracle is q228's
+    // SQL VERBATIM. The require certifies the clustered layout prunes.
+    QueryDef(
+      "q229_phrase_indexed",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val ix = s"${graft.GraftSession.scratchBase}/graft_posix_$sfName"
+        val docs = T.documents(s, dir)
+        buildOnce(ix)(graft.operators.TextRetrieval
+          .buildPositionalIndex(s, ix, docs, batches = 32))
+        val total = graft.sources.TxLog.manifest(s, s"$ix/postings_pos").size
+        val term = docs.select(explode(split($"text", "\\s+")).as("tok"))
+          .filter(length($"tok") > 0).orderBy($"tok").limit(1)
+          .head().getString(0)
+        val one = graft.sources.TxLog
+          .readWhereIn(s, s"$ix/postings_pos", "tok", Seq(term))
+        require(one.inputFiles.length < total,
+          s"q229: a one-term probe must manifest-prune the positions " +
+            s"(${one.inputFiles.length} of $total batches read)")
+        val phrases = docs.filter($"doc_id" % 97L === 1L)
+          .select($"doc_id".as("query_id"),
+            concat_ws(" ", slice(filter(split($"text", "\\s+"),
+              t => length(t) > lit(0)), 1, 3)).as("phrase"))
+        graft.operators.TextRetrieval.phraseTopKIndexed(s, ix, phrases, k = 5)
+      },
+      Some(phraseSql))
   )
+
+  /** Exact-phrase ground truth shared verbatim by the recompute (q228)
+    * and indexed (q229) paths — 1-based positions, alignment-count
+    * occurrence semantics, occurrence-count ranking, k = 5.
+    */
+  private val phraseSql =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |    t -> length(t) > 0) AS l
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS p FROM w),
+      |ph AS (SELECT doc_id AS query_id, l[1:3] AS pl FROM w WHERE doc_id % 97 = 1),
+      |terms AS (
+      |  SELECT query_id, unnest(pl) AS tok, generate_subscripts(pl, 1) AS j FROM ph),
+      |n AS (SELECT query_id, count(*) AS n FROM terms GROUP BY 1),
+      |occ AS (
+      |  SELECT t.query_id, p.doc_id, p.p - t.j + 1 AS start, count(*) AS hits
+      |  FROM pos p JOIN terms t ON p.tok = t.tok
+      |  GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT o.query_id, o.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+      |  FROM occ o JOIN n USING (query_id)
+      |  WHERE o.hits = n.n
+      |  GROUP BY 1, 2)
+      |SELECT query_id, doc_id, n_occ, rnk FROM (
+      |  SELECT query_id, doc_id, n_occ, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY n_occ DESC, doc_id) AS rnk
+      |  FROM sc) t
+      |WHERE rnk <= 5""".stripMargin
+
+  /** IVF-PQ ground truth shared verbatim by the recompute (q226) and
+    * indexed (q227) paths — coarse assignment (16 seeded cells, 4
+    * probes), PQ encode (4×16-dim subspaces against the disjoint seed
+    * block [16,32)), ADC confined to the probed cells, exact-cosine
+    * rerank of the top-20 ADC candidates, k = 5.
+    */
+  private val ivfPqSql =
+    """WITH seeds AS (
+      |  SELECT vec_id AS cell, embedding AS sv FROM embeddings WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT e.vec_id, s.cell,
+      |    CAST(list_dot_product(e.embedding, e.embedding) AS DOUBLE) +
+      |    CAST(list_dot_product(s.sv, s.sv) AS DOUBLE) -
+      |    2.0 * CAST(list_dot_product(e.embedding, s.sv) AS DOUBLE) AS d2
+      |  FROM embeddings e CROSS JOIN seeds s),
+      |cells AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS r
+      |    FROM asg) t WHERE r = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS r
+      |    FROM asg WHERE vec_id < 10) t WHERE r <= 4),
+      |cb AS (
+      |  SELECT vec_id - 16 AS code,
+      |    embedding[1:16] AS s0, embedding[17:32] AS s1,
+      |    embedding[33:48] AS s2, embedding[49:64] AS s3
+      |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 32),
+      |vs AS (
+      |  SELECT vec_id,
+      |    embedding[1:16] AS v0, embedding[17:32] AS v1,
+      |    embedding[33:48] AS v2, embedding[49:64] AS v3
+      |  FROM embeddings),
+      |enc AS (
+      |  SELECT v.vec_id, c.code,
+      |    CAST(list_dot_product(v.v0,v.v0) AS DOUBLE) + CAST(list_dot_product(c.s0,c.s0) AS DOUBLE) - 2.0*CAST(list_dot_product(v.v0,c.s0) AS DOUBLE) AS dd0,
+      |    CAST(list_dot_product(v.v1,v.v1) AS DOUBLE) + CAST(list_dot_product(c.s1,c.s1) AS DOUBLE) - 2.0*CAST(list_dot_product(v.v1,c.s1) AS DOUBLE) AS dd1,
+      |    CAST(list_dot_product(v.v2,v.v2) AS DOUBLE) + CAST(list_dot_product(c.s2,c.s2) AS DOUBLE) - 2.0*CAST(list_dot_product(v.v2,c.s2) AS DOUBLE) AS dd2,
+      |    CAST(list_dot_product(v.v3,v.v3) AS DOUBLE) + CAST(list_dot_product(c.s3,c.s3) AS DOUBLE) - 2.0*CAST(list_dot_product(v.v3,c.s3) AS DOUBLE) AS dd3
+      |  FROM vs v CROSS JOIN cb c),
+      |codes AS (
+      |  SELECT vec_id,
+      |    (min(struct_pack(d := dd0, c := code))).c AS c0,
+      |    (min(struct_pack(d := dd1, c := code))).c AS c1,
+      |    (min(struct_pack(d := dd2, c := code))).c AS c2,
+      |    (min(struct_pack(d := dd3, c := code))).c AS c3
+      |  FROM enc GROUP BY vec_id),
+      |q AS (
+      |  SELECT vec_id AS query_id, v0 AS q0, v1 AS q1, v2 AS q2, v3 AS q3
+      |  FROM vs WHERE vec_id < 10),
+      |adc AS (
+      |  SELECT p.query_id, cl.vec_id AS neighbor_id,
+      |    (CAST(list_dot_product(q.q0,q.q0) AS DOUBLE) + CAST(list_dot_product(t0.s0,t0.s0) AS DOUBLE) - 2.0*CAST(list_dot_product(q.q0,t0.s0) AS DOUBLE))
+      |  + (CAST(list_dot_product(q.q1,q.q1) AS DOUBLE) + CAST(list_dot_product(t1.s1,t1.s1) AS DOUBLE) - 2.0*CAST(list_dot_product(q.q1,t1.s1) AS DOUBLE))
+      |  + (CAST(list_dot_product(q.q2,q.q2) AS DOUBLE) + CAST(list_dot_product(t2.s2,t2.s2) AS DOUBLE) - 2.0*CAST(list_dot_product(q.q2,t2.s2) AS DOUBLE))
+      |  + (CAST(list_dot_product(q.q3,q.q3) AS DOUBLE) + CAST(list_dot_product(t3.s3,t3.s3) AS DOUBLE) - 2.0*CAST(list_dot_product(q.q3,t3.s3) AS DOUBLE)) AS adc
+      |  FROM probes p
+      |  JOIN cells cl ON p.cell = cl.cell
+      |  JOIN codes c ON c.vec_id = cl.vec_id
+      |  JOIN q ON q.query_id = p.query_id
+      |  JOIN cb t0 ON c.c0 = t0.code
+      |  JOIN cb t1 ON c.c1 = t1.code
+      |  JOIN cb t2 ON c.c2 = t2.code
+      |  JOIN cb t3 ON c.c3 = t3.code
+      |  WHERE p.query_id <> cl.vec_id),
+      |cand AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY adc, neighbor_id) AS r
+      |    FROM adc) t
+      |  WHERE r <= 20),
+      |sims AS (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    CAST(list_dot_product(qe.embedding, ce.embedding) AS DOUBLE) /
+      |      (sqrt(CAST(list_dot_product(qe.embedding, qe.embedding) AS DOUBLE)) *
+      |       sqrt(CAST(list_dot_product(ce.embedding, ce.embedding) AS DOUBLE))) AS cosine
+      |  FROM cand
+      |  JOIN embeddings qe ON cand.query_id = qe.vec_id
+      |  JOIN embeddings ce ON cand.neighbor_id = ce.vec_id)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |  FROM sims) t
+      |WHERE rnk <= 5""".stripMargin
 }

@@ -299,4 +299,91 @@ class IndexSpec extends AnyFunSuite {
     val want = asSet(Similarity.pqTopK(emb, q, 5, dim = 64, m = 4, nCells = 16))
     assert(got == want)
   }
+
+  // -------------------------------------------------------------- IVF-PQ
+
+  test("indexed IVF-PQ ≡ recompute; frozen-quantizer append; time travel") {
+    val ix = fresh("ivfpq")
+    val half = emb.count() / 2
+    assert(half > 32, "first half must contain both seed blocks [0,32)")
+    val oldEmb = emb.filter(col("vec_id") < half)
+    Similarity.buildIvfPqIndex(spark, ix, oldEmb)
+    val q = emb.filter(col("vec_id") < 10)
+    // fresh build answers exactly as the recompute over the same corpus
+    assert(asSet(Similarity.ivfPqTopKIndexed(spark, ix, q, 5)) ==
+      asSet(Similarity.ivfPqTopK(oldEmb, q, 5)))
+    val v1Codes = TxLog.manifest(spark, s"$ix/cellcodes").map(_._1)
+    Similarity.appendIvfPqIndex(spark, ix, emb.filter(col("vec_id") >= half))
+    // delta-only write: every pre-append code batch carries verbatim,
+    // and BOTH quantizer tables stay at v1 (frozen by contract)
+    val afterCodes = TxLog.manifest(spark, s"$ix/cellcodes").map(_._1)
+    assert(afterCodes.take(v1Codes.size) == v1Codes,
+      "append must carry old cell-code batches verbatim")
+    Seq("centroids", "codebook").foreach { t =>
+      assert(TxLog.latestVersion(spark, s"$ix/$t") == 1L, s"$t must stay frozen")
+    }
+    // quantizers = seed blocks [0,32), identical for half and union ⇒
+    // the maintained index must equal the full recompute
+    assert(asSet(Similarity.ivfPqTopKIndexed(spark, ix, q, 5)) ==
+      asSet(Similarity.ivfPqTopK(emb, q, 5)))
+    // frozen quantizers ⇒ one asOf names the pre-append code+vector pair
+    assert(asSet(Similarity.ivfPqTopKIndexed(spark, ix, q, 5, asOf = Some(1L))) ==
+      asSet(Similarity.ivfPqTopK(oldEmb, q, 5)))
+    // empty queries degrade like the recompute path
+    assert(Similarity.ivfPqTopKIndexed(spark, ix,
+      emb.filter(col("vec_id") < 0), 5).isEmpty)
+  }
+
+  // -------------------------------------------------------------- PHRASE
+
+  private def phrasesOf(src: DataFrame): DataFrame = src
+    .filter(col("doc_id") % 97L === 1L)
+    .select(col("doc_id").as("query_id"),
+      concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
+        t => length(t) > lit(0)), 1, 3)).as("phrase"))
+
+  test("indexed phrase search ≡ recompute; append maintenance; time travel") {
+    val ix = fresh("phrase")
+    val half = docs.count() / 2
+    val oldDocs = docs.filter(col("doc_id") < half)
+    TextRetrieval.buildPositionalIndex(spark, ix, oldDocs, batches = 8)
+    val ph = phrasesOf(docs)
+    assert(asSet(TextRetrieval.phraseTopKIndexed(spark, ix, ph, 5)) ==
+      asSet(TextRetrieval.phraseTopK(oldDocs, ph, 5)))
+    val v1 = TxLog.manifest(spark, s"$ix/postings_pos").map(_._1)
+    TextRetrieval.appendToPositionalIndex(spark, ix,
+      docs.filter(col("doc_id") >= half))
+    // positions are per-doc facts: append IS the whole merge, old
+    // batches carry verbatim
+    val after = TxLog.manifest(spark, s"$ix/postings_pos").map(_._1)
+    assert(after.take(v1.size) == v1,
+      "append must carry old position batches verbatim")
+    assert(asSet(TextRetrieval.phraseTopKIndexed(spark, ix, ph, 5)) ==
+      asSet(TextRetrieval.phraseTopK(docs, ph, 5)))
+    assert(asSet(TextRetrieval.phraseTopKIndexed(spark, ix, ph, 5, asOf = Some(1L))) ==
+      asSet(TextRetrieval.phraseTopK(oldDocs, ph, 5)))
+    // empty phrase set degrades to an empty typed frame
+    assert(TextRetrieval.phraseTopKIndexed(spark, ix,
+      ph.filter(col("query_id") < 0), 5).isEmpty)
+  }
+
+  test("phrase semantics: scattered or reordered terms score zero") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),       // exact hit
+      (1L, "alpha beta  gamma x"),          // whitespace run must not widen the gap
+      (2L, "alpha x beta gamma"),           // scattered: no hit
+      (3L, "gamma beta alpha"),             // reordered: no hit
+      (4L, "alpha beta gamma alpha beta gamma") // two occurrences
+    ).toDF("doc_id", "text")
+    val ph = Seq((7L, "alpha beta gamma")).toDF("query_id", "phrase")
+    val got = TextRetrieval.phraseTopK(corpus, ph, 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((4L, 2L), (0L, 1L), (1L, 1L)))
+    val ix = fresh("phrase_sem")
+    TextRetrieval.buildPositionalIndex(spark, ix, corpus, batches = 2)
+    val ixGot = TextRetrieval.phraseTopKIndexed(spark, ix, ph, 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(ixGot == got)
+  }
 }
