@@ -4350,7 +4350,47 @@ object PipelineQueries extends QueryPack {
               t => length(t) > lit(0)), 1, 3)).as("phrase"))
         graft.operators.TextRetrieval.phraseTopKIndexed(s, ix, phrases, k = 5)
       },
-      Some(phraseSql))
+      Some(phraseSql)),
+
+    // ------------------------------------------------------------------
+    // q230: CHANGE FEED (TxLog.changeFeed — Delta's `table_changes`/CDF):
+    // the incremental-consumer read. Four versions: v1 base commit, v2
+    // append, v3 merge-on-read DV delete, v4 purgeDeletes. The feed over
+    // (1,4] must emit v2's rows as inserts (metadata-only append fast
+    // path), v3's tombstoned rows as deletes (row-level diff of the
+    // touched batches only), and NOTHING for v4 — physical
+    // reorganization is invisible to CDC semantics by construction
+    // (the purged rewrite's live content equals the DV-masked old
+    // content, so the exceptAll diff cancels). The oracle states the
+    // logical truth directly from the source table; no caching — the
+    // requires pin exact version counts from a fresh build.
+    QueryDef(
+      "q230_change_feed",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_cdf_$sfName"
+        val p = new org.apache.hadoop.fs.Path(t)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = T.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        graft.sources.TxLog.commit(s, t, orders.filter($"o_orderkey" % 4L < 2L))
+        graft.sources.TxLog.commit(s, t,
+          orders.filter($"o_orderkey" % 4L >= 2L), append = true)
+        graft.sources.TxLog.deleteVectored(s, t, "o_custkey",
+          Some(100L), Some(200L))
+        graft.sources.TxLog.purgeDeletes(s, t)
+        require(graft.sources.TxLog.latestVersion(s, t) == 4L,
+          "q230: expected exactly 4 versions")
+        graft.sources.TxLog.changeFeed(s, t, 1L, 4L)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |  'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+             |FROM orders WHERE o_orderkey % 4 >= 2
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_totalprice,
+             |  'delete', 3 FROM orders
+             |WHERE o_custkey BETWEEN 100 AND 200""".stripMargin))
   )
 
   /** Exact-phrase ground truth shared verbatim by the recompute (q228)

@@ -1970,6 +1970,94 @@ object TxLog {
     read(spark, tableDir, mergeSchema = mergeSchema)
   }
 
+  /** CHANGE FEED over `(fromV, toV]` — the incremental-consumer read
+    * (Delta's `table_changes` / CDF): every row inserted or deleted by
+    * each version, tagged `_change_type` ('insert' | 'delete') and
+    * `_commit_version`. Updates (a [[merge]] upsert) surface as a
+    * delete of the pre-image plus an insert of the post-image — the
+    * two-row encoding every CDC consumer already handles ([[graft
+    * .operators.Cdc.applyChanges]] replays it directly). A downstream
+    * pipeline that last folded version N catches up by reading
+    * `changeFeed(N, latest)` — never by rescanning the table, which at
+    * 100 TB is the entire point.
+    *
+    * Per-version cost is confined to the batches that version TOUCHED
+    * (the manifest diff names them — the same surgical bound the write
+    * paid, never table-scaled):
+    *  - pure appends classify METADATA-ONLY: new batch dirs are read
+    *    and emitted as inserts verbatim, no diff work;
+    *  - rewrites and DV flips diff old-live vs new-live rows of the
+    *    touched dirs with `exceptAll` (multiplicity-exact: a batch
+    *    holding a row twice and deleting one emits exactly one delete);
+    *  - REORGANIZATIONS cancel by construction: a [[compact]]/
+    *    [[autoCluster]]/z-order version rewrites content-identical rows
+    *    (old ∖ new and new ∖ old are both empty ⇒ zero change rows),
+    *    and a [[purgeDeletes]] version removes exactly the rows the
+    *    old side's DV already hid ⇒ zero change rows. Physical layout
+    *    is invisible to the feed, as CDC semantics require.
+    *
+    * Schema evolution: each version's diff reads BOTH sides under the
+    * union of the touched batches' recorded schemas, so a pre-image row
+    * from before a column existed carries null there (parquet's missing-
+    * column fill), and cross-version rows union by name. `fromV = 0`
+    * replays the initial commit as inserts. Versions whose batch dirs a
+    * deeper [[vacuum]] has reclaimed cannot be replayed — callers keep
+    * retention ≥ their consumers' lag, the standard CDC contract.
+    */
+  def changeFeed(spark: SparkSession, tableDir: String, fromV: Long,
+      toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val latest = latestVersion(spark, tableDir)
+    require(fromV >= 0 && toV > fromV && toV <= latest,
+      s"bad change-feed range ($fromV, $toV] over $tableDir at v$latest")
+    def entriesOf(v: Long): Map[String, (Map[String, ColStats],
+        Option[org.apache.spark.sql.types.StructType])] =
+      if (v == 0) Map.empty
+      else readManifest(spark, tableDir, v).map(parseLineFull)
+        .map(e => e._1 -> (e._2, e._3)).toMap
+    def tagged(df: DataFrame, kind: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(kind))
+        .withColumn("_commit_version", lit(v))
+    val perVersion = (fromV + 1 to toV).flatMap { v =>
+      val prev = entriesOf(v - 1)
+      val cur = entriesOf(v)
+      val added = (cur.keySet -- prev.keySet).toSeq.sorted
+      val removed = (prev.keySet -- cur.keySet).toSeq.sorted
+      val dvFlip = (cur.keySet & prev.keySet)
+        .filter(d => dvOf(cur(d)._1) != dvOf(prev(d)._1)).toSeq.sorted
+      if (added.isEmpty && removed.isEmpty && dvFlip.isEmpty) None
+      else {
+        // one reader schema for both sides: the union of every touched
+        // batch's recorded schema (falls back to a footer merge only
+        // for legacy lines) — pre-evolution rows null-fill new columns
+        val touched = (added.map(cur) ++ removed.map(prev) ++
+          dvFlip.map(cur) ++ dvFlip.map(prev))
+        val dirsAll = (added ++ removed ++ dvFlip).distinct
+          .map(d => s"$tableDir/$d")
+        val sc = unionSchema(touched.map(_._2)).getOrElse(
+          spark.read.option("mergeSchema", true).parquet(dirsAll: _*).schema)
+        def scan(dirs: Seq[String],
+            src: Map[String, (Map[String, ColStats], Option[_])]): DataFrame =
+          applyDvSplit(spark, tableDir,
+            dirs.map(d => (s"$tableDir/$d", src(d)._1)),
+            ds => spark.read.schema(sc).parquet(ds: _*))
+        if (removed.isEmpty && dvFlip.isEmpty)
+          Some(tagged(scan(added, cur), "insert", v)) // append fast path
+        else {
+          val oldLive = scan(removed ++ dvFlip, prev)
+          val newDirs = added ++ dvFlip
+          val newLive =
+            if (newDirs.isEmpty) oldLive.limit(0) else scan(newDirs, cur)
+          Some(tagged(oldLive.exceptAll(newLive), "delete", v)
+            .unionByName(tagged(newLive.exceptAll(oldLive), "insert", v)))
+        }
+      }
+    }
+    if (perVersion.isEmpty)
+      tagged(read(spark, tableDir, asOf = Some(toV)).limit(0), "insert", toV)
+    else perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Range read with manifest-level file skipping: batches whose
     * committed [min,max] for `colName` cannot intersect [lo,hi] are
     * dropped BEFORE Spark ever lists or opens them — at 100 TB this is

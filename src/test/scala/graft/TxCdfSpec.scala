@@ -1,0 +1,123 @@
+package graft
+
+import graft.sources.TxLog
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Change feed (`TxLog.changeFeed` — the `table_changes`/CDF read):
+  * incremental consumers fold per-version insert/delete rows instead of
+  * rescanning the table. The invariants here are the CDC contract:
+  * snapshot(from) ⊎ inserts ∖ deletes = snapshot(to) (multiset-exact),
+  * appends classify metadata-only, updates surface as delete+insert
+  * pairs of CHANGED rows only, and physical reorganization emits
+  * nothing.
+  */
+class TxCdfSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def fresh(name: String): String = {
+    val dir = s"${GraftSession.scratchBase}/cdf_$name"
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  /** Multiset equality via exceptAll both ways. */
+  private def sameBag(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  private def data(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(col("id").as("k"),
+      (col("id") % 10L).as("g"), (col("id") * 3L).as("v"))
+
+  test("snapshot(from) + feed = snapshot(to), across append/merge/delete/reorg") {
+    val t = fresh("reconstruct")
+    TxLog.commit(spark, t, data(0L, 500L))                              // v1
+    TxLog.commit(spark, t, data(500L, 900L), append = true)             // v2
+    // v3: upsert — 50 updated pre/post pairs + 100 fresh inserts
+    TxLog.merge(spark, t,
+      data(450L, 600L).withColumn("v",
+        when(col("k") < 500L, col("v") + 1000000L).otherwise(col("v")))
+        .filter(col("k") < 500L || col("k") >= 900L)
+        .unionByName(data(900L, 1000L)), "k")
+    TxLog.deleteVectored(spark, t, "k", Some(100L), Some(150L))          // v4
+    val v4 = TxLog.latestVersion(spark, t)
+    val feed = TxLog.changeFeed(spark, t, 1L, v4).cache()
+    val meta = Seq("_change_type", "_commit_version")
+    val ins = feed.filter(col("_change_type") === "insert").drop(meta: _*)
+    val del = feed.filter(col("_change_type") === "delete").drop(meta: _*)
+    val reconstructed = TxLog.read(spark, t, asOf = Some(1L))
+      .unionByName(ins).exceptAll(del)
+    assert(sameBag(reconstructed, TxLog.read(spark, t)),
+      "snapshot(1) + feed(1, latest) must equal snapshot(latest)")
+    // the feed names each version's own rows
+    assert(feed.filter(col("_commit_version") === 2L)
+      .agg(count(lit(1))).head().getLong(0) == 400L)
+    feed.unpersist()
+  }
+
+  test("append classifies as pure inserts; initial commit replays from v0") {
+    val t = fresh("append")
+    TxLog.commit(spark, t, data(0L, 100L))
+    TxLog.commit(spark, t, data(100L, 130L), append = true)
+    val full = TxLog.changeFeed(spark, t, 0L, 2L)
+    assert(full.filter(col("_change_type") =!= "insert").isEmpty,
+      "append-only history must contain no deletes")
+    assert(rows(full.drop("_change_type", "_commit_version")) ==
+      rows(data(0L, 130L)))
+    // duplicate rows keep multiplicity: the feed is a multiset
+    TxLog.commit(spark, t,
+      data(0L, 1L).unionByName(data(0L, 1L)), append = true)
+    val dup = TxLog.changeFeed(spark, t, 2L, 3L)
+    assert(dup.count() == 2L, "two identical appended rows = two inserts")
+  }
+
+  test("merge emits delete+insert pairs for CHANGED rows only") {
+    val t = fresh("merge")
+    TxLog.commit(spark, t, data(0L, 400L))
+    // update 10 rows; the other 390 carried through the rewritten
+    // batches must NOT appear in the feed
+    TxLog.merge(spark, t,
+      data(0L, 10L).withColumn("v", col("v") + 7L), "k")
+    val feed = TxLog.changeFeed(spark, t, 1L, 2L).cache()
+    assert(feed.count() == 20L,
+      "10 updates = 10 pre-image deletes + 10 post-image inserts")
+    val del = feed.filter(col("_change_type") === "delete")
+    val ins = feed.filter(col("_change_type") === "insert")
+    assert(del.agg(max(col("k"))).head().getLong(0) == 9L)
+    assert(sameBag(ins.select(col("k"), col("g"), col("v")),
+      data(0L, 10L).withColumn("v", col("v") + 7L)))
+    feed.unpersist()
+  }
+
+  test("physical reorganization is invisible: compact, cluster, purge") {
+    val t = fresh("reorg")
+    (0 until 4).foreach(i => TxLog.commit(spark, t,
+      data(i * 50L, i * 50L + 50L), append = i > 0))
+    TxLog.deleteVectored(spark, t, "k", Some(10L), Some(20L))            // v5
+    val v5 = TxLog.latestVersion(spark, t)
+    assert(TxLog.changeFeed(spark, t, 4L, v5).count() == 11L)
+    TxLog.purgeDeletes(spark, t)                                         // v6
+    TxLog.compactSmall(spark, t, minRows = 1000000L)                     // v7
+    TxLog.autoCluster(spark, t, Seq("g"), maxOverlapFraction = 0.0)
+    val last = TxLog.latestVersion(spark, t)
+    assert(last > v5, "reorg must have produced versions")
+    assert(TxLog.changeFeed(spark, t, v5, last).isEmpty,
+      "purge/compact/cluster rewrite identical live content — zero change rows")
+  }
+
+  test("feed range validation fails loud") {
+    val t = fresh("bounds")
+    TxLog.commit(spark, t, data(0L, 10L))
+    intercept[IllegalArgumentException](TxLog.changeFeed(spark, t, 1L, 1L))
+    intercept[IllegalArgumentException](TxLog.changeFeed(spark, t, 0L, 2L))
+    intercept[IllegalArgumentException](TxLog.changeFeed(spark, t, -1L, 1L))
+  }
+}
