@@ -833,6 +833,37 @@ object TextRetrieval {
         Seq("tok", "doc_id"), batches, append = true)
   }
 
+  /** Document deletes from the positional index: tombstone the doomed
+    * docs' position rows merge-on-read ([[graft.sources.TxLog
+    * .mergeVectored]] — every committed batch carries forward verbatim,
+    * one vector sidecar per touched batch). Unlike the BM25 family
+    * there is NO derived state to reconcile: positions are per-doc
+    * facts, so the single-table tombstone IS the whole delete. An
+    * empty delete set is a full no-op (version unchanged).
+    */
+  def removeFromPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, docIds: DataFrame): Unit = {
+    import graft.sources.TxLog
+    val ids = docIds.select(col("doc_id")).distinct()
+    if (ids.isEmpty) return
+    TxLog.mergeVectored(spark, posDir(indexDir),
+      ids.withColumn("p", lit(0)).withColumn("tok", lit("")),
+      "doc_id", whenMatched = "delete", insertNotMatched = false)
+  }
+
+  /** Re-tighten the positional layout after appends (each
+    * [[appendToPositionalIndex]] adds delta batches spanning the full
+    * token range, so a one-term probe reads 1 + n_appends batches) and
+    * materialize accumulated tombstones away — [[compactIndex]]'s
+    * contract for the single-table family. History stays queryable.
+    */
+  def compactPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batches: Int = 32): Unit = {
+    import graft.sources.TxLog
+    TxLog.commitClustered(spark, posDir(indexDir),
+      TxLog.read(spark, posDir(indexDir)), Seq("tok", "doc_id"), batches)
+  }
+
   /** [[phraseTopK]] answered from a prebuilt [[buildPositionalIndex]]
     * — zero corpus-scaled work at query time: the phrase's vocabulary
     * manifest-prunes `postings_pos` ([[graft.sources.TxLog

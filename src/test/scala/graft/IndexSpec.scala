@@ -367,6 +367,48 @@ class IndexSpec extends AnyFunSuite {
       ph.filter(col("query_id") < 0), 5).isEmpty)
   }
 
+  test("positional index lifecycle: tombstone delete, compaction, history") {
+    val ix = fresh("phrase_life")
+    val third = docs.count() / 3
+    TextRetrieval.buildPositionalIndex(spark, ix,
+      docs.filter(col("doc_id") < third), batches = 8)
+    TextRetrieval.appendToPositionalIndex(spark, ix,
+      docs.filter(col("doc_id") >= third && col("doc_id") < 2 * third))
+    TextRetrieval.appendToPositionalIndex(spark, ix,
+      docs.filter(col("doc_id") >= 2 * third))
+    val ph = phrasesOf(docs)
+    // merge-on-read delete: batch dirs carry verbatim, answers match a
+    // recompute over the survivors
+    val before = TxLog.manifest(spark, s"$ix/postings_pos").map(_._1)
+    TextRetrieval.removeFromPositionalIndex(spark, ix,
+      docs.filter(col("doc_id") % 7L === 2L).select(col("doc_id")))
+    assert(TxLog.manifest(spark, s"$ix/postings_pos").map(_._1) == before,
+      "delete must tombstone, not rewrite")
+    val survivors = docs.filter(col("doc_id") % 7L =!= 2L)
+    assert(asSet(TextRetrieval.phraseTopKIndexed(spark, ix, ph, 5)) ==
+      asSet(TextRetrieval.phraseTopK(survivors, ph, 5)))
+    // empty delete set: full no-op
+    val v = TxLog.latestVersion(spark, s"$ix/postings_pos")
+    TextRetrieval.removeFromPositionalIndex(spark, ix,
+      docs.filter(col("doc_id") < 0).select(col("doc_id")))
+    assert(TxLog.latestVersion(spark, s"$ix/postings_pos") == v)
+    // fragmentation measured, compaction restores probe-reads-one and
+    // materializes the tombstones; answers and history unchanged
+    val term = docs.select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0).orderBy(col("tok")).limit(1)
+      .head().getString(0)
+    def probeFiles(): Int = TxLog
+      .readWhereIn(spark, s"$ix/postings_pos", "tok", Seq(term))
+      .inputFiles.length
+    assert(probeFiles() >= 3, "expected one batch per append epoch")
+    TextRetrieval.compactPositionalIndex(spark, ix, batches = 8)
+    assert(probeFiles() == 1, "compaction must restore probe-reads-one")
+    assert(asSet(TextRetrieval.phraseTopKIndexed(spark, ix, ph, 5)) ==
+      asSet(TextRetrieval.phraseTopK(survivors, ph, 5)))
+    assert(asSet(TextRetrieval.phraseTopKIndexed(spark, ix, ph, 5, asOf = Some(v))) ==
+      asSet(TextRetrieval.phraseTopK(survivors, ph, 5)))
+  }
+
   test("phrase semantics: scattered or reordered terms score zero") {
     import spark.implicits._
     val corpus = Seq(

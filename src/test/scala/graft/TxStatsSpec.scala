@@ -100,6 +100,49 @@ class TxStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("CBO join reorder: stats move the selective dim below the exploding one") {
+    val t1 = fresh("reo_d1"); val t2 = fresh("reo_d2")
+    // fact: 200k rows; k1 explodes against d1 (NDV 1000 ⇒ est. 40M
+    // intermediate), k2 is selective against d2 (50 of 200k keys ⇒
+    // est. 50 rows). Syntactic order joins d1 FIRST — the plan a 100 TB
+    // run cannot afford.
+    val fact = spark.range(0L, 200000L).select(
+      (col("id") % 1000L).as("k1"), col("id").as("k2"))
+    val d1 = spark.range(0L, 200000L).select(
+      (col("id") % 1000L).as("k1"), (col("id") % 7L).as("a"))
+    val d2 = spark.range(0L, 50L).select(
+      (col("id") * 4000L).as("k2"), (col("id") % 3L).as("b"))
+    TxLog.commit(spark, t1, d1, collectSketches = Seq(("k1", 1024)))
+    TxLog.commit(spark, t2, d2, collectSketches = Seq(("k2", 1024)))
+    val cbo = spark.conf.get("spark.sql.cbo.enabled")
+    val reo = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    def joined = fact
+      .join(TxLog.table(spark, t1), "k1")
+      .join(TxLog.table(spark, t2), "k2")
+    def topJoinKey(df: DataFrame): String = {
+      val s = df.queryExecution.optimizedPlan.toString
+      val j = s.linesIterator.find(_.contains("Join")).getOrElse("")
+      if (j.contains("k2")) "k2" else if (j.contains("k1")) "k1" else "?"
+    }
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      // control: syntactic order — d2's k2 join sits on top, so the
+      // 40M-row k1 explosion happens first
+      assert(topJoinKey(joined) == "k2",
+        "control arm must keep the syntactic order")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // reordered: the selective k2 join moves below, k1 on top —
+      // the exploding join now sees 50 rows, not 200k
+      assert(topJoinKey(joined) == "k1",
+        "manifest NDV must let CostBasedJoinReorder move the selective join first:\n" +
+          joined.queryExecution.optimizedPlan.toString.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", reo)
+    }
+  }
+
   test("row counts survive manifest-pruned subset scans; tombstones NOT subtracted (safe direction)") {
     val t = fresh("subset")
     (0L until 4L).foreach { i =>
