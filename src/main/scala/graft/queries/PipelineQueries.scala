@@ -4390,7 +4390,52 @@ object PipelineQueries extends QueryPack {
              |UNION ALL
              |SELECT o_orderkey, o_custkey, o_totalprice,
              |  'delete', 3 FROM orders
-             |WHERE o_custkey BETWEEN 100 AND 200""".stripMargin))
+             |WHERE o_custkey BETWEEN 100 AND 200""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q231: FEED-MAINTAINED AGGREGATE VIEW (Cdc.maintainAggView): the
+    // persistent materialized aggregate kept current from the change
+    // feed — each maintain call folds only the versions committed since
+    // the last one (inserts add, deletes subtract), never rescanning
+    // the source; the watermark rides in the view so fold+record commit
+    // atomically (exactly-once with no side ledger). The view is
+    // maintained across a five-version history (base, maintain, append,
+    // DV delete, purge, maintain) and must equal the oracle's fresh
+    // aggregate over the live survivors bit-for-bit. Integer-sum value
+    // column: cross-engine exact.
+    QueryDef(
+      "q231_feed_maintained_view",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_mav_$sfName"
+        val v = s"${graft.GraftSession.scratchBase}/graft_mavview_$sfName"
+        Seq(t, v).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        val orders = T.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+        graft.sources.TxLog.commit(s, t, orders.filter($"o_orderkey" % 4L < 2L))
+        // maintain mid-history: the second call must fold ONLY (1, 4]
+        require(graft.operators.Cdc.maintainAggView(s, t, v,
+          Seq("o_orderpriority"), "o_custkey").contains(1L), "q231: first fold")
+        graft.sources.TxLog.commit(s, t,
+          orders.filter($"o_orderkey" % 4L >= 2L), append = true)
+        graft.sources.TxLog.deleteVectored(s, t, "o_custkey",
+          Some(100L), Some(200L))
+        graft.sources.TxLog.purgeDeletes(s, t)
+        require(graft.operators.Cdc.maintainAggView(s, t, v,
+          Seq("o_orderpriority"), "o_custkey").contains(4L), "q231: catch-up fold")
+        require(graft.operators.Cdc.maintainAggView(s, t, v,
+          Seq("o_orderpriority"), "o_custkey").isEmpty, "q231: replay must no-op")
+        graft.sources.TxLog.read(s, v).drop("_maintained_to")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(o_custkey) AS BIGINT) AS total
+             |FROM orders
+             |WHERE o_custkey NOT BETWEEN 100 AND 200
+             |GROUP BY 1""".stripMargin))
   )
 
   /** Exact-phrase ground truth shared verbatim by the recompute (q228)

@@ -113,6 +113,39 @@ class TxCdfSpec extends AnyFunSuite {
       "purge/compact/cluster rewrite identical live content — zero change rows")
   }
 
+  test("maintainAggView: feed-maintained aggregate ≡ fresh recompute at every step") {
+    import graft.operators.Cdc
+    val t = fresh("mav_src"); val v = fresh("mav_view")
+    def recompute(): DataFrame = TxLog.read(spark, t)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    def view(): DataFrame = TxLog.read(spark, v).drop("_maintained_to")
+    TxLog.commit(spark, t, data(0L, 300L))
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v").contains(1L))
+    assert(sameBag(view(), recompute()))
+    // replayed trigger: no new source version, no view commit
+    val vv = TxLog.latestVersion(spark, v)
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v").isEmpty)
+    assert(TxLog.latestVersion(spark, v) == vv)
+    // several source versions fold in ONE catch-up call: append + upsert
+    // + DV delete, then reorg (which must contribute nothing)
+    TxLog.commit(spark, t, data(300L, 500L), append = true)
+    TxLog.merge(spark, t, data(10L, 20L).withColumn("v", col("v") + 5000L), "k")
+    TxLog.deleteVectored(spark, t, "k", Some(100L), Some(180L))
+    TxLog.purgeDeletes(spark, t)
+    val srcV = TxLog.latestVersion(spark, t)
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v").contains(srcV))
+    assert(sameBag(view(), recompute()),
+      "maintained view must equal a fresh aggregate over the live snapshot")
+    // a group whose every row is deleted drops from the view entirely
+    TxLog.deleteVectored(spark, t, "v", Some(0L), Some(1000000000L))
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v").isDefined)
+    assert(view().isEmpty && recompute().isEmpty)
+    // empty-view watermark loss degrades to a correct from-zero refold
+    TxLog.commit(spark, t, data(700L, 720L), append = true)
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v").isDefined)
+    assert(sameBag(view(), recompute()))
+  }
+
   test("feed range validation fails loud") {
     val t = fresh("bounds")
     TxLog.commit(spark, t, data(0L, 10L))
