@@ -368,6 +368,26 @@ object BenchProbe {
     val purgedRead = sent.guard("dv_read_purged")(best(dvReadAgg(TxLog.read(spark, mt))))
     TxLog.restore(spark, mt, baseV)
 
+    // CHANGE-FEED VIEW MAINTENANCE: the "refresh the dashboard" cost —
+    // a full-table aggregate rescan vs folding only the versions the
+    // feed says changed (Cdc.maintainAggView over the txab table).
+    // Each fold pass appends a 1000-row delta first (untimed), so the
+    // fold arm always has exactly one new version to fold; the rescan
+    // arm reads the whole table the way a viewless dashboard must.
+    val viewDir = s"$dir/txab_view"
+    fs.delete(new org.apache.hadoop.fs.Path(viewDir), true)
+    graft.operators.Cdc.maintainAggView(spark, t, viewDir,
+      Seq("l_returnflag"), "l_orderkey") // bootstrap fold, untimed
+    def rescanAgg = TxLog.read(spark, t).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("total"))
+    val cdfRescan = sent.guard("cdf_rescan")(best(rescanAgg))
+    val cdfDelta = li.limit(1000).localCheckpoint(true)
+    val cdfFold = sent.guard("cdf_fold")((0 until abPasses).map { _ =>
+      TxLog.commit(spark, t, cdfDelta, append = true)
+      timedU(graft.operators.Cdc.maintainAggView(spark, t, viewDir,
+        Seq("l_returnflag"), "l_orderkey"))
+    }.min)
+
     // MAX-SCORE BM25 on a stopword-heavy query mix (round-8 ask #4's
     // bench row): OFF = plain bm25TopK scores every posting of every
     // query term; ON = bm25TopKPruned's essential-term candidate
@@ -507,6 +527,8 @@ object BenchProbe {
       f""""bytes_ratio":${cowBytes.toDouble / dvBytes.max(1L)}%.2f},""" +
       f""""dv_read":{"vectored":$dvRead%.3f,"purged":$purgedRead%.3f,""" +
       f""""overhead":${dvRead / purgedRead.max(0.001)}%.2f},""" +
+      f""""change_feed":{"rescan":$cdfRescan%.3f,"fold":$cdfFold%.3f,""" +
+      f""""speedup":${cdfRescan / cdfFold.max(0.001)}%.2f},""" +
       f""""bm25_maxscore":{"off":$bmOff%.3f,"on":$bmOn%.3f,""" +
       f""""speedup":${bmOff / bmOn.max(0.001)}%.2f},""" +
       f""""bm25_indexed":{"build":$ixBuild%.3f,"plain":$bmPlainFew%.3f,""" +

@@ -40,7 +40,7 @@ import org.apache.spark.sql.types.StructType
   */
 class TxLogSource(spark: SparkSession, tableDir: String,
     override val schema: StructType, ignoreChanges: Boolean,
-    startingVersion: Long = 0L)
+    startingVersion: Long = 0L, changeFeed: Boolean = false)
     extends Source {
 
   private def ver(o: Offset): Long = o match {
@@ -54,7 +54,34 @@ class TxLogSource(spark: SparkSession, tableDir: String,
     if (v <= 0) None else Some(LongOffset(v))
   }
 
+  private def emptyBatch: DataFrame =
+    SqlBridge.ofRows(spark, LocalRelation(
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+      Seq.empty, isStreaming = true))
+
+  /** CHANGE-FEED mode (`changeFeed=true`): each micro-batch is
+    * `TxLog.changeFeed(fromV, toV)` — tagged insert/delete rows instead
+    * of raw appends, so DELETES AND REWRITES STREAM instead of failing
+    * the append contract: the CDC consumer (`Cdc.applyChanges`,
+    * `maintainAggView`'s signed fold) sees row removals as first-class
+    * events. Exactly-once holds the same way: the feed over an
+    * immutable version interval is deterministic, so a checkpoint
+    * replay rebuilds the identical batch. The plan is composed (unions
+    * / exceptAll over the touched dirs), so it streams through a
+    * lazily-planned RDD leaf rather than a re-tagged file relation.
+    */
+  private def feedBatch(fromV: Long, toV: Long): DataFrame = {
+    if (toV <= fromV) return emptyBatch
+    import org.apache.spark.sql.functions.col
+    val feed = TxLog.changeFeed(spark, tableDir, fromV, toV)
+      .select(schema.fieldNames.map(col(_)).toSeq: _*)
+    SqlBridge.internalCreateStreamingDataFrame(spark,
+      feed.queryExecution.toRdd, schema)
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    if (changeFeed)
+      return feedBatch(start.map(ver).getOrElse(startingVersion), ver(end))
     // no checkpointed start: begin after `startingVersion` (0 = the
     // whole snapshot is the initial batch; "latest" resolved at source
     // creation = tail-only). Restarts always carry a checkpoint offset,
@@ -84,9 +111,7 @@ class TxLogSource(spark: SparkSession, tableDir: String,
           "(rewritten rows re-appear; consumer must be keyed/idempotent).")
     if (added.isEmpty)
       // zero-delta interval (e.g. a RESTORE republishing the same dirs)
-      SqlBridge.ofRows(spark, LocalRelation(
-        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
-        Seq.empty, isStreaming = true))
+      emptyBatch
     else {
       // ordinary parquet relation over exactly the added dirs, re-tagged
       // as streaming (the same move FileStreamSource makes): pruning and
@@ -137,7 +162,11 @@ class TxLogSource(spark: SparkSession, tableDir: String,
   * options: `ignoreChanges` (default false — see [[TxLogSource]]),
   * `startingVersion` (a version number, or `latest` to stream only
   * commits made after the query starts — the initial snapshot is
-  * skipped; default 0 = snapshot-then-deltas).
+  * skipped; default 0 = snapshot-then-deltas), `changeFeed` (default
+  * false — stream [[TxLog.changeFeed]]'s tagged insert/delete rows
+  * instead of raw appends, so deletes and rewrites flow as CDC events
+  * rather than failing the append contract; adds `_change_type` /
+  * `_commit_version` columns).
   */
 class TxLogSourceProvider extends StreamSourceProvider with RelationProvider
     with CreatableRelationProvider with DataSourceRegister {
@@ -203,10 +232,23 @@ class TxLogSourceProvider extends StreamSourceProvider with RelationProvider
     }
   }
 
+  /** The change-feed stream's row shape: the table's columns plus the
+    * CDC tags [[TxLog.changeFeed]] attaches.
+    */
+  private def feedSchema(base: StructType): StructType = base
+    .add("_change_type", org.apache.spark.sql.types.StringType)
+    .add("_commit_version", org.apache.spark.sql.types.LongType)
+
+  private def wantFeed(params: Map[String, String]): Boolean =
+    params.collectFirst { case (k, v) if k.equalsIgnoreCase("changefeed") =>
+      v.toBoolean }.getOrElse(false)
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, params: Map[String, String]): (String, StructType) =
-    (s"txlog:${dirOf(params)}", schema.getOrElse(
-      TxLog.snapshotSchema(ctx.sparkSession, dirOf(params))))
+    (s"txlog:${dirOf(params)}", schema.getOrElse {
+      val base = TxLog.snapshotSchema(ctx.sparkSession, dirOf(params))
+      if (wantFeed(params)) feedSchema(base) else base
+    })
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -218,9 +260,17 @@ class TxLogSourceProvider extends StreamSourceProvider with RelationProvider
       case Some(n) => n.toLong
       case None => 0L
     }
+    val feed = p.get("changefeed").exists(_.toBoolean)
+    val ignore = p.get("ignorechanges").exists(_.toBoolean)
+    require(!(feed && ignore),
+      "changeFeed already streams removals as tagged deletes; " +
+        "ignoreChanges contradicts it")
     new TxLogSource(ctx.sparkSession, dir,
-      schema.getOrElse(TxLog.snapshotSchema(ctx.sparkSession, dir)),
-      ignoreChanges = p.get("ignorechanges").exists(_.toBoolean),
-      startingVersion = startV)
+      schema.getOrElse {
+        val base = TxLog.snapshotSchema(ctx.sparkSession, dir)
+        if (feed) feedSchema(base) else base
+      },
+      ignoreChanges = ignore,
+      startingVersion = startV, changeFeed = feed)
   }
 }

@@ -26,6 +26,20 @@ object SqlBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Streaming-tagged variant — the wrapper a V1 `Source.getBatch`
+    * needs when its micro-batch is a COMPOSED plan (joins/unions/
+    * exceptAll) rather than a single relation whose leaf could be
+    * re-tagged: the batch plan's lazily-planned RDD becomes the leaf of
+    * an `isStreaming=true` LogicalRDD (the same move Kafka's source
+    * makes with its per-batch RDD).
+    */
+  def internalCreateStreamingDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
   /** DataFrame over a hand-built logical plan — the constructor a custom
     * LogicalPlan node (e.g. [[graft.plans.AsOfJoinNode]]) needs, hidden
     * behind `private[sql]` as `classic.Dataset.ofRows` in Spark 4.

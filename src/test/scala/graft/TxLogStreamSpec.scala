@@ -197,4 +197,68 @@ class TxLogStreamSpec extends AnyFunSuite {
         .as[Long].collect().toSeq.sorted)
     } finally q.stop()
   }
+
+  /** Drive a changeFeed-mode stream, recording (_change_type, id,
+    * _commit_version) triples.
+    */
+  private def driveFeed(t: String, cp: String,
+      rows: ArrayBuffer[(String, Long, Long)]) = {
+    val q = spark.readStream.format("txlog")
+      .option("changeFeed", "true").load(t)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = b.collect().map(x => (x.getAs[String]("_change_type"),
+          x.getAs[Long]("id"), x.getAs[Long]("_commit_version")))
+        if (r.nonEmpty) rows.synchronized { rows ++= r }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  test("changeFeed stream: deletes and rewrites arrive as tagged CDC rows") {
+    val t = fresh("cdf")
+    TxLog.commit(spark, t, (0L until 10L).toDF("id"))
+    val got = ArrayBuffer.empty[(String, Long, Long)]
+    val q = driveFeed(t, fresh("cdf_cp"), got)
+    try {
+      // initial batch: the snapshot as v1 inserts
+      assert(got.size == 10 && got.forall(r => r._1 == "insert" && r._3 == 1L))
+      TxLog.commit(spark, t, (10L until 15L).toDF("id"), append = true)
+      q.processAllAvailable()
+      assert(got.count(_._3 == 2L) == 5)
+      // the DV delete that FAILS the append stream flows here as
+      // tagged delete rows — the whole point of the mode
+      TxLog.deleteVectored(spark, t, "id", Some(3L), Some(5L))
+      q.processAllAvailable()
+      val dels = got.synchronized(got.filter(_._1 == "delete")).sortBy(_._2)
+      assert(dels.map(_._2) == Seq(3L, 4L, 5L) && dels.forall(_._3 == 3L))
+      // physical reorganization stays silent in feed mode too
+      TxLog.purgeDeletes(spark, t)
+      q.processAllAvailable()
+      assert(got.size == 18, s"purge must add nothing: $got")
+    } finally q.stop()
+  }
+
+  test("changeFeed checkpoint restart resumes exactly-once") {
+    val t = fresh("cdf_restart")
+    val cp = fresh("cdf_restart_cp")
+    TxLog.commit(spark, t, (0L until 6L).toDF("id"))
+    val got = ArrayBuffer.empty[(String, Long, Long)]
+    val q1 = driveFeed(t, cp, got)
+    q1.stop()
+    assert(got.size == 6)
+    // changes land while the stream is down; the restart folds exactly
+    // them — no replay of v1, no loss
+    TxLog.commit(spark, t, (6L until 9L).toDF("id"), append = true)
+    TxLog.deleteVectored(spark, t, "id", Some(0L), Some(0L))
+    got.clear()
+    val q2 = driveFeed(t, cp, got)
+    try {
+      val byKind = got.synchronized(got.toList).groupBy(_._1)
+      assert(byKind("insert").map(_._2).sorted == Seq(6L, 7L, 8L))
+      assert(byKind("delete").map(_._2) == Seq(0L))
+    } finally q2.stop()
+  }
 }
