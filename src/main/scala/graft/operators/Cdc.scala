@@ -342,8 +342,16 @@ object Cdc {
       delta.select(dims.map(col) :+ col("dn").as("n") :+ col("dv").as("total"): _*)
         .limit(0)
     }
-    val next = base.join(delta, dims, "full_outer")
-      .select(dims.map(col) ++ Seq(
+    // NULL-SAFE group equality: a NULL dim value is a legitimate group
+    // (GROUP BY treats all NULLs as one), but a plain using-columns
+    // full_outer never matches NULL keys — the base's null group and the
+    // delta's would each survive as separate rows, duplicating the
+    // group on every fold
+    val dDelta = delta.select(
+      dims.map(c => col(c).as(s"__d_$c")) ++ Seq(col("dn"), col("dv")): _*)
+    val cond = dims.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
+    val next = base.join(dDelta, cond, "full_outer")
+      .select(dims.map(c => coalesce(col(c), col(s"__d_$c")).as(c)) ++ Seq(
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
         (coalesce(col("total"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("total")): _*)
       .filter(col("n") > 0L)

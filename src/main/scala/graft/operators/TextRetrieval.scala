@@ -305,9 +305,11 @@ object TextRetrieval {
     * throw from readWhereIn's non-empty-probe contract.
     */
   private def emptyTopK(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    // score_pm is BIGINT in the real paths (ContribSql's trailing
+    // IntegralDivide returns long) — the empty frame must match or a
+    // consumer unioning batch results breaks on the degenerate case
     spark.range(0).select(col("id").as("query_id"), col("id").as("doc_id"),
-      col("id").cast("decimal(38,0)").as("score_pm"),
-      col("id").cast("int").as("rnk"))
+      col("id").as("score_pm"), col("id").cast("int").as("rnk"))
 
   private def emptyPostings(spark: org.apache.spark.sql.SparkSession): DataFrame =
     spark.range(0).select(col("id").as("doc_id"),

@@ -31,14 +31,23 @@ object PipelineQueries extends QueryPack {
     * regenerations), and q225 does NOT cache: it mutates the index and
     * its requires pin exact version counts from a fresh build.
     */
-  private val builtIndexes =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def buildOnce(ix: String)(build: => Unit): Unit =
+  private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Void]]()
+  private def buildOnce(ix: String)(build: => Unit): Unit = {
     // atomic claim-then-build: a lost check-then-act race would let a
-    // second builder DELETE the dir under the first's in-flight build.
-    // A failed build releases the claim so the next execution retries.
-    if (builtIndexes.add(ix))
-      try build catch { case e: Throwable => builtIndexes.remove(ix); throw e }
+    // second builder DELETE the dir under the first's in-flight build —
+    // and a loser must WAIT for the winner's build (querying a
+    // half-built index reads a dir the winner just deleted). A failed
+    // build releases the claim so the next execution retries; waiters
+    // on the failed future surface the build error.
+    val mine = new java.util.concurrent.CompletableFuture[Void]()
+    val prior = builtIndexes.putIfAbsent(ix, mine)
+    if (prior == null)
+      try { build; mine.complete(null); () }
+      catch { case e: Throwable =>
+        builtIndexes.remove(ix, mine); mine.completeExceptionally(e); throw e }
+    else prior.join()
+  }
 
   private val ngramPairsSql =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

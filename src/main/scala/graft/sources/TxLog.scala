@@ -1221,16 +1221,7 @@ object TxLog {
     // answer a scan gives", so decline
     if (entries.exists(e => dvOf(e._2).isDefined)) return None
     val live = entries.filter(_._2.get(RowsKey).forall(_.min.toLong > 0L))
-    if (live.isEmpty) return Some(0.0)
-    val sks = live.map(_._2.get(sketchKey(colName)))
-    if (sks.exists(_.isEmpty)) return None
-    val got = sks.flatten
-    val k = got.map(_.max.toInt).min
-    if (k < 2) return None
-    val merged = got.flatMap(st => unpackSketch(st.min)).distinct.sorted
-    if (merged.isEmpty) Some(0.0)
-    else if (merged.length < k) Some(merged.length.toDouble)
-    else Some((k - 1) * 4294967296.0 / merged(k - 1).toDouble)
+    mergeNdv(live.map(_._2), colName)
   }
 
   /** Merged KMV NDV estimate over a SUBSET of batch stats maps — the
@@ -1585,6 +1576,13 @@ object TxLog {
     val (withDv, clean) = entries.partition(e =>
       dvOf(e._2).isDefined || batchRows(e._2).isEmpty)
     if (withDv.forall(e => dvOf(e._2).isEmpty)) return None
+    // a DV-carrying batch WITHOUT a row count (legacy manifest line)
+    // makes the fraction unmeasurable — counting it zero would silently
+    // disable the policy forever ("can never trigger"), so purge: the
+    // rewrite re-commits those lines with stats-era row counts, making
+    // every later measurement exact (one-time self-heal, not a loop)
+    if (withDv.exists(e => dvOf(e._2).isDefined && batchRows(e._2).isEmpty))
+      return Some(purgeDeletes(spark, tableDir))
     val dvRows = withDv.map(e => batchRows(e._2).getOrElse(0L)).sum
     val total = dvRows + clean.map(e => batchRows(e._2).getOrElse(0L)).sum
     if (total == 0L || dvRows.toDouble / total <= maxDvFraction) None

@@ -223,6 +223,13 @@ class IndexSpec extends AnyFunSuite {
     val noQueries = bmQueries(docs).filter(col("query_id") < 0)
     assert(TextRetrieval.bm25TopKIndexed(spark, ix, noQueries, 5).isEmpty)
     assert(TextRetrieval.bm25TopKPrunedIndexed(spark, ix, noQueries, 5).isEmpty)
+    // the degenerate frame must carry the REAL output schema (names and
+    // types; nullability is union-compatible either way): a consumer
+    // unions per-batch results, and a type drift on the empty case
+    // breaks exactly the batch that looks safest
+    def shape(df: DataFrame) = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(TextRetrieval.bm25TopKIndexed(spark, ix, noQueries, 5)) ==
+      shape(TextRetrieval.bm25TopKIndexed(spark, ix, bmQueries(docs), 5)))
     // an empty delete set is a FULL no-op (a partial commit here would
     // break the four-table lockstep permanently)
     TextRetrieval.removeFromIndex(spark, ix,

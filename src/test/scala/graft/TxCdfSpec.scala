@@ -146,6 +146,29 @@ class TxCdfSpec extends AnyFunSuite {
     assert(sameBag(view(), recompute()))
   }
 
+  test("maintainAggView: NULL group keys stay ONE group across folds") {
+    import graft.operators.Cdc
+    val t = fresh("mav_null"); val v = fresh("mav_null_view")
+    def mk(lo: Long, hi: Long): DataFrame = spark.range(lo, hi).select(
+      col("id").as("k"),
+      when(col("id") % 2L === 0L, lit(null).cast("long"))
+        .otherwise(col("id") % 3L).as("g"),
+      (col("id") * 3L).as("v"))
+    TxLog.commit(spark, t, mk(0L, 100L))
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v").isDefined)
+    // the second fold's null-group delta must MERGE into the stored
+    // null-group row (GROUP BY null semantics), not duplicate it —
+    // plain using-columns join equality would split it
+    TxLog.commit(spark, t, mk(100L, 200L), append = true)
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v").isDefined)
+    val view = TxLog.read(spark, v).drop("_maintained_to")
+    val want = TxLog.read(spark, t).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    assert(sameBag(view, want))
+    assert(view.filter(col("g").isNull).count() == 1,
+      "exactly one NULL-group row")
+  }
+
   test("feed range validation fails loud") {
     val t = fresh("bounds")
     TxLog.commit(spark, t, data(0L, 10L))
