@@ -2011,8 +2011,16 @@ object TxLog {
     def entriesOf(v: Long): Map[String, (Map[String, ColStats],
         Option[org.apache.spark.sql.types.StructType])] =
       if (v == 0) Map.empty
-      else readManifest(spark, tableDir, v).map(parseLineFull)
+      else try readManifest(spark, tableDir, v).map(parseLineFull)
         .map(e => e._1 -> (e._2, e._3)).toMap
+      catch { case e: java.io.IOException =>
+        // the standard CDC retention contract, failed LOUD at planning
+        // instead of as a task-level FileNotFound mid-replay
+        throw new IllegalStateException(
+          s"change feed over $tableDir needs manifest v$v, which a " +
+            "vacuum has reclaimed — consumers must fold before retention " +
+            "passes them (keep vacuum retainFrom ≤ fromV + 1)", e)
+      }
     def tagged(df: DataFrame, kind: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(kind))
         .withColumn("_commit_version", lit(v))

@@ -176,4 +176,16 @@ class TxCdfSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TxLog.changeFeed(spark, t, 0L, 2L))
     intercept[IllegalArgumentException](TxLog.changeFeed(spark, t, -1L, 1L))
   }
+
+  test("a feed spanning vacuumed versions fails loud at planning, not mid-replay") {
+    val t = fresh("vacuumed")
+    (0 until 3).foreach(i => TxLog.commit(spark, t,
+      data(i * 10L, i * 10L + 10L), append = i > 0))
+    TxLog.vacuum(spark, t, retainFrom = 2L)
+    // replaying v2 needs manifest v1 (the diff base) — reclaimed
+    val e = intercept[IllegalStateException](TxLog.changeFeed(spark, t, 1L, 3L))
+    assert(e.getMessage.contains("vacuum"))
+    // the retained tail still replays: v3's diff base (v2) survives
+    assert(TxLog.changeFeed(spark, t, 2L, 3L).count() == 10L)
+  }
 }
