@@ -2061,7 +2061,18 @@ object TxLog {
     }
     if (perVersion.isEmpty)
       tagged(read(spark, tableDir, asOf = Some(toV)).limit(0), "insert", toV)
-    else perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      // balanced pairwise union: a consumer catching up over thousands
+      // of versions gets an O(log n)-deep plan tree, not the linear
+      // left-fold that stack-overflows the analyzer at that scale
+      var level: Seq[DataFrame] = perVersion.toSeq
+      while (level.size > 1)
+        level = level.grouped(2).map {
+          case Seq(a, b) => a.unionByName(b, allowMissingColumns = true)
+          case Seq(a) => a
+        }.toSeq
+      level.head
+    }
   }
 
   /** Range read with manifest-level file skipping: batches whose
