@@ -835,6 +835,73 @@ object TextRetrieval {
         Seq("tok", "doc_id"), batches, append = true)
   }
 
+  /** Proximity-match core shared by the recompute and indexed paths:
+    * an ANCHOR is any position p of any query term in a doc; it
+    * matches when the window [p, p+w) holds ALL n distinct query terms
+    * (unordered — the "all these words near each other" semantics
+    * between exact phrase and bag-of-words BM25). Docs rank by
+    * matching-anchor count (ties by doc_id). The window join is a
+    * band join over positions of the QUERY VOCABULARY only, so
+    * fan-out is posting-bounded × w — never corpus- or doc-length-
+    * scaled beyond the lists themselves.
+    */
+  private def proximityCore(pos: DataFrame, terms: DataFrame, window: Int,
+      k: Int): DataFrame = {
+    val nTerms = terms.groupBy(col("query_id"))
+      .agg(countDistinct(col("tok")).as("n"))
+    val qpos = pos.join(broadcast(terms.select(col("query_id"), col("tok"))
+        .distinct()), Seq("tok"))
+      .select(col("query_id"), col("doc_id"), col("p"), col("tok"))
+    val anchors = qpos.select(col("query_id"), col("doc_id"),
+      col("p").as("a"))
+    val hits = anchors.join(qpos, Seq("query_id", "doc_id"))
+      .filter(col("p") >= col("a") && col("p") < col("a") + window)
+      .groupBy(col("query_id"), col("doc_id"), col("a"))
+      .agg(countDistinct(col("tok")).as("seen"))
+      .join(broadcast(nTerms), Seq("query_id"))
+      .filter(col("seen") === col("n"))
+    val scores = hits.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_anchors"))
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_anchors").desc, col("doc_id"))
+    scores.withColumn("rnk", row_number().over(byScore).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_anchors"), col("rnk"))
+  }
+
+  /** Proximity top-k over raw docs: tokenize once, then
+    * [[proximityCore]]. `queries` carries (query_id, tok) rows —
+    * [[bm25TopK]]'s query shape, because proximity is the retrieval
+    * refinement of the same bag of terms.
+    */
+  def proximityTopK(docs: DataFrame, queries: DataFrame, window: Int,
+      k: Int = 10): DataFrame = {
+    require(window > 0 && k > 0, s"bad window $window / k $k")
+    proximityCore(tokenPositions(docs), queries, window, k)
+  }
+
+  /** [[proximityTopK]] answered from the SAME prebuilt
+    * [[buildPositionalIndex]] the phrase path reads — one committed
+    * positions table serves exact phrase AND proximity (Lucene's
+    * positions file serving both PhraseQuery and sloppy spans). The
+    * query vocabulary manifest-prunes; everything else is
+    * posting-bounded.
+    */
+  def proximityTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, window: Int, k: Int = 10,
+      asOf: Option[Long] = None): DataFrame = {
+    import graft.sources.TxLog
+    require(window > 0 && k > 0, s"bad window $window / k $k")
+    val toks = queries.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (toks.isEmpty)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("n_anchors"), col("id").as("rnk"))
+    graft.plans.TxStatsRule.register(posDir(indexDir))
+    val pos = TxLog.readWhereIn(spark, posDir(indexDir), "tok", toks, asOf)
+    proximityCore(pos, queries, window, k)
+  }
+
   /** Document deletes from the positional index: tombstone the doomed
     * docs' position rows merge-on-read ([[graft.sources.TxLog
     * .mergeVectored]] — every committed batch carries forward verbatim,

@@ -4444,8 +4444,89 @@ object PipelineQueries extends QueryPack {
              |  CAST(sum(o_custkey) AS BIGINT) AS total
              |FROM orders
              |WHERE o_custkey NOT BETWEEN 100 AND 200
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q232: PROXIMITY TOP-K (TextRetrieval.proximityTopK) — "all these
+    // words NEAR each other", the retrieval semantics between exact
+    // phrase (q228: ordered, adjacent) and BM25's bag of words (q210:
+    // anywhere in the doc). An anchor position matches when the
+    // 8-token window starting there holds all n distinct query terms,
+    // any order; docs rank by matching-anchor count. All integer
+    // arithmetic — hash-verifies cross-engine.
+    QueryDef(
+      "q232_proximity_topk",
+      (s, dir) => {
+        import s.implicits._
+        val docs = T.documents(s, dir)
+        val q = docs.filter($"doc_id" % 97L === 1L)
+          .select($"doc_id".as("query_id"),
+            explode(slice(filter(split($"text", "\\s+"),
+              t => length(t) > lit(0)), 1, 3)).as("tok"))
+        graft.operators.TextRetrieval.proximityTopK(docs, q, window = 8, k = 5)
+      },
+      Some(proximitySql)),
+
+    // ------------------------------------------------------------------
+    // q233: INDEX-BACKED PROXIMITY — answered from the SAME committed
+    // positional index q229 reads (one positions table serves exact
+    // phrase AND proximity, the Lucene positions-file economics): the
+    // query vocabulary manifest-prunes the token-clustered postings,
+    // the window band-join runs over the touched lists only. Oracle is
+    // q232's SQL VERBATIM — bit-identical through the index path.
+    QueryDef(
+      "q233_proximity_indexed",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val ix = s"${graft.GraftSession.scratchBase}/graft_posix_$sfName"
+        val docs = T.documents(s, dir)
+        buildOnce(ix)(graft.operators.TextRetrieval
+          .buildPositionalIndex(s, ix, docs, batches = 32))
+        val q = docs.filter($"doc_id" % 97L === 1L)
+          .select($"doc_id".as("query_id"),
+            explode(slice(filter(split($"text", "\\s+"),
+              t => length(t) > lit(0)), 1, 3)).as("tok"))
+        graft.operators.TextRetrieval.proximityTopKIndexed(s, ix, q,
+          window = 8, k = 5)
+      },
+      Some(proximitySql))
   )
+
+  /** Proximity ground truth shared verbatim by q232 (recompute) and
+    * q233 (indexed) — 1-based positions, 8-token windows, distinct-term
+    * coverage, anchor-count ranking, k = 5.
+    */
+  private val proximitySql =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |    t -> length(t) > 0) AS l
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS p FROM w),
+      |qd AS (
+      |  SELECT DISTINCT doc_id AS query_id, unnest(l[1:3]) AS tok
+      |  FROM w WHERE doc_id % 97 = 1),
+      |n AS (SELECT query_id, count(DISTINCT tok) AS n FROM qd GROUP BY 1),
+      |qpos AS (
+      |  SELECT qd.query_id, p.doc_id, p.p, p.tok
+      |  FROM pos p JOIN qd ON p.tok = qd.tok),
+      |hits AS (
+      |  SELECT a.query_id, a.doc_id, a.p AS anchor,
+      |    count(DISTINCT b.tok) AS seen
+      |  FROM qpos a JOIN qpos b
+      |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+      |    AND b.p >= a.p AND b.p < a.p + 8
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT h.query_id, h.doc_id, count(*) AS n_anchors
+      |  FROM hits h JOIN n USING (query_id)
+      |  WHERE h.seen = n.n GROUP BY 1, 2)
+      |SELECT query_id, doc_id, n_anchors, rnk FROM (
+      |  SELECT query_id, doc_id, n_anchors, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY n_anchors DESC, doc_id) AS rnk
+      |  FROM m) t
+      |WHERE rnk <= 5""".stripMargin
 
   /** Exact-phrase ground truth shared verbatim by the recompute (q228)
     * and indexed (q229) paths — 1-based positions, alignment-count

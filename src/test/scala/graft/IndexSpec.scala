@@ -416,6 +416,30 @@ class IndexSpec extends AnyFunSuite {
       asSet(TextRetrieval.phraseTopK(survivors, ph, 5)))
   }
 
+  test("proximity semantics: unordered within window; scattered scores zero") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha x beta y gamma z"),            // spread but inside one window
+      (1L, "gamma beta alpha"),                  // reversed order still matches
+      (2L, "alpha q w e r t y u i o p beta gamma") // alpha 11 tokens from the rest
+    ).toDF("doc_id", "text")
+    val q = Seq((7L, "alpha"), (7L, "beta"), (7L, "gamma"))
+      .toDF("query_id", "tok")
+    val got = TextRetrieval.proximityTopK(corpus, q, window = 5, k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // docs 0 and 1 each have exactly ONE anchor whose 5-token window
+    // holds all three terms; doc 2's terms never share a window
+    assert(got == Set((0L, 1L), (1L, 1L)))
+    val ix = fresh("prox_sem")
+    TextRetrieval.buildPositionalIndex(spark, ix, corpus, batches = 2)
+    val ixGot = TextRetrieval.proximityTopKIndexed(spark, ix, q, window = 5, k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(ixGot == got)
+    // empty query set degrades
+    assert(TextRetrieval.proximityTopKIndexed(spark, ix,
+      q.filter(col("query_id") < 0), window = 5, k = 5).isEmpty)
+  }
+
   test("phrase semantics: scattered or reordered terms score zero") {
     import spark.implicits._
     val corpus = Seq(

@@ -184,6 +184,33 @@ class TxLogStreamSpec extends AnyFunSuite {
     assert(cnt.collect().head.getLong(0) == 20L)
   }
 
+  test("SQL DDL surface: CREATE TEMPORARY VIEW ... USING txlog, incl. time travel") {
+    val t = fresh("sqlddl")
+    TxLog.commit(spark, t, (0L until 10L).toDF("id"), append = true)
+    val v1 = TxLog.latestVersion(spark, t)
+    TxLog.commit(spark, t, (10L until 30L).toDF("id"), append = true)
+    try {
+      // pure-SQL consumers reach the lakehouse through the standard
+      // USING clause — no Scala API in sight
+      spark.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW tx_sql USING txlog OPTIONS (path '$t')")
+      assert(spark.sql("SELECT count(*) AS n FROM tx_sql").head().getLong(0) == 30L)
+      assert(spark.sql("SELECT sum(id) AS s FROM tx_sql WHERE id >= 25")
+        .head().getLong(0) == (25L until 30L).sum)
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tx_sql_v1 USING txlog " +
+        s"OPTIONS (path '$t', versionAsOf '$v1')")
+      assert(spark.sql("SELECT count(*) FROM tx_sql_v1").head().getLong(0) == 10L)
+      // the relation behind the view is the registered parquet scan, so
+      // manifest pruning fires on ordinary SQL filters too
+      val pruned = spark.sql("SELECT * FROM tx_sql WHERE id >= 25")
+      assert(pruned.inputFiles.map(f => new Path(f).getParent.getName)
+        .toSet.size == 1, "manifest pruning must fire through SQL DDL")
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS tx_sql")
+      spark.sql("DROP VIEW IF EXISTS tx_sql_v1")
+    }
+  }
+
   test("stream total equals batch read after many appends (stream ≡ batch)") {
     val t = fresh("equiv")
     (0 until 5).foreach { i =>
