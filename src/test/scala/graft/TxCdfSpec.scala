@@ -177,6 +177,27 @@ class TxCdfSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TxLog.changeFeed(spark, t, -1L, 1L))
   }
 
+  test("change feed across schema evolution: pre-evolution rows null-fill") {
+    val t = fresh("evolve")
+    TxLog.commit(spark, t, spark.range(0L, 5L).select(col("id").as("k")))
+    TxLog.commit(spark, t, spark.range(5L, 8L)
+      .select(col("id").as("k"), lit("x").as("tag")), append = true)
+    TxLog.deleteVectored(spark, t, "k", Some(1L), Some(1L))
+    val feed = TxLog.changeFeed(spark, t, 0L, 3L).cache()
+    assert(feed.columns.toSet ==
+      Set("k", "tag", "_change_type", "_commit_version"))
+    // v1 rows predate the column: they carry NULL, including the v3
+    // delete pre-image that lives in a pre-evolution batch
+    assert(feed.filter(col("_commit_version") === 1L)
+      .filter(col("tag").isNotNull).isEmpty)
+    assert(feed.filter(col("_commit_version") === 2L)
+      .filter(col("tag") =!= "x").isEmpty)
+    val del = feed.filter(col("_change_type") === "delete").collect()
+    assert(del.length == 1 && del.head.getAs[Long]("k") == 1L &&
+      del.head.getAs[String]("tag") == null)
+    feed.unpersist()
+  }
+
   test("a feed spanning vacuumed versions fails loud at planning, not mid-replay") {
     val t = fresh("vacuumed")
     (0 until 3).foreach(i => TxLog.commit(spark, t,
