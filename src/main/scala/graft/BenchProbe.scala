@@ -131,9 +131,14 @@ object BenchProbe {
 
   /** Run the probe; returns the `"scale_probe"` JSON object. `only`
     * restricts to named families (deep one-off probes, e.g. 100×).
+    * `budget` marks families past the wall-clock limit as skipped;
+    * `onPartial` receives the section JSON after every family so the
+    * caller can persist a truncation-safe artifact (round-9 ask #1).
     */
   def run(spark: SparkSession, sfDir: String, replicas: Int = 10,
-      passes: Int = 2, only: Set[String] = Set.empty): String = {
+      passes: Int = 2, only: Set[String] = Set.empty,
+      budget: BenchBudget = new BenchBudget(0),
+      onPartial: String => Unit = _ => ()): String = {
     val d1 = synthesize(spark, sfDir, 1, "probe1x")
     val dN = synthesize(spark, sfDir, replicas, s"probe${replicas}x",
       includeLineitem = only.isEmpty)
@@ -141,16 +146,26 @@ object BenchProbe {
     // families that idle-measure 1.42×/5.10× — every probe window is
     // now sentinel-guarded (contended windows re-run, survivors named)
     val sent = new Sentinel(spark)
-    val fams = Families
-      .filter { case (fam, _) => only.isEmpty || only(fam) }
-      .map { case (fam, q) =>
-      // 1x first (also warms the plan shapes on the probe fixture paths)
-      val t1 = sent.guard(s"$fam:1x")(minTime(spark, d1, q, passes))
-      val tN = sent.guard(s"$fam:${replicas}x")(minTime(spark, dN, q, passes))
-      val ratio = if (t1 > 0 && tN > 0) tN / t1 else -1.0
-      f""""$fam":{"query":"$q","t1":$t1%.3f,"t$replicas":$tN%.3f,"ratio":$ratio%.2f}"""
+    val fams = scala.collection.mutable.ListBuffer.empty[String]
+    def render(complete: Boolean): String = {
+      val c = if (complete) "" else ""","complete":false"""
+      s"""{"replicas":$replicas,"passes":$passes,${sent.json}$c,"families":{${fams.mkString(",")}}}"""
     }
-    s"""{"replicas":$replicas,"passes":$passes,${sent.json},"families":{${fams.mkString(",")}}}"""
+    Families
+      .filter { case (fam, _) => only.isEmpty || only(fam) }
+      .foreach { case (fam, q) =>
+        if (budget.exhausted)
+          fams += s""""$fam":{"query":"$q","skipped":true}"""
+        else {
+          // 1x first (also warms the plan shapes on the probe fixture paths)
+          val t1 = sent.guard(s"$fam:1x")(minTime(spark, d1, q, passes))
+          val tN = sent.guard(s"$fam:${replicas}x")(minTime(spark, dN, q, passes))
+          val ratio = if (t1 > 0 && tN > 0) tN / t1 else -1.0
+          fams += f""""$fam":{"query":"$q","t1":$t1%.3f,"t$replicas":$tN%.3f,"ratio":$ratio%.2f}"""
+        }
+        onPartial(render(complete = false))
+      }
+    render(complete = true)
   }
 
   /** A/B the optimizer features (round-6 ask #8): the MV rewrite and
@@ -160,87 +175,149 @@ object BenchProbe {
     * "off" is the identical query with the feature's state removed
     * (view dropped / plain snapshot read + residual filter), min over
     * `passes`.
+    *
+    * Round-9 ask #1: the section list is emitted INCREMENTALLY through
+    * `onPartial` (one call per completed family), families past the
+    * `budget` emit `"skipped":true`, and a family that throws emits a
+    * named `"error"` instead of nulling the whole A/B — the r9 driver
+    * artifact died rc 124 with `"ab": null` exactly here.
     */
-  def runAb(spark: SparkSession, replicas: Int = 10, passes: Int = 2): String = {
+  def runAb(spark: SparkSession, replicas: Int = 10, passes: Int = 2,
+      budget: BenchBudget = new BenchBudget(0),
+      onPartial: String => Unit = _ => ()): String = {
     import graft.plans.MvCatalog
     import graft.sources.TxLog
     val dir = s"${GraftSession.scratchBase}/graft_probe${replicas}x"
     val liPath = s"$dir/lineitem.parquet"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // round-9 ask #3: every A/B arm is a sentinel-guarded window (the
     // r8 driver recorded ab.bm25_maxscore 1.52× where idle is 1.97×).
     // Every arm restores its state between passes, so a contended
     // window's re-run is safe by construction.
     val sent = new Sentinel(spark)
 
-    // quantity/price are floats (sum would fall through by design) —
-    // count/min/max is the guard-compatible rollup the view answers
-    def rollup = spark.read.parquet(liPath)
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"),
-        min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    // Each section owns its fixture setup; a later section that needs
+    // an earlier one's state (vars below) inherits its failure as its
+    // own named error rather than dying. Budget exhaustion mid-list
+    // marks the tail skipped — earlier numbers stand.
+    def section(name: String)(body: => String): Unit = {
+      val payload =
+        if (budget.exhausted) """"skipped":true"""
+        else
+          try body
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ab section $name failed: ${e.getMessage}")
+            s""""error":${Bench.jsonStr(e.getMessage)}"""
+          }
+      parts += s""""$name":{$payload}"""
+      onPartial(s"{${parts.mkString(",")},${sent.json},\"complete\":false}")
+    }
+
     def timed(f: => DataFrame): Double = {
       val t0 = System.nanoTime()
       f.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def timedU(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
     // extra passes beyond the probe's: these sub-second measurements
     // need a larger sample for a stable min
     val abPasses = passes.max(4)
     def best(f: => DataFrame): Double = (0 until abPasses).map(_ => timed(f)).min
+    // multi-second arms: `passes` (not abPasses) bounds probe time
+    val mPasses = passes.max(2)
+    val bmPasses = passes.max(2)
 
-    // MV rewrite: same rollup with no view registered vs answered from it
-    val mvOff = sent.guard("mv_off")(best(rollup))
-    MvCatalog.register(spark, "probe_ab_mv", liPath,
-      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), s"$dir/mv_ab")
-    val mvOn = sent.guard("mv_on")(best(rollup))
-    MvCatalog.drop("probe_ab_mv")
+    // cross-section state (set by the section that builds the fixture)
+    var t: String = null // txab 8-batch key-range table (stats_skip)
+    var probeLo = 0L
+    var probeHi = 0L
+    var mt: String = null // txmerge table (merge)
+    var baseV = -1L
+    var rLo = 0L
+    var docsN: DataFrame = null // Zipf corpus, read from parquet (bm25)
+    var embN: DataFrame = null // embedding corpus (ann)
+    var qEmb: DataFrame = null
+
+    // MV rewrite: same rollup with no view registered vs answered from
+    // it. quantity/price are floats (sum would fall through by design)
+    // — count/min/max is the guard-compatible rollup the view answers.
+    section("mv_rewrite") {
+      def rollup = spark.read.parquet(liPath)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
+      val mvOff = sent.guard("mv_off")(best(rollup))
+      MvCatalog.register(spark, "probe_ab_mv", liPath,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), s"$dir/mv_ab")
+      val mvOn = sent.guard("mv_on")(best(rollup))
+      MvCatalog.drop("probe_ab_mv")
+      f""""off":$mvOff%.3f,"on":$mvOn%.3f,"speedup":${mvOff / mvOn.max(0.001)}%.2f"""
+    }
 
     // manifest skipping: 8 committed key-range batches, probe one range;
     // ON = readWhere (manifest prune), OFF = full snapshot + residual
-    val t = s"$dir/txab"
-    val fs = new org.apache.hadoop.fs.Path(t)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(t), true)
-    val li = spark.read.parquet(liPath)
-    val ids = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).collect()(0)
-    val (loAll, hiAll) = (ids.getLong(0), ids.getLong(1))
-    val span = ((hiAll - loAll) / 8L).max(1L)
-    (0L until 8L).foreach { i =>
-      val lo = loAll + i * span
-      val hi = if (i == 7L) Long.MaxValue else loAll + (i + 1L) * span - 1L
-      TxLog.commit(spark, t,
-        li.filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi),
-        append = true)
+    section("stats_skip") {
+      t = s"$dir/txab"
+      fs.delete(new org.apache.hadoop.fs.Path(t), true)
+      val li = spark.read.parquet(liPath)
+      val ids = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).collect()(0)
+      val (loAll, hiAll) = (ids.getLong(0), ids.getLong(1))
+      val span = ((hiAll - loAll) / 8L).max(1L)
+      (0L until 8L).foreach { i =>
+        val lo = loAll + i * span
+        val hi = if (i == 7L) Long.MaxValue else loAll + (i + 1L) * span - 1L
+        TxLog.commit(spark, t,
+          li.filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi),
+          append = true)
+      }
+      probeLo = loAll + span
+      probeHi = loAll + 2L * span - 1L
+      def agg(df: DataFrame): DataFrame = df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), min(col("l_discount")).as("lo"))
+      // the documented readWhere contract: manifest prune + the residual
+      // range filter (exactness + parquet row-group pushdown INSIDE kept
+      // batches) — both arms then run the identical filtered aggregate
+      def pruned = TxLog.readWhere(spark, t, "l_orderkey", Some(probeLo), Some(probeHi))
+        .filter(col("l_orderkey") >= probeLo && col("l_orderkey") <= probeHi)
+      def full = TxLog.read(spark, t)
+        .filter(col("l_orderkey") >= probeLo && col("l_orderkey") <= probeHi)
+      val skipOn = sent.guard("skip_on")(best(agg(pruned)))
+      val skipOff = sent.guard("skip_off")(best(agg(full)))
+      // wall-clock alone under-reports the feature on THIS box: the table
+      // sits in tmpfs, so the skipped bytes cost ~0 to "read" — the
+      // deterministic planning-side metric (files Spark lists/opens) is
+      // the one that translates to object-store scale, where every
+      // skipped file is a saved LIST+GET+footer round-trip
+      val filesOn = pruned.inputFiles.length
+      val filesOff = full.inputFiles.length
+      f""""off":$skipOff%.3f,"on":$skipOn%.3f,"speedup":${skipOff / skipOn.max(0.001)}%.2f,""" +
+        f""""files_off":$filesOff,"files_on":$filesOn,"files_ratio":${filesOff.toDouble / filesOn.max(1)}%.2f"""
     }
-    val probeLo = loAll + span
-    val probeHi = loAll + 2L * span - 1L
-    def agg(df: DataFrame): DataFrame = df.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), min(col("l_discount")).as("lo"))
-    // the documented readWhere contract: manifest prune + the residual
-    // range filter (exactness + parquet row-group pushdown INSIDE kept
-    // batches) — both arms then run the identical filtered aggregate
-    def pruned = TxLog.readWhere(spark, t, "l_orderkey", Some(probeLo), Some(probeHi))
-      .filter(col("l_orderkey") >= probeLo && col("l_orderkey") <= probeHi)
-    def full = TxLog.read(spark, t)
-      .filter(col("l_orderkey") >= probeLo && col("l_orderkey") <= probeHi)
-    val skipOn = sent.guard("skip_on")(best(agg(pruned)))
-    val skipOff = sent.guard("skip_off")(best(agg(full)))
-    // wall-clock alone under-reports the feature on THIS box: the table
-    // sits in tmpfs, so the skipped bytes cost ~0 to "read" — the
-    // deterministic planning-side metric (files Spark lists/opens) is
-    // the one that translates to object-store scale, where every
-    // skipped file is a saved LIST+GET+footer round-trip
-    val filesOn = pruned.inputFiles.length
-    val filesOff = full.inputFiles.length
 
     // metadata aggregates (TxAggRule): global count/min/max answered
     // from the manifest vs scanned. The OFF arm must run FIRST —
     // registration is table-level and sticky, so once `TxLog.table`
     // registers the dir even plain reads become answerable.
-    def metaQ(df: DataFrame) = df.groupBy().agg(count(lit(1)).as("n"),
-      min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
-    val metaOff = sent.guard("meta_off")(best(metaQ(TxLog.read(spark, t))))
-    val metaOn = sent.guard("meta_on")(best(metaQ(TxLog.table(spark, t))))
+    section("meta_agg") {
+      def metaQ(df: DataFrame) = df.groupBy().agg(count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+      val metaOff = sent.guard("meta_off")(best(metaQ(TxLog.read(spark, t))))
+      val metaOn = sent.guard("meta_on")(best(metaQ(TxLog.table(spark, t))))
+      f""""off":$metaOff%.3f,"on":$metaOn%.3f,"speedup":${metaOff / metaOn.max(0.001)}%.2f"""
+    }
+
+    // cross-section helper: bytes in batch dirs added since baseV
+    def newBytes(): Long = {
+      val base = TxLog.manifest(spark, mt, Some(baseV)).map(_._1).toSet
+      TxLog.manifest(spark, mt).map(_._1).filterNot(base)
+        .map(d => fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$mt/$d")).getLength)
+        .sum
+    }
 
     // surgical MERGE vs full-rewrite upsert (round-7): the manifest
     // stats that skip READS skip REWRITES — a delta confined to one of
@@ -252,106 +329,113 @@ object BenchProbe {
     // ⇒ unique). Both strategies start from the SAME snapshot via
     // RESTORE between passes (pure metadata, re-references the same
     // dirs), so the min-of-passes timings compare layouts, not drift.
-    val mt = s"$dir/txmerge"
-    fs.delete(new org.apache.hadoop.fs.Path(mt), true)
-    // the fixture is TPC-H-ish: (orderkey, linenumber) is NOT unique, so
-    // dedup on the derived key (~3% of rows drop; merge needs unique keys)
-    val keyed = spark.read.parquet(liPath)
-      .withColumn("rk", col("l_orderkey") * 8L + col("l_linenumber"))
-      .dropDuplicates("rk")
-    val rids = keyed.agg(min(col("rk")), max(col("rk"))).collect()(0)
-    val (rLo, rHi) = (rids.getLong(0), rids.getLong(1))
-    val rSpan = ((rHi - rLo) / 8L).max(1L)
-    (0L until 8L).foreach { i =>
-      val lo = rLo + i * rSpan
-      val hi = if (i == 7L) Long.MaxValue else rLo + (i + 1L) * rSpan - 1L
-      TxLog.commit(spark, mt,
-        keyed.filter(col("rk") >= lo && col("rk") <= hi), append = true)
-    }
-    val baseV = TxLog.latestVersion(spark, mt)
-    // delta keys from the DENSE head of batch 0 — the replicated key
-    // space is `4·replicas` narrow islands, so an arbitrary range cut
-    // could select zero rows and the merge would no-op
-    val delta = keyed
-      .filter(col("rk") >= rLo && col("rk") <= rLo + 63999L)
-      .withColumn("l_quantity", col("l_quantity") + lit(1.0))
-      .persist()
-    require(delta.count() > 0L, "probe delta must hit existing keys")
-    def timedU(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    // these arms are multi-second: `passes` (not abPasses) bounds probe time
-    val mPasses = passes.max(2)
-    val mergeSurgical = sent.guard("merge_surgical")((0 until mPasses).map { _ =>
-      val s0 = timedU(TxLog.merge(spark, mt, delta, "rk"))
-      TxLog.restore(spark, mt, baseV); s0
-    }.min)
-    val mergeFull = sent.guard("merge_full")((0 until mPasses).map { _ =>
-      val s0 = timedU {
-        val full = TxLog.read(spark, mt)
+    section("merge") {
+      mt = s"$dir/txmerge"
+      fs.delete(new org.apache.hadoop.fs.Path(mt), true)
+      // the fixture is TPC-H-ish: (orderkey, linenumber) is NOT unique, so
+      // dedup on the derived key (~3% of rows drop; merge needs unique keys)
+      val keyed = spark.read.parquet(liPath)
+        .withColumn("rk", col("l_orderkey") * 8L + col("l_linenumber"))
+        .dropDuplicates("rk")
+      val rids = keyed.agg(min(col("rk")), max(col("rk"))).collect()(0)
+      val rHi = rids.getLong(1)
+      rLo = rids.getLong(0)
+      val rSpan = ((rHi - rLo) / 8L).max(1L)
+      (0L until 8L).foreach { i =>
+        val lo = rLo + i * rSpan
+        val hi = if (i == 7L) Long.MaxValue else rLo + (i + 1L) * rSpan - 1L
         TxLog.commit(spark, mt,
-          full.join(delta.select(col("rk")), Seq("rk"), "left_anti")
-            .unionByName(delta))
+          keyed.filter(col("rk") >= lo && col("rk") <= hi), append = true)
       }
-      TxLog.restore(spark, mt, baseV); s0
-    }.min)
-    // third arm: MERGE-ON-READ (mergeVectored) — tombstone matched
-    // positions, append the delta; zero data-file rewrites
-    val mergeVec = sent.guard("merge_vectored")((0 until mPasses).map { _ =>
-      val s0 = timedU(TxLog.mergeVectored(spark, mt, delta, "rk"))
-      TxLog.restore(spark, mt, baseV); s0
-    }.min)
-    // deterministic structure metrics alongside the wall-clock: batches
-    // carried verbatim and BYTES REWRITTEN per strategy — the numbers
-    // that translate to object-store scale, where every rewritten byte
-    // is a PUT and tmpfs-free I/O isn't
-    def newBytes(): Long = {
-      val base = TxLog.manifest(spark, mt, Some(baseV)).map(_._1).toSet
-      TxLog.manifest(spark, mt).map(_._1).filterNot(base)
-        .map(d => fs.getContentSummary(
-          new org.apache.hadoop.fs.Path(s"$mt/$d")).getLength)
-        .sum
+      baseV = TxLog.latestVersion(spark, mt)
+      // delta keys from the DENSE head of batch 0 — the replicated key
+      // space is `4·replicas` narrow islands, so an arbitrary range cut
+      // could select zero rows and the merge would no-op
+      val delta = keyed
+        .filter(col("rk") >= rLo && col("rk") <= rLo + 63999L)
+        .withColumn("l_quantity", col("l_quantity") + lit(1.0))
+        .persist()
+      require(delta.count() > 0L, "probe delta must hit existing keys")
+      val mergeSurgical = sent.guard("merge_surgical")((0 until mPasses).map { _ =>
+        val s0 = timedU(TxLog.merge(spark, mt, delta, "rk"))
+        TxLog.restore(spark, mt, baseV); s0
+      }.min)
+      val mergeFull = sent.guard("merge_full")((0 until mPasses).map { _ =>
+        val s0 = timedU {
+          val full = TxLog.read(spark, mt)
+          TxLog.commit(spark, mt,
+            full.join(delta.select(col("rk")), Seq("rk"), "left_anti")
+              .unionByName(delta))
+        }
+        TxLog.restore(spark, mt, baseV); s0
+      }.min)
+      // third arm: MERGE-ON-READ (mergeVectored) — tombstone matched
+      // positions, append the delta; zero data-file rewrites
+      val mergeVec = sent.guard("merge_vectored")((0 until mPasses).map { _ =>
+        val s0 = timedU(TxLog.mergeVectored(spark, mt, delta, "rk"))
+        TxLog.restore(spark, mt, baseV); s0
+      }.min)
+      // deterministic structure metrics alongside the wall-clock: batches
+      // carried verbatim and BYTES REWRITTEN per strategy — the numbers
+      // that translate to object-store scale, where every rewritten byte
+      // is a PUT and tmpfs-free I/O isn't
+      TxLog.merge(spark, mt, delta, "rk")
+      val baseDirs = TxLog.manifest(spark, mt, Some(baseV)).map(_._1).toSet
+      val afterDirs = TxLog.manifest(spark, mt).map(_._1).toSet
+      val carried = baseDirs.intersect(afterDirs).size
+      val surgicalBytes = newBytes()
+      TxLog.restore(spark, mt, baseV)
+      TxLog.commit(spark, mt,
+        TxLog.read(spark, mt).join(delta.select(col("rk")), Seq("rk"), "left_anti")
+          .unionByName(delta))
+      val fullBytes = newBytes()
+      TxLog.restore(spark, mt, baseV)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$mt/dv"), true)
+      TxLog.mergeVectored(spark, mt, delta, "rk")
+      val vecBytes = newBytes() + fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$mt/dv")).getLength
+      delta.unpersist()
+      TxLog.restore(spark, mt, baseV)
+      f""""full_rewrite":$mergeFull%.3f,"surgical":$mergeSurgical%.3f,""" +
+        f""""vectored":$mergeVec%.3f,""" +
+        f""""speedup":${mergeFull / mergeSurgical.max(0.001)}%.2f,""" +
+        f""""batches_total":${baseDirs.size},"batches_carried":$carried,""" +
+        f""""bytes_full":$fullBytes,"bytes_surgical":$surgicalBytes,""" +
+        f""""bytes_vectored":$vecBytes,""" +
+        f""""bytes_ratio":${fullBytes.toDouble / surgicalBytes.max(1L)}%.2f,""" +
+        f""""bytes_ratio_vectored":${fullBytes.toDouble / vecBytes.max(1L)}%.2f"""
     }
-    TxLog.merge(spark, mt, delta, "rk")
-    val baseDirs = TxLog.manifest(spark, mt, Some(baseV)).map(_._1).toSet
-    val afterDirs = TxLog.manifest(spark, mt).map(_._1).toSet
-    val carried = baseDirs.intersect(afterDirs).size
-    val surgicalBytes = newBytes()
-    TxLog.restore(spark, mt, baseV)
-    TxLog.commit(spark, mt,
-      TxLog.read(spark, mt).join(delta.select(col("rk")), Seq("rk"), "left_anti")
-        .unionByName(delta))
-    val fullBytes = newBytes()
-    TxLog.restore(spark, mt, baseV)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$mt/dv"), true)
-    TxLog.mergeVectored(spark, mt, delta, "rk")
-    val vecBytes = newBytes() + fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(s"$mt/dv")).getLength
-    delta.unpersist()
 
     // DELETION VECTORS vs copy-on-write delete (round-7): the doomed
     // range is confined to ONE of 8 batches; copy-on-write rewrites
     // that batch's survivors, merge-on-read writes a tombstone sidecar
     // and touches no data file. Deterministic metric alongside the
     // wall-clock: BYTES WRITTEN per strategy (tmpfs hides the I/O win;
-    // at object-store scale every written byte is a PUT).
-    TxLog.restore(spark, mt, baseV)
-    val (delLo, delHi) = (rLo, rLo + 63999L)
-    val delCow = sent.guard("delete_cow")((0 until mPasses).map { _ =>
-      val s0 = timedU(TxLog.deleteWhere(spark, mt, "rk", Some(delLo), Some(delHi)))
-      TxLog.restore(spark, mt, baseV); s0
-    }.min)
-    val delDv = sent.guard("delete_dv")((0 until mPasses).map { _ =>
-      val s0 = timedU(TxLog.deleteVectored(spark, mt, "rk", Some(delLo), Some(delHi)))
-      TxLog.restore(spark, mt, baseV); s0
-    }.min)
-    TxLog.deleteWhere(spark, mt, "rk", Some(delLo), Some(delHi))
-    val cowBytes = newBytes()
-    TxLog.restore(spark, mt, baseV)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$mt/dv"), true)
-    TxLog.deleteVectored(spark, mt, "rk", Some(delLo), Some(delHi))
-    val dvBytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(s"$mt/dv")).getLength
+    // at object-store scale every written byte is a PUT). Leaves the
+    // table DV-vectored — the dv_read section measures exactly that
+    // state next.
+    section("delete") {
+      val (delLo, delHi) = (rLo, rLo + 63999L)
+      val delCow = sent.guard("delete_cow")((0 until mPasses).map { _ =>
+        val s0 = timedU(TxLog.deleteWhere(spark, mt, "rk", Some(delLo), Some(delHi)))
+        TxLog.restore(spark, mt, baseV); s0
+      }.min)
+      val delDv = sent.guard("delete_dv")((0 until mPasses).map { _ =>
+        val s0 = timedU(TxLog.deleteVectored(spark, mt, "rk", Some(delLo), Some(delHi)))
+        TxLog.restore(spark, mt, baseV); s0
+      }.min)
+      TxLog.deleteWhere(spark, mt, "rk", Some(delLo), Some(delHi))
+      val cowBytes = newBytes()
+      TxLog.restore(spark, mt, baseV)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$mt/dv"), true)
+      TxLog.deleteVectored(spark, mt, "rk", Some(delLo), Some(delHi))
+      val dvBytes = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$mt/dv")).getLength
+      f""""cow":$delCow%.3f,"dv":$delDv%.3f,""" +
+        f""""speedup":${delCow / delDv.max(0.001)}%.2f,""" +
+        f""""bytes_cow":$cowBytes,"bytes_dv":$dvBytes,""" +
+        f""""bytes_ratio":${cowBytes.toDouble / dvBytes.max(1L)}%.2f"""
+    }
 
     // DV READ cost under a mixed workload (round-8 ask #8): writes love
     // merge-on-read (the bytes ratios above) but every subsequent READ
@@ -359,14 +443,18 @@ object BenchProbe {
     // on the vectored table vs after purgeDeletes — the measured
     // trigger for the "purge when read-degraded" policy (see FIXTURES
     // §E for the documented threshold).
-    def dvReadAgg(df: DataFrame): DataFrame = df
-      .filter(col("l_quantity") >= 5.0)
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), min(col("l_extendedprice")).as("lo"))
-    val dvRead = sent.guard("dv_read")(best(dvReadAgg(TxLog.read(spark, mt))))
-    TxLog.purgeDeletes(spark, mt)
-    val purgedRead = sent.guard("dv_read_purged")(best(dvReadAgg(TxLog.read(spark, mt))))
-    TxLog.restore(spark, mt, baseV)
+    section("dv_read") {
+      def dvReadAgg(df: DataFrame): DataFrame = df
+        .filter(col("l_quantity") >= 5.0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), min(col("l_extendedprice")).as("lo"))
+      val dvRead = sent.guard("dv_read")(best(dvReadAgg(TxLog.read(spark, mt))))
+      TxLog.purgeDeletes(spark, mt)
+      val purgedRead = sent.guard("dv_read_purged")(best(dvReadAgg(TxLog.read(spark, mt))))
+      TxLog.restore(spark, mt, baseV)
+      f""""vectored":$dvRead%.3f,"purged":$purgedRead%.3f,""" +
+        f""""overhead":${dvRead / purgedRead.max(0.001)}%.2f"""
+    }
 
     // CHANGE-FEED VIEW MAINTENANCE: the "refresh the dashboard" cost —
     // a full-table aggregate rescan vs folding only the versions the
@@ -374,19 +462,23 @@ object BenchProbe {
     // Each fold pass appends a 1000-row delta first (untimed), so the
     // fold arm always has exactly one new version to fold; the rescan
     // arm reads the whole table the way a viewless dashboard must.
-    val viewDir = s"$dir/txab_view"
-    fs.delete(new org.apache.hadoop.fs.Path(viewDir), true)
-    graft.operators.Cdc.maintainAggView(spark, t, viewDir,
-      Seq("l_returnflag"), "l_orderkey") // bootstrap fold, untimed
-    def rescanAgg = TxLog.read(spark, t).groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("total"))
-    val cdfRescan = sent.guard("cdf_rescan")(best(rescanAgg))
-    val cdfDelta = li.limit(1000).localCheckpoint(true)
-    val cdfFold = sent.guard("cdf_fold")((0 until abPasses).map { _ =>
-      TxLog.commit(spark, t, cdfDelta, append = true)
-      timedU(graft.operators.Cdc.maintainAggView(spark, t, viewDir,
-        Seq("l_returnflag"), "l_orderkey"))
-    }.min)
+    section("change_feed") {
+      val viewDir = s"$dir/txab_view"
+      fs.delete(new org.apache.hadoop.fs.Path(viewDir), true)
+      graft.operators.Cdc.maintainAggView(spark, t, viewDir,
+        Seq("l_returnflag"), "l_orderkey") // bootstrap fold, untimed
+      def rescanAgg = TxLog.read(spark, t).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("total"))
+      val cdfRescan = sent.guard("cdf_rescan")(best(rescanAgg))
+      val cdfDelta = spark.read.parquet(liPath).limit(1000).localCheckpoint(true)
+      val cdfFold = sent.guard("cdf_fold")((0 until abPasses).map { _ =>
+        TxLog.commit(spark, t, cdfDelta, append = true)
+        timedU(graft.operators.Cdc.maintainAggView(spark, t, viewDir,
+          Seq("l_returnflag"), "l_orderkey"))
+      }.min)
+      f""""rescan":$cdfRescan%.3f,"fold":$cdfFold%.3f,""" +
+        f""""speedup":${cdfRescan / cdfFold.max(0.001)}%.2f"""
+    }
 
     // MAX-SCORE BM25 on a stopword-heavy query mix (round-8 ask #4's
     // bench row): OFF = plain bm25TopK scores every posting of every
@@ -405,30 +497,33 @@ object BenchProbe {
     // via hash-seeded inverse-CDF sampling. Queries are document term
     // sets, so they mix head and tail terms exactly like user queries
     // over natural text do.
-    val bmV = 50000
-    // corpus materialized to parquet and read back: every arm (plain,
-    // max-score, indexed query) starts from STORAGE, the way a real
-    // deployment would — a RAM-pinned corpus flatters the recompute
-    // arms, which never pay the scan the index exists to amortize
-    spark.range(200000L).select(col("id").as("doc_id"),
-      expr(s"""concat_ws(' ', transform(sequence(1, 40),
-           | s -> concat('t', cast(pow(CAST($bmV AS DOUBLE),
-           |   pmod(hash(id * 53 + s), 1048576) / 1048576.0D) as int))))"""
-        .stripMargin.replace("\n", " ")).as("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(s"$dir/zipf_docs.parquet")
-    val docsN = spark.read.parquet(s"$dir/zipf_docs.parquet")
-    val bmQdocs = docsN.filter(col("doc_id") % 4169L === 3L)
-    val bmQueries = bmQdocs
-      .select(col("doc_id").as("query_id"),
-        org.apache.spark.sql.functions.explode(
-          org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
-      .localCheckpoint(true)
-    val bmPasses = passes.max(2)
-    val bmOff = sent.guard("bm25_off")((0 until bmPasses).map(_ => timed(
-      graft.operators.TextRetrieval.bm25TopK(docsN, bmQueries, 5))).min)
-    val bmOn = sent.guard("bm25_maxscore")((0 until bmPasses).map(_ => timed(
-      graft.operators.TextRetrieval.bm25TopKPruned(docsN, bmQueries, 5))).min)
+    section("bm25_maxscore") {
+      val bmV = 50000
+      // corpus materialized to parquet and read back: every arm (plain,
+      // max-score, indexed query) starts from STORAGE, the way a real
+      // deployment would — a RAM-pinned corpus flatters the recompute
+      // arms, which never pay the scan the index exists to amortize
+      spark.range(200000L).select(col("id").as("doc_id"),
+        expr(s"""concat_ws(' ', transform(sequence(1, 40),
+             | s -> concat('t', cast(pow(CAST($bmV AS DOUBLE),
+             |   pmod(hash(id * 53 + s), 1048576) / 1048576.0D) as int))))"""
+          .stripMargin.replace("\n", " ")).as("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/zipf_docs.parquet")
+      docsN = spark.read.parquet(s"$dir/zipf_docs.parquet")
+      val bmQdocs = docsN.filter(col("doc_id") % 4169L === 3L)
+      val bmQueries = bmQdocs
+        .select(col("doc_id").as("query_id"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+        .localCheckpoint(true)
+      val bmOff = sent.guard("bm25_off")((0 until bmPasses).map(_ => timed(
+        graft.operators.TextRetrieval.bm25TopK(docsN, bmQueries, 5))).min)
+      val bmOn = sent.guard("bm25_maxscore")((0 until bmPasses).map(_ => timed(
+        graft.operators.TextRetrieval.bm25TopKPruned(docsN, bmQueries, 5))).min)
+      f""""off":$bmOff%.3f,"on":$bmOn%.3f,""" +
+        f""""speedup":${bmOff / bmOn.max(0.001)}%.2f"""
+    }
 
     // PERSISTENT INVERTED INDEX (round-9 ask #1's bench row): build the
     // postings/df/dl/totals tables ONCE on the same Zipf corpus, then
@@ -441,108 +536,94 @@ object BenchProbe {
     // slice. (The stopword-heavy bmQueries mix above is the WRONG
     // workload for this row — there exact scoring dominates both arms
     // equally and the amortized corpus pass disappears in the noise.)
-    val ixDir = s"$dir/bm25_index"
-    val ixBuild = timedU(
-      graft.operators.TextRetrieval.buildIndex(spark, ixDir, docsN, 32))
-    val ixQueries = docsN.filter(col("doc_id") % 25013L === 7L)
-      .select(col("doc_id").as("query_id"),
-        explode(expr(
-          "slice(filter(array_sort(array_distinct(split(text, ' '))), t -> length(t) >= 5), 1, 3)")).as("tok"))
-      .localCheckpoint(true)
-    val bmPlainFew = sent.guard("bm25_plain_few")((0 until bmPasses).map(_ => timed(
-      graft.operators.TextRetrieval.bm25TopK(docsN, ixQueries, 5))).min)
-    val bmIndexed = sent.guard("bm25_indexed")((0 until bmPasses).map(_ => timed(
-      graft.operators.TextRetrieval.bm25TopKIndexed(spark, ixDir, ixQueries, 5))).min)
+    section("bm25_indexed") {
+      val ixDir = s"$dir/bm25_index"
+      val ixBuild = timedU(
+        graft.operators.TextRetrieval.buildIndex(spark, ixDir, docsN, 32))
+      val ixQueries = docsN.filter(col("doc_id") % 25013L === 7L)
+        .select(col("doc_id").as("query_id"),
+          explode(expr(
+            "slice(filter(array_sort(array_distinct(split(text, ' '))), t -> length(t) >= 5), 1, 3)")).as("tok"))
+        .localCheckpoint(true)
+      val bmPlainFew = sent.guard("bm25_plain_few")((0 until bmPasses).map(_ => timed(
+        graft.operators.TextRetrieval.bm25TopK(docsN, ixQueries, 5))).min)
+      val bmIndexed = sent.guard("bm25_indexed")((0 until bmPasses).map(_ => timed(
+        graft.operators.TextRetrieval.bm25TopKIndexed(spark, ixDir, ixQueries, 5))).min)
+      f""""build":$ixBuild%.3f,"plain":$bmPlainFew%.3f,""" +
+        f""""indexed":$bmIndexed%.3f,""" +
+        f""""speedup":${bmPlainFew / bmIndexed.max(0.001)}%.2f"""
+    }
 
     // PERSISTENT IVF INDEX (round-9 ask #2's bench row): recompute arm
     // re-assigns the whole 200k-vector corpus per call; the indexed arm
     // encodes 48 queries and scans the probed cells' committed lists.
-    spark.range(200000L).select(col("id").as("vec_id"),
-      expr("""transform(sequence(1, 64),
-           | s -> cast((pmod(hash(id * 131 + s), 997) + 1) / 998.0D as float))"""
-        .stripMargin.replace("\n", " ")).as("embedding"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(s"$dir/zipf_emb.parquet")
-    val embN = spark.read.parquet(s"$dir/zipf_emb.parquet")
-    // online-serving query shape (the workload the committed index is
-    // FOR): a small batch probing 4 of 64 cells each — the indexed arm
-    // scans the ≤25% probed fraction; the recompute arm re-assigns all
-    // 200k corpus vectors against all 64 centroids per call. A large
-    // batch whose probes UNION to every cell measures only the shared
-    // dedup+rerank tail and hides the assignment amortization.
-    val qEmb = embN.filter(col("vec_id") % 50021L === 11L).localCheckpoint(true)
-    val annRecompute = sent.guard("ann_recompute")((0 until bmPasses).map(_ => timed(
-      graft.operators.Similarity.ivfTopKSeeded(embN, qEmb, 5, 64, 4))).min)
-    val annIxDir = s"$dir/ivf_index"
-    val annBuild = timedU(
-      graft.operators.Similarity.buildIvfIndex(spark, annIxDir, embN, 64))
-    val annIndexed = sent.guard("ann_indexed")((0 until bmPasses).map(_ => timed(
-      graft.operators.Similarity.ivfTopKIndexed(spark, annIxDir, qEmb, 5, 4))).min)
+    section("ann_indexed") {
+      spark.range(200000L).select(col("id").as("vec_id"),
+        expr("""transform(sequence(1, 64),
+             | s -> cast((pmod(hash(id * 131 + s), 997) + 1) / 998.0D as float))"""
+          .stripMargin.replace("\n", " ")).as("embedding"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/zipf_emb.parquet")
+      embN = spark.read.parquet(s"$dir/zipf_emb.parquet")
+      // online-serving query shape (the workload the committed index is
+      // FOR): a small batch probing 4 of 64 cells each — the indexed arm
+      // scans the ≤25% probed fraction; the recompute arm re-assigns all
+      // 200k corpus vectors against all 64 centroids per call. A large
+      // batch whose probes UNION to every cell measures only the shared
+      // dedup+rerank tail and hides the assignment amortization.
+      qEmb = embN.filter(col("vec_id") % 50021L === 11L).localCheckpoint(true)
+      val annRecompute = sent.guard("ann_recompute")((0 until bmPasses).map(_ => timed(
+        graft.operators.Similarity.ivfTopKSeeded(embN, qEmb, 5, 64, 4))).min)
+      val annIxDir = s"$dir/ivf_index"
+      val annBuild = timedU(
+        graft.operators.Similarity.buildIvfIndex(spark, annIxDir, embN, 64))
+      val annIndexed = sent.guard("ann_indexed")((0 until bmPasses).map(_ => timed(
+        graft.operators.Similarity.ivfTopKIndexed(spark, annIxDir, qEmb, 5, 4))).min)
+      f""""build":$annBuild%.3f,"recompute":$annRecompute%.3f,""" +
+        f""""indexed":$annIndexed%.3f,""" +
+        f""""speedup":${annRecompute / annIndexed.max(0.001)}%.2f"""
+    }
 
     // PERSISTENT IVF-PQ INDEX (the composed coarse×product quantizer):
     // same online-serving batch as ann_indexed — the recompute arm
     // re-assigns AND re-encodes the probed fraction of the 200k corpus
     // per call; the indexed arm encodes the queries and ADC-scans the
     // probed cells' committed (id + m codes) rows.
-    val pqRecompute = sent.guard("ivfpq_recompute")((0 until bmPasses).map(_ => timed(
-      graft.operators.Similarity.ivfPqTopK(embN, qEmb, 5, nCells = 64))).min)
-    val pqIxDir = s"$dir/ivfpq_index"
-    val pqBuild = timedU(
-      graft.operators.Similarity.buildIvfPqIndex(spark, pqIxDir, embN, nCells = 64))
-    val pqIndexed = sent.guard("ivfpq_indexed")((0 until bmPasses).map(_ => timed(
-      graft.operators.Similarity.ivfPqTopKIndexed(spark, pqIxDir, qEmb, 5))).min)
+    section("ivfpq_indexed") {
+      val pqRecompute = sent.guard("ivfpq_recompute")((0 until bmPasses).map(_ => timed(
+        graft.operators.Similarity.ivfPqTopK(embN, qEmb, 5, nCells = 64))).min)
+      val pqIxDir = s"$dir/ivfpq_index"
+      val pqBuild = timedU(
+        graft.operators.Similarity.buildIvfPqIndex(spark, pqIxDir, embN, nCells = 64))
+      val pqIndexed = sent.guard("ivfpq_indexed")((0 until bmPasses).map(_ => timed(
+        graft.operators.Similarity.ivfPqTopKIndexed(spark, pqIxDir, qEmb, 5))).min)
+      f""""build":$pqBuild%.3f,"recompute":$pqRecompute%.3f,""" +
+        f""""indexed":$pqIndexed%.3f,""" +
+        f""""speedup":${pqRecompute / pqIndexed.max(0.001)}%.2f"""
+    }
 
     // POSITIONAL INDEX (phrase search): the recompute arm pays the full
     // corpus position-tokenize per call; the indexed arm reads the
     // phrase vocabulary's manifest-pruned posting lists. Phrases are
     // each query doc's first 3 tokens — the natural mix of head and
     // tail terms a quoted web query carries.
-    val phQueries = docsN.filter(col("doc_id") % 25013L === 7L)
-      .select(col("doc_id").as("query_id"),
-        expr("concat_ws(' ', slice(split(text, ' '), 1, 3))").as("phrase"))
-      .localCheckpoint(true)
-    val phPlain = sent.guard("phrase_plain")((0 until bmPasses).map(_ => timed(
-      graft.operators.TextRetrieval.phraseTopK(docsN, phQueries, 5))).min)
-    val posIxDir = s"$dir/pos_index"
-    val posBuild = timedU(graft.operators.TextRetrieval
-      .buildPositionalIndex(spark, posIxDir, docsN, 32))
-    val phIndexed = sent.guard("phrase_indexed")((0 until bmPasses).map(_ => timed(
-      graft.operators.TextRetrieval.phraseTopKIndexed(spark, posIxDir, phQueries, 5))).min)
+    section("phrase_indexed") {
+      val phQueries = docsN.filter(col("doc_id") % 25013L === 7L)
+        .select(col("doc_id").as("query_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 3))").as("phrase"))
+        .localCheckpoint(true)
+      val phPlain = sent.guard("phrase_plain")((0 until bmPasses).map(_ => timed(
+        graft.operators.TextRetrieval.phraseTopK(docsN, phQueries, 5))).min)
+      val posIxDir = s"$dir/pos_index"
+      val posBuild = timedU(graft.operators.TextRetrieval
+        .buildPositionalIndex(spark, posIxDir, docsN, 32))
+      val phIndexed = sent.guard("phrase_indexed")((0 until bmPasses).map(_ => timed(
+        graft.operators.TextRetrieval.phraseTopKIndexed(spark, posIxDir, phQueries, 5))).min)
+      f""""build":$posBuild%.3f,"plain":$phPlain%.3f,""" +
+        f""""indexed":$phIndexed%.3f,""" +
+        f""""speedup":${phPlain / phIndexed.max(0.001)}%.2f"""
+    }
 
-    f"""{"mv_rewrite":{"off":$mvOff%.3f,"on":$mvOn%.3f,"speedup":${mvOff / mvOn.max(0.001)}%.2f},""" +
-      f""""stats_skip":{"off":$skipOff%.3f,"on":$skipOn%.3f,"speedup":${skipOff / skipOn.max(0.001)}%.2f,""" +
-      f""""files_off":$filesOff,"files_on":$filesOn,"files_ratio":${filesOff.toDouble / filesOn.max(1)}%.2f},""" +
-      f""""meta_agg":{"off":$metaOff%.3f,"on":$metaOn%.3f,"speedup":${metaOff / metaOn.max(0.001)}%.2f},""" +
-      f""""merge":{"full_rewrite":$mergeFull%.3f,"surgical":$mergeSurgical%.3f,""" +
-      f""""vectored":$mergeVec%.3f,""" +
-      f""""speedup":${mergeFull / mergeSurgical.max(0.001)}%.2f,""" +
-      f""""batches_total":${baseDirs.size},"batches_carried":$carried,""" +
-      f""""bytes_full":$fullBytes,"bytes_surgical":$surgicalBytes,""" +
-      f""""bytes_vectored":$vecBytes,""" +
-      f""""bytes_ratio":${fullBytes.toDouble / surgicalBytes.max(1L)}%.2f,""" +
-      f""""bytes_ratio_vectored":${fullBytes.toDouble / vecBytes.max(1L)}%.2f},""" +
-      f""""delete":{"cow":$delCow%.3f,"dv":$delDv%.3f,""" +
-      f""""speedup":${delCow / delDv.max(0.001)}%.2f,""" +
-      f""""bytes_cow":$cowBytes,"bytes_dv":$dvBytes,""" +
-      f""""bytes_ratio":${cowBytes.toDouble / dvBytes.max(1L)}%.2f},""" +
-      f""""dv_read":{"vectored":$dvRead%.3f,"purged":$purgedRead%.3f,""" +
-      f""""overhead":${dvRead / purgedRead.max(0.001)}%.2f},""" +
-      f""""change_feed":{"rescan":$cdfRescan%.3f,"fold":$cdfFold%.3f,""" +
-      f""""speedup":${cdfRescan / cdfFold.max(0.001)}%.2f},""" +
-      f""""bm25_maxscore":{"off":$bmOff%.3f,"on":$bmOn%.3f,""" +
-      f""""speedup":${bmOff / bmOn.max(0.001)}%.2f},""" +
-      f""""bm25_indexed":{"build":$ixBuild%.3f,"plain":$bmPlainFew%.3f,""" +
-      f""""indexed":$bmIndexed%.3f,""" +
-      f""""speedup":${bmPlainFew / bmIndexed.max(0.001)}%.2f},""" +
-      f""""ann_indexed":{"build":$annBuild%.3f,"recompute":$annRecompute%.3f,""" +
-      f""""indexed":$annIndexed%.3f,""" +
-      f""""speedup":${annRecompute / annIndexed.max(0.001)}%.2f},""" +
-      f""""ivfpq_indexed":{"build":$pqBuild%.3f,"recompute":$pqRecompute%.3f,""" +
-      f""""indexed":$pqIndexed%.3f,""" +
-      f""""speedup":${pqRecompute / pqIndexed.max(0.001)}%.2f},""" +
-      f""""phrase_indexed":{"build":$posBuild%.3f,"plain":$phPlain%.3f,""" +
-      f""""indexed":$phIndexed%.3f,""" +
-      f""""speedup":${phPlain / phIndexed.max(0.001)}%.2f},""" +
-      sent.json + "}"
+    s"{${parts.mkString(",")},${sent.json}}"
   }
 }

@@ -55,17 +55,34 @@ final class Sentinel(spark: SparkSession) {
     * so the artifact can't silently overstate a cost. `measure` must be
     * re-runnable (every bench arm restores its state between passes).
     */
-  def guard(label: String)(measure: => Double): Double = {
+  def guard(label: String)(measure: => Double): Double =
+    guardDrift(label)(measure)._1
+
+  /** Bracketed guarded window (round-9 verdict #1b): sentinel BEFORE
+    * and AFTER the measurement, window clean only when both are. The
+    * r9 artifact carried a 72.8s q109 median with `contended: []`
+    * because the single post-window probe ran after the machine load
+    * had already ended — the passes were contaminated, the probe was
+    * not. Returns (value, drift) where drift = max(pre, post) / base,
+    * so the artifact can carry a per-measurement discount factor even
+    * for windows that pass the gate.
+    */
+  def guardDrift(label: String)(measure: => Double): (Double, Double) = {
     var v = 0.0
+    var drift = 0.0
     var ok = false
     var tries = 0
     while (!ok && tries < 3) {
+      val pre = probe()
       v = measure
-      ok = record(label)
+      val post = probe()
+      drift = math.max(pre, post) / base.max(0.001)
+      driftsBuf += label -> drift
+      ok = drift <= 2.0
       tries += 1
     }
     if (!ok) contendedBuf += label
-    v
+    (v, drift)
   }
 
   /** Section stats for the bench JSON. */
