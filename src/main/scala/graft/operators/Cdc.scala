@@ -319,6 +319,11 @@ object Cdc {
     * current. Zero-count groups drop, so the view equals a fresh
     * aggregate over `TxLog.read(srcDir)` bit-for-bit (TxCdfSpec pins
     * it; q231 hash-verifies a four-version history against the oracle).
+    * Meta columns: `_maintained_to` (the watermark) and `_nn` (signed
+    * count of NON-NULL `valCol` contributions — SQL's `sum` over an
+    * all-NULL group is NULL, not 0, and a fold that coalesced the total
+    * to 0 would break the bit-for-bit contract for nullable value
+    * columns; round-9 ADVICE). Consumers drop both before comparing.
     */
   def maintainAggView(spark: org.apache.spark.sql.SparkSession,
       srcDir: String, viewDir: String, dims: Seq[String],
@@ -335,11 +340,16 @@ object Cdc {
     if (seen >= latest) return None
     val feed = TxLog.changeFeed(spark, srcDir, seen, latest)
     val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    // dv sums only non-null contributions (sign * NULL is NULL, which
+    // sum skips); dnn counts them, signed, so the fold knows whether a
+    // group's accumulated total represents any value at all
     val delta = feed.groupBy(dims.map(col): _*)
-      .agg(sum(sign).as("dn"), sum(sign * col(valCol)).as("dv"))
+      .agg(sum(sign).as("dn"), sum(sign * col(valCol)).as("dv"),
+        sum(sign * when(col(valCol).isNotNull, 1L).otherwise(0L)).as("dnn"))
     val base = old.map(_.drop("_maintained_to")).getOrElse {
       // typed empty frame so the full-outer join below is schema-stable
-      delta.select(dims.map(col) :+ col("dn").as("n") :+ col("dv").as("total"): _*)
+      delta.select(dims.map(col) :+ col("dn").as("n") :+
+        col("dv").as("total") :+ col("dnn").as("_nn"): _*)
         .limit(0)
     }
     // NULL-SAFE group equality: a NULL dim value is a legitimate group
@@ -348,15 +358,45 @@ object Cdc {
     // delta's would each survive as separate rows, duplicating the
     // group on every fold
     val dDelta = delta.select(
-      dims.map(c => col(c).as(s"__d_$c")) ++ Seq(col("dn"), col("dv")): _*)
+      dims.map(c => col(c).as(s"__d_$c")) ++ Seq(col("dn"), col("dv"), col("dnn")): _*)
     val cond = dims.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
+    val nn = coalesce(col("_nn"), lit(0L)) + coalesce(col("dnn"), lit(0L))
     val next = base.join(dDelta, cond, "full_outer")
       .select(dims.map(c => coalesce(col(c), col(s"__d_$c")).as(c)) ++ Seq(
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
-        (coalesce(col("total"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("total")): _*)
+        // all contributions NULL ⇒ the fresh aggregate's sum is NULL
+        when(nn > 0L,
+          coalesce(col("total"), lit(0L)) + coalesce(col("dv"), lit(0L)))
+          .as("total"),
+        nn.as("_nn")): _*)
       .filter(col("n") > 0L)
       .withColumn("_maintained_to", lit(latest))
     TxLog.commit(spark, viewDir, next)
     Some(latest)
   }
+
+  /** CONTINUOUS feed-maintained view (round-9 verdict #5): drive
+    * [[maintainAggView]] from the table's `changeFeed=true` stream so
+    * the view tracks every commit without polling. The stream is used
+    * as a COMMIT NOTIFIER only — the fold re-derives its exact version
+    * interval from the watermark riding IN the view, so the micro-batch
+    * content is never executed (foreachBatch is lazy; untouched input
+    * costs offset tracking only) and all the batch path's guarantees
+    * carry over verbatim: one atomic view commit per fold, a replayed
+    * trigger reads the watermark and no-ops, a checkpoint restart
+    * resumes exactly-once, and a stream that lags several versions
+    * folds them in one catch-up. Stop the returned query to stop
+    * maintenance; the view stays valid (the batch path can take over).
+    */
+  def maintainAggViewStream(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, viewDir: String, dims: Seq[String], valCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("txlog")
+      .option("changeFeed", "true").load(srcDir)
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        maintainAggView(spark, srcDir, viewDir, dims, valCol)
+        ()
+      }
+      .start()
 }

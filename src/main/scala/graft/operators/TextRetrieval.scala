@@ -840,10 +840,21 @@ object TextRetrieval {
     * matches when the window [p, p+w) holds ALL n distinct query terms
     * (unordered — the "all these words near each other" semantics
     * between exact phrase and bag-of-words BM25). Docs rank by
-    * matching-anchor count (ties by doc_id). The window join is a
-    * band join over positions of the QUERY VOCABULARY only, so
-    * fan-out is posting-bounded × w — never corpus- or doc-length-
-    * scaled beyond the lists themselves.
+    * matching-anchor count (ties by doc_id).
+    *
+    * The window pairing is a BUCKETED band join (round-9 verdict #3):
+    * positions key on their `p div w` bucket and each anchor explodes
+    * into the only two buckets its window [a, a+w) can touch, so the
+    * equi-join emits O(positions-per-2w-window) pairs per doc — O(L·w)
+    * — where the naive anchors×positions join on (query_id, doc_id)
+    * emitted O(L²) pairs per doc before its band filter: a stopword-
+    * bearing query over a long doc paid quadratically. Same exact
+    * post-filter, so results are bit-identical (q232/q233 pin the
+    * hashes); it's the engine's own BandJoinRule/IntervalJoin bucket
+    * trick, inlined because the join carries the (query_id, doc_id)
+    * equi-keys alongside the band. Lucene's sloppy-phrase linear merge
+    * is the single-node analogue. Fan-out stays posting-bounded — the
+    * lists are the QUERY VOCABULARY's only, never corpus-scaled.
     */
   private def proximityCore(pos: DataFrame, terms: DataFrame, window: Int,
       k: Int): DataFrame = {
@@ -852,9 +863,19 @@ object TextRetrieval {
     val qpos = pos.join(broadcast(terms.select(col("query_id"), col("tok"))
         .distinct()), Seq("tok"))
       .select(col("query_id"), col("doc_id"), col("p"), col("tok"))
-    val anchors = qpos.select(col("query_id"), col("doc_id"),
-      col("p").as("a"))
-    val hits = anchors.join(qpos, Seq("query_id", "doc_id"))
+    // positions are non-negative (posexplode ordinals), so double
+    // floor-div equals integral div
+    val posB = qpos.withColumn("b",
+      floor(col("p") / lit(window.toDouble)).cast("long"))
+    val anchors = qpos
+      .select(col("query_id"), col("doc_id"), col("p").as("a"))
+      .withColumn("ab", floor(col("a") / lit(window.toDouble)).cast("long"))
+      .withColumn("b", explode(array(col("ab"), col("ab") + 1L)))
+      .drop("ab")
+    // the two exploded anchor rows reach DISJOINT position buckets, so
+    // no pair is seen twice; the groupBy below re-unites the window's
+    // two bucket halves under one (query_id, doc_id, a) key
+    val hits = anchors.join(posB, Seq("query_id", "doc_id", "b"))
       .filter(col("p") >= col("a") && col("p") < col("a") + window)
       .groupBy(col("query_id"), col("doc_id"), col("a"))
       .agg(countDistinct(col("tok")).as("seen"))

@@ -155,6 +155,9 @@ object MvCatalog {
   def invalidate(name: String): Unit = entries.get(name).foreach(_.valid = false)
   def drop(name: String): Unit = entries.remove(name)
 
+  /** Test hook: the registered entry, for plan/IO assertions. */
+  private[graft] def entry(name: String): Option[MvEntry] = entries.get(name)
+
   /** All candidates that could answer an aggregate over `basePaths` —
     * the CALLER checks grouping/measure subsumption per entry, so two
     * views registered over the same base both get a chance (an
@@ -199,10 +202,20 @@ object MvCatalog {
             f.dataType == org.apache.spark.sql.types.FloatType))
       }
       MvRewriteRule.suspend {
+        // atomic swap (tmp + rename) so a concurrent reader of the old
+        // materialization never sees a half write
+        def swapIn(merged: org.apache.spark.sql.DataFrame): Unit = {
+          val tmp = tx.mvPath + ".refresh-tmp"
+          merged.write.mode("overwrite").parquet(tmp)
+          val fs = new org.apache.hadoop.fs.Path(tx.mvPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(tx.mvPath), true)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(tx.mvPath))
+        }
         if (appendOnly && newDirs.nonEmpty && !floatSummed) {
-          // incremental: aggregate ONLY the delta batches, merge with the
-          // stored view, swap atomically (tmp + rename) so a concurrent
-          // reader of the old materialization never sees a half write
+          // incremental: aggregate ONLY the delta batches, merge with
+          // the stored view
           val deltaAggs = viewAggs(tx.measureCols)
           val delta = spark.read.parquet(newDirs: _*)
             .groupBy(e.groupCols.map(col): _*)
@@ -214,19 +227,27 @@ object MvCatalog {
           val merged = spark.read.parquet(tx.mvPath).unionByName(delta)
             .groupBy(e.groupCols.map(col): _*)
             .agg(mergeAggs.head, mergeAggs.tail: _*)
-          val tmp = tx.mvPath + ".refresh-tmp"
-          merged.write.mode("overwrite").parquet(tmp)
-          val fs = new org.apache.hadoop.fs.Path(tx.mvPath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(tx.mvPath), true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(tx.mvPath))
+          swapIn(merged)
         } else {
-          val base = graft.sources.TxLog.read(spark, tx.tableDir, Some(latest))
-          val aggs = viewAggs(tx.measureCols)
-          base.groupBy(e.groupCols.map(col): _*)
-            .agg(aggs.head, aggs.tail: _*)
-            .write.mode("overwrite").parquet(tx.mvPath)
+          // non-append history: fold the change feed into the stored
+          // view (touched batches + the KB view, round-9 verdict #2);
+          // when the fold cannot prove bit-equality (boundary delete,
+          // vacuumed interval, float sums) rebuild from the snapshot.
+          // A full replacement (no batch dir carried) would feed-scan
+          // the whole table only to learn that — rebuild directly.
+          val carriedAny = normSet(latestDirs).exists(recorded)
+          val folded =
+            if (floatSummed || !carriedAny) None
+            else feedFoldPlan(spark, e, latest)
+          folded match {
+            case Some(merged) => swapIn(merged)
+            case None =>
+              val base = graft.sources.TxLog.read(spark, tx.tableDir, Some(latest))
+              val aggs = viewAggs(tx.measureCols)
+              base.groupBy(e.groupCols.map(col): _*)
+                .agg(aggs.head, aggs.tail: _*)
+                .write.mode("overwrite").parquet(tx.mvPath)
+          }
         }
       }
       spark.catalog.refreshByPath(tx.mvPath)
@@ -236,6 +257,88 @@ object MvCatalog {
       e.valid = true
       Some(e)
     }
+
+  /** Change-feed fold of a stored TxLog-backed view to `latest`
+    * (round-9 verdict #2 — unify the two MV systems): instead of
+    * full-rebuilding on ANY non-append history, fold
+    * `TxLog.changeFeed(stored_version, latest)` into the stored
+    * materialization — inserts add, deletes subtract — reading ONLY the
+    * interval's touched batches plus the KB-sized view. Returns the
+    * merged view plan, or None when the fold cannot PROVE bit-equality
+    * with a rebuild, in which case the caller rebuilds:
+    *
+    *  - the interval's replay manifests were vacuumed;
+    *  - a delete (possibly) removed a group's stored min/max — the
+    *    surviving extreme is unknowable without a rescan
+    *    ([[graft.operators.Cdc.incrementalAgg]]'s documented contract:
+    *    min/max are not delta-maintainable under deletes); the gate is
+    *    conservative (`del_min <= stored_min` trips even when a
+    *    duplicate would have kept the extreme alive);
+    *  - a group both born and delete-touched inside the interval (no
+    *    stored row to bound the check against).
+    *
+    * count/sum fold exactly for the associative types the rewrite
+    * serves (the caller's `floatSummed` gate keeps float sums out);
+    * NULL-measure rows contribute to `n` only, and a never-materialized
+    * all-NULL group folds to a NULL sum the same way a fresh aggregate
+    * would.
+    */
+  private[graft] def feedFoldPlan(spark: SparkSession, e: MvEntry,
+      latest: Long): Option[org.apache.spark.sql.DataFrame] = {
+    import graft.sources.TxLog
+    val tx = e.tx.getOrElse(return None)
+    if (tx.version < 1L || latest <= tx.version) return None
+    val feed =
+      try TxLog.changeFeed(spark, tx.tableDir, tx.version, latest)
+      catch { case _: IllegalStateException => return None } // vacuumed
+    val ins = col("_change_type") === "insert"
+    val sign = when(ins, 1L).otherwise(-1L)
+    val aggs = Seq(
+      sum(sign).as("dn"),
+      sum(when(!ins, 1L).otherwise(0L)).as("ndel")) ++
+      tx.measureCols.flatMap(m => Seq(
+        sum(sign * col(m)).as(s"dsum_$m"),
+        min(when(ins, col(m))).as(s"imin_$m"),
+        max(when(ins, col(m))).as(s"imax_$m"),
+        min(when(!ins, col(m))).as(s"dmin_$m"),
+        max(when(!ins, col(m))).as(s"dmax_$m")))
+    val delta = feed.groupBy(e.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val stored = spark.read.parquet(tx.mvPath)
+    val viewType = stored.schema.map(f => f.name -> f.dataType).toMap
+    // NULL-SAFE group equality — same reason as Cdc.maintainAggView's
+    // fold: GROUP BY treats all NULL keys as one group
+    val dside = delta.select(delta.columns.map(c => col(c).as(s"__d_$c")).toSeq: _*)
+    val cond = e.groupCols.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
+    val joined = stored.join(dside, cond, "full_outer")
+    // rebuild triggers: a delete touching a stored extreme, or deletes
+    // against a group the stored view never saw (NULL comparisons fall
+    // through to false — an all-NULL group has no non-null pre-images)
+    val trip = tx.measureCols.map(m =>
+      col(s"__d_dmin_$m") <= col(s"min_$m") ||
+        col(s"__d_dmax_$m") >= col(s"max_$m"))
+      .reduceOption(_ || _).getOrElse(lit(false)) ||
+      col("n").isNull
+    if (joined.filter(col("__d_ndel") > 0L && trip).limit(1).count() > 0L)
+      return None
+    val outCols =
+      e.groupCols.map(c => coalesce(col(c), col(s"__d_$c")).as(c)) ++
+        Seq((coalesce(col("n"), lit(0L)) + coalesce(col("__d_dn"), lit(0L)))
+          .cast(viewType("n")).as("n")) ++
+        tx.measureCols.flatMap(m => Seq(
+          // both sides NULL ⇒ no non-null contribution ever ⇒ NULL, the
+          // value a fresh sum over the group would produce
+          when(col(s"sum_$m").isNotNull || col(s"__d_dsum_$m").isNotNull,
+            coalesce(col(s"sum_$m"), lit(0L)) +
+              coalesce(col(s"__d_dsum_$m"), lit(0L)))
+            .cast(viewType(s"sum_$m")).as(s"sum_$m"),
+          least(col(s"min_$m"), col(s"__d_imin_$m"))
+            .cast(viewType(s"min_$m")).as(s"min_$m"),
+          greatest(col(s"max_$m"), col(s"__d_imax_$m"))
+            .cast(viewType(s"max_$m")).as(s"max_$m")))
+    Some(joined.select(outCols: _*)
+      .filter(col("n") > 0L))
+  }
 
   private def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")

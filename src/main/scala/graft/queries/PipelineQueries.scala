@@ -4438,7 +4438,7 @@ object PipelineQueries extends QueryPack {
           Seq("o_orderpriority"), "o_custkey").contains(4L), "q231: catch-up fold")
         require(graft.operators.Cdc.maintainAggView(s, t, v,
           Seq("o_orderpriority"), "o_custkey").isEmpty, "q231: replay must no-op")
-        graft.sources.TxLog.read(s, v).drop("_maintained_to")
+        graft.sources.TxLog.read(s, v).drop("_maintained_to", "_nn")
       },
       Some("""SELECT o_orderpriority, count(*) AS n,
              |  CAST(sum(o_custkey) AS BIGINT) AS total

@@ -1580,9 +1580,20 @@ object TxLog {
     // makes the fraction unmeasurable — counting it zero would silently
     // disable the policy forever ("can never trigger"), so purge: the
     // rewrite re-commits those lines with stats-era row counts, making
-    // every later measurement exact (one-time self-heal, not a loop)
-    if (withDv.exists(e => dvOf(e._2).isDefined && batchRows(e._2).isEmpty))
+    // every later measurement exact (one-time self-heal, not a loop).
+    // The heal is GATED on the caller's policy being able to fire at
+    // all (round-9 ADVICE): with maxDvFraction == 1.0 the caller said
+    // "never purge", so an unmeasurable fraction changes nothing and
+    // paying a full DV-batch rewrite on first contact with a legacy
+    // manifest would bypass that. When it does fire, it logs why, so
+    // an operator can attribute the unexpected rewrite.
+    if (maxDvFraction < 1.0 &&
+        withDv.exists(e => dvOf(e._2).isDefined && batchRows(e._2).isEmpty)) {
+      System.err.println(s"[txlog] autoPurge $tableDir: DV-carrying " +
+        "manifest line(s) lack row counts (legacy manifest) — purging " +
+        "once to re-commit with measurable stats")
       return Some(purgeDeletes(spark, tableDir))
+    }
     val dvRows = withDv.map(e => batchRows(e._2).getOrElse(0L)).sum
     val total = dvRows + clean.map(e => batchRows(e._2).getOrElse(0L)).sum
     if (total == 0L || dvRows.toDouble / total <= maxDvFraction) None
@@ -2001,6 +2012,12 @@ object TxLog {
     * replays the initial commit as inserts. Versions whose batch dirs a
     * deeper [[vacuum]] has reclaimed cannot be replayed — callers keep
     * retention ≥ their consumers' lag, the standard CDC contract.
+    *
+    * Catch-up metadata cost is O(ckpt + tail + touched), not
+    * O(versions): contiguous append runs classify from the manifest
+    * checkpoint's reference runs without per-version manifest reads
+    * (see the checkpoint block below); only versions the checkpoint
+    * cannot prove append-only pay the two-manifest diff.
     */
   def changeFeed(spark: SparkSession, tableDir: String, fromV: Long,
       toV: Long): DataFrame = {
@@ -2008,23 +2025,67 @@ object TxLog {
     val latest = latestVersion(spark, tableDir)
     require(fromV >= 0 && toV > fromV && toV <= latest,
       s"bad change-feed range ($fromV, $toV] over $tableDir at v$latest")
+    val f = fs(spark, tableDir)
+    // each manifest is read at most ONCE per feed (the diff path used
+    // to read every version twice: as `cur` and as the next `prev`)
+    val mcache = scala.collection.mutable.Map.empty[Long,
+      Map[String, (Map[String, ColStats], Option[org.apache.spark.sql.types.StructType])]]
     def entriesOf(v: Long): Map[String, (Map[String, ColStats],
         Option[org.apache.spark.sql.types.StructType])] =
       if (v == 0) Map.empty
-      else try readManifest(spark, tableDir, v).map(parseLineFull)
-        .map(e => e._1 -> (e._2, e._3)).toMap
-      catch { case e: java.io.IOException =>
-        // the standard CDC retention contract, failed LOUD at planning
-        // instead of as a task-level FileNotFound mid-replay
-        throw new IllegalStateException(
-          s"change feed over $tableDir needs manifest v$v, which a " +
-            "vacuum has reclaimed — consumers must fold before retention " +
-            "passes them (keep vacuum retainFrom ≤ fromV + 1)", e)
-      }
+      else mcache.getOrElseUpdate(v,
+        try readManifest(spark, tableDir, v).map(parseLineFull)
+          .map(e => e._1 -> (e._2, e._3)).toMap
+        catch { case e: java.io.IOException =>
+          // the standard CDC retention contract, failed LOUD at planning
+          // instead of as a task-level FileNotFound mid-replay
+          throw new IllegalStateException(
+            s"change feed over $tableDir needs manifest v$v, which a " +
+              "vacuum has reclaimed — consumers must fold before retention " +
+              "passes them (keep vacuum retainFrom ≤ fromV + 1)", e)
+        })
+    // CHECKPOINT-BACKED CATCH-UP (round-9 verdict #4): the manifest
+    // checkpoint's reference runs already encode, for every version it
+    // covers, which batch dirs were present — so contiguous APPEND
+    // versions classify from the checkpoint alone, without the two
+    // manifest GETs per version the diff path pays. A version v ≤ ckpt
+    // is a pure append iff no run ends at v-1 (removals and DV flips
+    // both end a run — the run's key is the (dir, dv) identity), and
+    // its added dirs are the runs starting at v. Line stats/schema for
+    // those dirs come from ONE anchor manifest (toV) when the dir
+    // survives the window, else from the last manifest of the dir's
+    // run — which the removing version's own diff already reads. A
+    // catch-up over N appended versions therefore costs O(ckpt + tail
+    // + touched dirs) metadata reads, not O(N). Bonus: append versions
+    // whose own manifests a vacuum reclaimed stay replayable — the
+    // fail-loud contract applies only when a replay NEEDS a reclaimed
+    // manifest.
+    val ckpt = latestCkptFrom(f, tableDir, f.listStatus(logDir(tableDir)).toSeq)
+    val runEnds: Set[Long] =
+      ckpt.map(c => c.runs.map(_._4).filter(_ < c.version).toSet)
+        .getOrElse(Set.empty)
+    val runStarts: Map[Long, Seq[(String, Option[String], Long, Long)]] =
+      ckpt.map(_.runs.groupBy(_._3)).getOrElse(Map.empty)
+    /** (dir, runLast) pairs when the checkpoint PROVES v a pure append
+      * of vector-free dirs; None → the manifest-diff path decides.
+      */
+    def ckptAppend(v: Long): Option[Seq[(String, Long)]] = ckpt match {
+      case Some(c) if v <= c.version && !runEnds.contains(v - 1) =>
+        val started = runStarts.getOrElse(v, Nil)
+        // a dir APPENDED carrying a deletion vector (a restore of a
+        // vectored snapshot) needs the vector's manifest line — let the
+        // diff path handle that version
+        if (started.forall(_._2.isEmpty))
+          Some(started.map(r => (r._1, r._4)).sortBy(_._1))
+        else None
+      case _ => None
+    }
     def tagged(df: DataFrame, kind: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(kind))
         .withColumn("_commit_version", lit(v))
-    val perVersion = (fromV + 1 to toV).flatMap { v =>
+    // the pre-upgrade per-version manifest diff — still the path for
+    // every version the checkpoint cannot prove append-only
+    def diffVersion(v: Long): Option[DataFrame] = {
       val prev = entriesOf(v - 1)
       val cur = entriesOf(v)
       val added = (cur.keySet -- prev.keySet).toSeq.sorted
@@ -2057,6 +2118,29 @@ object TxLog {
           Some(tagged(oldLive.exceptAll(newLive), "delete", v)
             .unionByName(tagged(newLive.exceptAll(oldLive), "insert", v)))
         }
+      }
+    }
+    val perVersion = (fromV + 1 to toV).flatMap { v =>
+      ckptAppend(v) match {
+        case Some(added) if added.isEmpty => None // nothing touched
+        case Some(added) =>
+          // within a run the (dir, dv) identity — and the line's stats
+          // and schema, which only a flip rewrites — are constant, so
+          // ANY in-run manifest serves; prefer the shared toV anchor
+          val lines = added.map { case (d, last) =>
+            d -> entriesOf(math.min(last, toV)).get(d)
+          }
+          if (lines.exists(_._2.isEmpty)) diffVersion(v) // defensive
+          else {
+            val ls = lines.map { case (d, l) => (d, l.get) }
+            val dirsAll = ls.map(x => s"$tableDir/${x._1}")
+            val sc = unionSchema(ls.map(_._2._2)).getOrElse(
+              spark.read.option("mergeSchema", true).parquet(dirsAll: _*).schema)
+            Some(tagged(applyDvSplit(spark, tableDir,
+              ls.map(x => (s"$tableDir/${x._1}", x._2._1)),
+              ds => spark.read.schema(sc).parquet(ds: _*)), "insert", v))
+          }
+        case None => diffVersion(v)
       }
     }
     if (perVersion.isEmpty)

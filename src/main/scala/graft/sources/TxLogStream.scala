@@ -72,9 +72,19 @@ class TxLogSource(spark: SparkSession, tableDir: String,
     */
   private def feedBatch(fromV: Long, toV: Long): DataFrame = {
     if (toV <= fromV) return emptyBatch
-    import org.apache.spark.sql.functions.col
-    val feed = TxLog.changeFeed(spark, tableDir, fromV, toV)
-      .select(schema.fieldNames.map(col(_)).toSeq: _*)
+    import org.apache.spark.sql.functions.{col, lit}
+    // Null-fill, never bare-select (round-9 ADVICE): the feed's schema
+    // is only the union of the interval's TOUCHED batch schemas, and
+    // the append type guard permits appends that omit evolved columns —
+    // a micro-batch whose touched batches lack one would otherwise
+    // throw and kill the streaming query. Mirrors the append path's
+    // explicit-schema read, which null-fills through the parquet reader.
+    val raw = TxLog.changeFeed(spark, tableDir, fromV, toV)
+    val have = raw.columns.toSet
+    val feed = raw.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
     SqlBridge.internalCreateStreamingDataFrame(spark,
       feed.queryExecution.toRdd, schema)
   }

@@ -440,6 +440,59 @@ class IndexSpec extends AnyFunSuite {
       q.filter(col("query_id") < 0), window = 5, k = 5).isEmpty)
   }
 
+  test("proximity bucketed band join: 3-key equi-join, boundary windows match (r9 #3)") {
+    import spark.implicits._
+    // window=2 straddles a p-div-2 bucket edge between adjacent tokens:
+    // the anchor's b+1 explode is what finds the neighbour bucket
+    val corpus = Seq(
+      (0L, "alpha beta"),  // adjacent: [1,3) holds both
+      (1L, "alpha x beta") // gap: beta at 3 is outside [1,3)
+    ).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha"), (1L, "beta")).toDF("query_id", "tok")
+    val got = TextRetrieval.proximityTopK(corpus, q, window = 2, k = 5)
+    assert(got.collect().map(r => (r.getLong(1), r.getLong(2))).toSet ==
+      Set((0L, 1L)))
+    // the anchors↔positions pairing must be an EQUI-join keyed on
+    // (query_id, doc_id, bucket) — never the 2-key join whose band
+    // filter sees the per-doc position cross product (O(L²) per doc)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(
+      """(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[query_id#\d+L?, doc_id#\d+L?, b#\d+L?\]""".r
+        .findFirstIn(plan).isDefined,
+      s"expected the 3-key bucketed position join, got:\n$plan")
+  }
+
+  test("bucketed proximity ≡ brute-force window count, dense repeated terms") {
+    import spark.implicits._
+    // deterministic corpus with heavy term repetition (the stopword
+    // shape that made the naive pairing quadratic)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docsLocal = (0L until 30L).map { i =>
+      val toks = (0 until 24).map(j => vocab(((i * 7 + j * 13) % 31 % 5).toInt))
+      (i, toks)
+    }
+    val df = docsLocal.map { case (i, ts) => (i, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val qTerms = Seq("a", "b", "c")
+    val q = qTerms.map(t => (1L, t)).toDF("query_id", "tok")
+    val w = 4
+    val got = TextRetrieval.proximityTopK(df, q, window = w, k = 100)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // brute force: 1-based positions, anchor = any query-term position,
+    // match when [a, a+w) holds all three terms
+    val want = docsLocal.map { case (i, ts) =>
+      val pos = ts.zipWithIndex.collect {
+        case (t, j) if qTerms.contains(t) => (t, j + 1)
+      }
+      val anchors = pos.map(_._2).count { a =>
+        qTerms.forall(t => pos.exists { case (tt, p) =>
+          tt == t && p >= a && p < a + w })
+      }
+      i -> anchors.toLong
+    }.filter(_._2 > 0L).toMap
+    assert(got == want)
+  }
+
   test("phrase semantics: scattered or reordered terms score zero") {
     import spark.implicits._
     val corpus = Seq(

@@ -317,6 +317,79 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvCatalog.drop("spec_mv_txauto")
   }
 
+  test("registerTx: DV delete refreshes via the change-feed fold, touched batches only (r9 #2)") {
+    val tableDir = s"${GraftSession.scratchBase}/graft_mv_txcdf"
+    val mvB = s"${GraftSession.scratchBase}/graft_mv_specB"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(mvB), true)
+    // 3 key-range batches; group mins live in batch 0, maxes in batch 2
+    def part(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      $"id", ($"id" % 5L).as("g"), $"id".as("v"))
+    (0 until 3).foreach(i => graft.sources.TxLog.commit(spark, tableDir,
+      part(i * 100L, i * 100L + 100L), append = i > 0))
+    // manifest-pruned probe names the single batch holding ids 150-160
+    val touchedDirs = graft.sources.TxLog
+      .readWhere(spark, tableDir, "id", Some(150L), Some(160L))
+      .inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).toSet
+    assert(touchedDirs.size == 1, s"fixture must confine the delete: $touchedDirs")
+    MvCatalog.registerTx(spark, "spec_mv_txcdf", tableDir,
+      Seq("g"), Seq("v"), mvB)
+    try {
+      def agg = graft.sources.TxLog.read(spark, tableDir).groupBy($"g")
+        .agg(count(lit(1)).as("n"), sum($"v").as("total"),
+          min($"v").as("lo"), max($"v").as("hi"))
+      // DV-delete mid-range rows confined to batch 1: no group's stored
+      // min/max is touched, so the fold must apply (no rebuild)
+      graft.sources.TxLog.deleteVectored(spark, tableDir, "id",
+        Some(150L), Some(160L))
+      val e = MvCatalog.entry("spec_mv_txcdf").get
+      val latest = graft.sources.TxLog.latestVersion(spark, tableDir)
+      val folded = MvCatalog.feedFoldPlan(spark, e, latest)
+      assert(folded.isDefined, "non-boundary DV delete must fold, not rebuild")
+      // IO shape: the fold reads the stored view plus ONLY the delete's
+      // touched batch — never the other base batches
+      val baseFiles = folded.get.inputFiles.filter(_.contains("graft_mv_txcdf"))
+        .filterNot(_.contains("/dv/"))
+        .map(f => f.substring(0, f.lastIndexOf('/'))).toSet
+      assert(baseFiles == touchedDirs,
+        s"fold must read only the touched batch: $baseFiles vs $touchedDirs")
+      // end-to-end: purge the vectors (a reorg the feed sees as zero
+      // change rows — the rewrite rule can only match a PLAIN relation,
+      // and a vectored read plans as a DV anti-join) and the query
+      // answers from the view, refreshed through the fold over the
+      // delete+purge interval, bit-equal to a fresh aggregate
+      graft.sources.TxLog.purgeDeletes(spark, tableDir)
+      val e1 = MvCatalog.entry("spec_mv_txcdf").get
+      assert(MvCatalog.feedFoldPlan(spark, e1,
+        graft.sources.TxLog.latestVersion(spark, tableDir)).isDefined,
+        "delete+purge interval must still fold")
+      assert(scanPaths(agg).exists(_.contains("graft_mv_specB")),
+        "DV-deleted base: feed-fold refresh did not fire")
+      val got = agg.as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val want = graft.sources.TxLog.read(spark, tableDir).groupBy($"g")
+        .agg(count(lit(1)).as("n"), sum($"v").as("total"),
+          min($"v").as("lo"), max($"v").as("hi"))
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"folded view diverges: $got vs $want")
+      assert(got.map(_._2).sum == 289L, "11 rows must be gone")
+      // a delete REMOVING a group's stored min cannot fold — the fold
+      // declines and the refresh falls back to a full rebuild
+      graft.sources.TxLog.deleteVectored(spark, tableDir, "id",
+        Some(0L), Some(0L)) // id 0 = group 0's min v
+      val e2 = MvCatalog.entry("spec_mv_txcdf").get
+      assert(MvCatalog.feedFoldPlan(spark, e2,
+        graft.sources.TxLog.latestVersion(spark, tableDir)).isEmpty,
+        "boundary delete must decline the fold")
+      graft.sources.TxLog.purgeDeletes(spark, tableDir)
+      assert(scanPaths(agg).exists(_.contains("graft_mv_specB")),
+        "boundary delete: full-rebuild refresh did not fire")
+      val got2 = agg.as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got2.find(_._1 == 0L).get._4 == 5L,
+        s"group 0's min must recompute to 5 after the rebuild: $got2")
+    } finally MvCatalog.drop("spec_mv_txcdf")
+  }
+
   test("registerTx with a float measure refreshes by FULL rebuild (no partial re-sum)") {
     val tableDir = s"${GraftSession.scratchBase}/graft_mv_txfloat"
     val mvA = s"${GraftSession.scratchBase}/graft_mv_specA"

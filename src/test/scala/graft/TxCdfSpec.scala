@@ -118,7 +118,7 @@ class TxCdfSpec extends AnyFunSuite {
     val t = fresh("mav_src"); val v = fresh("mav_view")
     def recompute(): DataFrame = TxLog.read(spark, t)
       .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
-    def view(): DataFrame = TxLog.read(spark, v).drop("_maintained_to")
+    def view(): DataFrame = TxLog.read(spark, v).drop("_maintained_to", "_nn")
     TxLog.commit(spark, t, data(0L, 300L))
     assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v").contains(1L))
     assert(sameBag(view(), recompute()))
@@ -161,12 +161,44 @@ class TxCdfSpec extends AnyFunSuite {
     // plain using-columns join equality would split it
     TxLog.commit(spark, t, mk(100L, 200L), append = true)
     assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v").isDefined)
-    val view = TxLog.read(spark, v).drop("_maintained_to")
+    val view = TxLog.read(spark, v).drop("_maintained_to", "_nn")
     val want = TxLog.read(spark, t).groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
     assert(sameBag(view, want))
     assert(view.filter(col("g").isNull).count() == 1,
       "exactly one NULL-group row")
+  }
+
+  test("maintainAggView: all-NULL value group carries NULL total, not 0 (r9 ADVICE)") {
+    import graft.operators.Cdc
+    val t = fresh("mav_nullval"); val v = fresh("mav_nullval_view")
+    def recompute(): DataFrame = TxLog.read(spark, t)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    def view(): DataFrame = TxLog.read(spark, v).drop("_maintained_to", "_nn")
+    // group 0: every v NULL; group 1: non-null — SQL's sum over an
+    // all-NULL group is NULL, and the fold must preserve that, not
+    // coalesce it to 0
+    def mk(lo: Long, hi: Long): DataFrame = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 2L).as("g"),
+      when(col("id") % 2L === 0L, lit(null).cast("long"))
+        .otherwise(col("id") * 3L).as("v"))
+    TxLog.commit(spark, t, mk(0L, 20L))
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v").isDefined)
+    assert(sameBag(view(), recompute()))
+    assert(view().filter(col("g") === 0L).select(col("total")).head().isNullAt(0),
+      "all-NULL group must store NULL total")
+    // a non-null insert into that group flips the total to a value...
+    TxLog.commit(spark, t, spark.range(100L, 101L).select(col("id").as("k"),
+      lit(0L).as("g"), lit(7L).as("v")), append = true)
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v").isDefined)
+    assert(sameBag(view(), recompute()))
+    assert(view().filter(col("g") === 0L).select(col("total"))
+      .head().getLong(0) == 7L)
+    // ...and deleting it flips the fold back to NULL (nn returns to 0)
+    TxLog.deleteVectored(spark, t, "k", Some(100L), Some(100L))
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v").isDefined)
+    assert(sameBag(view(), recompute()))
+    assert(view().filter(col("g") === 0L).select(col("total")).head().isNullAt(0))
   }
 
   test("feed range validation fails loud") {
@@ -195,6 +227,95 @@ class TxCdfSpec extends AnyFunSuite {
     val del = feed.filter(col("_change_type") === "delete").collect()
     assert(del.length == 1 && del.head.getAs[Long]("k") == 1L &&
       del.head.getAs[String]("tag") == null)
+    feed.unpersist()
+  }
+
+  test("maintainAggViewStream: continuous maintenance ≡ batch fold at every cut (r9 #5)") {
+    import graft.operators.Cdc
+    val t = fresh("mavs_src"); val v = fresh("mavs_view")
+    val cp = fresh("mavs_cp")
+    def recompute(): DataFrame = TxLog.read(spark, t)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    def view(): DataFrame = TxLog.read(spark, v).drop("_maintained_to", "_nn")
+    TxLog.commit(spark, t, data(0L, 200L))
+    val q = Cdc.maintainAggViewStream(spark, t, v, Seq("g"), "v", cp)
+    try {
+      q.processAllAvailable()
+      assert(sameBag(view(), recompute()), "initial snapshot fold")
+      // append + DV delete flow through as they commit
+      TxLog.commit(spark, t, data(200L, 300L), append = true)
+      q.processAllAvailable()
+      assert(sameBag(view(), recompute()), "append fold")
+      TxLog.deleteVectored(spark, t, "k", Some(50L), Some(120L))
+      q.processAllAvailable()
+      assert(sameBag(view(), recompute()), "delete fold")
+      // an idle trigger (no new source version) must not commit
+      val vv = TxLog.latestVersion(spark, v)
+      q.processAllAvailable()
+      assert(TxLog.latestVersion(spark, v) == vv, "replay must no-op")
+    } finally q.stop()
+    // commits landing while the stream is DOWN fold on restart,
+    // exactly once (watermark rides in the view, not the checkpoint)
+    TxLog.commit(spark, t, data(300L, 350L), append = true)
+    TxLog.purgeDeletes(spark, t) // merge requires a vector-free table
+    TxLog.merge(spark, t, data(10L, 20L).withColumn("v", col("v") + 777L), "k")
+    val q2 = Cdc.maintainAggViewStream(spark, t, v, Seq("g"), "v", cp)
+    try {
+      q2.processAllAvailable()
+      assert(sameBag(view(), recompute()), "restart catch-up fold")
+    } finally q2.stop()
+  }
+
+  test("checkpoint-backed catch-up: append runs replay in O(ckpt+tail) manifest reads (r9 #4)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.countfs.impl", classOf[CountingFileSystem].getName)
+    val t = s"countfs://${GraftSession.scratchBase}/cdf_ckpt_catchup"
+    val cfs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cfs.delete(new Path(t), true)
+    // 12 appends: the v10 checkpoint covers v1..v10, v11..v12 are tail
+    (1 to 12).foreach(i => TxLog.commit(spark, t,
+      data(i * 10L, i * 10L + 10L), append = i > 1))
+    CountingFileSystem.opens.set(0L)
+    val feed = TxLog.changeFeed(spark, t, 1L, 12L)
+    val planningOpens = CountingFileSystem.opens.get()
+    // checkpoint classification: v2..v10 need NO manifest reads; the
+    // plan costs hint + ckpt + anchor(v12) + tail diff(v10, v11) ≈ 5
+    // opens — the per-version walk paid 2 per version (~22)
+    assert(planningOpens <= 8,
+      s"append catch-up planning opened $planningOpens files")
+    // and the feed is content-identical to the diff path's answer
+    assert(feed.filter(col("_change_type") =!= "insert").isEmpty,
+      "append-only history must contain no deletes")
+    assert(rows(feed.drop("_change_type", "_commit_version")) ==
+      rows(data(20L, 130L)))
+    val perV = feed.groupBy(col("_commit_version"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perV == (2L to 12L).map(_ -> 10L).toMap,
+      s"each append version must tag exactly its own rows: $perV")
+  }
+
+  test("checkpointed MIXED history reconstructs exactly (ckpt appends + diff versions)") {
+    val t = fresh("ckpt_mixed")
+    (1 to 8).foreach(i => TxLog.commit(spark, t,
+      data(i * 100L, i * 100L + 100L), append = i > 1)) // v1..v8
+    TxLog.merge(spark, t,
+      data(150L, 160L).withColumn("v", col("v") + 1000000L), "k") // v9
+    TxLog.deleteVectored(spark, t, "k", Some(300L), Some(320L)) // v10 (+ckpt)
+    (11 to 12).foreach(i => TxLog.commit(spark, t,
+      data(i * 100L, i * 100L + 100L), append = true)) // v11..v12 tail
+    val toV = TxLog.latestVersion(spark, t)
+    assert(toV == 12L)
+    val feed = TxLog.changeFeed(spark, t, 1L, toV).cache()
+    val meta = Seq("_change_type", "_commit_version")
+    val ins = feed.filter(col("_change_type") === "insert").drop(meta: _*)
+    val del = feed.filter(col("_change_type") === "delete").drop(meta: _*)
+    val reconstructed = TxLog.read(spark, t, asOf = Some(1L))
+      .unionByName(ins).exceptAll(del)
+    assert(sameBag(reconstructed, TxLog.read(spark, t)),
+      "ckpt-classified appends + diff versions must reconstruct the snapshot")
+    assert(feed.filter(col("_commit_version") === 5L)
+      .agg(count(lit(1))).head().getLong(0) == 100L)
     feed.unpersist()
   }
 

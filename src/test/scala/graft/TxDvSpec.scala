@@ -293,6 +293,30 @@ class TxDvSpec extends AnyFunSuite {
     assert(TxLog.autoPurge(spark, t, maxDvFraction = 0.0).isEmpty)
   }
 
+  test("autoPurge legacy self-heal is gated on an actionable policy (r9 ADVICE)") {
+    val t = fresh("autopurge_legacy")
+    // a stats-less (legacy) batch that then receives a deletion vector:
+    // its dv row fraction is unmeasurable from the manifest
+    TxLog.commit(spark, t,
+      (0L until 10L).map(k => (k, s"s$k")).toDF("id", "s"),
+      collectStats = false)
+    TxLog.commit(spark, t,
+      (10L until 20L).map(k => (k, s"s$k")).toDF("id", "s"), append = true)
+    TxLog.deleteVectored(spark, t, "id", Some(1L), Some(2L))
+    val v = TxLog.latestVersion(spark, t)
+    // maxDvFraction == 1.0 says "never purge": an unmeasurable fraction
+    // changes nothing, so the one-time heal rewrite must NOT fire
+    assert(TxLog.autoPurge(spark, t, maxDvFraction = 1.0).isEmpty,
+      "lenient probe on a legacy manifest must stay metadata-only")
+    assert(TxLog.latestVersion(spark, t) == v)
+    // an actionable policy heals once (re-commits measurable stats)...
+    assert(TxLog.autoPurge(spark, t, maxDvFraction = 0.99).isDefined)
+    // ...after which the table is vector-free and probes no-op
+    assert(TxLog.autoPurge(spark, t, maxDvFraction = 0.99).isEmpty)
+    assert(rows(TxLog.read(spark, t)).map(_._1) ==
+      (0L until 20L).filterNot(k => k == 1L || k == 2L))
+  }
+
   test("txlog batch format refuses a vectored snapshot with a clear error") {
     val t = fresh("fmt")
     quartiles(t)

@@ -268,6 +268,39 @@ class TxLogStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("changeFeed stream survives appends that omit evolved columns (r9 ADVICE)") {
+    val t = fresh("cdf_evolve")
+    TxLog.commit(spark, t, (0L until 4L).toDF("id"))
+    // schema evolution: v2 adds `tag`
+    TxLog.commit(spark, t, spark.range(4L, 6L)
+      .select(col("id"), lit("x").as("tag")), append = true)
+    val got = ArrayBuffer.empty[(Long, Long, Option[String])]
+    val q = spark.readStream.format("txlog")
+      .option("changeFeed", "true").load(t)
+      .writeStream.option("checkpointLocation", fresh("cdf_evolve_cp"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = b.collect().map(x => (x.getAs[Long]("id"),
+          x.getAs[Long]("_commit_version"), Option(x.getAs[String]("tag"))))
+        if (r.nonEmpty) got.synchronized { got ++= r }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(got.size == 6)
+      // post-evolution append WITHOUT the evolved column (the append
+      // guard permits omission): this micro-batch's feed carries only
+      // the touched batch's columns — the source must null-fill `tag`,
+      // not throw AnalysisException and kill the query
+      TxLog.commit(spark, t, (6L until 9L).toDF("id"), append = true)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      val v3 = got.synchronized(got.filter(_._2 == 3L))
+      assert(v3.map(_._1).sorted == Seq(6L, 7L, 8L))
+      assert(v3.forall(_._3.isEmpty), "omitted evolved column must null-fill")
+    } finally q.stop()
+  }
+
   test("changeFeed checkpoint restart resumes exactly-once") {
     val t = fresh("cdf_restart")
     val cp = fresh("cdf_restart_cp")
