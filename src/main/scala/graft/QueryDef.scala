@@ -8,12 +8,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * driver sorts columns by name and hashes values.
   *
   * `headline = true` marks queries included in the Bench run.
+  *
+  * `oracleLazy` is the late-bound variant for oracles that can only be
+  * KNOWN after the builder ran (e.g. q234 hands DuckDB the engine-free
+  * view artifact the builder just emitted — the SQL embeds batch-dir
+  * names that exist only post-build). Verify dumps oracle SQL after
+  * running every builder, so the thunk resolves then; it must return a
+  * harmless placeholder when its artifact is absent (scoped runs).
   */
 final case class QueryDef(
     name: String,
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    oracleLazy: Option[() => String] = None)
 
 trait QueryPack {
   def queries: Seq[QueryDef]

@@ -30,7 +30,8 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+    all.flatMap(q => q.oracle.orElse(q.oracleLazy.map(_()))
+      .map(o => q.name -> o)).toMap
 
   /** Subset timed by Bench. */
   def headline: Seq[QueryDef] = all.filter(_.headline)

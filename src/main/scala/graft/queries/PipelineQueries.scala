@@ -4490,8 +4490,58 @@ object PipelineQueries extends QueryPack {
         graft.operators.TextRetrieval.proximityTopKIndexed(s, ix, q,
           window = 8, k = 5)
       },
-      Some(proximitySql))
+      Some(proximitySql)),
+
+    // ------------------------------------------------------------------
+    // q234: ENGINE-FREE TxLog CONSUMER (PointerCatalog.saveDuckDbTxViews
+    // — round-9 verdict #6): the reference's consumer contract is
+    // "attach the pointer DB, no pipeline software needed"
+    // (data/src/utils/duckdb.py:40-84); this extends it to lakehouse
+    // tables. The builder commits a two-batch table, DV-deletes a key
+    // range (vectors LEFT IN PLACE — the hard case), emits the DuckDB
+    // view artifact, and returns Spark's TxLog.read. The ORACLE IS THE
+    // ARTIFACT: the dumped SQL is the generated view body verbatim
+    // (late-bound — the batch-dir names exist only post-build), so the
+    // driver's DuckDB executes the engine-free read over the very same
+    // parquet files, tombstone anti-join included, and the hash compare
+    // proves a Spark-less consumer sees the exact committed snapshot.
+    QueryDef(
+      "q234_duckdb_tx_view",
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${graft.GraftSession.scratchBase}/graft_duckcat"
+        val t = s"$base/orders_tx"
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = T.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        graft.sources.TxLog.commit(s, t, orders.filter($"o_orderkey" % 4L < 2L))
+        graft.sources.TxLog.commit(s, t,
+          orders.filter($"o_orderkey" % 4L >= 2L), append = true)
+        graft.sources.TxLog.deleteVectored(s, t, "o_custkey",
+          Some(100L), Some(200L))
+        graft.sources.PointerCatalog.saveDuckDbTxViews(s,
+          s"$base/views.sql", Map("orders_tx" -> t))
+        graft.sources.TxLog.read(s, t)
+      },
+      None,
+      oracleLazy = Some(() => duckDbTxViewOracle))
   )
+
+  /** q234's late-bound oracle: the view body from the artifact the
+    * builder just wrote (CREATE prefix and trailing ';' stripped — the
+    * driver harness runs one SELECT). Placeholder when absent (a scoped
+    * run that skipped q234 still evaluates the thunk while building the
+    * oracle map, then filters it out).
+    */
+  private def duckDbTxViewOracle: String = {
+    val f = java.nio.file.Paths.get(
+      s"${graft.GraftSession.scratchBase}/graft_duckcat/views.sql")
+    if (!java.nio.file.Files.exists(f)) "SELECT 1 AS artifact_missing"
+    else new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+      .replaceFirst("^CREATE OR REPLACE VIEW \\S+ AS ", "")
+      .stripSuffix(";")
+  }
 
   /** Proximity ground truth shared verbatim by q232 (recompute) and
     * q233 (indexed) — 1-based positions, 8-token windows, distinct-term

@@ -108,4 +108,64 @@ object PointerCatalog {
     Files.write(path, stmts.asJava,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
+
+  /** The SELECT body of one engine-free DuckDB view over a [[TxLog]]
+    * snapshot (round-9 verdict #6 — the reference's "attach the pointer
+    * DB, no pipeline software needed" contract extended to lakehouse
+    * tables, index tables included). The view enumerates the snapshot's
+    * BATCH-DIR globs from the manifest — never the table tree, which
+    * holds dead batches of other versions — so a consumer with only
+    * DuckDB reads exactly the committed snapshot. A DV-vectored
+    * snapshot emits the tombstone ANTI-JOIN: DuckDB's `filename` /
+    * `file_row_number` are the same (file, row) coordinates the vector
+    * stores (scheme-stripped on both sides — Spark records a URI,
+    * DuckDB a plain path). `union_by_name` keeps schema-evolved
+    * snapshots readable. The artifact is a STATIC text snapshot: batch
+    * dirs are immutable, so the view stays correct forever for the
+    * version it names (it simply goes stale as the table advances —
+    * regenerate on publish, like the reference's site exports).
+    */
+  def duckDbTxSelect(spark: SparkSession, tableDir: String,
+      asOf: Option[Long] = None): String = {
+    def q(s: String) = s.replace("'", "''")
+    val entries = TxLog.manifest(spark, tableDir, asOf)
+    val dataGlobs = entries
+      .map { case (d, _) => s"'${q(s"$tableDir/$d")}/*.parquet'" }
+      .sorted.mkString("[", ", ", "]")
+    val dvGlobs = entries.flatMap { case (_, st) => TxLog.dvOf(st) }
+      .map { case (rel, _) => s"'${q(s"$tableDir/$rel")}/*.parquet'" }
+      .distinct.sorted
+    if (dvGlobs.isEmpty)
+      s"SELECT * FROM read_parquet($dataGlobs, union_by_name = true)"
+    else {
+      val dvList = dvGlobs.mkString("[", ", ", "]")
+      "SELECT * EXCLUDE (filename, file_row_number) FROM read_parquet(" +
+        s"$dataGlobs, union_by_name = true, filename = true, " +
+        "file_row_number = true) d WHERE NOT EXISTS (SELECT 1 FROM " +
+        s"read_parquet($dvList) v WHERE " +
+        // normalize '<scheme>:/...' (Spark URIs: file:/, s3a://) and
+        // bare '/...' (DuckDB filenames) to the same slash-less form
+        "regexp_replace(v.path, '^([a-z0-9]+:)?/+', '') = " +
+        "regexp_replace(d.filename, '^([a-z0-9]+:)?/+', '') " +
+        "AND v.row_idx = d.file_row_number)"
+    }
+  }
+
+  /** [[saveDuckDbViews]] for TxLog tables: one `CREATE OR REPLACE VIEW`
+    * per entry, each body from [[duckDbTxSelect]] — vectored snapshots
+    * included (the tombstone anti-join rides in the view). `asOf` pins
+    * named tables to a version (time travel in the artifact).
+    */
+  def saveDuckDbTxViews(spark: SparkSession, catalogFile: String,
+      tables: Map[String, String],
+      asOf: Map[String, Long] = Map.empty): Unit = {
+    val stmts = tables.toSeq.sorted.map { case (name, dir) =>
+      s"CREATE OR REPLACE VIEW $name AS " +
+        duckDbTxSelect(spark, dir, asOf.get(name)) + ";"
+    }
+    val path = Paths.get(catalogFile)
+    Option(path.getParent).foreach(Files.createDirectories(_))
+    Files.write(path, stmts.asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
 }

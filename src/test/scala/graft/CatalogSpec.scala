@@ -82,6 +82,63 @@ class CatalogSpec extends AnyFunSuite {
       s"partition key must stay VARCHAR through the artifact: $typeLines")
   }
 
+  test("TxLog DuckDB artifact: engine-free consumer matches TxLog.read, plain + vectored (r9 #6)") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.TxLog
+    val base = "/tmp/graft_catalog_spec/txduck"
+    val hfs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val t = s"$base/tbl"
+    def mk(lo: Long, hi: Long) = s.range(lo, hi)
+      .select($"id", ($"id" % 7L).as("g"), ($"id" * 2L).as("v"))
+    TxLog.commit(s, t, mk(0L, 200L)) // v1 — replaced below: its dir goes DEAD
+    TxLog.commit(s, t, mk(0L, 400L)) // v2 overwrite
+    val deadDirs = TxLog.manifest(s, t, Some(1L)).map(_._1).toSet --
+      TxLog.manifest(s, t, Some(2L)).map(_._1).toSet
+    assert(deadDirs.nonEmpty, "fixture must leave a dead batch in the tree")
+    TxLog.commit(s, t, mk(400L, 500L), append = true) // v3
+    TxLog.deleteVectored(s, t, "id", Some(50L), Some(130L)) // v4: vectored
+    val sqlFile = s"$base/tx_views.sql"
+    PointerCatalog.saveDuckDbTxViews(s, sqlFile,
+      Map("tbl_live" -> t, "tbl_v3" -> t), asOf = Map("tbl_v3" -> 3L))
+    val artifact = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(sqlFile)), "UTF-8")
+    // a consumer must read the SNAPSHOT's dirs, never the tree: the
+    // overwritten batch may not appear; the vectored view carries the
+    // tombstone anti-join, the pinned plain view does not
+    deadDirs.foreach(d => assert(!artifact.contains(d),
+      s"dead batch $d leaked into the consumer artifact"))
+    val Array(liveStmt, v3Stmt) =
+      artifact.split('\n').filter(_.nonEmpty).sorted // tbl_live, tbl_v3
+    assert(liveStmt.contains("NOT EXISTS") && liveStmt.contains("file_row_number"))
+    assert(!v3Stmt.contains("NOT EXISTS"))
+    // external consumer: real duckdb, no Spark, cold attach
+    val py =
+      s"""import duckdb
+         |con = duckdb.connect()
+         |con.execute(open('$sqlFile').read())
+         |for r in con.execute('SELECT id, g, v FROM tbl_live ORDER BY id').fetchall():
+         |  print('L|%d|%d|%d' % r)
+         |print('V3N|%d' % con.execute('SELECT count(*) FROM tbl_v3').fetchone()[0])
+         |print('V3S|%d' % con.execute('SELECT CAST(sum(v) AS BIGINT) FROM tbl_v3').fetchone()[0])
+         |""".stripMargin
+    val out = new StringBuilder
+    val code = scala.sys.process.Process(Seq("python3", "-c", py)) !
+      scala.sys.process.ProcessLogger(l => out.append(l).append('\n'), System.err.println)
+    assert(code == 0, s"duckdb consumer failed:\n$out")
+    val lines = out.toString.split('\n').filter(_.nonEmpty).toSeq
+    val duckLive = lines.filter(_.startsWith("L|"))
+      .map { l => val Array(_, i, g, v) = l.split('|'); (i.toLong, g.toLong, v.toLong) }
+    val sparkLive = TxLog.read(s, t).as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(duckLive == sparkLive,
+      s"vectored view mismatch: duck=${duckLive.size} spark=${sparkLive.size} rows")
+    val v3 = TxLog.read(s, t, asOf = Some(3L))
+    assert(lines.contains(s"V3N|${v3.count()}"))
+    assert(lines.contains(s"V3S|${v3.agg(sum($"v")).head().getLong(0)}"))
+  }
+
   test("tree stats: per-directory rollups match the flat listing (S11)") {
     val s = spark
     import s.implicits._
