@@ -184,7 +184,8 @@ object BenchProbe {
     */
   def runAb(spark: SparkSession, replicas: Int = 10, passes: Int = 2,
       budget: BenchBudget = new BenchBudget(0),
-      onPartial: String => Unit = _ => ()): String = {
+      onPartial: String => Unit = _ => (),
+      only: Set[String] = Set.empty): String = {
     import graft.plans.MvCatalog
     import graft.sources.TxLog
     val dir = s"${GraftSession.scratchBase}/graft_probe${replicas}x"
@@ -204,7 +205,8 @@ object BenchProbe {
     // marks the tail skipped — earlier numbers stand.
     def section(name: String)(body: => String): Unit = {
       val payload =
-        if (budget.exhausted) """"skipped":true"""
+        if (budget.exhausted || (only.nonEmpty && !only(name)))
+          """"skipped":true"""
         else
           try body
           catch { case e: Throwable =>
@@ -622,6 +624,75 @@ object BenchProbe {
       f""""build":$posBuild%.3f,"plain":$phPlain%.3f,""" +
         f""""indexed":$phIndexed%.3f,""" +
         f""""speedup":${phPlain / phIndexed.max(0.001)}%.2f"""
+    }
+
+    // BUCKETED PROXIMITY (round-9 verdict #3): the shipped
+    // proximityTopK pairs anchors with positions through a p-div-w
+    // bucket equi-join (O(L·w) pairs per doc); the OFF arm is the naive
+    // 2-key band join it replaced (O(L²) per doc before its filter),
+    // rebuilt inline from the same tokenize so the A/B isolates the
+    // pairing strategy. The corpus is VERY long Zipf docs (20k tokens —
+    // book chapters, transcripts, concatenated crawl pages) queried
+    // with HEAD terms: a stopword holds L ≈ 10²–10³ positions per doc,
+    // so the naive join emits L² ≈ 10⁴–10⁶ pairs per (query, doc)
+    // where the bucketed join emits L × positions-per-2w ≈ L·1.
+    // Shorter docs cap L too low for the strategies to separate —
+    // 400-token and 2000-token variants measured 0.83–0.90× because
+    // the naive pair scan is codegen-cheap (~ns/pair) while bucketing
+    // pays a bigger sort; the crossover is L ≳ a few hundred, i.e.
+    // exactly the long-doc corpora the linearization targets.
+    section("proximity_bucketed") {
+      val w = 8
+      spark.range(300L).select(col("id").as("doc_id"),
+        expr("""concat_ws(' ', transform(sequence(1, 20000),
+             | s -> concat('t', cast(pow(CAST(50000 AS DOUBLE),
+             |   pmod(hash(id * 53 + s), 1048576) / 1048576.0D) as int))))"""
+          .stripMargin.replace("\n", " ")).as("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/zipf_long.parquet")
+      val longDocs = spark.read.parquet(s"$dir/zipf_long.parquet")
+      val proxQueries = longDocs.filter(col("doc_id") % 37L === 3L)
+        .select(col("doc_id").as("query_id"),
+          explode(expr(
+            "slice(filter(array_distinct(split(text, ' ')), t -> length(t) <= 3), 1, 2)")).as("tok"))
+        .localCheckpoint(true)
+      def naive(): DataFrame = {
+        // IDENTICAL tokenize to TextRetrieval.tokenPositions (regex
+        // split + empty filter, 1-based) — the arms must differ ONLY
+        // in the pairing strategy
+        val pos = longDocs.select(col("doc_id"),
+            posexplode(expr(
+              "filter(split(text, '\\\\s+'), t -> length(t) > 0)"))
+              .as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+        val nTerms = proxQueries.groupBy(col("query_id"))
+          .agg(countDistinct(col("tok")).as("n"))
+        val qpos = pos.join(broadcast(
+            proxQueries.select(col("query_id"), col("tok")).distinct()), Seq("tok"))
+          .select(col("query_id"), col("doc_id"), col("p"), col("tok"))
+        val anchors = qpos.select(col("query_id"), col("doc_id"), col("p").as("a"))
+        val hits = anchors.join(qpos, Seq("query_id", "doc_id"))
+          .filter(col("p") >= col("a") && col("p") < col("a") + w)
+          .groupBy(col("query_id"), col("doc_id"), col("a"))
+          .agg(countDistinct(col("tok")).as("seen"))
+          .join(broadcast(nTerms), Seq("query_id"))
+          .filter(col("seen") === col("n"))
+        val scores = hits.groupBy(col("query_id"), col("doc_id"))
+          .agg(count(lit(1)).as("n_anchors"))
+        val byScore = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("n_anchors").desc, col("doc_id"))
+        scores.withColumn("rnk", row_number().over(byScore).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("query_id"), col("doc_id"), col("n_anchors"), col("rnk"))
+      }
+      val pxNaive = sent.guard("prox_naive")((0 until bmPasses).map(_ =>
+        timed(naive())).min)
+      val pxBucketed = sent.guard("prox_bucketed")((0 until bmPasses).map(_ =>
+        timed(graft.operators.TextRetrieval
+          .proximityTopK(longDocs, proxQueries, w, 5))).min)
+      f""""naive":$pxNaive%.3f,"bucketed":$pxBucketed%.3f,""" +
+        f""""speedup":${pxNaive / pxBucketed.max(0.001)}%.2f"""
     }
 
     s"{${parts.mkString(",")},${sent.json}}"

@@ -655,6 +655,39 @@ object TextRetrieval {
       TxLog.read(spark, totalsDir(indexDir)))
   }
 
+  /** Token-range overlap fraction of a clustered index table exceeds
+    * the policy threshold? One KB manifest read, no file I/O — the
+    * `clusterHealth` pair-overlap count IS the probe amplification
+    * appends cause (every append epoch's batches span the full token
+    * range, so a one-term probe reads 1 + n_appends batches).
+    */
+  private def indexFragmented(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxOverlapFraction: Double): Boolean = {
+    val h = graft.sources.TxLog.clusterHealth(spark, dir, Seq("tok"))
+      .collect()(0)
+    val pairs = h.getLong(3)
+    pairs > 0L && {
+      val overlap = Option(h.get(2)).map(_.asInstanceOf[Long]).getOrElse(pairs)
+      overlap.toDouble / pairs > maxOverlapFraction
+    }
+  }
+
+  /** Measure-then-act index maintenance (round-9 verdict #7 — the
+    * `TxLog.autoCluster`/`autoPurge` discipline for the index
+    * families): fire [[compactIndex]]'s clustered rewrite only when
+    * the measured postings fragmentation exceeds `maxOverlapFraction`
+    * (which also materializes any accumulated merge-on-read delete
+    * tombstones); below it the call is a metadata-only no-op, so a
+    * scheduler can probe after every append burst for the cost of one
+    * manifest read. Returns true when it compacted.
+    */
+  def autoCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, maxOverlapFraction: Double = 0.5,
+      batches: Int = 32): Boolean =
+    indexFragmented(spark, postingsDir(indexDir), maxOverlapFraction) && {
+      compactIndex(spark, indexDir, batches); true
+    }
+
   /** [[bm25TopKPruned]] answered from a prebuilt [[buildIndex]] — the
     * max-score/essential-terms pruning composed with the committed
     * index: postings of the query vocabulary arrive MANIFEST-PRUNED
@@ -953,6 +986,17 @@ object TextRetrieval {
     TxLog.commitClustered(spark, posDir(indexDir),
       TxLog.read(spark, posDir(indexDir)), Seq("tok", "doc_id"), batches)
   }
+
+  /** [[autoCompactIndex]] for the positional family: measured
+    * fragmentation of the single positions table, compaction only past
+    * the threshold.
+    */
+  def autoCompactPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, maxOverlapFraction: Double = 0.5,
+      batches: Int = 32): Boolean =
+    indexFragmented(spark, posDir(indexDir), maxOverlapFraction) && {
+      compactPositionalIndex(spark, indexDir, batches); true
+    }
 
   /** [[phraseTopK]] answered from a prebuilt [[buildPositionalIndex]]
     * — zero corpus-scaled work at query time: the phrase's vocabulary

@@ -416,6 +416,53 @@ class IndexSpec extends AnyFunSuite {
       asSet(TextRetrieval.phraseTopK(survivors, ph, 5)))
   }
 
+  test("autoCompactIndex acts only when probe amplification is measured (r9 #7)") {
+    val ix = fresh("bm25_autocompact")
+    val n = docs.count()
+    TextRetrieval.buildIndex(spark, ix, docs.filter(col("doc_id") < n / 3),
+      batches = 4)
+    val v0 = TxLog.latestVersion(spark, s"$ix/postings")
+    // fresh clustered layout: the probe must stay metadata-only
+    assert(!TextRetrieval.autoCompactIndex(spark, ix),
+      "fresh layout must be a no-op")
+    assert(TxLog.latestVersion(spark, s"$ix/postings") == v0)
+    // two append epochs: each delta's batches span the full token range,
+    // so the manifest's measured overlap crosses the threshold
+    TextRetrieval.appendToIndex(spark, ix,
+      docs.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3),
+      batches = 2)
+    TextRetrieval.appendToIndex(spark, ix,
+      docs.filter(col("doc_id") >= 2 * n / 3), batches = 2)
+    assert(TextRetrieval.autoCompactIndex(spark, ix),
+      "measured append fragmentation must fire the rewrite")
+    val q = bmQueries(docs)
+    assert(asSet(TextRetrieval.bm25TopKIndexed(spark, ix, q, 5)) ==
+      asSet(TextRetrieval.bm25TopK(docs, q, 5)),
+      "auto-compaction must not change answers")
+    assert(!TextRetrieval.autoCompactIndex(spark, ix),
+      "re-tightened layout must be a no-op again")
+  }
+
+  test("autoCompactPositionalIndex: measure-then-act on the positions table (r9 #7)") {
+    val ix = fresh("pos_autocompact")
+    val half = docs.count() / 2
+    TextRetrieval.buildPositionalIndex(spark, ix,
+      docs.filter(col("doc_id") < half), batches = 4)
+    assert(!TextRetrieval.autoCompactPositionalIndex(spark, ix))
+    TextRetrieval.appendToPositionalIndex(spark, ix,
+      docs.filter(col("doc_id") >= half), batches = 2)
+    TextRetrieval.appendToPositionalIndex(spark, ix,
+      docs.filter(col("doc_id") < 0), batches = 2) // empty: no-op append
+    assert(TextRetrieval.autoCompactPositionalIndex(spark, ix),
+      "fragmented positions table must compact")
+    val ph = docs.filter(col("doc_id") % 97L === 1L)
+      .select(col("doc_id").as("query_id"),
+        expr("concat_ws(' ', slice(split(text, '\\\\s+'), 2, 3))").as("phrase"))
+    assert(asSet(TextRetrieval.phraseTopKIndexed(spark, ix, ph, 5)) ==
+      asSet(TextRetrieval.phraseTopK(docs, ph, 5)))
+    assert(!TextRetrieval.autoCompactPositionalIndex(spark, ix))
+  }
+
   test("proximity semantics: unordered within window; scattered scores zero") {
     import spark.implicits._
     val corpus = Seq(

@@ -19,7 +19,10 @@ object ProbeAbRunner {
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")))
       BenchProbe.synthesize(spark, sfDir, replicas, s"probe${replicas}x",
         includeLineitem = true)
-    println("AB_RESULT=" + BenchProbe.runAb(spark, replicas, passes))
+    // optional 3rd arg: comma-separated section subset (local iteration;
+    // dependent sections are NOT auto-included)
+    val only = args.lift(2).map(_.split(",").toSet).getOrElse(Set.empty[String])
+    println("AB_RESULT=" + BenchProbe.runAb(spark, replicas, passes, only = only))
     spark.stop()
   }
 }
