@@ -43,11 +43,22 @@ final class BenchBudget(val limitSec: Double) {
 object Bench {
   private val Passes = 3
 
-  /** Minimal JSON string escape for error messages riding in the artifact. */
+  /** JSON string escape for error messages riding in the artifact —
+    * ALL control chars (< 0x20) must escape, not just \n\r\t: Spark and
+    * Hadoop error strings carry ANSI escapes, and one raw 0x1b would
+    * make the whole artifact unparseable (the exact failure this
+    * round's delivery hardening exists to prevent).
+    */
   def jsonStr(s: String): String =
-    "\"" + Option(s).getOrElse("null")
-      .replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+    "\"" + Option(s).getOrElse("null").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,9 +120,21 @@ object Bench {
         f""""budget_sec":${budget.limitSec}%.0f,"elapsed_sec":${budget.elapsed}%.1f,""" +
         f""""complete":$complete,${sent.json}$sections,"sf":"$sfDir"}"""
     }
-    def flush(complete: Boolean = false): Unit =
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(outPath), currentLine(complete) + "\n")
+    // atomic swap (tmp + rename): the external kill this file exists to
+    // survive can land MID-WRITE — an in-place rewrite would leave a
+    // truncated artifact, destroying the valid partial it replaced
+    def flush(complete: Boolean = false): Unit = {
+      val out = java.nio.file.Paths.get(outPath)
+      val tmp = java.nio.file.Paths.get(outPath + ".tmp")
+      java.nio.file.Files.writeString(tmp, currentLine(complete) + "\n")
+      try java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     flush()
 
     // full warmup pass: every headline query runs once untimed, so the
@@ -178,12 +201,11 @@ object Bench {
       flush()
     }
 
-    val line = currentLine(complete = true)
-    println(line)
-    // Belt-and-braces for log-scraping harnesses: the same line as a file
-    // (sbt/log4j prefixes have broken JSON extraction from captured logs).
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath), line + "\n")
+    // Belt-and-braces for log-scraping harnesses: the same line on
+    // stdout AND as a file (sbt/log4j prefixes have broken JSON
+    // extraction from captured logs).
+    println(currentLine(complete = true))
+    flush(complete = true)
     spark.stop()
   }
 }

@@ -42,13 +42,6 @@ final class Sentinel(spark: SparkSession) {
   def drifts: List[(String, Double)] = driftsBuf.toList
   def contended: List[String] = contendedBuf.toList
 
-  /** Probe once, record the window's drift; true = window clean. */
-  def record(label: String): Boolean = {
-    val s = probe()
-    driftsBuf += label -> (s / base.max(0.001))
-    s <= 2.0 * base
-  }
-
   /** Guarded measurement window: run `measure`, then check the
     * sentinel; re-run while contended (≤2 retries). A window still
     * contended after the retries keeps its last value but is flagged,

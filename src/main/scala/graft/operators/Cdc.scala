@@ -346,7 +346,16 @@ object Cdc {
     val delta = feed.groupBy(dims.map(col): _*)
       .agg(sum(sign).as("dn"), sum(sign * col(valCol)).as("dv"),
         sum(sign * when(col(valCol).isNotNull, 1L).otherwise(0L)).as("dnn"))
-    val base = old.map(_.drop("_maintained_to")).getOrElse {
+    val base = old.map(_.drop("_maintained_to")).map { b =>
+      // migration shim: a view written before `_nn` existed synthesizes
+      // it from the stored total (NULL total = zero non-null
+      // contributions; any value = "at least one" — preserves the
+      // legacy fold's behavior for legacy rows instead of crashing the
+      // first post-upgrade maintenance)
+      if (b.columns.contains("_nn")) b
+      else b.withColumn("_nn",
+        when(col("total").isNull, 0L).otherwise(lit(1L)))
+    }.getOrElse {
       // typed empty frame so the full-outer join below is schema-stable
       delta.select(dims.map(col) :+ col("dn").as("n") :+
         col("dv").as("total") :+ col("dnn").as("_nn"): _*)

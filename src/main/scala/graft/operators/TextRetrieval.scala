@@ -656,21 +656,16 @@ object TextRetrieval {
   }
 
   /** Token-range overlap fraction of a clustered index table exceeds
-    * the policy threshold? One KB manifest read, no file I/O — the
-    * `clusterHealth` pair-overlap count IS the probe amplification
-    * appends cause (every append epoch's batches span the full token
-    * range, so a one-term probe reads 1 + n_appends batches).
+    * the policy threshold? The `clusterHealth` pair-overlap count IS
+    * the probe amplification appends cause (every append epoch's
+    * batches span the full token range, so a one-term probe reads
+    * 1 + n_appends batches). Delegates to the table-level policy
+    * predicate so the two never diverge.
     */
   private def indexFragmented(spark: org.apache.spark.sql.SparkSession,
-      dir: String, maxOverlapFraction: Double): Boolean = {
-    val h = graft.sources.TxLog.clusterHealth(spark, dir, Seq("tok"))
-      .collect()(0)
-    val pairs = h.getLong(3)
-    pairs > 0L && {
-      val overlap = Option(h.get(2)).map(_.asInstanceOf[Long]).getOrElse(pairs)
-      overlap.toDouble / pairs > maxOverlapFraction
-    }
-  }
+      dir: String, maxOverlapFraction: Double): Boolean =
+    graft.sources.TxLog.overlapDegraded(spark, dir, Seq("tok"),
+      maxOverlapFraction)
 
   /** Measure-then-act index maintenance (round-9 verdict #7 — the
     * `TxLog.autoCluster`/`autoPurge` discipline for the index

@@ -310,13 +310,27 @@ object MvCatalog {
     // fold: GROUP BY treats all NULL keys as one group
     val dside = delta.select(delta.columns.map(c => col(c).as(s"__d_$c")).toSeq: _*)
     val cond = e.groupCols.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
-    val joined = stored.join(dside, cond, "full_outer")
-    // rebuild triggers: a delete touching a stored extreme, or deletes
-    // against a group the stored view never saw (NULL comparisons fall
-    // through to false — an all-NULL group has no non-null pre-images)
+    // one materialization serves BOTH the trip check and the merged
+    // write — without it the caller's write re-scans the feed's touched
+    // batches, doubling the I/O the fold exists to save. The view is
+    // KB-sized and the delta touched-groups-sized, so the checkpoint is
+    // small by construction.
+    val joined = stored.join(dside, cond, "full_outer").localCheckpoint(true)
+    // rebuild triggers, per measure: a NON-NULL deleted value against
+    //  - a stored extreme it may have been (del_min <= min / del_max >=
+    //    max — conservative: a surviving duplicate still trips), or
+    //  - a NULL stored extreme (the group's stored values are all NULL,
+    //    so the deleted value was inserted IN-interval and the insert-
+    //    composed min/max — and the 0-vs-NULL sum — would be wrong), or
+    //  - no stored row at all (group born and delete-touched inside the
+    //    interval).
+    // A NULL-valued delete never trips: removing a NULL row changes no
+    // extreme and no sum.
     val trip = tx.measureCols.map(m =>
-      col(s"__d_dmin_$m") <= col(s"min_$m") ||
-        col(s"__d_dmax_$m") >= col(s"max_$m"))
+      col(s"__d_dmin_$m").isNotNull && (
+        col(s"min_$m").isNull ||
+          col(s"__d_dmin_$m") <= col(s"min_$m") ||
+          col(s"__d_dmax_$m") >= col(s"max_$m")))
       .reduceOption(_ || _).getOrElse(lit(false)) ||
       col("n").isNull
     if (joined.filter(col("__d_ndel") > 0L && trip).limit(1).count() > 0L)

@@ -519,9 +519,18 @@ object TxLog {
   }
 
   /** (version covered, v → (op, ts, nbatches), reference runs). */
+  /** `reliableFrom`: run CLASSIFICATION (changeFeed's append fast
+    * path) is sound only for versions STRICTLY after it — a checkpoint
+    * built after a vacuum reclaimed early manifests records first-seen
+    * versions for dirs that are really carryovers, and classifying
+    * from those would re-emit the whole table as inserts. 0 = the full
+    * history existed at build time; Long.MaxValue = unknown (legacy
+    * checkpoints without the field — classification off).
+    */
   private case class Ckpt(version: Long,
       info: Map[Long, (Option[String], Option[Long], Option[Int])],
-      runs: Seq[(String, Option[String], Long, Long)])
+      runs: Seq[(String, Option[String], Long, Long)],
+      reliableFrom: Long = Long.MaxValue)
 
   private def readInfoRow(f: FileSystem, tableDir: String, v: Long)
       : Option[(String, Long, Int)] =
@@ -541,6 +550,10 @@ object TxLog {
       val lines = try scala.io.Source.fromInputStream(in).getLines().toList
         finally in.close()
       require(lines.headOption.exists(_.startsWith("ckptv1\t")), "bad header")
+      // optional 3rd header field: reliableFrom (absent on legacy
+      // checkpoints — classification stays off for them)
+      val reliableFrom = lines.head.split('\t')
+        .lift(2).flatMap(_.toLongOption).getOrElse(Long.MaxValue)
       val info = Map.newBuilder[Long, (Option[String], Option[Long], Option[Int])]
       val runs = Seq.newBuilder[(String, Option[String], Long, Long)]
       lines.drop(1).foreach { l =>
@@ -555,7 +568,7 @@ object TxLog {
           case _ => ()
         }
       }
-      Ckpt(v, info.result(), runs.result())
+      Ckpt(v, info.result(), runs.result(), reliableFrom)
     }.toOption
 
   /** Latest readable checkpoint from an already-taken log listing. */
@@ -610,7 +623,17 @@ object TxLog {
     val runs = done.result() ++ open.map { case ((d, dv), first) =>
       (d, dv, first, version)
     }
-    val body = (Seq(s"ckptv1\t$version") ++
+    // Trust boundary for run classification (changeFeed's checkpoint
+    // fast path): a run's `first` is genuine only where BOTH the
+    // version's and its predecessor's manifests existed at build time.
+    // A build walking over vacuum-reclaimed manifests (present=empty)
+    // records first-seen versions for dirs that are really carryovers;
+    // classifying from those would re-emit the whole table as inserts.
+    val missing = (fromV to version).filterNot(existing)
+    val reliableFrom = math.max(
+      prev.map(_.reliableFrom).getOrElse(0L),
+      missing.maxOption.map(_ + 1L).getOrElse(0L))
+    val body = (Seq(s"ckptv1\t$version\t$reliableFrom") ++
       info.result().toSeq.sortBy(_._1).map { case (v, (op, ts, n)) =>
         s"i\t$v\t${ts.map(_.toString).getOrElse("-")}\t${op.map(enc).getOrElse("-")}\t${n.map(_.toString).getOrElse("-")}"
       } ++
@@ -1026,17 +1049,30 @@ object TxLog {
     * appends and the table self-optimizes exactly when probes start
     * reading too much.
     */
-  def autoCluster(spark: SparkSession, tableDir: String, cols: Seq[String],
-      maxOverlapFraction: Double = 0.5, bits: Int = 16,
-      batches: Int = 8): Option[Long] = {
+  /** Measured layout degradation: does the manifest's range-overlap
+    * fraction over `cols` exceed `maxFraction`? One KB manifest read,
+    * no file I/O; unknown overlap (stats-less batches) counts as fully
+    * overlapping. The shared measure-then-act predicate behind
+    * [[autoCluster]] and the index families' auto-compaction
+    * ([[graft.operators.TextRetrieval.autoCompactIndex]]) — one policy,
+    * not two copies to keep in sync.
+    */
+  def overlapDegraded(spark: SparkSession, tableDir: String,
+      cols: Seq[String], maxFraction: Double): Boolean = {
     val h = clusterHealth(spark, tableDir, cols).collect()
     val pairs = h.map(_.getLong(3)).sum
-    if (pairs == 0L) return None // 0 or 1 batch: nothing to cluster
-    val overlap = h.map(r =>
-      Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(r.getLong(3))).sum
-    if (overlap.toDouble / pairs <= maxOverlapFraction) None
-    else Some(compactClustered(spark, tableDir, cols, bits, batches))
+    pairs > 0L && { // 0 or 1 batch: nothing to cluster
+      val overlap = h.map(r =>
+        Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(r.getLong(3))).sum
+      overlap.toDouble / pairs > maxFraction
+    }
   }
+
+  def autoCluster(spark: SparkSession, tableDir: String, cols: Seq[String],
+      maxOverlapFraction: Double = 0.5, bits: Int = 16,
+      batches: Int = 8): Option[Long] =
+    if (!overlapDegraded(spark, tableDir, cols, maxOverlapFraction)) None
+    else Some(compactClustered(spark, tableDir, cols, bits, batches))
 
   /** Surgical small-batch compaction (bin-packing OPTIMIZE — the
     * Delta/Iceberg answer to streaming ingest's many tiny commits):
@@ -2070,7 +2106,12 @@ object TxLog {
       * of vector-free dirs; None → the manifest-diff path decides.
       */
     def ckptAppend(v: Long): Option[Seq[(String, Long)]] = ckpt match {
-      case Some(c) if v <= c.version && !runEnds.contains(v - 1) =>
+      // v > reliableFrom: run boundaries are genuine only where the
+      // build saw both v-1's and v's manifests — a checkpoint built
+      // over vacuum-reclaimed manifests must not classify them (the
+      // diff path below fails loud instead, per the retention contract)
+      case Some(c) if v <= c.version && v > c.reliableFrom &&
+          !runEnds.contains(v - 1) =>
         val started = runStarts.getOrElse(v, Nil)
         // a dir APPENDED carrying a deletion vector (a restore of a
         // vectored snapshot) needs the vector's manifest line — let the

@@ -347,9 +347,14 @@ class MvRewriteSpec extends AnyFunSuite {
       val latest = graft.sources.TxLog.latestVersion(spark, tableDir)
       val folded = MvCatalog.feedFoldPlan(spark, e, latest)
       assert(folded.isDefined, "non-boundary DV delete must fold, not rebuild")
-      // IO shape: the fold reads the stored view plus ONLY the delete's
-      // touched batch — never the other base batches
-      val baseFiles = folded.get.inputFiles.filter(_.contains("graft_mv_txcdf"))
+      // IO shape: the fold's only base-table input is the change feed,
+      // which must read ONLY the delete's touched batch — never the
+      // other base batches. (The merged plan itself is a localCheckpoint
+      // — one materialization serving trip check AND write — so the
+      // assertion reads the feed's own scan set.)
+      val baseFiles = graft.sources.TxLog
+        .changeFeed(spark, tableDir, e.tx.get.version, latest)
+        .inputFiles.filter(_.contains("graft_mv_txcdf"))
         .filterNot(_.contains("/dv/"))
         .map(f => f.substring(0, f.lastIndexOf('/'))).toSet
       assert(baseFiles == touchedDirs,
@@ -388,6 +393,43 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(got2.find(_._1 == 0L).get._4 == 5L,
         s"group 0's min must recompute to 5 after the rebuild: $got2")
     } finally MvCatalog.drop("spec_mv_txcdf")
+  }
+
+  test("feedFoldPlan declines a non-null delete against an all-NULL group (review)") {
+    val tableDir = s"${GraftSession.scratchBase}/graft_mv_txnull"
+    val mvC = s"${GraftSession.scratchBase}/graft_mv_specC"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(mvC), true)
+    // group 0's stored v is ALL NULL (min/max/sum NULL in the view)
+    graft.sources.TxLog.commit(spark, tableDir, spark.range(0L, 40L).select(
+      $"id", ($"id" % 2L).as("g"),
+      when($"id" % 2L === 0L, lit(null).cast("long")).otherwise($"id").as("v")))
+    MvCatalog.registerTx(spark, "spec_mv_txnull", tableDir,
+      Seq("g"), Seq("v"), mvC)
+    try {
+      // insert a non-null value into the all-NULL group, then delete it
+      // WITHIN one refresh interval: the fold would compose min/max
+      // from the deleted insert and store sum 0 where a fresh aggregate
+      // says NULL — the NULL-extreme trip must decline to a rebuild
+      graft.sources.TxLog.commit(spark, tableDir,
+        Seq((1000L, 0L, 77L)).toDF("id", "g", "v"), append = true)
+      graft.sources.TxLog.deleteVectored(spark, tableDir, "id",
+        Some(1000L), Some(1000L))
+      graft.sources.TxLog.purgeDeletes(spark, tableDir)
+      val e = MvCatalog.entry("spec_mv_txnull").get
+      assert(MvCatalog.feedFoldPlan(spark, e,
+        graft.sources.TxLog.latestVersion(spark, tableDir)).isEmpty,
+        "non-null delete against NULL stored extremes must decline")
+      // the query path full-rebuilds and group 0 keeps its NULL facts
+      def agg = graft.sources.TxLog.read(spark, tableDir).groupBy($"g")
+        .agg(count(lit(1)).as("n"), sum($"v").as("total"),
+          min($"v").as("lo"), max($"v").as("hi"))
+      assert(scanPaths(agg).exists(_.contains("graft_mv_specC")))
+      val g0 = agg.filter($"g" === 0L).collect()(0)
+      assert(g0.getLong(1) == 20L && g0.isNullAt(2) && g0.isNullAt(3) &&
+        g0.isNullAt(4), s"all-NULL group must stay NULL: $g0")
+    } finally MvCatalog.drop("spec_mv_txnull")
   }
 
   test("registerTx with a float measure refreshes by FULL rebuild (no partial re-sum)") {

@@ -319,6 +319,28 @@ class TxCdfSpec extends AnyFunSuite {
     feed.unpersist()
   }
 
+  test("a checkpoint built over vacuumed manifests never classifies those versions (review)") {
+    val t = fresh("ckpt_postvacuum")
+    // 9 appends (below CkptEvery — no checkpoint yet), vacuum away the
+    // early manifests, THEN the 10th commit builds the checkpoint: the
+    // build walks missing manifests and must record the trust boundary
+    (1 to 9).foreach(i => TxLog.commit(spark, t,
+      data(i * 10L, i * 10L + 10L), append = i > 1))
+    TxLog.vacuum(spark, t, retainFrom = 6L)
+    TxLog.commit(spark, t, data(100L, 110L), append = true) // v10 + ckpt
+    // the reclaimed range stays LOUD — the fast path must not quietly
+    // re-emit carried dirs as inserts where the diff path used to throw
+    val e = intercept[IllegalStateException](TxLog.changeFeed(spark, t, 5L, 10L))
+    assert(e.getMessage.contains("vacuum"))
+    // the trusted tail replays exactly: versions 7..10, 10 rows each,
+    // never the pre-vacuum table re-emitted
+    val feed = TxLog.changeFeed(spark, t, 6L, 10L)
+    assert(feed.count() == 40L,
+      "post-vacuum checkpoint must not re-emit carried dirs as inserts")
+    assert(rows(feed.drop("_change_type", "_commit_version")) ==
+      rows(data(70L, 100L).unionByName(data(100L, 110L))))
+  }
+
   test("a feed spanning vacuumed versions fails loud at planning, not mid-replay") {
     val t = fresh("vacuumed")
     (0 until 3).foreach(i => TxLog.commit(spark, t,
