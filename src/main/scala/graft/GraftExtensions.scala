@@ -57,6 +57,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.plans.FreqSketchAgg].getName, "mg_heavy_candidates"),
       (exprs: Seq[Expression]) => graft.plans.FreqSketchAgg(
         exprs.head, intLit(exprs(1), "mg_heavy_candidates")).toAggregateExpression()))
+    // table-valued lakehouse surface: SELECT * FROM graft_snapshot(dir
+    // [, version]) / graft_changes(dir, from, to) / graft_history(dir)
+    // — the Delta-style pure-SQL consumer API (plans.TxTableFunctions)
+    e.injectTableFunction((
+      FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo(graft.plans.TxTableFunctions.getClass.getName, "graft_snapshot"),
+      (exprs: Seq[Expression]) => graft.plans.TxTableFunctions.snapshot(exprs)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(graft.plans.TxTableFunctions.getClass.getName, "graft_changes"),
+      (exprs: Seq[Expression]) => graft.plans.TxTableFunctions.changes(exprs)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      new ExpressionInfo(graft.plans.TxTableFunctions.getClass.getName, "graft_history"),
+      (exprs: Seq[Expression]) => graft.plans.TxTableFunctions.history(exprs)))
   }
 
   private def intLit(e: Expression, fn: String): Int = e match {

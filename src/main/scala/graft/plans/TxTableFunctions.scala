@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL table-valued functions over the lakehouse — the Delta-style
+  * pure-SQL consumer surface (`SELECT * FROM table_changes(...)`),
+  * registered through [[graft.GraftExtensions]]'s
+  * `injectTableFunction`:
+  *
+  * {{{
+  *   SELECT * FROM graft_snapshot('/table')            -- latest
+  *   SELECT * FROM graft_snapshot('/table', 3)         -- time travel
+  *   SELECT * FROM graft_changes('/table', 1, 5)       -- CDC read
+  *   SELECT * FROM graft_history('/table')             -- commit log
+  * }}}
+  *
+  * An analyst with only SQL gets the full engine: the builders run at
+  * ANALYSIS time and splice in the very plans the Scala API builds, so
+  * manifest pruning (the snapshot registers with [[TxPruneRule]] like
+  * `TxLog.table`), DV anti-joins, metadata aggregates, and the
+  * checkpoint-classified change feed all ride along. Arguments must be
+  * literals — they name a table and a version, resolution-time facts
+  * by nature; anything else fails loud at analysis.
+  */
+object TxTableFunctions {
+
+  private def str(e: Expression, fn: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string table dir, got $other")
+  }
+
+  private def lng(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer version, got $other")
+  }
+
+  /** `graft_snapshot(dir [, version])`: the committed snapshot as a
+    * table — latest (registered for manifest pruning, ≡ `TxLog.table`)
+    * or pinned time travel.
+    */
+  def snapshot(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.nonEmpty && exprs.size <= 2,
+      s"graft_snapshot(dir [, version]) got ${exprs.size} args")
+    val spark = SparkSession.active
+    val dir = str(exprs.head, "graft_snapshot")
+    val df = exprs.lift(1).map(lng(_, "graft_snapshot")) match {
+      // pinned snapshots skip rule registration: TxPruneRule maps the
+      // LATEST manifest, and pruning an older snapshot's scan with it
+      // could drop batches that version still references
+      case Some(v) => graft.sources.TxLog.read(spark, dir, asOf = Some(v))
+      case None => graft.sources.TxLog.table(spark, dir)
+    }
+    df.queryExecution.analyzed
+  }
+
+  /** `graft_changes(dir, fromV, toV)`: tagged insert/delete rows —
+    * `TxLog.changeFeed` for SQL consumers (Delta's `table_changes`).
+    */
+  def changes(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 3,
+      s"graft_changes(dir, fromVersion, toVersion) got ${exprs.size} args")
+    val spark = SparkSession.active
+    graft.sources.TxLog.changeFeed(spark,
+      str(exprs.head, "graft_changes"),
+      lng(exprs(1), "graft_changes"),
+      lng(exprs(2), "graft_changes"))
+      .queryExecution.analyzed
+  }
+
+  /** `graft_history(dir)`: the commit log — (version, timestamp_ms,
+    * operation, num_batches) per committed version, newest first.
+    */
+  def history(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1, s"graft_history(dir) got ${exprs.size} args")
+    val spark = SparkSession.active
+    graft.sources.TxLog.history(spark, str(exprs.head, "graft_history"))
+      .queryExecution.analyzed
+  }
+}

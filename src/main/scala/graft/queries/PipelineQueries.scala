@@ -4525,7 +4525,68 @@ object PipelineQueries extends QueryPack {
         graft.sources.TxLog.read(s, t)
       },
       None,
-      oracleLazy = Some(() => duckDbTxViewOracle))
+      oracleLazy = Some(() => duckDbTxViewOracle)),
+
+    // ------------------------------------------------------------------
+    // q235: SQL TABLE-VALUED SNAPSHOT (graft_snapshot TVF, injected via
+    // GraftExtensions): a SQL-only analyst time-travels the lakehouse —
+    // `FROM graft_snapshot(dir, 1)` pins version 1 (the pre-append
+    // half) and composes with ordinary GROUP BY. The oracle states the
+    // same aggregate over the snapshot's defining predicate.
+    QueryDef(
+      "q235_sql_snapshot",
+      (s, dir) => {
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_tvfsnap_$sfName"
+        val p = new org.apache.hadoop.fs.Path(t)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        import s.implicits._
+        val orders = T.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+        graft.sources.TxLog.commit(s, t, orders.filter($"o_orderkey" % 4L < 2L))
+        graft.sources.TxLog.commit(s, t,
+          orders.filter($"o_orderkey" % 4L >= 2L), append = true)
+        s.sql(s"""SELECT o_orderpriority, count(*) AS n,
+                 |  CAST(sum(o_custkey) AS BIGINT) AS total
+                 |FROM graft_snapshot('$t', 1)
+                 |GROUP BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(o_custkey) AS BIGINT) AS total
+             |FROM orders WHERE o_orderkey % 4 < 2
+             |GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q236: SQL CDC READ (graft_changes TVF) — q230's change-feed
+    // semantics reached from pure SQL: same four-version history
+    // (append / append / DV delete / purge), the feed read as
+    // `FROM graft_changes(dir, 1, 4)`. Oracle is q230's logical truth
+    // verbatim — the TVF must answer bit-identically to the Scala API.
+    QueryDef(
+      "q236_sql_changes",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = new java.io.File(dir).getName
+        val t = s"${graft.GraftSession.scratchBase}/graft_tvfcdf_$sfName"
+        val p = new org.apache.hadoop.fs.Path(t)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = T.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        graft.sources.TxLog.commit(s, t, orders.filter($"o_orderkey" % 4L < 2L))
+        graft.sources.TxLog.commit(s, t,
+          orders.filter($"o_orderkey" % 4L >= 2L), append = true)
+        graft.sources.TxLog.deleteVectored(s, t, "o_custkey",
+          Some(100L), Some(200L))
+        graft.sources.TxLog.purgeDeletes(s, t)
+        s.sql(s"SELECT * FROM graft_changes('$t', 1, 4)")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |  'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+             |FROM orders WHERE o_orderkey % 4 >= 2
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_totalprice,
+             |  'delete', 3 FROM orders
+             |WHERE o_custkey BETWEEN 100 AND 200""".stripMargin))
   )
 
   /** q234's late-bound oracle: the view body from the artifact the

@@ -1,0 +1,106 @@
+package graft
+
+import graft.sources.TxLog
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL table-valued functions over the lakehouse
+  * ([[graft.plans.TxTableFunctions]], injected via GraftExtensions):
+  * a SQL-only consumer must get the same tables, the same time travel,
+  * the same CDC rows, and the same plan-level wins (manifest pruning,
+  * DV anti-joins) the Scala API delivers.
+  */
+class TxTvfSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def fresh(name: String): String = {
+    val dir = s"${GraftSession.scratchBase}/tvf_$name"
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def sameBag(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  private def data(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(col("id").as("k"),
+      (col("id") % 10L).as("g"), (col("id") * 3L).as("v"))
+
+  test("graft_snapshot: latest and time travel match the Scala reads") {
+    val t = fresh("snap")
+    TxLog.commit(spark, t, data(0L, 100L))
+    TxLog.commit(spark, t, data(100L, 150L), append = true)
+    assert(sameBag(spark.sql(s"SELECT * FROM graft_snapshot('$t')"),
+      TxLog.read(spark, t)))
+    assert(sameBag(spark.sql(s"SELECT * FROM graft_snapshot('$t', 1)"),
+      TxLog.read(spark, t, asOf = Some(1L))))
+    // composes like any table: filters, aggregates, joins
+    val n = spark.sql(
+      s"SELECT g, count(*) AS n FROM graft_snapshot('$t') WHERE k >= 100 GROUP BY g")
+    assert(n.agg(sum(col("n"))).head().getLong(0) == 50L)
+  }
+
+  test("graft_snapshot: manifest pruning reaches SQL filters (latest only)") {
+    val t = fresh("snap_prune")
+    (0 until 4).foreach(i => TxLog.commit(spark, t,
+      data(i * 100L, i * 100L + 100L), append = i > 0))
+    val pruned = spark.sql(
+      s"SELECT k FROM graft_snapshot('$t') WHERE k >= 310")
+    assert(pruned.inputFiles.map(f => new Path(f).getParent.getName)
+      .toSet.size == 1,
+      "a key-range SQL filter must manifest-prune to one batch")
+    assert(pruned.count() == 90L)
+  }
+
+  test("graft_snapshot: a vectored snapshot serves LIVE rows through SQL") {
+    val t = fresh("snap_dv")
+    TxLog.commit(spark, t, data(0L, 100L))
+    TxLog.deleteVectored(spark, t, "k", Some(10L), Some(19L))
+    val got = spark.sql(s"SELECT count(*) AS n FROM graft_snapshot('$t')")
+      .head().getLong(0)
+    assert(got == 90L, "tombstoned rows must not resurrect through the TVF")
+  }
+
+  test("graft_changes: the SQL CDC read equals TxLog.changeFeed") {
+    val t = fresh("changes")
+    TxLog.commit(spark, t, data(0L, 200L))
+    TxLog.commit(spark, t, data(200L, 300L), append = true)
+    TxLog.deleteVectored(spark, t, "k", Some(50L), Some(60L))
+    val v = TxLog.latestVersion(spark, t)
+    assert(sameBag(spark.sql(s"SELECT * FROM graft_changes('$t', 1, $v)"),
+      TxLog.changeFeed(spark, t, 1L, v)))
+    // a SQL consumer folds the feed with plain aggregation
+    val net = spark.sql(
+      s"""SELECT sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) AS net
+         |FROM graft_changes('$t', 1, $v)""".stripMargin)
+      .head().getLong(0)
+    assert(net == TxLog.read(spark, t).count() - 200L,
+      "net feed delta must equal the snapshot growth since v1")
+  }
+
+  test("graft_history lists the commit log newest-first") {
+    val t = fresh("hist")
+    (0 until 3).foreach(i => TxLog.commit(spark, t,
+      data(i * 10L, i * 10L + 10L), append = i > 0))
+    val h = spark.sql(
+      s"SELECT version, operation FROM graft_history('$t')").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    assert(h.forall(_.getString(1) != null))
+  }
+
+  test("non-literal or malformed arguments fail loud at analysis") {
+    val t = fresh("bad")
+    TxLog.commit(spark, t, data(0L, 10L))
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_snapshot('$t', 1, 2, 3)").collect())
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_changes('/nope/missing', 1, 2)").collect())
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_snapshot(42)").collect())
+  }
+}
