@@ -293,6 +293,47 @@ class IndexSpec extends AnyFunSuite {
       asSet(Similarity.ivfTopKSeeded(oldEmb, q, 5, 16, 4)))
   }
 
+  test("autoCompactIvfIndex: per-cell amplification measured from the manifest (r10)") {
+    val ix = fresh("ivf_autocompact")
+    val n = emb.count()
+    Similarity.buildIvfIndex(spark, ix, emb.filter(col("vec_id") < n / 2),
+      nCells = 8)
+    assert(!Similarity.autoCompactIvfIndex(spark, ix),
+      "fresh one-batch-per-cell layout must be a no-op")
+    Similarity.appendIvfIndex(spark, ix,
+      emb.filter(col("vec_id") >= n / 2 && col("vec_id") < 3 * n / 4))
+    // one append epoch: busiest cell holds 2 batches — at the default
+    // threshold that is still acceptable
+    assert(!Similarity.autoCompactIvfIndex(spark, ix),
+      "2 batches per cell is within the default policy")
+    Similarity.appendIvfIndex(spark, ix, emb.filter(col("vec_id") >= 3 * n / 4))
+    assert(Similarity.autoCompactIvfIndex(spark, ix),
+      "3 batches per cell must fire the recompaction")
+    // answers unchanged; layout back to one batch per probed cell
+    val q = emb.filter(col("vec_id") < 10)
+    assert(asSet(Similarity.ivfTopKIndexed(spark, ix, q, 5, nProbe = 4)) ==
+      asSet(Similarity.ivfTopKSeeded(emb, q, 5, 8, 4)))
+    assert(!Similarity.autoCompactIvfIndex(spark, ix),
+      "recompacted layout must be a no-op again")
+  }
+
+  test("autoCompactIvfPqIndex: same policy over the code lists (r10)") {
+    val ix = fresh("ivfpq_autocompact")
+    val n = emb.count()
+    Similarity.buildIvfPqIndex(spark, ix, emb.filter(col("vec_id") < n / 2),
+      dim = 64, m = 4, nCells = 8, batches = 4)
+    assert(!Similarity.autoCompactIvfPqIndex(spark, ix))
+    Similarity.appendIvfPqIndex(spark, ix,
+      emb.filter(col("vec_id") >= n / 2 && col("vec_id") < 3 * n / 4))
+    Similarity.appendIvfPqIndex(spark, ix, emb.filter(col("vec_id") >= 3 * n / 4))
+    assert(Similarity.autoCompactIvfPqIndex(spark, ix))
+    val q = emb.filter(col("vec_id") < 10)
+    assert(asSet(Similarity.ivfPqTopKIndexed(spark, ix, q, 5)) ==
+      asSet(Similarity.ivfPqTopK(emb, q, 5, nCells = 8)),
+      "recompaction must not change ADC answers")
+    assert(!Similarity.autoCompactIvfPqIndex(spark, ix))
+  }
+
   // ------------------------------------------------------------------ PQ
 
   test("indexed PQ ANN answers bit-identically to the recompute (incl. append)") {
