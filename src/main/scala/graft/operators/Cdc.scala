@@ -327,7 +327,7 @@ object Cdc {
     */
   def maintainAggView(spark: org.apache.spark.sql.SparkSession,
       srcDir: String, viewDir: String, dims: Seq[String],
-      valCol: String): Option[Long] = {
+      valCol: String, consumerName: Option[String] = None): Option[Long] = {
     import graft.sources.TxLog
     require(dims.nonEmpty, "at least one grouping column")
     val latest = TxLog.latestVersion(spark, srcDir)
@@ -337,7 +337,13 @@ object Cdc {
     val seen = old.flatMap(v =>
       v.limit(1).collect().headOption.map(_.getAs[Long]("_maintained_to")))
       .getOrElse(0L)
-    if (seen >= latest) return None
+    if (seen >= latest) {
+      // already current: still record the consumer's position, so a
+      // freshly-named consumer pins retention from its first call
+      if (seen >= 1L) consumerName.foreach(n =>
+        TxLog.ackConsumer(spark, srcDir, n, seen))
+      return None
+    }
     val feed = TxLog.changeFeed(spark, srcDir, seen, latest)
     val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
     // dv sums only non-null contributions (sign * NULL is NULL, which
@@ -381,6 +387,10 @@ object Cdc {
       .filter(col("n") > 0L)
       .withColumn("_maintained_to", lit(latest))
     TxLog.commit(spark, viewDir, next)
+    // ack AFTER the fold committed: the registry must never claim a
+    // version the view doesn't yet reflect (vacuum could then reclaim
+    // the very manifests a crash-recovery refold needs)
+    consumerName.foreach(n => TxLog.ackConsumer(spark, srcDir, n, latest))
     Some(latest)
   }
 
@@ -399,12 +409,13 @@ object Cdc {
     */
   def maintainAggViewStream(spark: org.apache.spark.sql.SparkSession,
       srcDir: String, viewDir: String, dims: Seq[String], valCol: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      consumerName: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("txlog")
       .option("changeFeed", "true").load(srcDir)
       .writeStream.option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        maintainAggView(spark, srcDir, viewDir, dims, valCol)
+        maintainAggView(spark, srcDir, viewDir, dims, valCol, consumerName)
         ()
       }
       .start()

@@ -2879,10 +2879,70 @@ object TxLog {
     (doomed.toSeq.sorted, bytes)
   }
 
-  def vacuum(spark: SparkSession, tableDir: String, retainFrom: Long): Unit = {
+  /** CDC consumer registry (round-10): an incremental consumer records
+    * the last source version it has folded, and [[vacuum]] refuses to
+    * reclaim the replay window a registered consumer still needs — its
+    * next catch-up reads `changeFeed(acked, latest)`, whose earliest
+    * diff base is manifest `acked`. One tiny file per consumer
+    * (`_log/consumer-<name>`), so concurrent consumers never
+    * read-modify-write each other; acks are monotonic (a stale
+    * re-delivery can't move a consumer backwards). This turns the
+    * "keep retention ≥ consumer lag" convention into an enforced
+    * contract — the failure it prevents is the silent one where a
+    * scheduler vacuums on a size policy and a weekly dashboard's next
+    * fold dies on a reclaimed manifest.
+    */
+  def ackConsumer(spark: SparkSession, tableDir: String, name: String,
+      version: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad consumer name '$name'")
+    val latest = latestVersion(spark, tableDir)
+    require(version >= 1 && version <= latest,
+      s"ack $version outside committed range [1, $latest] of $tableDir")
+    val f = fs(spark, tableDir)
+    val p = new Path(logDir(tableDir), s"consumer-$name")
+    if (consumerAcks(spark, tableDir).getOrElse(name, 0L) >= version) return
+    val out = f.create(p, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Registered consumers and their acked versions. */
+  def consumerAcks(spark: SparkSession, tableDir: String): Map[String, Long] = {
+    val f = fs(spark, tableDir)
+    val dir = logDir(tableDir)
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith("consumer-"))
+      .flatMap { s =>
+        val in = f.open(s.getPath)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        txt.toLongOption.map(s.getPath.getName.stripPrefix("consumer-") -> _)
+      }.toMap
+  }
+
+  /** Deregister a consumer (its lag no longer pins retention). */
+  def dropConsumer(spark: SparkSession, tableDir: String, name: String): Unit = {
+    val f = fs(spark, tableDir)
+    f.delete(new Path(logDir(tableDir), s"consumer-$name"), false)
+  }
+
+  def vacuum(spark: SparkSession, tableDir: String, retainFrom: Long,
+      force: Boolean = false): Unit = {
     val f = fs(spark, tableDir)
     val latest = latestVersion(spark, tableDir)
     require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
+    // registered consumers pin retention: reclaiming past the slowest
+    // ack would break its next changeFeed(acked, latest) fold
+    if (!force) {
+      val acks = consumerAcks(spark, tableDir)
+      val lagging = acks.filter(_._2 < retainFrom)
+      if (lagging.nonEmpty) throw new IllegalStateException(
+        s"vacuum $tableDir retainFrom=$retainFrom would reclaim the replay " +
+          s"window of registered consumer(s) ${lagging.toSeq.sorted
+            .map { case (n, v) => s"$n@v$v" }.mkString(", ")}; fold them " +
+          "forward (ackConsumer), dropConsumer the dead ones, or pass " +
+          "force=true to break their feeds knowingly")
+    }
     val statuses = f.listStatus(logDir(tableDir)).toSeq
     // deletion-vector files referenced by any retained manifest survive
     // with their snapshots; superseded/purged vectors go with vacuum

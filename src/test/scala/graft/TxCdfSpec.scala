@@ -266,6 +266,57 @@ class TxCdfSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("vacuum refuses to reclaim a registered consumer's replay window (r10)") {
+    val t = fresh("consumer_lag")
+    (1 to 5).foreach(i => TxLog.commit(spark, t,
+      data(i * 10L, i * 10L + 10L), append = i > 1))
+    TxLog.ackConsumer(spark, t, "etl", 2L)
+    // reclaiming past the ack would break changeFeed(2, ...) — refuse
+    val e = intercept[IllegalStateException](TxLog.vacuum(spark, t, retainFrom = 4L))
+    assert(e.getMessage.contains("etl@v2"))
+    // within the window: proceeds, and the consumer's fold still plans
+    TxLog.vacuum(spark, t, retainFrom = 2L)
+    assert(TxLog.changeFeed(spark, t, 2L, 5L).count() == 30L)
+    // acks are monotonic: a stale re-delivery can't move it backwards
+    TxLog.ackConsumer(spark, t, "etl", 1L)
+    assert(TxLog.consumerAcks(spark, t) == Map("etl" -> 2L))
+    // the consumer folds forward; deeper vacuum unblocks
+    TxLog.ackConsumer(spark, t, "etl", 4L)
+    TxLog.vacuum(spark, t, retainFrom = 4L)
+    // force overrides knowingly; drop removes the pin entirely
+    intercept[IllegalStateException](TxLog.vacuum(spark, t, retainFrom = 5L))
+    TxLog.vacuum(spark, t, retainFrom = 5L, force = true)
+    TxLog.dropConsumer(spark, t, "etl")
+    assert(TxLog.consumerAcks(spark, t).isEmpty)
+  }
+
+  test("maintainAggView acks its consumer position after each fold (r10)") {
+    import graft.operators.Cdc
+    val t = fresh("mav_ack"); val v = fresh("mav_ack_view")
+    TxLog.commit(spark, t, data(0L, 100L))
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v",
+      consumerName = Some("dash")).contains(1L))
+    assert(TxLog.consumerAcks(spark, t) == Map("dash" -> 1L))
+    TxLog.commit(spark, t, data(100L, 150L), append = true)
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v",
+      consumerName = Some("dash")).contains(2L))
+    assert(TxLog.consumerAcks(spark, t) == Map("dash" -> 2L))
+    // replay no-op still re-affirms the position
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v",
+      consumerName = Some("dash")).isEmpty)
+    assert(TxLog.consumerAcks(spark, t) == Map("dash" -> 2L))
+    // the view's pin keeps its replay window vacuum-safe by default:
+    // a commit the view hasn't folded yet must not be reclaimed past
+    // the ack (retainFrom ≤ ack keeps the diff base and is fine)
+    TxLog.commit(spark, t, data(150L, 160L), append = true) // v3, unfolded
+    TxLog.vacuum(spark, t, retainFrom = 2L) // = ack: diff base survives
+    intercept[IllegalStateException](TxLog.vacuum(spark, t, retainFrom = 3L))
+    // the stream/batch fold catches up and releases the pin
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v",
+      consumerName = Some("dash")).contains(3L))
+    TxLog.vacuum(spark, t, retainFrom = 3L)
+  }
+
   test("checkpoint-backed catch-up: append runs replay in O(ckpt+tail) manifest reads (r9 #4)") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.countfs.impl", classOf[CountingFileSystem].getName)
