@@ -317,6 +317,33 @@ class IndexSpec extends AnyFunSuite {
       "recompacted layout must be a no-op again")
   }
 
+  test("ivfDriftRatio: in-distribution appends ~1, drifted appends flag retrain (r10)") {
+    val n = emb.count()
+    // in-distribution: the other half of the SAME corpus
+    val ix1 = fresh("ivf_drift_ok")
+    Similarity.buildIvfIndex(spark, ix1, emb.filter(col("vec_id") < n / 2),
+      nCells = 8)
+    assert(Similarity.ivfDriftRatio(spark, ix1).isEmpty,
+      "no appends: drift is undefined, not zero")
+    Similarity.appendIvfIndex(spark, ix1, emb.filter(col("vec_id") >= n / 2))
+    val ok = Similarity.ivfDriftRatio(spark, ix1).get
+    assert(ok > 0.5 && ok < 2.0, s"in-distribution drift ratio was $ok")
+    assert(!Similarity.shouldRetrainIvf(spark, ix1),
+      "in-distribution appends must not flag a retrain")
+    // drifted: the appended stream lives far from every frozen centroid
+    val ix2 = fresh("ivf_drift_bad")
+    Similarity.buildIvfIndex(spark, ix2, emb.filter(col("vec_id") < n / 2),
+      nCells = 8)
+    val shifted = emb.filter(col("vec_id") >= n / 2)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x + 5.0 AS FLOAT))").as("embedding"))
+    Similarity.appendIvfIndex(spark, ix2, shifted)
+    val bad = Similarity.ivfDriftRatio(spark, ix2).get
+    assert(bad > 2.0, s"shifted appends must measure drifted, got $bad")
+    assert(Similarity.shouldRetrainIvf(spark, ix2),
+      "measured drift past the threshold must flag a retrain")
+  }
+
   test("autoCompactIvfPqIndex: same policy over the code lists (r10)") {
     val ix = fresh("ivfpq_autocompact")
     val n = emb.count()
