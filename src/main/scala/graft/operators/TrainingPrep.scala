@@ -307,4 +307,46 @@ object TrainingPrep {
         (col("tok_start") - col("seq_id") * seqLen).as("seq_off"),
         (col("tok_end") - col("tok_start")).as("len"))
   }
+
+  /** Deterministic training-shard export — the dataloader handoff after
+    * dedup / mixture / packing: every row lands in exactly ONE of
+    * `nShards` shards by a SEEDED engine-portable hash of its id, and
+    * rows inside a shard carry a stable position (`shard_pos`, ordered
+    * by the same hash with id tie-break). That makes the training order
+    * a pure function of (seed, ids) — identical across cluster sizes,
+    * input partitionings, task retries, and engines (the q237 oracle
+    * replays it digit-for-digit) — where `repartition(n)` round-robins
+    * an arbitrary input order and `orderBy(rand())` is neither stable
+    * nor replayable. A new epoch re-shuffles by re-seeding, touching no
+    * data.
+    *
+    * Scale shape: one hash projection + one shard-keyed window — a
+    * single shuffle on the shard key, each shard sorted independently;
+    * never a global sort.
+    */
+  def shardAssign(docs: DataFrame, nShards: Int, seed: Long = 0L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"bad nShards $nShards")
+    val h = conv(substring(md5(
+      concat_ws("#", lit(seed), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    docs.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** Land a [[shardAssign]] result as ONE parquet file per shard
+    * directory (`shard=K/part-…`), rows inside each file in `shard_pos`
+    * order — the layout a sequential dataloader consumes shard-by-shard.
+    * Repartitioning BY the shard key first means each hive split sees
+    * its whole shard in one task, so the file count equals the shard
+    * count, not tasks × shards.
+    */
+  def writeShards(assigned: DataFrame, outDir: String): Unit =
+    assigned
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 }

@@ -4586,7 +4586,26 @@ object PipelineQueries extends QueryPack {
              |UNION ALL
              |SELECT o_orderkey, o_custkey, o_totalprice,
              |  'delete', 3 FROM orders
-             |WHERE o_custkey BETWEEN 100 AND 200""".stripMargin))
+             |WHERE o_custkey BETWEEN 100 AND 200""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q237: DETERMINISTIC SHARD EXPORT (TrainingPrep.shardAssign) — the
+    // dataloader handoff: seeded md5-u32 hash assigns every doc to one
+    // of 7 shards and a stable within-shard position, so the training
+    // order is a pure function of (seed, ids) — identical across
+    // cluster sizes, partitionings, retries, and engines. The oracle
+    // replays the hash digit-by-digit and the same shard window.
+    QueryDef(
+      "q237_shard_export",
+      (s, dir) => graft.operators.TrainingPrep.shardAssign(
+        T.documents(s, dir).select(col("doc_id")), nShards = 7, seed = 42L),
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, ${u32Sql("'42#' || CAST(doc_id AS VARCHAR)")} AS hv
+              |  FROM documents)
+              |SELECT doc_id, hv % 7 AS shard,
+              |  CAST(row_number() OVER (PARTITION BY hv % 7
+              |    ORDER BY hv, doc_id) AS BIGINT) AS shard_pos
+              |FROM h""".stripMargin))
   )
 
   /** q234's late-bound oracle: the view body from the artifact the

@@ -194,6 +194,55 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
   }
 
+
+  test("shardAssign: deterministic shuffle — partition- and seed-stable (r10)") {
+    val ids = spark.range(0L, 500L).select(col("id").as("doc_id"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TrainingPrep.shardAssign(df, nShards = 7, seed = 42L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val a = run(ids)
+    // repartitioning the input must not move a single row or position
+    assert(run(ids.repartition(17)) == a)
+    // complete and disjoint: every doc exactly once; positions dense 1..n
+    assert(a.map(_._1) == (0L until 500L))
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet == (0L until 7L).toSet)
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq,
+        "shard positions must be dense from 1")
+    }
+    // a new seed is a new epoch order (overwhelmingly: 500 rows, 7 shards)
+    val b = TrainingPrep.shardAssign(ids, 7, seed = 43L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(a != b, "re-seeding must re-shuffle")
+  }
+
+  test("writeShards: one file per shard, rows in shard_pos order (r10)") {
+    val out = s"${GraftSession.scratchBase}/graft_shards_spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val assigned = TrainingPrep.shardAssign(
+      spark.range(0L, 300L).select(col("id").as("doc_id")), nShards = 5)
+    TrainingPrep.writeShards(assigned, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 300L)
+    // hive layout: one data file per shard directory
+    (0 until 5).foreach { k =>
+      val files = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$out/shard=$k/part-*.parquet"))
+      assert(files.length == 1, s"shard $k must be one file, got ${files.length}")
+    }
+    // within-file order IS shard_pos order (the dataloader contract):
+    // a monotonic check over the file's physical row order
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(monotonically_increasing_id())
+    val disorder = back
+      .withColumn("prev", lag(col("shard_pos"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") >= col("shard_pos"))
+    assert(disorder.isEmpty, "rows must land in shard_pos order")
+  }
 }
 
 import org.scalacheck.{Gen, Prop, Properties}
@@ -249,4 +298,5 @@ object TrainingPrepProps extends Properties("TrainingPrep") {
           (ivs.last._1 + ivs.last._2 == total)
       }
     }
+
 }
