@@ -340,52 +340,66 @@ object Cdc {
     if (seen >= latest) {
       // already current: still record the consumer's position, so a
       // freshly-named consumer pins retention from its first call
-      if (seen >= 1L) consumerName.foreach(n =>
-        TxLog.ackConsumer(spark, srcDir, n, seen))
+      // (seen >= 1 here: this branch needs seen >= latest >= 1)
+      consumerName.foreach(n => TxLog.ackConsumer(spark, srcDir, n, seen))
       return None
     }
-    val feed = TxLog.changeFeed(spark, srcDir, seen, latest)
-    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    // dv sums only non-null contributions (sign * NULL is NULL, which
-    // sum skips); dnn counts them, signed, so the fold knows whether a
-    // group's accumulated total represents any value at all
-    val delta = feed.groupBy(dims.map(col): _*)
-      .agg(sum(sign).as("dn"), sum(sign * col(valCol)).as("dv"),
-        sum(sign * when(col(valCol).isNotNull, 1L).otherwise(0L)).as("dnn"))
-    val base = old.map(_.drop("_maintained_to")).map { b =>
-      // migration shim: a view written before `_nn` existed synthesizes
-      // it from the stored total (NULL total = zero non-null
-      // contributions; any value = "at least one" — preserves the
-      // legacy fold's behavior for legacy rows instead of crashing the
-      // first post-upgrade maintenance)
-      if (b.columns.contains("_nn")) b
-      else b.withColumn("_nn",
-        when(col("total").isNull, 0L).otherwise(lit(1L)))
-    }.getOrElse {
-      // typed empty frame so the full-outer join below is schema-stable
-      delta.select(dims.map(col) :+ col("dn").as("n") :+
-        col("dv").as("total") :+ col("dnn").as("_nn"): _*)
-        .limit(0)
-    }
-    // NULL-SAFE group equality: a NULL dim value is a legitimate group
-    // (GROUP BY treats all NULLs as one), but a plain using-columns
-    // full_outer never matches NULL keys — the base's null group and the
-    // delta's would each survive as separate rows, duplicating the
-    // group on every fold
-    val dDelta = delta.select(
-      dims.map(c => col(c).as(s"__d_$c")) ++ Seq(col("dn"), col("dv"), col("dnn")): _*)
-    val cond = dims.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
-    val nn = coalesce(col("_nn"), lit(0L)) + coalesce(col("dnn"), lit(0L))
-    val next = base.join(dDelta, cond, "full_outer")
-      .select(dims.map(c => coalesce(col(c), col(s"__d_$c")).as(c)) ++ Seq(
-        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
-        // all contributions NULL ⇒ the fresh aggregate's sum is NULL
-        when(nn > 0L,
-          coalesce(col("total"), lit(0L)) + coalesce(col("dv"), lit(0L)))
-          .as("total"),
-        nn.as("_nn")): _*)
-      .filter(col("n") > 0L)
-      .withColumn("_maintained_to", lit(latest))
+    val next =
+      if (seen == 0L) {
+        // FROM-ZERO (re)fold — first call, or an emptied view that lost
+        // its in-row watermark: a fresh aggregate over the SNAPSHOT,
+        // never changeFeed(0, latest). The v0 feed replays v1's
+        // manifest, which a routine vacuum may have reclaimed — the
+        // snapshot read is always available, cheaper, and by definition
+        // the value the fold contract promises to equal.
+        TxLog.read(spark, srcDir).groupBy(dims.map(col): _*)
+          .agg(count(lit(1)).as("n"), sum(col(valCol)).as("total"),
+            count(col(valCol)).as("_nn"))
+          .withColumn("_maintained_to", lit(latest))
+      } else {
+        val feed = TxLog.changeFeed(spark, srcDir, seen, latest)
+        val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+        // dv sums only non-null contributions (sign * NULL is NULL, which
+        // sum skips); dnn counts them, signed, so the fold knows whether a
+        // group's accumulated total represents any value at all
+        val delta = feed.groupBy(dims.map(col): _*)
+          .agg(sum(sign).as("dn"), sum(sign * col(valCol)).as("dv"),
+            sum(sign * when(col(valCol).isNotNull, 1L).otherwise(0L)).as("dnn"))
+        val base = old.map(_.drop("_maintained_to")).map { b =>
+          // migration shim: a view written before `_nn` existed synthesizes
+          // it from the stored total (NULL total = zero non-null
+          // contributions; any value = "at least one" — preserves the
+          // legacy fold's behavior for legacy rows instead of crashing the
+          // first post-upgrade maintenance)
+          if (b.columns.contains("_nn")) b
+          else b.withColumn("_nn",
+            when(col("total").isNull, 0L).otherwise(lit(1L)))
+        }.getOrElse {
+          // typed empty frame so the full-outer join below is schema-stable
+          delta.select(dims.map(col) :+ col("dn").as("n") :+
+            col("dv").as("total") :+ col("dnn").as("_nn"): _*)
+            .limit(0)
+        }
+        // NULL-SAFE group equality: a NULL dim value is a legitimate group
+        // (GROUP BY treats all NULLs as one), but a plain using-columns
+        // full_outer never matches NULL keys — the base's null group and the
+        // delta's would each survive as separate rows, duplicating the
+        // group on every fold
+        val dDelta = delta.select(
+          dims.map(c => col(c).as(s"__d_$c")) ++ Seq(col("dn"), col("dv"), col("dnn")): _*)
+        val cond = dims.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
+        val nn = coalesce(col("_nn"), lit(0L)) + coalesce(col("dnn"), lit(0L))
+        base.join(dDelta, cond, "full_outer")
+          .select(dims.map(c => coalesce(col(c), col(s"__d_$c")).as(c)) ++ Seq(
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            // all contributions NULL ⇒ the fresh aggregate's sum is NULL
+            when(nn > 0L,
+              coalesce(col("total"), lit(0L)) + coalesce(col("dv"), lit(0L)))
+              .as("total"),
+            nn.as("_nn")): _*)
+          .filter(col("n") > 0L)
+          .withColumn("_maintained_to", lit(latest))
+      }
     TxLog.commit(spark, viewDir, next)
     // ack AFTER the fold committed: the registry must never claim a
     // version the view doesn't yet reflect (vacuum could then reclaim

@@ -327,9 +327,9 @@ object TrainingPrep {
   def shardAssign(docs: DataFrame, nShards: Int, seed: Long = 0L,
       idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, s"bad nShards $nShards")
-    val h = conv(substring(md5(
-      concat_ws("#", lit(seed), col(idCol).cast("string"))), 1, 8), 16, 10)
-      .cast("long")
+    // the object's one engine-portable hash (replayed digit-by-digit by
+    // the q237 oracle), seeded by prefixing the id
+    val h = u32(concat_ws("#", lit(seed), col(idCol).cast("string")))
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
     docs.withColumn("__h", h)
       .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))

@@ -2853,10 +2853,14 @@ object TxLog {
   }
 
   def vacuumDryRun(spark: SparkSession, tableDir: String,
-      retainFrom: Long): (Seq[String], Long) = {
+      retainFrom: Long, force: Boolean = false): (Seq[String], Long) = {
     val f = fs(spark, tableDir)
     val latest = latestVersion(spark, tableDir)
     require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
+    // the preview must refuse exactly where the real vacuum will — a
+    // dry run that lists doomed paths the vacuum then declines to
+    // delete misleads the retention runbook it exists for
+    if (!force) requireNoLaggingConsumers(spark, tableDir, retainFrom)
     val statuses = f.listStatus(logDir(tableDir)).toSeq
     val (keep, keepDv) = keepRefs(f, tableDir, retainFrom, latest, statuses)
     val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -2892,6 +2896,20 @@ object TxLog {
     * scheduler vacuums on a size policy and a weekly dashboard's next
     * fold dies on a reclaimed manifest.
     */
+  private def readConsumerAck(f: FileSystem, tableDir: String,
+      name: String): Option[Long] =
+    try {
+      val in = f.open(new Path(logDir(tableDir), s"consumer-$name"))
+      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      // an unparsable ack is a DAMAGED pin, not an absent one — surface
+      // it rather than silently unpinning the consumer (the vacuum gate
+      // depends on this being loud)
+      Some(txt.toLongOption.getOrElse(throw new IllegalStateException(
+        s"unparsable consumer ack $tableDir/_log/consumer-$name " +
+          s"('$txt') — repair or delete it (dropConsumer) explicitly")))
+    } catch { case _: java.io.FileNotFoundException => None }
+
   def ackConsumer(spark: SparkSession, tableDir: String, name: String,
       version: Long): Unit = {
     require(name.matches("[A-Za-z0-9._-]+"), s"bad consumer name '$name'")
@@ -2899,24 +2917,35 @@ object TxLog {
     require(version >= 1 && version <= latest,
       s"ack $version outside committed range [1, $latest] of $tableDir")
     val f = fs(spark, tableDir)
+    // monotonicity probe reads ONE file (never a _log listing — a
+    // streaming view acks every trigger, and an O(history) LIST per
+    // micro-batch is the metadata bug the _latest hint exists to avoid)
+    if (readConsumerAck(f, tableDir, name).exists(_ >= version)) return
+    // tmp + rename: the ack is LOAD-BEARING (it pins vacuum), so a
+    // crash mid-write must leave the old pin intact, never a truncated
+    // file that silently unpins the consumer
     val p = new Path(logDir(tableDir), s"consumer-$name")
-    if (consumerAcks(spark, tableDir).getOrElse(name, 0L) >= version) return
-    val out = f.create(p, true)
+    val tmp = new Path(logDir(tableDir), s"consumer-$name.tmp")
+    val out = f.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    f.delete(p, false)
+    if (!f.rename(tmp, p)) throw new java.io.IOException(
+      s"could not publish consumer ack $p")
   }
 
-  /** Registered consumers and their acked versions. */
+  /** Registered consumers and their acked versions. Fails loud on a
+    * damaged ack file — see [[ackConsumer]].
+    */
   def consumerAcks(spark: SparkSession, tableDir: String): Map[String, Long] = {
     val f = fs(spark, tableDir)
     val dir = logDir(tableDir)
     if (!f.exists(dir)) return Map.empty
     f.listStatus(dir).toSeq
-      .filter(_.getPath.getName.startsWith("consumer-"))
-      .flatMap { s =>
-        val in = f.open(s.getPath)
-        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
-          finally in.close()
-        txt.toLongOption.map(s.getPath.getName.stripPrefix("consumer-") -> _)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("consumer-") && !n.endsWith(".tmp"))
+      .flatMap { n =>
+        val name = n.stripPrefix("consumer-")
+        readConsumerAck(f, tableDir, name).map(name -> _)
       }.toMap
   }
 
@@ -2924,6 +2953,18 @@ object TxLog {
   def dropConsumer(spark: SparkSession, tableDir: String, name: String): Unit = {
     val f = fs(spark, tableDir)
     f.delete(new Path(logDir(tableDir), s"consumer-$name"), false)
+    f.delete(new Path(logDir(tableDir), s"consumer-$name.tmp"), false)
+  }
+
+  private def requireNoLaggingConsumers(spark: SparkSession,
+      tableDir: String, retainFrom: Long): Unit = {
+    val lagging = consumerAcks(spark, tableDir).filter(_._2 < retainFrom)
+    if (lagging.nonEmpty) throw new IllegalStateException(
+      s"vacuum $tableDir retainFrom=$retainFrom would reclaim the replay " +
+        s"window of registered consumer(s) ${lagging.toSeq.sorted
+          .map { case (n, v) => s"$n@v$v" }.mkString(", ")}; fold them " +
+        "forward (ackConsumer), dropConsumer the dead ones, or pass " +
+        "force=true to break their feeds knowingly")
   }
 
   def vacuum(spark: SparkSession, tableDir: String, retainFrom: Long,
@@ -2933,16 +2974,7 @@ object TxLog {
     require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
     // registered consumers pin retention: reclaiming past the slowest
     // ack would break its next changeFeed(acked, latest) fold
-    if (!force) {
-      val acks = consumerAcks(spark, tableDir)
-      val lagging = acks.filter(_._2 < retainFrom)
-      if (lagging.nonEmpty) throw new IllegalStateException(
-        s"vacuum $tableDir retainFrom=$retainFrom would reclaim the replay " +
-          s"window of registered consumer(s) ${lagging.toSeq.sorted
-            .map { case (n, v) => s"$n@v$v" }.mkString(", ")}; fold them " +
-          "forward (ackConsumer), dropConsumer the dead ones, or pass " +
-          "force=true to break their feeds knowingly")
-    }
+    if (!force) requireNoLaggingConsumers(spark, tableDir, retainFrom)
     val statuses = f.listStatus(logDir(tableDir)).toSeq
     // deletion-vector files referenced by any retained manifest survive
     // with their snapshots; superseded/purged vectors go with vacuum

@@ -342,6 +342,19 @@ class IndexSpec extends AnyFunSuite {
     assert(bad > 2.0, s"shifted appends must measure drifted, got $bad")
     assert(Similarity.shouldRetrainIvf(spark, ix2),
       "measured drift past the threshold must flag a retrain")
+    // maintenance reclaims the v1 window: drift goes UNMEASURABLE
+    // (None), never a crash — and a re-anchored baseline measures again
+    Similarity.autoCompactIvfIndex(spark, ix2, maxBatchesPerCell = 1)
+    val anchor = TxLog.latestVersion(spark, s"$ix2/cells")
+    TxLog.vacuum(spark, s"$ix2/cells", anchor, force = true)
+    assert(Similarity.ivfDriftRatio(spark, ix2).isEmpty,
+      "reclaimed replay window must read as unmeasurable")
+    val worse = emb.filter(col("vec_id") >= n / 2)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x + 20.0 AS FLOAT))").as("embedding"))
+    Similarity.appendIvfIndex(spark, ix2, worse)
+    assert(Similarity.ivfDriftRatio(spark, ix2, sinceVersion = anchor)
+      .exists(_ > 2.0), "re-anchored drift must measure the new appends")
   }
 
   test("autoCompactIvfPqIndex: same policy over the code lists (r10)") {
@@ -354,6 +367,11 @@ class IndexSpec extends AnyFunSuite {
       emb.filter(col("vec_id") >= n / 2 && col("vec_id") < 3 * n / 4))
     Similarity.appendIvfPqIndex(spark, ix, emb.filter(col("vec_id") >= 3 * n / 4))
     assert(Similarity.autoCompactIvfPqIndex(spark, ix))
+    // LOCKSTEP: the asOf contract names ONE version for the
+    // cellcodes/vectors pair — compaction must bump both
+    assert(TxLog.latestVersion(spark, s"$ix/cellcodes") ==
+      TxLog.latestVersion(spark, s"$ix/vectors"),
+      "compaction must keep the table pair in version lockstep")
     val q = emb.filter(col("vec_id") < 10)
     assert(asSet(Similarity.ivfPqTopKIndexed(spark, ix, q, 5)) ==
       asSet(Similarity.ivfPqTopK(emb, q, 5, nCells = 8)),

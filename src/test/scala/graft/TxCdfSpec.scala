@@ -266,14 +266,53 @@ class TxCdfSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("an emptied view refolds from the SNAPSHOT — vacuum-safe from-zero (review)") {
+    import graft.operators.Cdc
+    val t = fresh("mav_empty"); val v = fresh("mav_empty_view")
+    TxLog.commit(spark, t, data(0L, 100L))
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v",
+      consumerName = Some("dash")).contains(1L))
+    // delete EVERYTHING: the view empties and loses its in-row watermark
+    TxLog.deleteVectored(spark, t, "k", Some(0L), Some(1000L))
+    TxLog.purgeDeletes(spark, t)
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v",
+      consumerName = Some("dash")).isDefined)
+    assert(TxLog.read(spark, v).isEmpty)
+    // retention moves on — the early manifests go away entirely
+    TxLog.commit(spark, t, data(200L, 260L), append = true)
+    val latest = TxLog.latestVersion(spark, t)
+    TxLog.vacuum(spark, t, retainFrom = latest, force = true)
+    // the from-zero refold reads the SNAPSHOT, not changeFeed(0, ·)
+    // whose v1 manifest is gone — it must succeed and equal a fresh
+    // aggregate
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v",
+      consumerName = Some("dash")).contains(latest))
+    val view = TxLog.read(spark, v).drop("_maintained_to", "_nn")
+    val want = TxLog.read(spark, t).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    assert(sameBag(view, want))
+  }
+
   test("vacuum refuses to reclaim a registered consumer's replay window (r10)") {
     val t = fresh("consumer_lag")
     (1 to 5).foreach(i => TxLog.commit(spark, t,
       data(i * 10L, i * 10L + 10L), append = i > 1))
     TxLog.ackConsumer(spark, t, "etl", 2L)
-    // reclaiming past the ack would break changeFeed(2, ...) — refuse
+    // reclaiming past the ack would break changeFeed(2, ...) — refuse,
+    // and the DRY RUN must refuse identically (a preview that lists
+    // paths the real vacuum then declines to delete misleads)
     val e = intercept[IllegalStateException](TxLog.vacuum(spark, t, retainFrom = 4L))
     assert(e.getMessage.contains("etl@v2"))
+    intercept[IllegalStateException](TxLog.vacuumDryRun(spark, t, 4L))
+    assert(TxLog.vacuumDryRun(spark, t, 4L, force = true)._1.nonEmpty)
+    // a DAMAGED ack file is a loud error, never a silent unpin
+    val bad = new Path(s"$t/_log/consumer-etl")
+    val out = fs.create(bad, true)
+    out.write("garbage".getBytes("UTF-8")); out.close()
+    val e2 = intercept[IllegalStateException](TxLog.vacuum(spark, t, retainFrom = 4L))
+    assert(e2.getMessage.contains("unparsable"))
+    TxLog.dropConsumer(spark, t, "etl")
+    TxLog.ackConsumer(spark, t, "etl", 2L)
     // within the window: proceeds, and the consumer's fold still plans
     TxLog.vacuum(spark, t, retainFrom = 2L)
     assert(TxLog.changeFeed(spark, t, 2L, 5L).count() == 30L)
