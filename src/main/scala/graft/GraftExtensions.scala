@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_history"),
       new ExpressionInfo(graft.plans.TxTableFunctions.getClass.getName, "graft_history"),
       (exprs: Seq[Expression]) => graft.plans.TxTableFunctions.history(exprs)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_consumers"),
+      new ExpressionInfo(graft.plans.TxTableFunctions.getClass.getName, "graft_consumers"),
+      (exprs: Seq[Expression]) => graft.plans.TxTableFunctions.consumers(exprs)))
   }
 
   private def intLit(e: Expression, fn: String): Int = e match {

@@ -83,4 +83,22 @@ object TxTableFunctions {
     graft.sources.TxLog.history(spark, str(exprs.head, "graft_history"))
       .queryExecution.analyzed
   }
+
+  /** `graft_consumers(dir)`: the CDC consumer registry — (consumer,
+    * acked_version, lag) rows, lag relative to the current latest. The
+    * retention-runbook query: `SELECT * FROM graft_consumers(t) WHERE
+    * acked_version < <retainFrom>` names exactly who a planned vacuum
+    * would break.
+    */
+  def consumers(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1, s"graft_consumers(dir) got ${exprs.size} args")
+    val spark = SparkSession.active
+    val dir = str(exprs.head, "graft_consumers")
+    val latest = graft.sources.TxLog.latestVersion(spark, dir)
+    import spark.implicits._
+    graft.sources.TxLog.consumerAcks(spark, dir).toSeq.sorted
+      .map { case (n, v) => (n, v, latest - v) }
+      .toDF("consumer", "acked_version", "lag")
+      .queryExecution.analyzed
+  }
 }

@@ -93,6 +93,23 @@ class TxTvfSpec extends AnyFunSuite {
     assert(h.forall(_.getString(1) != null))
   }
 
+  test("graft_consumers: the retention-runbook lag query (r10)") {
+    val t = fresh("consumers")
+    (0 until 4).foreach(i => TxLog.commit(spark, t,
+      data(i * 10L, i * 10L + 10L), append = i > 0))
+    TxLog.ackConsumer(spark, t, "etl", 2L)
+    TxLog.ackConsumer(spark, t, "dash", 4L)
+    val got = spark.sql(
+      s"SELECT consumer, acked_version, lag FROM graft_consumers('$t') ORDER BY consumer")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("dash", 4L, 0L), ("etl", 2L, 2L)))
+    // who would retainFrom=3 break? exactly the lagging consumer
+    val broken = spark.sql(
+      s"SELECT consumer FROM graft_consumers('$t') WHERE acked_version < 3")
+      .collect().map(_.getString(0)).toSeq
+    assert(broken == Seq("etl"))
+  }
+
   test("non-literal or malformed arguments fail loud at analysis") {
     val t = fresh("bad")
     TxLog.commit(spark, t, data(0L, 10L))
