@@ -181,21 +181,27 @@ object Bench {
     if (probeOn) {
       val replicas = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPLICAS", "10").toInt
       val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt
+      // A/B FIRST (round-10 overrun: the probe's publish family burned
+      // ~475 s of a contended window and the ENTIRE A/B section emitted
+      // "skipped"): the feature-win ratios are the primary optimizer
+      // evidence, the scale probe the deep-dive — a budget death should
+      // cost probe tail families, never the whole A/B.
+      abJson =
+        if (budget.exhausted) """{"skipped":true}"""
+        else try BenchProbe.runAb(spark, replicas, passes,
+          budget = budget, onPartial = p => { abJson = p; flush() },
+          sfDir = sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ab probe failed: ${e.getMessage}")
+          s"""{"error":${jsonStr(e.getMessage)}}"""
+        }
+      flush()
       probeJson =
         if (budget.exhausted) """{"skipped":true}"""
         else try BenchProbe.run(spark, sfDir, replicas, passes,
           budget = budget, onPartial = p => { probeJson = p; flush() })
         catch { case e: Throwable =>
           System.err.println(s"[bench] scale probe failed: ${e.getMessage}")
-          s"""{"error":${jsonStr(e.getMessage)}}"""
-        }
-      flush()
-      abJson =
-        if (budget.exhausted) """{"skipped":true}"""
-        else try BenchProbe.runAb(spark, replicas, passes,
-          budget = budget, onPartial = p => { abJson = p; flush() })
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ab probe failed: ${e.getMessage}")
           s"""{"error":${jsonStr(e.getMessage)}}"""
         }
       flush()

@@ -331,7 +331,11 @@ object Cdc {
     import graft.sources.TxLog
     require(dims.nonEmpty, "at least one grouping column")
     val latest = TxLog.latestVersion(spark, srcDir)
-    require(latest > 0, s"no committed version in $srcDir")
+    // a source with no commits yet is a no-op, not an error — a
+    // maintenance loop (or streaming view) may start before the first
+    // commit, and there is nothing to fold and nothing ackable
+    // (ackConsumer requires version >= 1)
+    if (latest <= 0) return None
     val haveView = TxLog.latestVersion(spark, viewDir) > 0
     val old = if (haveView) Some(TxLog.read(spark, viewDir)) else None
     val seen = old.flatMap(v =>
@@ -339,9 +343,12 @@ object Cdc {
       .getOrElse(0L)
     if (seen >= latest) {
       // already current: still record the consumer's position, so a
-      // freshly-named consumer pins retention from its first call
-      // (seen >= 1 here: this branch needs seen >= latest >= 1)
-      consumerName.foreach(n => TxLog.ackConsumer(spark, srcDir, n, seen))
+      // freshly-named consumer pins retention from its first call.
+      // The seen >= 1 guard keeps the invariant LOCAL (ackConsumer
+      // requires an ack in [1, latest]) instead of leaning on the
+      // empty-source early-return above staying in place.
+      consumerName.filter(_ => seen >= 1L)
+        .foreach(n => TxLog.ackConsumer(spark, srcDir, n, seen))
       return None
     }
     val next =

@@ -195,25 +195,52 @@ object MvCatalog {
       val recorded = normSet(e.basePaths)
       val newDirs = latestDirs.filterNot(d => recorded(normalize(d)))
       val appendOnly = recorded.subsetOf(normSet(latestDirs))
-      val floatSummed = MvRewriteRule.suspend {
+      val mvDst = new org.apache.hadoop.fs.Path(tx.mvPath)
+      val mvOld = new org.apache.hadoop.fs.Path(tx.mvPath + ".refresh-old")
+      val mvTmp = new org.apache.hadoop.fs.Path(tx.mvPath + ".refresh-tmp")
+      val mvFs = mvDst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a swap that died between set-aside and publish left nothing at
+      // mvPath with the PRE-refresh view intact at .refresh-old —
+      // restore it (it is the version this entry's metadata describes;
+      // the .refresh-tmp dir is a LATER version the fold below would
+      // double-count against). mvMissing after recovery ⇒ the stored
+      // materialization is unusable: rebuild from the snapshot.
+      val mvMissing = MvRewriteRule.suspend {
+        if (!mvFs.exists(mvDst) && mvFs.exists(mvOld)) mvFs.rename(mvOld, mvDst)
+        !mvFs.exists(mvDst)
+      }
+      val floatSummed = !mvMissing && MvRewriteRule.suspend {
         val viewSchema = spark.read.parquet(tx.mvPath).schema
         tx.measureCols.exists(m => viewSchema.find(_.name == s"sum_$m")
           .exists(f => f.dataType == org.apache.spark.sql.types.DoubleType ||
             f.dataType == org.apache.spark.sql.types.FloatType))
       }
       MvRewriteRule.suspend {
-        // atomic swap (tmp + rename) so a concurrent reader of the old
-        // materialization never sees a half write
+        // atomic swap: write aside, set the live dir aside, rename in.
+        // Every rename result is CHECKED (a dropped boolean here is a
+        // silent no-materialization), and a failed publish restores the
+        // set-aside dir before failing loud — a concurrent reader of
+        // the old materialization never sees a half write or a gap.
         def swapIn(merged: org.apache.spark.sql.DataFrame): Unit = {
-          val tmp = tx.mvPath + ".refresh-tmp"
-          merged.write.mode("overwrite").parquet(tmp)
-          val fs = new org.apache.hadoop.fs.Path(tx.mvPath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(tx.mvPath), true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(tx.mvPath))
+          merged.write.mode("overwrite").parquet(mvTmp.toString)
+          mvFs.delete(mvOld, true)
+          if (mvFs.exists(mvDst) && !mvFs.rename(mvDst, mvOld))
+            throw new java.io.IOException(
+              s"mv refresh: could not set aside $mvDst")
+          if (!mvFs.rename(mvTmp, mvDst)) {
+            mvFs.rename(mvOld, mvDst)
+            throw new java.io.IOException(
+              s"mv refresh: could not publish $mvDst")
+          }
+          mvFs.delete(mvOld, true)
         }
-        if (appendOnly && newDirs.nonEmpty && !floatSummed) {
+        if (mvMissing) {
+          val base = graft.sources.TxLog.read(spark, tx.tableDir, Some(latest))
+          val aggs = viewAggs(tx.measureCols)
+          base.groupBy(e.groupCols.map(col): _*)
+            .agg(aggs.head, aggs.tail: _*)
+            .write.mode("overwrite").parquet(tx.mvPath)
+        } else if (appendOnly && newDirs.nonEmpty && !floatSummed) {
           // incremental: aggregate ONLY the delta batches, merge with
           // the stored view
           val deltaAggs = viewAggs(tx.measureCols)
@@ -387,7 +414,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   }
 
   /** Run `f` with the rewrite disabled on this thread (view rebuilds). */
-  private[plans] def suspend[A](f: => A): A = {
+  private[graft] def suspend[A](f: => A): A = {
     suspended.set(true)
     try f finally suspended.set(false)
   }

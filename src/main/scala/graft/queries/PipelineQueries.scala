@@ -4605,7 +4605,78 @@ object PipelineQueries extends QueryPack {
               |SELECT doc_id, hv % 7 AS shard,
               |  CAST(row_number() OVER (PARTITION BY hv % 7
               |    ORDER BY hv, doc_id) AS BIGINT) AS shard_pos
-              |FROM h""".stripMargin))
+              |FROM h""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q238: MULTI-TABLE ATOMIC COMMIT (TxLog.commitMulti, round-11) —
+    // the reference publishes times + missing_pairs + metadata together
+    // per chunk (utils/times.py:100-107); a crash between single-table
+    // writes breaks its pair-count accounting (README.md:268-276's
+    // calc_n_pairs/calc_n_missing_pairs audit). Here the trio is built
+    // across THREE transactions: two completed, one deliberately
+    // "crashed" after its decision record and finished by recoverMulti
+    // — then the query PROVES the invariant (visible rows == audited
+    // count) before returning the cross-table aggregate. The oracle
+    // recomputes the same trio split from `orders` directly, so the
+    // hash compare certifies that staged→decided→recovered writes land
+    // bit-identically to a never-crashed pipeline.
+    QueryDef(
+      "q238_multi_commit",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sources.TxLog
+        val sfName = new java.io.File(dir).getName
+        val base = s"${graft.GraftSession.scratchBase}/graft_mtx_$sfName"
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val (tT, tM, tD, tX) =
+          (s"$base/times", s"$base/missing", s"$base/meta", s"$base/txn")
+        val orders = T.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+        def routed(df: org.apache.spark.sql.DataFrame) =
+          df.filter($"o_orderkey" % 10L =!= 0L)
+        def miss(df: org.apache.spark.sql.DataFrame) =
+          df.filter($"o_orderkey" % 10L === 0L)
+        def audit(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy().agg(count(lit(1)).as("n_pairs"))
+        def trio(df: org.apache.spark.sql.DataFrame, app: Boolean) = Seq(
+          TxLog.MultiWrite(tT, routed(df), append = app),
+          TxLog.MultiWrite(tM, miss(df), append = app),
+          TxLog.MultiWrite(tD, audit(df), append = app))
+        val a = orders.filter($"o_orderkey" % 3L === 0L)
+        val b = orders.filter($"o_orderkey" % 3L === 1L)
+        val c = orders.filter($"o_orderkey" % 3L === 2L)
+        TxLog.commitMulti(s, tX, trio(a, app = false))
+        TxLog.commitMulti(s, tX, trio(b, app = true))
+        // third chunk: decided, then the coordinator "dies" — recovery
+        // must finish it (all three tables, exactly once)
+        val (id, staged) = TxLog.stageMulti(s, tX, trio(c, app = true))
+        TxLog.decideMulti(s, tX, id, staged)
+        val rec = TxLog.recoverMulti(s, tX)
+        require(rec.rolledForward == Seq(id) && rec.rolledBack.isEmpty,
+          s"q238: recovery must roll the decided txn forward, got $rec")
+        val audited = TxLog.read(s, tD)
+          .agg(sum($"n_pairs")).head().getLong(0)
+        val visible = TxLog.read(s, tT).count() + TxLog.read(s, tM).count()
+        require(audited == visible,
+          s"q238: $visible visible rows vs $audited audited — the " +
+            "invariant commitMulti exists to keep")
+        TxLog.read(s, tT).groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_routed"),
+            sum($"o_custkey").as("cust_total"))
+          .join(TxLog.read(s, tM).groupBy($"o_orderpriority")
+            .agg(count(lit(1)).as("n_missing")),
+            Seq("o_orderpriority"), "left")
+          .na.fill(0L, Seq("n_missing"))
+          .withColumn("n_audited", lit(audited))
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(CASE WHEN o_orderkey % 10 != 0 THEN 1 END) AS n_routed,
+             |  CAST(sum(CASE WHEN o_orderkey % 10 != 0 THEN o_custkey END)
+             |    AS BIGINT) AS cust_total,
+             |  count(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS n_missing,
+             |  (SELECT count(*) FROM orders) AS n_audited
+             |FROM orders GROUP BY 1""".stripMargin))
   )
 
   /** q234's late-bound oracle: the view body from the artifact the

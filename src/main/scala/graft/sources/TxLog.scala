@@ -630,8 +630,17 @@ object TxLog {
     // records first-seen versions for dirs that are really carryovers;
     // classifying from those would re-emit the whole table as inserts.
     val missing = (fromV to version).filterNot(existing)
-    val reliableFrom = math.max(
-      prev.map(_.reliableFrom).getOrElse(0L),
+    // a LEGACY prev (two-field header) reads as MaxValue = "unknown for
+    // everything it covered" — cap its contribution at prev.version
+    // instead of inheriting MaxValue forever: run boundaries observed
+    // strictly after prev.version come from manifests THIS build (and
+    // its successors) actually read, so they are genuine. Genuine
+    // reliableFrom values are ≤ version+1, so exactly-MaxValue can only
+    // be the legacy sentinel.
+    val prevReliable = prev.map(p =>
+      if (p.reliableFrom == Long.MaxValue) p.version else p.reliableFrom)
+      .getOrElse(0L)
+    val reliableFrom = math.max(prevReliable,
       missing.maxOption.map(_ + 1L).getOrElse(0L))
     val body = (Seq(s"ckptv1\t$version\t$reliableFrom") ++
       info.result().toSeq.sortBy(_._1).map { case (v, (op, ts, n)) =>
@@ -2883,6 +2892,323 @@ object TxLog {
     (doomed.toSeq.sorted, bytes)
   }
 
+  // ---- multi-table atomic commit (round-11) -------------------------
+  // The reference publishes `times`, `missing_pairs` and `metadata`
+  // together (data/src/utils/times.py:100-107 writes the trio per
+  // chunk); a crash between single-table commits leaves a published
+  // state where the pair-count accounting (times + missing = n²) is
+  // silently wrong. This is the lakehouse-native fix: a presumed-abort
+  // two-phase protocol whose commit point is ONE create-exclusive file.
+  //
+  //   stage    — per table: write the batch dir (immutable, invisible
+  //              until a manifest references it), record the intent in
+  //              `txnDir/txn-<id>.staged`;
+  //   decide   — create `txn-<id>.commit` EXCLUSIVELY (never a rename:
+  //              object-store rename is copy+delete, not a commit
+  //              point — the same reasoning as the manifest protocol);
+  //   publish  — each table's normal optimistic manifest commit,
+  //              idempotent (a batch already referenced after its
+  //              staged base is never re-published, so recovery racing
+  //              the coordinator can't double-append or clobber a later
+  //              overwrite);
+  //   forget   — delete the txn files.
+  //
+  // Crash anywhere: [[recoverMulti]] rolls FORWARD from a readable
+  // `.commit` (the decision was durable) and BACK from a `.staged`
+  // without one (nothing was ever visible). Readers keep per-table
+  // snapshot isolation mid-flight; the cross-table guarantee is atomic
+  // DURABILITY — after recovery, all tables reflect the transaction or
+  // none do. Same caveat as single-table [[commit]]: don't vacuum a
+  // table while a write to it is in flight (an unreferenced staged
+  // batch looks reclaimable).
+
+  /** One table's write inside [[commitMulti]]. */
+  case class MultiWrite(tableDir: String, df: DataFrame,
+      append: Boolean = false)
+
+  /** What [[recoverMulti]] did, by transaction id. */
+  case class MultiRecovery(rolledForward: Seq[String], rolledBack: Seq[String])
+
+  private[graft] case class StagedWrite(tableDir: String, batch: String,
+      append: Boolean, baseV: Long, line: String)
+
+  // body carries everything recovery needs (self-contained in either
+  // file); the trailing "end" line distinguishes a complete record from
+  // a crash-truncated one — a truncated `.commit` is NOT a decision
+  private def txnBody(staged: Seq[StagedWrite]): String =
+    ("mtxnv1" +:
+      staged.map(s => Seq(enc(s.tableDir), enc(s.batch),
+        if (s.append) "1" else "0", s.baseV.toString,
+        java.util.Base64.getEncoder.encodeToString(s.line.getBytes("UTF-8"))
+      ).mkString("\t")) :+ "end").mkString("\n")
+
+  private def parseTxn(txt: String): Option[Seq[StagedWrite]] = {
+    val lines = txt.split('\n').toSeq.filter(_.nonEmpty)
+    if (!lines.headOption.contains("mtxnv1") || lines.lastOption != Some("end"))
+      None
+    else scala.util.Try {
+      lines.tail.init.map { l =>
+        val a = l.split('\t')
+        StagedWrite(dec(a(0)), dec(a(1)), a(2) == "1", a(3).toLong,
+          new String(java.util.Base64.getDecoder.decode(a(4)), "UTF-8"))
+      }
+    }.toOption
+  }
+
+  private def readTxnFile(f: FileSystem, p: Path): Option[Seq[StagedWrite]] =
+    try {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      parseTxn(txt)
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Stage every write: batch dirs land, the `.staged` intent records
+    * them, NOTHING is visible to readers. Fails zero-trace (staged dirs
+    * and the intent are removed) — the transaction never existed.
+    */
+  private[graft] def stageMulti(spark: SparkSession, txnDir: String,
+      writes: Seq[MultiWrite], collectStats: Boolean = true)
+      : (String, Seq[StagedWrite]) = {
+    require(writes.nonEmpty, "empty transaction")
+    require(writes.map(_.tableDir).distinct.size == writes.size,
+      "one write per table per transaction")
+    // validate EVERYTHING up front (constraints, append type) so a
+    // rejected table aborts before any sibling's data lands
+    writes.foreach { w =>
+      enforceConstraints(spark, w.tableDir, w.df)
+      if (w.append) appendTypeGuard(spark, w.tableDir, w.df.schema)
+    }
+    val tf = fs(spark, txnDir)
+    tf.mkdirs(new Path(txnDir))
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val staged = scala.collection.mutable.ListBuffer.empty[StagedWrite]
+    try {
+      writes.foreach { w =>
+        val batch = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+        w.df.write.parquet(s"${w.tableDir}/$batch")
+        val line = encodeLine(batch,
+          if (collectStats)
+            footerStats(spark, new Path(s"${w.tableDir}/$batch"))
+          else Map.empty[String, ColStats],
+          Some(w.df.schema.json))
+        staged += StagedWrite(w.tableDir, batch, w.append,
+          latestVersion(spark, w.tableDir), line)
+      }
+      val sp = new Path(txnDir, s"txn-$id.staged")
+      val out = tf.create(sp, false)
+      try out.write(txnBody(staged.toSeq).getBytes("UTF-8"))
+      finally out.close()
+      (id, staged.toSeq)
+    } catch { case e: Throwable =>
+      staged.foreach { s =>
+        try fs(spark, s.tableDir)
+          .delete(new Path(s"${s.tableDir}/${s.batch}"), true)
+        catch { case _: Throwable => () }
+      }
+      try tf.delete(new Path(txnDir, s"txn-$id.staged"), false)
+      catch { case _: Throwable => () }
+      throw e
+    }
+  }
+
+  /** The COMMIT POINT: a complete `.commit` file, created exclusively.
+    * A failure here aborts zero-trace (the claimed partial file and the
+    * staged work are removed) — recovery would have rolled it back too.
+    */
+  private[graft] def decideMulti(spark: SparkSession, txnDir: String,
+      id: String, staged: Seq[StagedWrite]): Unit = {
+    val tf = fs(spark, txnDir)
+    val cp = new Path(txnDir, s"txn-$id.commit")
+    val out = tf.create(cp, false)
+    try {
+      out.write(txnBody(staged).getBytes("UTF-8"))
+      out.close()
+    } catch { case e: Throwable =>
+      try out.close() catch { case _: Throwable => () }
+      try tf.delete(cp, false) catch { case _: Throwable => () }
+      staged.foreach { s =>
+        try fs(spark, s.tableDir)
+          .delete(new Path(s"${s.tableDir}/${s.batch}"), true)
+        catch { case _: Throwable => () }
+      }
+      try tf.delete(new Path(txnDir, s"txn-$id.staged"), false)
+      catch { case _: Throwable => () }
+      throw e
+    }
+    // intent superseded by the decision; best-effort (recovery treats
+    // staged-with-commit as committed)
+    try tf.delete(new Path(txnDir, s"txn-$id.staged"), false)
+    catch { case _: Throwable => () }
+  }
+
+  /** Publish one staged write — IDEMPOTENT: any version after the
+    * staged base already referencing the batch means it's done (a
+    * recovery racing the coordinator must neither double-append the
+    * batch nor clobber a commit that landed after it).
+    */
+  private[graft] def publishStaged(spark: SparkSession, s: StagedWrite,
+      maxRetries: Int = 20): Long = {
+    val f = fs(spark, s.tableDir)
+    def published(latest: Long): Option[Long] =
+      ((s.baseV + 1L) to latest).find { v =>
+        try readManifestF(f, s.tableDir, v).exists(l => parseLine(l)._1 == s.batch)
+        catch { case _: java.io.IOException => false }
+      }
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, s.tableDir)
+      published(base) match {
+        case Some(v) => return v
+        case None =>
+          val carried =
+            if (s.append && base > 0) readManifest(spark, s.tableDir, base)
+            else Nil
+          if (writeManifestExclusive(f, s.tableDir, base + 1,
+              if (s.append) "append" else "commit", carried :+ s.line))
+            return base + 1
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"multi-commit publish to ${s.tableDir} lost $maxRetries optimistic rounds")
+  }
+
+  /** Atomically commit one batch to EACH of several tables: after this
+    * returns (or after [[recoverMulti]] following a crash), either every
+    * table reflects its write or none does. Returns tableDir → version.
+    */
+  def commitMulti(spark: SparkSession, txnDir: String,
+      writes: Seq[MultiWrite], collectStats: Boolean = true)
+      : Map[String, Long] = {
+    val (id, staged) = stageMulti(spark, txnDir, writes, collectStats)
+    decideMulti(spark, txnDir, id, staged)
+    val versions = staged.map(s => s.tableDir -> publishStaged(spark, s)).toMap
+    try fs(spark, txnDir).delete(new Path(txnDir, s"txn-$id.commit"), false)
+    catch { case _: Throwable => () }
+    versions
+  }
+
+  /** Finish (or erase) every transaction a crashed coordinator left in
+    * `txnDir`: readable `.commit` → roll FORWARD (publish the staged
+    * writes, idempotently); `.staged` without a decision → roll BACK
+    * (delete the never-visible batch dirs). A txn id whose files are
+    * all unreadable/truncated is damaged — fail loud, never guess.
+    * Run at job start, before trusting cross-table invariants.
+    */
+  def recoverMulti(spark: SparkSession, txnDir: String): MultiRecovery = {
+    val tf = fs(spark, txnDir)
+    val dir = new Path(txnDir)
+    if (!tf.exists(dir)) return MultiRecovery(Nil, Nil)
+    val ids = tf.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("txn-") &&
+        (n.endsWith(".staged") || n.endsWith(".commit")))
+      .map(_.stripPrefix("txn-").stripSuffix(".staged").stripSuffix(".commit"))
+      .distinct.sorted
+    val fwd = scala.collection.mutable.ListBuffer.empty[String]
+    val back = scala.collection.mutable.ListBuffer.empty[String]
+    ids.foreach { id =>
+      val cp = new Path(txnDir, s"txn-$id.commit")
+      val sp = new Path(txnDir, s"txn-$id.staged")
+      readTxnFile(tf, cp) match {
+        case Some(staged) =>
+          staged.foreach(s => publishStaged(spark, s))
+          try tf.delete(sp, false) catch { case _: Throwable => () }
+          tf.delete(cp, false)
+          fwd += id
+        case None =>
+          readTxnFile(tf, sp) match {
+            case Some(staged) =>
+              staged.foreach { s =>
+                try fs(spark, s.tableDir)
+                  .delete(new Path(s"${s.tableDir}/${s.batch}"), true)
+                catch { case _: Throwable => () }
+              }
+              // a truncated .commit (crash mid-decision) is NOT a
+              // decision; erase it with the intent
+              try tf.delete(cp, false) catch { case _: Throwable => () }
+              tf.delete(sp, false)
+              back += id
+            case None => throw new IllegalStateException(
+              s"damaged transaction record txn-$id in $txnDir — both " +
+                "files unreadable; repair or remove them explicitly")
+          }
+      }
+    }
+    MultiRecovery(fwd.toSeq, back.toSeq)
+  }
+
+  /** Cross-table CONSISTENT CUT: per-table versions at which no
+    * multi-table transaction is half-visible. For every pending
+    * decision (`.commit` file) whose writes are only PARTIALLY
+    * published, each published table is capped below that publish —
+    * the cut shows the pre-transaction state everywhere instead of the
+    * torn middle. Fully-published pending txns (the coordinator just
+    * hasn't forgotten them) are included — they're complete. The cap is
+    * conservative: unrelated commits that landed after a torn txn's
+    * publish on a table are excluded WITH it (versions are linear —
+    * there is no consistent cut containing them but not the txn).
+    * A version of 0 means the table has no pre-transaction snapshot.
+    */
+  def consistentVersions(spark: SparkSession, txnDir: String,
+      tables: Seq[String]): Map[String, Long] = {
+    val caps = scala.collection.mutable.Map[String, Long](
+      tables.map(t => t -> latestVersion(spark, t)): _*)
+    val tf = fs(spark, txnDir)
+    val dir = new Path(txnDir)
+    if (!tf.exists(dir)) return caps.toMap
+    tf.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("txn-") && n.endsWith(".commit"))
+      .foreach { n =>
+        readTxnFile(tf, new Path(txnDir, n)).foreach { staged =>
+          val pubs = staged.map { s =>
+            val f2 = fs(spark, s.tableDir)
+            val latest = latestVersion(spark, s.tableDir)
+            s -> ((s.baseV + 1L) to latest).find { v =>
+              try readManifestF(f2, s.tableDir, v)
+                .exists(l => parseLine(l)._1 == s.batch)
+              catch { case _: java.io.IOException => false }
+            }
+          }
+          if (!pubs.forall(_._2.isDefined)) pubs.foreach {
+            case (s, Some(v)) if caps.contains(s.tableDir) =>
+              caps(s.tableDir) = math.min(caps(s.tableDir), v - 1L)
+            case _ => ()
+          }
+        }
+      }
+    caps.toMap
+  }
+
+  /** [[read]] every table at the [[consistentVersions]] cut. A table
+    * whose only content is a torn transaction (cut version 0) reads as
+    * an EMPTY frame in the staged schema when one is recorded —
+    * "nothing visible yet" is a legitimate consistent state, not an
+    * error.
+    */
+  def readConsistent(spark: SparkSession, txnDir: String,
+      tables: Seq[String]): Map[String, DataFrame] = {
+    val cut = consistentVersions(spark, txnDir, tables)
+    tables.map { t =>
+      val v = cut(t)
+      if (v > 0) t -> read(spark, t, asOf = Some(v))
+      else {
+        // recover a schema from a pending staged line for this table
+        val tf = fs(spark, txnDir)
+        val schema = tf.listStatus(new Path(txnDir)).toSeq
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith("txn-") && n.endsWith(".commit"))
+          .flatMap(n => readTxnFile(tf, new Path(txnDir, n)).toSeq.flatten)
+          .collectFirst { case s if s.tableDir == t =>
+            parseLineFull(s.line)._3
+          }.flatten.getOrElse(throw new IllegalStateException(
+            s"no committed version and no staged schema for $t"))
+        t -> spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    }.toMap
+  }
+
   /** CDC consumer registry (round-10): an incremental consumer records
     * the last source version it has folded, and [[vacuum]] refuses to
     * reclaim the replay window a registered consumer still needs — its
@@ -2897,22 +3223,37 @@ object TxLog {
     * fold dies on a reclaimed manifest.
     */
   private def readConsumerAck(f: FileSystem, tableDir: String,
-      name: String): Option[Long] =
-    try {
-      val in = f.open(new Path(logDir(tableDir), s"consumer-$name"))
-      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-      // an unparsable ack is a DAMAGED pin, not an absent one — surface
-      // it rather than silently unpinning the consumer (the vacuum gate
-      // depends on this being loud)
-      Some(txt.toLongOption.getOrElse(throw new IllegalStateException(
-        s"unparsable consumer ack $tableDir/_log/consumer-$name " +
-          s"('$txt') — repair or delete it (dropConsumer) explicitly")))
-    } catch { case _: java.io.FileNotFoundException => None }
+      name: String): Option[Long] = {
+    def readAt(p: Path): Option[Long] =
+      try {
+        val in = f.open(p)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        // an unparsable ack is a DAMAGED pin, not an absent one — surface
+        // it rather than silently unpinning the consumer (the vacuum gate
+        // depends on this being loud)
+        Some(txt.toLongOption.getOrElse(throw new IllegalStateException(
+          s"unparsable consumer ack $p ('$txt') — repair or delete it " +
+            "(dropConsumer) explicitly")))
+      } catch { case _: java.io.FileNotFoundException => None }
+    val p = new Path(logDir(tableDir), s"consumer-$name")
+    readAt(p).orElse {
+      // absence-with-tmp-present = a publish crashed between the old
+      // pin's delete and the new pin's rename (ackConsumer only deletes
+      // after the tmp is fully written and synced, so the tmp IS the
+      // committed ack). Recover it — and best-effort finish the crashed
+      // publish so the registry listing sees the primary again.
+      val tmp = new Path(logDir(tableDir), s"consumer-$name.tmp")
+      // re-probe the primary last: a concurrent acker may have renamed
+      // tmp→primary between our two reads
+      readAt(tmp).map { v => f.rename(tmp, p); v }.orElse(readAt(p))
+    }
+  }
 
   def ackConsumer(spark: SparkSession, tableDir: String, name: String,
       version: Long): Unit = {
-    require(name.matches("[A-Za-z0-9._-]+"), s"bad consumer name '$name'")
+    require(name.matches("[A-Za-z0-9._-]+") && !name.endsWith(".tmp"),
+      s"bad consumer name '$name'")
     val latest = latestVersion(spark, tableDir)
     require(version >= 1 && version <= latest,
       s"ack $version outside committed range [1, $latest] of $tableDir")
@@ -2928,9 +3269,15 @@ object TxLog {
     val tmp = new Path(logDir(tableDir), s"consumer-$name.tmp")
     val out = f.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-    f.delete(p, false)
-    if (!f.rename(tmp, p)) throw new java.io.IOException(
-      s"could not publish consumer ack $p")
+    // rename-FIRST: most filesystems refuse an overwriting rename, so
+    // only then delete the old pin and retry — shrinking the
+    // no-primary window to delete→rename (which readConsumerAck /
+    // consumerAcks recover from via the surviving tmp)
+    if (!f.rename(tmp, p)) {
+      f.delete(p, false)
+      if (!f.rename(tmp, p)) throw new java.io.IOException(
+        s"could not publish consumer ack $p")
+    }
   }
 
   /** Registered consumers and their acked versions. Fails loud on a
@@ -2942,9 +3289,13 @@ object TxLog {
     if (!f.exists(dir)) return Map.empty
     f.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("consumer-") && !n.endsWith(".tmp"))
-      .flatMap { n =>
-        val name = n.stripPrefix("consumer-")
+      .filter(_.startsWith("consumer-"))
+      // a name whose ONLY file is the tmp is a crashed publish —
+      // readConsumerAck recovers its value, so it must appear here too
+      // (dropping it would silently unpin the consumer from vacuum)
+      .map(n => n.stripPrefix("consumer-").stripSuffix(".tmp"))
+      .distinct
+      .flatMap { name =>
         readConsumerAck(f, tableDir, name).map(name -> _)
       }.toMap
   }

@@ -25,11 +25,26 @@ class EntrySpec extends AnyFunSuite {
   // is a red test, not a quietly smaller CORRECTNESS file. Bump BOTH
   // literals when adding queries.
   test("declared query surface is exact (no silent shrink)") {
-    assert(SparkEntry.queries.size == 236,
+    assert(SparkEntry.queries.size == 237,
       s"query count changed: ${SparkEntry.queries.size} (update the literal ONLY for intentional adds/removals)")
-    assert(SparkEntry.oracleSql.size == 236,
+    assert(SparkEntry.oracleSql.size == 237,
       s"oracle count changed: ${SparkEntry.oracleSql.size}; missing oracles for: " +
         SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).toSeq.sorted.mkString(", "))
+  }
+
+  // Round-10 ADVICE: the README's prose count drifted (233 vs 236).
+  // Derive the doc claim from the registry instead of hand-maintaining:
+  // the README states "all N carry ANSI-SQL" and this test pins N to
+  // SparkEntry.queries.size, so a query add that forgets the doc is a
+  // red test, not a stale README.
+  test("README query count matches the registry") {
+    val readme = new java.io.File("README.md")
+    assume(readme.exists(), "README.md not in test working dir")
+    val txt = scala.io.Source.fromFile(readme, "UTF-8").mkString
+    val m = "all (\\d+) carry ANSI-SQL".r.findFirstMatchIn(txt)
+    assert(m.isDefined, "README no longer states the oracle-count claim")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"README claims ${m.get.group(1)} oracle-carrying queries; registry has ${SparkEntry.queries.size}")
   }
 
   test("every query runs at sf0.001 and returns a readable result") {

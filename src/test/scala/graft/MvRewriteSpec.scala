@@ -317,6 +317,53 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvCatalog.drop("spec_mv_txauto")
   }
 
+  test("a refresh that crashed between set-aside and publish recovers on the next lookup (r10 ADVICE)") {
+    val tableDir = s"${GraftSession.scratchBase}/graft_mv_txswap"
+    val mvS = s"${GraftSession.scratchBase}/graft_mv_specswap"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq(tableDir, mvS, mvS + ".refresh-old", mvS + ".refresh-tmp"))
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    graft.sources.TxLog.commit(spark, tableDir,
+      spark.read.parquet(basePath).select($"source", $"n_chars"))
+    MvCatalog.registerTx(spark, "spec_mv_txswap", tableDir,
+      Seq("source"), Seq("n_chars"), mvS)
+    try {
+      def agg = graft.sources.TxLog.read(spark, tableDir)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("total"))
+      def direct = graft.plans.MvRewriteRule.suspend(
+        agg.as[(String, Long, Long)].collect().sortBy(_._1).toSeq)
+      assert(scanPaths(agg).exists(_.contains("graft_mv_specswap")))
+      // invalidate via an append, then simulate the crash window the
+      // old delete-then-rename left: the live dir was set aside, the
+      // publish never happened — nothing at mvPath
+      graft.sources.TxLog.commit(spark, tableDir,
+        Seq(("web", 7L), ("swaps", 42L)).toDF("source", "n_chars"),
+        append = true)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(mvS),
+        new org.apache.hadoop.fs.Path(mvS + ".refresh-old")))
+      val got = agg.as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(scanPaths(agg).exists(_.contains("graft_mv_specswap")),
+        "recovery did not restore the materialization for the rewrite")
+      assert(got == direct, s"recovered view diverges: $got vs $direct")
+      assert(got.exists(_._1 == "swaps"), "post-crash refresh lost the append")
+
+      // harsher: NOTHING at mvPath and no set-aside dir either (only a
+      // stale tmp) → the refresh must rebuild from the snapshot, never
+      // fold a later-version tmp against stale entry metadata
+      graft.sources.TxLog.commit(spark, tableDir,
+        Seq(("web", 3L)).toDF("source", "n_chars"), append = true)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(mvS),
+        new org.apache.hadoop.fs.Path(mvS + ".refresh-tmp")))
+      val got2 = agg.as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got2 == direct, s"rebuilt view diverges: $got2 vs $direct")
+    } finally {
+      MvCatalog.drop("spec_mv_txswap")
+      for (p <- Seq(mvS + ".refresh-old", mvS + ".refresh-tmp"))
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+  }
+
   test("registerTx: DV delete refreshes via the change-feed fold, touched batches only (r9 #2)") {
     val tableDir = s"${GraftSession.scratchBase}/graft_mv_txcdf"
     val mvB = s"${GraftSession.scratchBase}/graft_mv_specB"

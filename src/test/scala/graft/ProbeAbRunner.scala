@@ -13,16 +13,12 @@ object ProbeAbRunner {
     val passes = args.lift(1).map(_.toInt).getOrElse(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-probe-ab")
-    val dir = s"${GraftSession.scratchBase}/graft_probe${replicas}x"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")))
-      BenchProbe.synthesize(spark, sfDir, replicas, s"probe${replicas}x",
-        includeLineitem = true)
     // optional 3rd arg: comma-separated section subset (local iteration;
-    // dependent sections are NOT auto-included)
+    // dependent sections are NOT auto-included). runAb builds-or-reuses
+    // its own fixture (marker-checked), no manual synthesize needed.
     val only = args.lift(2).map(_.split(",").toSet).getOrElse(Set.empty[String])
-    println("AB_RESULT=" + BenchProbe.runAb(spark, replicas, passes, only = only))
+    println("AB_RESULT=" + BenchProbe.runAb(spark, replicas, passes,
+      only = only, sfDir = sfDir))
     spark.stop()
   }
 }

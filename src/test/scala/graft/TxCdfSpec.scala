@@ -431,6 +431,83 @@ class TxCdfSpec extends AnyFunSuite {
       rows(data(70L, 100L).unionByName(data(100L, 110L))))
   }
 
+  test("a crashed ack publish (tmp-only) still pins vacuum and reads back (r10 ADVICE)") {
+    val t = fresh("ack_crash")
+    (1 to 4).foreach(i => TxLog.commit(spark, t,
+      data(i * 10L, i * 10L + 10L), append = i > 1))
+    TxLog.ackConsumer(spark, t, "dash", 2L)
+    // simulate the crash window ackConsumer's delete→rename leaves: the
+    // primary is gone, the fully-written tmp survives
+    val p = new Path(s"$t/_log/consumer-dash")
+    val tmp = new Path(s"$t/_log/consumer-dash.tmp")
+    val out = fs.create(tmp, true)
+    try out.write("3".getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    // the registry recovers the tmp value — absence-with-tmp-present is
+    // a crashed publish, not an absent consumer
+    assert(TxLog.consumerAcks(spark, t) == Map("dash" -> 3L))
+    // …and the vacuum gate still sees the pin (the silent-unpin failure)
+    intercept[IllegalStateException](TxLog.vacuum(spark, t, retainFrom = 4L))
+    // the read best-effort-finished the crashed publish
+    assert(fs.exists(p), "recovery should republish the primary ack")
+    // monotonicity against the recovered value: a stale re-ack no-ops
+    TxLog.ackConsumer(spark, t, "dash", 2L)
+    assert(TxLog.consumerAcks(spark, t) == Map("dash" -> 3L))
+    TxLog.ackConsumer(spark, t, "dash", 4L)
+    TxLog.vacuum(spark, t, retainFrom = 4L)
+    TxLog.dropConsumer(spark, t, "dash")
+  }
+
+  test("maintainAggView on a source with no commits is a no-op, consumer or not (r10 ADVICE)") {
+    import graft.operators.Cdc
+    val t = fresh("agg_empty_src")
+    val v = fresh("agg_empty_view")
+    fs.mkdirs(new Path(s"$t/_log")) // dir exists, zero committed versions
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v").isEmpty)
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v",
+      consumerName = Some("early")).isEmpty,
+      "a consumer-named maintenance call must not throw on an empty source")
+    assert(TxLog.consumerAcks(spark, t).isEmpty,
+      "nothing ackable before the first commit")
+    // first commit: the same loop starts folding and pinning normally
+    TxLog.commit(spark, t, data(0L, 20L))
+    assert(Cdc.maintainAggView(spark, t, v, Seq("g"), "v",
+      consumerName = Some("early")).contains(1L))
+    assert(TxLog.consumerAcks(spark, t) == Map("early" -> 1L))
+  }
+
+  test("a legacy (two-field) checkpoint caps — not poisons — reliableFrom (r10 ADVICE)") {
+    val t = fresh("legacy_ckpt")
+    (1 to 10).foreach(i => TxLog.commit(spark, t,
+      data(i * 10L, i * 10L + 10L), append = i > 1)) // ckpt-v10 written
+    def header(v: Long): Array[String] = {
+      val in = fs.open(new Path(s"$t/_log/ckpt-v$v"))
+      val lines = try scala.io.Source.fromInputStream(in).getLines().toList
+        finally in.close()
+      lines.head.split('\t')
+    }
+    // rewrite ckpt-v10 to the legacy two-field header (pre-upgrade build)
+    val in = fs.open(new Path(s"$t/_log/ckpt-v10"))
+    val body = try scala.io.Source.fromInputStream(in).getLines().toList
+      finally in.close()
+    val legacy = (body.head.split('\t').take(2).mkString("\t") +: body.tail)
+      .mkString("\n")
+    val out = fs.create(new Path(s"$t/_log/ckpt-v10"), true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    assert(header(10L).length == 2)
+    (11 to 20).foreach(i => TxLog.commit(spark, t,
+      data(i * 10L, i * 10L + 10L), append = true)) // ckpt-v20: prev=legacy
+    // post-upgrade checkpoint: the legacy unknown is capped at
+    // prev.version (10), never inherited as MaxValue forever
+    val rf = header(20L)(2).toLong
+    assert(rf == 10L, s"reliableFrom $rf should cap at the legacy prev version")
+    // and the fast path actually works for the post-upgrade tail
+    val feed = TxLog.changeFeed(spark, t, 10L, 20L)
+    assert(feed.count() == 100L)
+    assert(rows(feed.drop("_change_type", "_commit_version")) ==
+      rows(data(110L, 210L)))
+  }
+
   test("a feed spanning vacuumed versions fails loud at planning, not mid-replay") {
     val t = fresh("vacuumed")
     (0 until 3).foreach(i => TxLog.commit(spark, t,
