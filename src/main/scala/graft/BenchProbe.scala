@@ -756,6 +756,45 @@ object BenchProbe {
         f""""speedup":${pxNaive / pxBucketed.max(0.001)}%.2f"""
     }
 
+    // MULTI-TABLE ATOMIC COMMIT tax (round-11): the "off" arm is the
+    // unsafe way — three sequential single-table commits (a crash
+    // between them tears the trio); the "on" arm is commitMulti of the
+    // same three writes. The protocol's whole cost is two tiny txn-file
+    // writes + one delete, so the honest expectation is ratio ≈ 1 —
+    // this section exists to PROVE the atomicity is free at commit
+    // time, not to show a speedup.
+    section("multi_commit") {
+      val li = spark.read.parquet(liPath)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .localCheckpoint(true)
+      val routed = li.filter(col("l_orderkey") % 10L =!= 0L)
+      val missed = li.filter(col("l_orderkey") % 10L === 0L)
+      val audit = li.groupBy().agg(count(lit(1)).as("n_pairs"))
+      def reset(tag: String): Seq[String] = {
+        val dirs = Seq(s"$dir/mtx_$tag/t", s"$dir/mtx_$tag/m", s"$dir/mtx_$tag/d")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/mtx_$tag"), true)
+        dirs
+      }
+      val seqT = sent.guard("multi_off")((0 until bmPasses).map { _ =>
+        val Seq(t, m, d) = reset("off")
+        timedU {
+          TxLog.commit(spark, t, routed)
+          TxLog.commit(spark, m, missed)
+          TxLog.commit(spark, d, audit)
+        }
+      }.min)
+      val mtxT = sent.guard("multi_on")((0 until bmPasses).map { _ =>
+        val Seq(t, m, d) = reset("on")
+        timedU {
+          TxLog.commitMulti(spark, s"$dir/mtx_on/txn", Seq(
+            TxLog.MultiWrite(t, routed), TxLog.MultiWrite(m, missed),
+            TxLog.MultiWrite(d, audit)))
+        }
+      }.min)
+      f""""sequential":$seqT%.3f,"atomic":$mtxT%.3f,""" +
+        f""""tax":${mtxT / seqT.max(0.001)}%.2f"""
+    }
+
     s"{${parts.mkString(",")},${sent.json}}"
   }
 }

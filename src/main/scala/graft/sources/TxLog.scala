@@ -2842,27 +2842,50 @@ object TxLog {
     * no checkpoint → every retained manifest, as before). Missing
     * middles (a prior deeper vacuum) contribute nothing.
     */
+  /** `keep*`: referenced by a RETAINED manifest — must survive.
+    * `ever*`: referenced by ANY manifest (checkpoint runs cover the
+    * vacuumed-away history) — used to tell a SUPERSEDED dir (reclaim
+    * regardless of age) from a NEVER-referenced one, which may be an
+    * in-flight write's not-yet-published batch (single-table commits
+    * and multi-table stages both land data before their manifest).
+    */
+  private case class VacuumRefs(keep: Set[String], keepDv: Set[String],
+      everData: Set[String], everDv: Set[String])
+
   private def keepRefs(f: FileSystem, tableDir: String, retainFrom: Long,
       latest: Long, statuses: Seq[org.apache.hadoop.fs.FileStatus])
-      : (Set[String], Set[String]) = {
+      : VacuumRefs = {
     val ck = latestCkptFrom(f, tableDir, statuses).filter(_.version <= latest)
-    val tailFrom = ck.map(c => math.max(retainFrom, c.version + 1L))
-      .getOrElse(retainFrom)
     val fromCk = ck.toSeq.flatMap(_.runs)
       .filter(_._4 >= retainFrom).map(r => (r._1, r._2))
     // ONLY a genuinely-absent manifest (a prior deeper vacuum removed
     // the middle) may contribute nothing; any other failure (transient
     // IO, corrupt-but-present manifest) must abort the vacuum — an
     // under-built keep-set here permanently deletes live data files.
-    val fromTail = (tailFrom to latest).flatMap(v =>
+    val tailFrom = ck.map(_.version + 1L).getOrElse(1L)
+    val tailPairs = (tailFrom to latest).flatMap(v =>
       (try readManifestF(f, tableDir, v)
-       catch { case _: java.io.FileNotFoundException => Nil }).map(lineRefs))
-    val all = fromCk ++ fromTail
-    (all.map(_._1).toSet, all.flatMap(_._2).toSet)
+       catch { case _: java.io.FileNotFoundException => Nil })
+        .map(l => v -> lineRefs(l)))
+    val all = fromCk ++ tailPairs.filter(_._1 >= retainFrom).map(_._2)
+    val ever = ck.toSeq.flatMap(_.runs).map(r => (r._1, r._2)) ++
+      tailPairs.map(_._2)
+    VacuumRefs(all.map(_._1).toSet, all.flatMap(_._2).toSet,
+      ever.map(_._1).toSet, ever.flatMap(_._2).toSet)
   }
 
+  /** Grace window for NEVER-referenced data/dv dirs: a dir no manifest
+    * has ever named, younger than this, is presumed an in-flight
+    * write's staged batch (plain commits and multi-table stages both
+    * land data before their manifest) and is spared. SUPERSEDED dirs —
+    * named by some manifest, retained by none — reclaim regardless of
+    * age. 0 = the pre-round-11 behavior (reap every unreferenced dir).
+    */
+  val InFlightGraceMs: Long = 20L * 60L * 1000L
+
   def vacuumDryRun(spark: SparkSession, tableDir: String,
-      retainFrom: Long, force: Boolean = false): (Seq[String], Long) = {
+      retainFrom: Long, force: Boolean = false,
+      inFlightGraceMs: Long = InFlightGraceMs): (Seq[String], Long) = {
     val f = fs(spark, tableDir)
     val latest = latestVersion(spark, tableDir)
     require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
@@ -2871,16 +2894,21 @@ object TxLog {
     // delete misleads the retention runbook it exists for
     if (!force) requireNoLaggingConsumers(spark, tableDir, retainFrom)
     val statuses = f.listStatus(logDir(tableDir)).toSeq
-    val (keep, keepDv) = keepRefs(f, tableDir, retainFrom, latest, statuses)
+    val refs = keepRefs(f, tableDir, retainFrom, latest, statuses)
+    val now = System.currentTimeMillis()
+    def spared(s: org.apache.hadoop.fs.FileStatus, ever: Boolean): Boolean =
+      !ever && now - s.getModificationTime < inFlightGraceMs
     val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
     val dataRoot = new Path(s"$tableDir/data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { s =>
-      if (!keep.contains(s"data/${s.getPath.getName}"))
+      val n = s"data/${s.getPath.getName}"
+      if (!refs.keep.contains(n) && !spared(s, refs.everData.contains(n)))
         doomed += s.getPath.toString
     }
     val dvRoot = new Path(s"$tableDir/dv")
     if (f.exists(dvRoot)) f.listStatus(dvRoot).foreach { s =>
-      if (!keepDv.contains(s"dv/${s.getPath.getName}"))
+      val n = s"dv/${s.getPath.getName}"
+      if (!refs.keepDv.contains(n) && !spared(s, refs.everDv.contains(n)))
         doomed += s.getPath.toString
     }
     statuses.foreach { s =>
@@ -2918,9 +2946,9 @@ object TxLog {
   // without one (nothing was ever visible). Readers keep per-table
   // snapshot isolation mid-flight; the cross-table guarantee is atomic
   // DURABILITY — after recovery, all tables reflect the transaction or
-  // none do. Same caveat as single-table [[commit]]: don't vacuum a
-  // table while a write to it is in flight (an unreferenced staged
-  // batch looks reclaimable).
+  // none do. A concurrent vacuum spares the staged (never-referenced)
+  // batch dirs for [[InFlightGraceMs]] — run recovery before a stalled
+  // transaction's batches can age out of the grace window.
 
   /** One table's write inside [[commitMulti]]. */
   case class MultiWrite(tableDir: String, df: DataFrame,
@@ -3319,7 +3347,8 @@ object TxLog {
   }
 
   def vacuum(spark: SparkSession, tableDir: String, retainFrom: Long,
-      force: Boolean = false): Unit = {
+      force: Boolean = false,
+      inFlightGraceMs: Long = InFlightGraceMs): Unit = {
     val f = fs(spark, tableDir)
     val latest = latestVersion(spark, tableDir)
     require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
@@ -3328,19 +3357,27 @@ object TxLog {
     if (!force) requireNoLaggingConsumers(spark, tableDir, retainFrom)
     val statuses = f.listStatus(logDir(tableDir)).toSeq
     // deletion-vector files referenced by any retained manifest survive
-    // with their snapshots; superseded/purged vectors go with vacuum
-    val (keep, keepDv) = keepRefs(f, tableDir, retainFrom, latest, statuses)
+    // with their snapshots; superseded/purged vectors go with vacuum.
+    // Never-referenced YOUNG dirs are in-flight writes — spared (see
+    // [[InFlightGraceMs]]); a vacuum racing a commit or a multi-table
+    // stage must not eat the batch its manifest is about to name.
+    val refs = keepRefs(f, tableDir, retainFrom, latest, statuses)
+    val now = System.currentTimeMillis()
+    def spared(s: org.apache.hadoop.fs.FileStatus, ever: Boolean): Boolean =
+      !ever && now - s.getModificationTime < inFlightGraceMs
     val dataRoot = new Path(s"$tableDir/data")
     if (f.exists(dataRoot)) {
       f.listStatus(dataRoot).foreach { s =>
-        if (!keep.contains(s"data/${s.getPath.getName}"))
+        val n = s"data/${s.getPath.getName}"
+        if (!refs.keep.contains(n) && !spared(s, refs.everData.contains(n)))
           f.delete(s.getPath, true)
       }
     }
     val dvRoot = new Path(s"$tableDir/dv")
     if (f.exists(dvRoot)) {
       f.listStatus(dvRoot).foreach { s =>
-        if (!keepDv.contains(s"dv/${s.getPath.getName}"))
+        val n = s"dv/${s.getPath.getName}"
+        if (!refs.keepDv.contains(n) && !spared(s, refs.everDv.contains(n)))
           f.delete(s.getPath, true)
       }
     }

@@ -213,6 +213,32 @@ class TxMultiSpec extends AnyFunSuite {
     assert(TxLog.read(spark, m2).count() == 10L)
   }
 
+  test("vacuum spares an in-flight stage (grace); superseded dirs reclaim regardless of age") {
+    val (t, x) = (fresh("vg_t"), fresh("vg_x"))
+    TxLog.commit(spark, t, data(0L, 10L))
+    TxLog.commit(spark, t, data(10L, 20L)) // overwrite: v1's dir superseded
+    val (_, staged) = TxLog.stageMulti(spark, x, Seq(
+      TxLog.MultiWrite(t, data(20L, 30L), append = true)))
+    val stagedDir = new Path(s"$t/${staged.head.batch}")
+    // default grace: the seconds-old SUPERSEDED dir goes, the
+    // seconds-old NEVER-referenced staged dir survives
+    TxLog.vacuum(spark, t, retainFrom = 2L)
+    assert(fs.exists(stagedDir),
+      "vacuum must not eat a batch whose manifest is still in flight")
+    assert(fs.listStatus(new Path(s"$t/data")).length == 2,
+      "the superseded v1 dir must reclaim regardless of age")
+    // dry run agrees with the real vacuum on the sparing
+    val (doomed, _) = TxLog.vacuumDryRun(spark, t, 2L)
+    assert(!doomed.exists(_.contains(staged.head.batch.stripPrefix("data/"))))
+    // grace 0 = the old reap-everything behavior (admin override)
+    TxLog.vacuum(spark, t, retainFrom = 2L, inFlightGraceMs = 0L)
+    assert(!fs.exists(stagedDir))
+    // the txn is now unrecoverable-forward by design (never decided):
+    // recovery rolls it back cleanly
+    val rec = TxLog.recoverMulti(spark, x)
+    assert(rec.rolledBack.size == 1)
+  }
+
   test("validation failures abort zero-trace, before any sibling lands") {
     val (t, m, x) = (fresh("zt_t"), fresh("zt_m"), fresh("zt_x"))
     TxLog.commit(spark, t, data(0L, 10L))
