@@ -157,19 +157,27 @@ object BenchProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def minTime(spark: SparkSession, dir: String, query: String,
-      passes: Int, budget: BenchBudget = new BenchBudget(0)): Double = {
-    // budget check BETWEEN passes: a family that turns out expensive
-    // stops after the pass in flight instead of running its full sample
-    // past the wall clock (the r10 overrun: 1604 s against a 1500 s
-    // budget, rc preserved only by luck of the driver's kill margin)
+  /** (min over passes run, passes actually run). The budget check runs
+    * BETWEEN passes: a family that turns out expensive stops after the
+    * pass in flight instead of running its full sample past the wall
+    * clock (the r10 overrun: 1604 s against a 1500 s budget, rc
+    * preserved only by luck of the driver's kill margin). The caller
+    * must LABEL a truncated sample — a single contended pass published
+    * as a normal min reads round-over-round as a phantom regression.
+    */
+  private def minTimeN(spark: SparkSession, dir: String, query: String,
+      passes: Int, budget: BenchBudget = new BenchBudget(0)): (Double, Int) = {
     val ts = scala.collection.mutable.ListBuffer.empty[Double]
     var p = 0
     while (p < passes && (ts.isEmpty || !budget.exhausted)) {
       ts += time(spark, dir, query); p += 1
     }
-    if (ts.exists(_ < 0)) -1.0 else ts.min
+    (if (ts.exists(_ < 0)) -1.0 else ts.min, ts.length)
   }
+
+  private def minTime(spark: SparkSession, dir: String, query: String,
+      passes: Int, budget: BenchBudget = new BenchBudget(0)): Double =
+    minTimeN(spark, dir, query, passes, budget)._1
 
   /** Run the probe; returns the `"scale_probe"` JSON object. `only`
     * restricts to named families (deep one-off probes, e.g. 100×).
@@ -200,7 +208,10 @@ object BenchProbe {
           fams += s""""$fam":{"query":"$q","skipped":true}"""
         else {
           // 1x first (also warms the plan shapes on the probe fixture paths)
-          val t1 = sent.guard(s"$fam:1x")(minTime(spark, d1, q, passes, budget))
+          var p1 = passes
+          val t1 = sent.guard(s"$fam:1x") {
+            val (t, n) = minTimeN(spark, d1, q, passes, budget); p1 = n; t
+          }
           // PREDICTIVE skip (round-10 overrun): before committing to the
           // N× passes, floor-estimate their cost at half-linear scaling;
           // if that already busts the budget, publish the measured t1
@@ -212,10 +223,19 @@ object BenchProbe {
               budget.elapsed + estN > budget.limitSec) {
             fams += f""""$fam":{"query":"$q","t1":$t1%.3f,"skipped":true,"reason":"budget"}"""
           } else {
-            val tN = sent.guard(s"$fam:${replicas}x")(
-              minTime(spark, dN, q, passes, budget))
+            var pN = passes
+            val tN = sent.guard(s"$fam:${replicas}x") {
+              val (t, n) = minTimeN(spark, dN, q, passes, budget); pN = n; t
+            }
             val ratio = if (t1 > 0 && tN > 0) tN / t1 else -1.0
-            fams += f""""$fam":{"query":"$q","t1":$t1%.3f,"t$replicas":$tN%.3f,"ratio":$ratio%.2f}"""
+            // honest labeling: a budget-truncated sample (min over
+            // fewer passes than configured) is named, never passed off
+            // as a full measurement
+            val short =
+              if (p1 < passes || pN < passes)
+                s""","short_sample":true,"passes_run":[$p1,$pN]"""
+              else ""
+            fams += f""""$fam":{"query":"$q","t1":$t1%.3f,"t$replicas":$tN%.3f,"ratio":$ratio%.2f$short}"""
           }
         }
         onPartial(render(complete = false))

@@ -234,12 +234,17 @@ object MvCatalog {
           }
           mvFs.delete(mvOld, true)
         }
-        if (mvMissing) {
+        // rebuilds go through swapIn too — a direct overwrite of
+        // mvPath recreates the torn-publish window this change closes
+        // (swapIn handles a missing live dir: the set-aside is skipped)
+        def rebuildFromSnapshot(): Unit = {
           val base = graft.sources.TxLog.read(spark, tx.tableDir, Some(latest))
           val aggs = viewAggs(tx.measureCols)
-          base.groupBy(e.groupCols.map(col): _*)
-            .agg(aggs.head, aggs.tail: _*)
-            .write.mode("overwrite").parquet(tx.mvPath)
+          swapIn(base.groupBy(e.groupCols.map(col): _*)
+            .agg(aggs.head, aggs.tail: _*))
+        }
+        if (mvMissing) {
+          rebuildFromSnapshot()
         } else if (appendOnly && newDirs.nonEmpty && !floatSummed) {
           // incremental: aggregate ONLY the delta batches, merge with
           // the stored view
@@ -268,12 +273,7 @@ object MvCatalog {
             else feedFoldPlan(spark, e, latest)
           folded match {
             case Some(merged) => swapIn(merged)
-            case None =>
-              val base = graft.sources.TxLog.read(spark, tx.tableDir, Some(latest))
-              val aggs = viewAggs(tx.measureCols)
-              base.groupBy(e.groupCols.map(col): _*)
-                .agg(aggs.head, aggs.tail: _*)
-                .write.mode("overwrite").parquet(tx.mvPath)
+            case None => rebuildFromSnapshot()
           }
         }
       }

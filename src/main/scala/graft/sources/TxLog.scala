@@ -2883,6 +2883,47 @@ object TxLog {
     */
   val InFlightGraceMs: Long = 20L * 60L * 1000L
 
+  /** ONE doomed-path classifier shared by [[vacuum]] (deletes) and
+    * [[vacuumDryRun]] (lists) — two hand-synced copies of the
+    * keep/ever/grace predicate is how a preview drifts from the action
+    * it exists to predict. Returns (dirs to delete recursively, log
+    * files to delete).
+    */
+  private def vacuumDoomed(f: FileSystem, tableDir: String,
+      retainFrom: Long, latest: Long,
+      statuses: Seq[org.apache.hadoop.fs.FileStatus],
+      inFlightGraceMs: Long): (Seq[Path], Seq[Path]) = {
+    val refs = keepRefs(f, tableDir, retainFrom, latest, statuses)
+    val now = System.currentTimeMillis()
+    // never-referenced + young = presumed in-flight write; spared.
+    // Superseded (ever-referenced) dirs reclaim regardless of age.
+    def spared(s: org.apache.hadoop.fs.FileStatus, ever: Boolean): Boolean =
+      !ever && now - s.getModificationTime < inFlightGraceMs
+    val dirs = Seq.newBuilder[Path]
+    val dataRoot = new Path(s"$tableDir/data")
+    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { s =>
+      val n = s"data/${s.getPath.getName}"
+      if (!refs.keep.contains(n) && !spared(s, refs.everData.contains(n)))
+        dirs += s.getPath
+    }
+    val dvRoot = new Path(s"$tableDir/dv")
+    if (f.exists(dvRoot)) f.listStatus(dvRoot).foreach { s =>
+      val n = s"dv/${s.getPath.getName}"
+      if (!refs.keepDv.contains(n) && !spared(s, refs.everDv.contains(n)))
+        dirs += s.getPath
+    }
+    val files = Seq.newBuilder[Path]
+    statuses.foreach { s =>
+      val n = s.getPath.getName
+      val v = versionOf(s.getPath)
+        .orElse(if (n.startsWith("v") && n.endsWith(".info"))
+          n.stripPrefix("v").stripSuffix(".info").toLongOption else None)
+        .orElse(ckptVersionOf(s.getPath))
+      v.foreach(x => if (x < retainFrom) files += s.getPath)
+    }
+    (dirs.result(), files.result())
+  }
+
   def vacuumDryRun(spark: SparkSession, tableDir: String,
       retainFrom: Long, force: Boolean = false,
       inFlightGraceMs: Long = InFlightGraceMs): (Seq[String], Long) = {
@@ -2894,30 +2935,12 @@ object TxLog {
     // delete misleads the retention runbook it exists for
     if (!force) requireNoLaggingConsumers(spark, tableDir, retainFrom)
     val statuses = f.listStatus(logDir(tableDir)).toSeq
-    val refs = keepRefs(f, tableDir, retainFrom, latest, statuses)
-    val now = System.currentTimeMillis()
-    def spared(s: org.apache.hadoop.fs.FileStatus, ever: Boolean): Boolean =
-      !ever && now - s.getModificationTime < inFlightGraceMs
-    val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val dataRoot = new Path(s"$tableDir/data")
-    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { s =>
-      val n = s"data/${s.getPath.getName}"
-      if (!refs.keep.contains(n) && !spared(s, refs.everData.contains(n)))
-        doomed += s.getPath.toString
-    }
-    val dvRoot = new Path(s"$tableDir/dv")
-    if (f.exists(dvRoot)) f.listStatus(dvRoot).foreach { s =>
-      val n = s"dv/${s.getPath.getName}"
-      if (!refs.keepDv.contains(n) && !spared(s, refs.everDv.contains(n)))
-        doomed += s.getPath.toString
-    }
-    statuses.foreach { s =>
-      (versionOf(s.getPath) orElse ckptVersionOf(s.getPath)).foreach(v =>
-        if (v < retainFrom) doomed += s.getPath.toString)
-    }
+    val (dirs, files) =
+      vacuumDoomed(f, tableDir, retainFrom, latest, statuses, inFlightGraceMs)
+    val doomed = (dirs ++ files).map(_.toString)
     val bytes = doomed.map(p =>
       scala.util.Try(f.getContentSummary(new Path(p)).getLength).getOrElse(0L)).sum
-    (doomed.toSeq.sorted, bytes)
+    (doomed.sorted, bytes)
   }
 
   // ---- multi-table atomic commit (round-11) -------------------------
@@ -3064,31 +3087,82 @@ object TxLog {
       catch { case _: Throwable => () }
       throw e
     }
+    // a recovery that claimed our intent while we stalled past its
+    // stale window has already rolled our batches back — abort loudly
+    // instead of publishing manifests over reclaimed dirs (the
+    // publish-side batch-exists guard backstops the residual race)
+    if (!tf.exists(new Path(txnDir, s"txn-$id.staged"))) {
+      try tf.delete(cp, false) catch { case _: Throwable => () }
+      staged.foreach { s =>
+        try fs(spark, s.tableDir)
+          .delete(new Path(s"${s.tableDir}/${s.batch}"), true)
+        catch { case _: Throwable => () }
+      }
+      throw new IllegalStateException(
+        s"txn-$id aborted: its intent was claimed by a concurrent " +
+          "recovery (the stage outlived the stale window)")
+    }
     // intent superseded by the decision; best-effort (recovery treats
     // staged-with-commit as committed)
     try tf.delete(new Path(txnDir, s"txn-$id.staged"), false)
     catch { case _: Throwable => () }
   }
 
-  /** Publish one staged write — IDEMPOTENT: any version after the
-    * staged base already referencing the batch means it's done (a
-    * recovery racing the coordinator must neither double-append the
-    * batch nor clobber a commit that landed after it).
+  /** The version (after the staged base) at which this staged write is
+    * already visible, if any. Consults the live manifests AND the
+    * manifest checkpoint's run history: a publish whose manifest (and
+    * superseded batch dir) a later vacuum reclaimed is still named in
+    * the checkpoint's runs — without that, a stale decision record
+    * would re-publish an ancient overwrite over the current table.
+    * ONE helper shared by publish, recovery and the consistent cut, so
+    * they can never disagree about what "published" means.
+    */
+  private def publishedVersion(spark: SparkSession, s: StagedWrite)
+      : Option[Long] = {
+    val f = fs(spark, s.tableDir)
+    val latest = latestVersion(spark, s.tableDir)
+    var holes = false
+    ((s.baseV + 1L) to latest).find { v =>
+      try readManifestF(f, s.tableDir, v).exists(l => parseLine(l)._1 == s.batch)
+      catch { case _: java.io.IOException => holes = true; false }
+    }.orElse {
+      // checkpoint history consult ONLY when the scan had vacuumed-away
+      // holes — the happy path (base == latest, nothing missing) never
+      // pays the checkpoint read
+      if (!holes) None
+      else {
+        val statuses =
+          try f.listStatus(logDir(s.tableDir)).toSeq
+          catch { case _: java.io.IOException => Seq.empty }
+        latestCkptFrom(f, s.tableDir, statuses)
+          .flatMap(_.runs.find(_._1 == s.batch).map(_._3))
+          .filter(_ > s.baseV)
+      }
+    }
+  }
+
+  /** Publish one staged write — IDEMPOTENT: a batch already visible
+    * after its staged base (live manifest or checkpoint history) is
+    * never re-published, so a recovery racing the coordinator can
+    * neither double-append the batch nor clobber a commit that landed
+    * after it.
     */
   private[graft] def publishStaged(spark: SparkSession, s: StagedWrite,
       maxRetries: Int = 20): Long = {
     val f = fs(spark, s.tableDir)
-    def published(latest: Long): Option[Long] =
-      ((s.baseV + 1L) to latest).find { v =>
-        try readManifestF(f, s.tableDir, v).exists(l => parseLine(l)._1 == s.batch)
-        catch { case _: java.io.IOException => false }
-      }
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, s.tableDir)
-      published(base) match {
+      publishedVersion(spark, s) match {
         case Some(v) => return v
         case None =>
+          // never publish a manifest naming a reclaimed dir — a vacuum
+          // that outlived the in-flight grace turns roll-forward into a
+          // bricked table otherwise (every read dies on a missing path)
+          if (!f.exists(new Path(s"${s.tableDir}/${s.batch}")))
+            throw new IllegalStateException(
+              s"staged batch ${s.batch} of ${s.tableDir} no longer exists " +
+                "(reclaimed?) and no manifest records it — cannot publish")
           val carried =
             if (s.append && base > 0) readManifest(spark, s.tableDir, base)
             else Nil
@@ -3123,8 +3197,25 @@ object TxLog {
     * (delete the never-visible batch dirs). A txn id whose files are
     * all unreadable/truncated is damaged — fail loud, never guess.
     * Run at job start, before trusting cross-table invariants.
+    *
+    * Liveness fencing: an undecided `.staged` younger than
+    * `staleAfterMs` is presumed to belong to a LIVE coordinator
+    * between its stage and decide steps, and is left alone — rolling
+    * it back under a running transaction would delete the batches its
+    * decision is about to publish. A coordinator that stalls past the
+    * window and then resumes aborts at its decision point
+    * ([[decideMulti]] re-checks the intent survived) instead of
+    * publishing over reclaimed dirs.
+    *
+    * Roll-forward honesty: a decided transaction whose unpublished
+    * batches were reclaimed (a vacuum outlived [[InFlightGraceMs]])
+    * can no longer be honored — if NONE of its writes ever became
+    * visible, it rolls back (all-or-nothing preserved); if SOME did,
+    * that is a genuinely torn state and recovery fails LOUD naming it
+    * rather than publishing manifests over missing dirs.
     */
-  def recoverMulti(spark: SparkSession, txnDir: String): MultiRecovery = {
+  def recoverMulti(spark: SparkSession, txnDir: String,
+      staleAfterMs: Long = InFlightGraceMs): MultiRecovery = {
     val tf = fs(spark, txnDir)
     val dir = new Path(txnDir)
     if (!tf.exists(dir)) return MultiRecovery(Nil, Nil)
@@ -3135,28 +3226,48 @@ object TxLog {
       .distinct.sorted
     val fwd = scala.collection.mutable.ListBuffer.empty[String]
     val back = scala.collection.mutable.ListBuffer.empty[String]
+    def rollBack(id: String, staged: Seq[StagedWrite], cp: Path, sp: Path): Unit = {
+      staged.foreach { s =>
+        try fs(spark, s.tableDir)
+          .delete(new Path(s"${s.tableDir}/${s.batch}"), true)
+        catch { case _: Throwable => () }
+      }
+      try tf.delete(cp, false) catch { case _: Throwable => () }
+      tf.delete(sp, false)
+      back += id
+    }
     ids.foreach { id =>
       val cp = new Path(txnDir, s"txn-$id.commit")
       val sp = new Path(txnDir, s"txn-$id.staged")
       readTxnFile(tf, cp) match {
         case Some(staged) =>
-          staged.foreach(s => publishStaged(spark, s))
-          try tf.delete(sp, false) catch { case _: Throwable => () }
-          tf.delete(cp, false)
-          fwd += id
+          val pubs = staged.map(s => s -> publishedVersion(spark, s))
+          val gone = pubs.filter { case (s, p) => p.isEmpty &&
+            !fs(spark, s.tableDir)
+              .exists(new Path(s"${s.tableDir}/${s.batch}")) }
+          if (gone.nonEmpty && pubs.exists(_._2.isDefined))
+            throw new IllegalStateException(
+              s"txn-$id is torn beyond repair: " +
+                s"${pubs.count(_._2.isDefined)} write(s) are visible but " +
+                s"batch(es) ${gone.map(_._1.batch).mkString(", ")} were " +
+                "reclaimed before publishing (vacuum outlived the " +
+                "in-flight grace) — resolve manually, then delete the " +
+                "txn files")
+          if (gone.nonEmpty) rollBack(id, staged, cp, sp)
+          else {
+            staged.foreach(s => publishStaged(spark, s))
+            try tf.delete(sp, false) catch { case _: Throwable => () }
+            tf.delete(cp, false)
+            fwd += id
+          }
         case None =>
           readTxnFile(tf, sp) match {
             case Some(staged) =>
-              staged.foreach { s =>
-                try fs(spark, s.tableDir)
-                  .delete(new Path(s"${s.tableDir}/${s.batch}"), true)
-                catch { case _: Throwable => () }
-              }
-              // a truncated .commit (crash mid-decision) is NOT a
-              // decision; erase it with the intent
-              try tf.delete(cp, false) catch { case _: Throwable => () }
-              tf.delete(sp, false)
-              back += id
+              val age = try System.currentTimeMillis() -
+                tf.getFileStatus(sp).getModificationTime
+              catch { case _: java.io.IOException => Long.MaxValue }
+              // young intent = live coordinator mid-transaction: leave it
+              if (age >= staleAfterMs) rollBack(id, staged, cp, sp)
             case None => throw new IllegalStateException(
               s"damaged transaction record txn-$id in $txnDir — both " +
                 "files unreadable; repair or remove them explicitly")
@@ -3189,15 +3300,9 @@ object TxLog {
       .filter(n => n.startsWith("txn-") && n.endsWith(".commit"))
       .foreach { n =>
         readTxnFile(tf, new Path(txnDir, n)).foreach { staged =>
-          val pubs = staged.map { s =>
-            val f2 = fs(spark, s.tableDir)
-            val latest = latestVersion(spark, s.tableDir)
-            s -> ((s.baseV + 1L) to latest).find { v =>
-              try readManifestF(f2, s.tableDir, v)
-                .exists(l => parseLine(l)._1 == s.batch)
-              catch { case _: java.io.IOException => false }
-            }
-          }
+          // the SAME published-visibility helper recovery uses, so the
+          // cut and roll-forward can never disagree about torn-ness
+          val pubs = staged.map(s => s -> publishedVersion(spark, s))
           if (!pubs.forall(_._2.isDefined)) pubs.foreach {
             case (s, Some(v)) if caps.contains(s.tableDir) =>
               caps(s.tableDir) = math.min(caps(s.tableDir), v - 1L)
@@ -3278,6 +3383,14 @@ object TxLog {
     }
   }
 
+  /** Names ending in `.tmp` are rejected (round-11): `consumer-X.tmp`
+    * must unambiguously be X's in-flight publish for the crash
+    * recovery in [[readConsumerAck]]/[[consumerAcks]]. A registry that
+    * predates this rule and really holds a consumer literally named
+    * `foo.tmp` will have its pin re-attributed to `foo` on first read;
+    * `dropConsumer` under either name removes both files — re-register
+    * under a legal name.
+    */
   def ackConsumer(spark: SparkSession, tableDir: String, name: String,
       version: Long): Unit = {
     require(name.matches("[A-Za-z0-9._-]+") && !name.endsWith(".tmp"),
@@ -3303,8 +3416,15 @@ object TxLog {
     // consumerAcks recover from via the surviving tmp)
     if (!f.rename(tmp, p)) {
       f.delete(p, false)
-      if (!f.rename(tmp, p)) throw new java.io.IOException(
-        s"could not publish consumer ack $p")
+      if (!f.rename(tmp, p)) {
+        // a concurrent reader may have REPAIRED our tmp into place
+        // (readConsumerAck finishes crashed publishes) — if the
+        // registry already holds >= version, the ack landed; failing a
+        // correct state would crash a healthy maintenance trigger
+        if (!readConsumerAck(f, tableDir, name).exists(_ >= version))
+          throw new java.io.IOException(
+            s"could not publish consumer ack $p")
+      }
     }
   }
 
@@ -3361,35 +3481,12 @@ object TxLog {
     // Never-referenced YOUNG dirs are in-flight writes — spared (see
     // [[InFlightGraceMs]]); a vacuum racing a commit or a multi-table
     // stage must not eat the batch its manifest is about to name.
-    val refs = keepRefs(f, tableDir, retainFrom, latest, statuses)
-    val now = System.currentTimeMillis()
-    def spared(s: org.apache.hadoop.fs.FileStatus, ever: Boolean): Boolean =
-      !ever && now - s.getModificationTime < inFlightGraceMs
-    val dataRoot = new Path(s"$tableDir/data")
-    if (f.exists(dataRoot)) {
-      f.listStatus(dataRoot).foreach { s =>
-        val n = s"data/${s.getPath.getName}"
-        if (!refs.keep.contains(n) && !spared(s, refs.everData.contains(n)))
-          f.delete(s.getPath, true)
-      }
-    }
-    val dvRoot = new Path(s"$tableDir/dv")
-    if (f.exists(dvRoot)) {
-      f.listStatus(dvRoot).foreach { s =>
-        val n = s"dv/${s.getPath.getName}"
-        if (!refs.keepDv.contains(n) && !spared(s, refs.everDv.contains(n)))
-          f.delete(s.getPath, true)
-      }
-    }
-    statuses.foreach { s =>
-      val n = s.getPath.getName
-      val v = versionOf(s.getPath)
-        .orElse(if (n.startsWith("v") && n.endsWith(".info"))
-          n.stripPrefix("v").stripSuffix(".info").toLongOption else None)
-        // checkpoints below the retention point go with their versions
-        // (readers fall back to per-version files until the next one)
-        .orElse(ckptVersionOf(s.getPath))
-      v.foreach(x => if (x < retainFrom) f.delete(s.getPath, false))
-    }
+    val (doomedDirs, doomedFiles) =
+      vacuumDoomed(f, tableDir, retainFrom, latest, statuses, inFlightGraceMs)
+    doomedDirs.foreach(p => f.delete(p, true))
+    // manifests/info/checkpoints below the retention point go with
+    // their versions (readers fall back to per-version files until the
+    // next checkpoint)
+    doomedFiles.foreach(p => f.delete(p, false))
   }
 }

@@ -80,7 +80,15 @@ class TxMultiSpec extends AnyFunSuite {
     assert(txnFiles(x).exists(_.endsWith(".staged")))
     // staged batches exist on disk but are INVISIBLE
     assert(TxLog.read(spark, t).count() == 50L)
-    val rec = TxLog.recoverMulti(spark, x)
+    // a YOUNG intent belongs to a possibly-live coordinator between its
+    // stage and decide steps: default recovery leaves it alone
+    val recYoung = TxLog.recoverMulti(spark, x)
+    assert(recYoung.rolledBack.isEmpty && recYoung.rolledForward.isEmpty,
+      "recovery must not roll back a live transaction's fresh intent")
+    assert(txnFiles(x).nonEmpty)
+    // past the stale window (forced to 0 here) it is a crashed
+    // coordinator and rolls back
+    val rec = TxLog.recoverMulti(spark, x, staleAfterMs = 0L)
     assert(rec.rolledBack.size == 1 && rec.rolledForward.isEmpty)
     assert(txnFiles(x).isEmpty)
     // batch dirs erased, tables untouched, invariant holds
@@ -159,7 +167,7 @@ class TxMultiSpec extends AnyFunSuite {
     val out = fs.create(new Path(x, s"txn-$id.commit"), true)
     try out.write("mtxnv1\ngarbage-that-never-fini".getBytes("UTF-8"))
     finally out.close()
-    val rec = TxLog.recoverMulti(spark, x)
+    val rec = TxLog.recoverMulti(spark, x, staleAfterMs = 0L)
     assert(rec.rolledBack == Seq(id) && rec.rolledForward.isEmpty)
     assert(TxLog.latestVersion(spark, t) == 1L)
     staged.foreach(s =>
@@ -235,8 +243,84 @@ class TxMultiSpec extends AnyFunSuite {
     assert(!fs.exists(stagedDir))
     // the txn is now unrecoverable-forward by design (never decided):
     // recovery rolls it back cleanly
-    val rec = TxLog.recoverMulti(spark, x)
+    val rec = TxLog.recoverMulti(spark, x, staleAfterMs = 0L)
     assert(rec.rolledBack.size == 1)
+  }
+
+  test("a decided txn whose batches were reclaimed rolls BACK whole, never publishes missing dirs") {
+    val (t, m, x) = (fresh("gv_t"), fresh("gv_m"), fresh("gv_x"))
+    TxLog.commit(spark, t, data(0L, 10L))
+    TxLog.commit(spark, m, meta(10L))
+    val (id, staged) = TxLog.stageMulti(spark, x, Seq(
+      TxLog.MultiWrite(t, data(10L, 20L), append = true),
+      TxLog.MultiWrite(m, meta(10L), append = true)))
+    TxLog.decideMulti(spark, x, id, staged)
+    // a vacuum past the grace reclaimed BOTH staged batches before any
+    // publish happened (coordinator long dead)
+    staged.foreach(s =>
+      fs.delete(new Path(s"${s.tableDir}/${s.batch}"), true))
+    val rec = TxLog.recoverMulti(spark, x)
+    assert(rec.rolledBack == Seq(id) && rec.rolledForward.isEmpty,
+      "none-visible + batches gone must roll back, preserving all-or-nothing")
+    assert(TxLog.latestVersion(spark, t) == 1L)
+    assert(TxLog.read(spark, t).count() == 10L, "table must stay readable")
+    assert(txnFiles(x).isEmpty)
+
+    // TORN variant: one table published, the other's batch reclaimed —
+    // recovery must fail LOUD, never publish a manifest over a missing dir
+    val (id2, staged2) = TxLog.stageMulti(spark, x, Seq(
+      TxLog.MultiWrite(t, data(20L, 30L), append = true),
+      TxLog.MultiWrite(m, meta(10L), append = true)))
+    TxLog.decideMulti(spark, x, id2, staged2)
+    TxLog.publishStaged(spark, staged2.head)
+    fs.delete(new Path(s"${staged2.last.tableDir}/${staged2.last.batch}"), true)
+    val e = intercept[IllegalStateException](TxLog.recoverMulti(spark, x))
+    assert(e.getMessage.contains("torn"))
+    assert(TxLog.read(spark, m).count() == 1L, "m must stay readable")
+    // operator resolution: remove the txn record explicitly
+    assert(fs.delete(new Path(x, s"txn-$id2.commit"), false))
+  }
+
+  test("a stale .commit does not resurrect an overwrite vacuum already reclaimed") {
+    val (t, x) = (fresh("rs_t"), fresh("rs_x"))
+    TxLog.commit(spark, t, data(0L, 10L))
+    // decided + fully published overwrite, but the coordinator died
+    // before forgetting the .commit
+    val (id, staged) = TxLog.stageMulti(spark, x, Seq(
+      TxLog.MultiWrite(t, data(10L, 15L)))) // overwrite, v2
+    TxLog.decideMulti(spark, x, id, staged)
+    staged.foreach(s => TxLog.publishStaged(spark, s))
+    // a LATER overwrite lands, then vacuum reclaims the txn's manifest
+    // AND its superseded batch dir
+    TxLog.commit(spark, t, data(0L, 3L)) // v3, current truth
+    TxLog.vacuum(spark, t, retainFrom = 3L)
+    val rec = TxLog.recoverMulti(spark, x)
+    // with no surviving evidence the txn ever published (no checkpoint
+    // yet at this history depth), recovery forgets it — the essential
+    // property is that the CURRENT table state is never clobbered
+    assert(rec.rolledForward.isEmpty,
+      "a vacuumed-away publish must never re-publish over current state")
+    assert(TxLog.latestVersion(spark, t) == 3L)
+    assert(TxLog.read(spark, t).count() == 3L,
+      "current overwrite must survive recovery of a stale decision")
+    assert(txnFiles(x).isEmpty)
+  }
+
+  test("decideMulti aborts when recovery claimed its intent (stalled coordinator)") {
+    val (t, x) = (fresh("dc_t"), fresh("dc_x"))
+    TxLog.commit(spark, t, data(0L, 10L))
+    val (id, staged) = TxLog.stageMulti(spark, x, Seq(
+      TxLog.MultiWrite(t, data(10L, 20L), append = true)))
+    // the coordinator stalls past the stale window; a recovery rolls
+    // its intent back
+    assert(TxLog.recoverMulti(spark, x, staleAfterMs = 0L).rolledBack.size == 1)
+    // the resumed coordinator must abort at its decision point, not
+    // publish manifests over the reclaimed batch dirs
+    val e = intercept[IllegalStateException](
+      TxLog.decideMulti(spark, x, id, staged))
+    assert(e.getMessage.contains("aborted"))
+    assert(txnFiles(x).isEmpty, "the aborted decision must leave no record")
+    assert(TxLog.latestVersion(spark, t) == 1L)
   }
 
   test("validation failures abort zero-trace, before any sibling lands") {
