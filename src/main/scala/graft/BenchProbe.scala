@@ -175,10 +175,6 @@ object BenchProbe {
     (if (ts.exists(_ < 0)) -1.0 else ts.min, ts.length)
   }
 
-  private def minTime(spark: SparkSession, dir: String, query: String,
-      passes: Int, budget: BenchBudget = new BenchBudget(0)): Double =
-    minTimeN(spark, dir, query, passes, budget)._1
-
   /** Run the probe; returns the `"scale_probe"` JSON object. `only`
     * restricts to named families (deep one-off probes, e.g. 100×).
     * `budget` marks families past the wall-clock limit as skipped;
@@ -221,7 +217,12 @@ object BenchProbe {
           val estN = t1 * replicas * passes * 0.5
           if (budget.limitSec > 0 && t1 > 0 &&
               budget.elapsed + estN > budget.limitSec) {
-            fams += f""""$fam":{"query":"$q","t1":$t1%.3f,"skipped":true,"reason":"budget"}"""
+            // the carried t1 gets the same truncation label as a full
+            // family — a single contended pass must not read as a min
+            val short1 =
+              if (p1 < passes) s""","short_sample":true,"passes_run":[$p1]"""
+              else ""
+            fams += f""""$fam":{"query":"$q","t1":$t1%.3f,"skipped":true,"reason":"budget"$short1}"""
           } else {
             var pN = passes
             val tN = sent.guard(s"$fam:${replicas}x") {

@@ -3087,20 +3087,28 @@ object TxLog {
       catch { case _: Throwable => () }
       throw e
     }
-    // a recovery that claimed our intent while we stalled past its
-    // stale window has already rolled our batches back — abort loudly
-    // instead of publishing manifests over reclaimed dirs (the
-    // publish-side batch-exists guard backstops the residual race)
+    // The intent vanished while we stalled: a recovery either rolled
+    // our decision FORWARD (it read the .commit we just wrote — the
+    // batches are published, then sp and cp deleted) or rolled the
+    // stage BACK (it started before our decision landed — batches
+    // deleted). Consult the actual state: deleting batches here on the
+    // forward path would orphan freshly-written manifests (the exact
+    // bricked-table failure this protocol exists to prevent). Rollback
+    // is recognizable because rollBack removes batch dirs BEFORE the
+    // intent file — intent gone + an unpublished batch gone = rolled
+    // back; batches intact or published = forward, fall through to the
+    // idempotent publishes.
     if (!tf.exists(new Path(txnDir, s"txn-$id.staged"))) {
-      try tf.delete(cp, false) catch { case _: Throwable => () }
-      staged.foreach { s =>
-        try fs(spark, s.tableDir)
-          .delete(new Path(s"${s.tableDir}/${s.batch}"), true)
-        catch { case _: Throwable => () }
+      val rolledBack = staged.exists(s =>
+        publishedVersion(spark, s).isEmpty &&
+          !fs(spark, s.tableDir).exists(new Path(s"${s.tableDir}/${s.batch}")))
+      if (rolledBack) {
+        try tf.delete(cp, false) catch { case _: Throwable => () }
+        throw new IllegalStateException(
+          s"txn-$id aborted: its intent was claimed and rolled back by " +
+            "a concurrent recovery (the stage outlived the stale window)")
       }
-      throw new IllegalStateException(
-        s"txn-$id aborted: its intent was claimed by a concurrent " +
-          "recovery (the stage outlived the stale window)")
+      return
     }
     // intent superseded by the decision; best-effort (recovery treats
     // staged-with-commit as committed)
@@ -3118,11 +3126,21 @@ object TxLog {
     * they can never disagree about what "published" means.
     */
   private def publishedVersion(spark: SparkSession, s: StagedWrite)
-      : Option[Long] = {
+      : Option[Long] = publishedVersionH(spark, s)._1
+
+  /** (published version if provable, scan had vacuumed-away holes).
+    * `holes = true` with `None` means UNPROVABLE-not-published: some
+    * manifest in (baseV, latest] was reclaimed and no checkpoint names
+    * the batch — the write may have published there and been
+    * superseded. Callers deciding between "torn" and "superseded" must
+    * not read that as a definite never-published.
+    */
+  private def publishedVersionH(spark: SparkSession, s: StagedWrite)
+      : (Option[Long], Boolean) = {
     val f = fs(spark, s.tableDir)
     val latest = latestVersion(spark, s.tableDir)
     var holes = false
-    ((s.baseV + 1L) to latest).find { v =>
+    val found = ((s.baseV + 1L) to latest).find { v =>
       try readManifestF(f, s.tableDir, v).exists(l => parseLine(l)._1 == s.batch)
       catch { case _: java.io.IOException => holes = true; false }
     }.orElse {
@@ -3139,6 +3157,7 @@ object TxLog {
           .filter(_ > s.baseV)
       }
     }
+    (found, holes)
   }
 
   /** Publish one staged write — IDEMPOTENT: a batch already visible
@@ -3241,21 +3260,41 @@ object TxLog {
       val sp = new Path(txnDir, s"txn-$id.staged")
       readTxnFile(tf, cp) match {
         case Some(staged) =>
-          val pubs = staged.map(s => s -> publishedVersion(spark, s))
-          val gone = pubs.filter { case (s, p) => p.isEmpty &&
-            !fs(spark, s.tableDir)
-              .exists(new Path(s"${s.tableDir}/${s.batch}")) }
-          if (gone.nonEmpty && pubs.exists(_._2.isDefined))
+          // classify each write: published (provable), publishable
+          // (batch intact), provably-never-published-and-gone, or
+          // AMBIGUOUS (batch gone, manifests vacuumed, no checkpoint
+          // evidence — it may have published and been superseded)
+          val cls = staged.map { s =>
+            val (pub, holes) = publishedVersionH(spark, s)
+            val exists = pub.isDefined || fs(spark, s.tableDir)
+              .exists(new Path(s"${s.tableDir}/${s.batch}"))
+            (s, pub, exists, holes)
+          }
+          val goneProven = cls.filter { case (_, p, ex, h) =>
+            p.isEmpty && !ex && !h }
+          val ambiguous = cls.filter { case (_, p, ex, h) =>
+            p.isEmpty && !ex && h }
+          if (goneProven.nonEmpty && cls.exists(_._2.isDefined))
             throw new IllegalStateException(
               s"txn-$id is torn beyond repair: " +
-                s"${pubs.count(_._2.isDefined)} write(s) are visible but " +
-                s"batch(es) ${gone.map(_._1.batch).mkString(", ")} were " +
-                "reclaimed before publishing (vacuum outlived the " +
-                "in-flight grace) — resolve manually, then delete the " +
-                "txn files")
-          if (gone.nonEmpty) rollBack(id, staged, cp, sp)
+                s"${cls.count(_._2.isDefined)} write(s) are visible but " +
+                s"batch(es) ${goneProven.map(_._1.batch).mkString(", ")} " +
+                "were reclaimed before ever publishing (vacuum outlived " +
+                "the in-flight grace) — resolve manually, then delete " +
+                "the txn files")
+          if (goneProven.nonEmpty) rollBack(id, staged, cp, sp)
           else {
-            staged.foreach(s => publishStaged(spark, s))
+            // writes with vacuumed evidence are superseded history (a
+            // vacuum ran past them: nothing can replay there) — named,
+            // never silently guessed wrong in the torn direction
+            ambiguous.foreach { case (s, _, _, _) =>
+              System.err.println(s"[txn] txn-$id: ${s.tableDir}/" +
+                s"${s.batch} has vacuumed-away evidence; treating as " +
+                "published-then-superseded") }
+            // publish only what needs publishing — the classification
+            // above already paid the scan for the rest
+            cls.foreach { case (s, pub, ex, _) =>
+              if (pub.isEmpty && ex) publishStaged(spark, s) }
             try tf.delete(sp, false) catch { case _: Throwable => () }
             tf.delete(cp, false)
             fwd += id
@@ -3268,9 +3307,16 @@ object TxLog {
               catch { case _: java.io.IOException => Long.MaxValue }
               // young intent = live coordinator mid-transaction: leave it
               if (age >= staleAfterMs) rollBack(id, staged, cp, sp)
-            case None => throw new IllegalStateException(
-              s"damaged transaction record txn-$id in $txnDir — both " +
-                "files unreadable; repair or remove them explicitly")
+            case None =>
+              // a LIVE coordinator can complete (and forget) the txn
+              // between our directory listing and this read — absent
+              // files are a healthy completion, only a PRESENT file
+              // that won't parse is damage
+              if (tf.exists(cp) || tf.exists(sp))
+                throw new IllegalStateException(
+                  s"damaged transaction record txn-$id in $txnDir — " +
+                    "present but unreadable; repair or remove it " +
+                    "explicitly")
           }
       }
     }

@@ -295,11 +295,12 @@ class TxMultiSpec extends AnyFunSuite {
     TxLog.commit(spark, t, data(0L, 3L)) // v3, current truth
     TxLog.vacuum(spark, t, retainFrom = 3L)
     val rec = TxLog.recoverMulti(spark, x)
-    // with no surviving evidence the txn ever published (no checkpoint
-    // yet at this history depth), recovery forgets it — the essential
-    // property is that the CURRENT table state is never clobbered
-    assert(rec.rolledForward.isEmpty,
-      "a vacuumed-away publish must never re-publish over current state")
+    // the scan range has vacuumed holes, so "never published" is
+    // unprovable: recovery classifies the write as published-then-
+    // superseded and FORGETS the decision — the essential property is
+    // that the CURRENT table state is never clobbered
+    assert(rec.rolledForward == Seq(id) && rec.rolledBack.isEmpty,
+      "a vacuumed-away publish must close forward without re-publishing")
     assert(TxLog.latestVersion(spark, t) == 3L)
     assert(TxLog.read(spark, t).count() == 3L,
       "current overwrite must survive recovery of a stale decision")
