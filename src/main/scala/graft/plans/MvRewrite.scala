@@ -216,11 +216,17 @@ object MvCatalog {
             f.dataType == org.apache.spark.sql.types.FloatType))
       }
       MvRewriteRule.suspend {
-        // atomic swap: write aside, set the live dir aside, rename in.
-        // Every rename result is CHECKED (a dropped boolean here is a
-        // silent no-materialization), and a failed publish restores the
-        // set-aside dir before failing loud — a concurrent reader of
-        // the old materialization never sees a half write or a gap.
+        // crash-RECOVERABLE set-aside swap: write aside, set the live
+        // dir aside, rename in. Every rename result is CHECKED (a
+        // dropped boolean here is a silent no-materialization), and a
+        // failed publish restores the set-aside dir before failing
+        // loud. A concurrent reader never sees a HALF write — but
+        // between the two renames nothing exists at mvPath, so a read
+        // in that narrow window fails and is repaired on the next
+        // catalog lookup (the mvMissing restore above). Truly gap-free
+        // publish needs pointer indirection (a file naming the current
+        // dir) rather than in-place renames; at one swap per refresh
+        // the residual window is accepted and documented.
         def swapIn(merged: org.apache.spark.sql.DataFrame): Unit = {
           merged.write.mode("overwrite").parquet(mvTmp.toString)
           mvFs.delete(mvOld, true)

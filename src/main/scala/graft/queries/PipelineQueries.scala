@@ -4676,7 +4676,65 @@ object PipelineQueries extends QueryPack {
              |    AS BIGINT) AS cust_total,
              |  count(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS n_missing,
              |  (SELECT count(*) FROM orders) AS n_audited
-             |FROM orders GROUP BY 1""".stripMargin))
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q240: NAMED CROSS-TABLE SNAPSHOT (TxLog.tag, round-12) — the
+    // reproducibility contract a training pipeline needs: "run X read
+    // exactly tag Y of (corpus, totals)" must survive every later
+    // commit AND the vacuum (pins gate reclamation like consumer acks).
+    // The query tags the v1 cut, appends a v2 the tag must NOT see,
+    // proves vacuum refuses to reclaim the pinned version, then reads
+    // the tag — the oracle recomputes v1's content from `orders`
+    // directly, so the hash compare certifies the pinned read is
+    // bit-identical to the state at tag time.
+    QueryDef(
+      "q240_tagged_snapshot",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sources.TxLog
+        val sfName = new java.io.File(dir).getName
+        val base = s"${graft.GraftSession.scratchBase}/graft_tag_$sfName"
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val (tC, tT, tX) = (s"$base/corpus", s"$base/totals", s"$base/txn")
+        val orders = T.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+        val v1 = orders.filter($"o_orderkey" % 2L === 0L)
+        val v2 = orders.filter($"o_orderkey" % 2L =!= 0L)
+        def totals(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy().agg(count(lit(1)).as("n_docs"))
+        TxLog.commitMulti(s, tX, Seq(
+          TxLog.MultiWrite(tC, v1), TxLog.MultiWrite(tT, totals(v1))))
+        val cut = TxLog.tag(s, tX, "run-a", Seq(tC, tT))
+        require(cut == Map(tC -> 1L, tT -> 1L), s"q240: cut was $cut")
+        // later work the tag must not see: append + a totals overwrite
+        TxLog.commitMulti(s, tX, Seq(
+          TxLog.MultiWrite(tC, v2, append = true),
+          TxLog.MultiWrite(tT, totals(orders))))
+        // the pin gates vacuum exactly like a consumer ack...
+        val refused =
+          try { TxLog.vacuum(s, tC, retainFrom = 2L); false }
+          catch { case e: IllegalStateException =>
+            e.getMessage.contains("run-a") }
+        require(refused, "q240: vacuum must refuse the tagged version")
+        // ...and force is the explicit break-glass — not used here
+        val dfs = TxLog.readTag(s, tX, "run-a")
+        val nTagged = dfs(tT).head().getLong(0)
+        require(nTagged == dfs(tC).count(),
+          "q240: the tagged cut must be internally consistent")
+        require(TxLog.read(s, tC).count() > nTagged,
+          "q240: the live table must have moved past the tag")
+        dfs(tC).groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"o_custkey").as("cust_total"))
+          .withColumn("n_tagged", lit(nTagged))
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(*) AS n_docs,
+             |  CAST(sum(o_custkey) AS BIGINT) AS cust_total,
+             |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_tagged
+             |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1""".stripMargin))
   )
 
   /** q234's late-bound oracle: the view body from the artifact the

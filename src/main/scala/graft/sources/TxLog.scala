@@ -2933,7 +2933,10 @@ object TxLog {
     // the preview must refuse exactly where the real vacuum will — a
     // dry run that lists doomed paths the vacuum then declines to
     // delete misleads the retention runbook it exists for
-    if (!force) requireNoLaggingConsumers(spark, tableDir, retainFrom)
+    if (!force) {
+      requireNoLaggingConsumers(spark, tableDir, retainFrom)
+      requireNoTaggedReclaim(spark, tableDir, retainFrom)
+    }
     val statuses = f.listStatus(logDir(tableDir)).toSeq
     val (dirs, files) =
       vacuumDoomed(f, tableDir, retainFrom, latest, statuses, inFlightGraceMs)
@@ -2953,16 +2956,30 @@ object TxLog {
   //
   //   stage    — per table: write the batch dir (immutable, invisible
   //              until a manifest references it), record the intent in
-  //              `txnDir/txn-<id>.staged`;
-  //   decide   — create `txn-<id>.commit` EXCLUSIVELY (never a rename:
-  //              object-store rename is copy+delete, not a commit
-  //              point — the same reasoning as the manifest protocol);
+  //              `txnDir/txn-<id>.staged` (tmp + rename: the intent is
+  //              the txn's unique CLAIM TOKEN and must never exist
+  //              truncated);
+  //   decide   — RECORD: create `txn-<id>.commit` exclusively with the
+  //              full body; CLAIM: rename the intent to
+  //              `txn-<id>.committing`. The rename consumes its source,
+  //              so a racing rollback's rename to `txn-<id>.rolling`
+  //              and this claim can never both win (round-12: closes
+  //              the decide-vs-rollback TOCTOU). Publishes happen only
+  //              under a `.committing` marker, batch deletion only
+  //              under `.rolling`;
   //   publish  — each table's normal optimistic manifest commit,
   //              idempotent (a batch already referenced after its
   //              staged base is never re-published, so recovery racing
   //              the coordinator can't double-append or clobber a later
   //              overwrite);
-  //   forget   — delete the txn files.
+  //   forget   — delete the record, then the claim marker.
+  //
+  // The claim arbitration needs ATOMIC rename (HDFS, POSIX). On an
+  // object store whose rename is copy+delete the claim degrades to the
+  // staleness assumption alone (a recovery only claims intents older
+  // than `staleAfterMs`, presuming the coordinator dead) — never worse
+  // than the round-11 protocol; the DURABILITY point (the record) stays
+  // a create-exclusive PUT either way.
   //
   // Crash anywhere: [[recoverMulti]] rolls FORWARD from a readable
   // `.commit` (the decision was durable) and BACK from a `.staged`
@@ -3014,6 +3031,25 @@ object TxLog {
       parseTxn(txt)
     } catch { case _: java.io.FileNotFoundException => None }
 
+  /** Write a COMPLETE txn file via tmp + rename, so a crash can
+    * truncate only the tmp (swept age-gated by [[recoverMulti]]), never
+    * the published file. Only the staging coordinator writes this
+    * target, so no arbitration is needed — this is about completeness,
+    * not exclusivity (the exclusivity primitive is the CLAIM rename of
+    * the `.staged` file itself, see [[decideMulti]]/[[recoverMulti]]).
+    */
+  private def writeTxnFileAtomic(f: FileSystem, target: Path,
+      body: String): Unit = {
+    val tmp = new Path(target.getParent,
+      target.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, target)) {
+      try f.delete(tmp, false) catch { case _: Throwable => () }
+      throw new java.io.IOException(s"could not publish txn file $target")
+    }
+  }
+
   /** Stage every write: batch dirs land, the `.staged` intent records
     * them, NOTHING is visible to readers. Fails zero-trace (staged dirs
     * and the intent are removed) — the transaction never existed.
@@ -3046,10 +3082,11 @@ object TxLog {
         staged += StagedWrite(w.tableDir, batch, w.append,
           latestVersion(spark, w.tableDir), line)
       }
-      val sp = new Path(txnDir, s"txn-$id.staged")
-      val out = tf.create(sp, false)
-      try out.write(txnBody(staged.toSeq).getBytes("UTF-8"))
-      finally out.close()
+      // tmp + rename: the intent is the transaction's CLAIM TOKEN
+      // (decide and rollback arbitrate by consuming it — see
+      // [[decideMulti]]), so it must never exist truncated
+      writeTxnFileAtomic(tf, new Path(txnDir, s"txn-$id.staged"),
+        txnBody(staged.toSeq))
       (id, staged.toSeq)
     } catch { case e: Throwable =>
       staged.foreach { s =>
@@ -3063,57 +3100,67 @@ object TxLog {
     }
   }
 
-  /** The COMMIT POINT: a complete `.commit` file, created exclusively.
-    * A failure here aborts zero-trace (the claimed partial file and the
-    * staged work are removed) — recovery would have rolled it back too.
+  /** The COMMIT POINT — two steps whose combination is race-free:
+    *
+    *  1. RECORD: write the complete decision body to `txn-<id>.commit`
+    *     (create-exclusive). The record alone decides nothing yet.
+    *  2. CLAIM: atomically rename `txn-<id>.staged` →
+    *     `txn-<id>.committing`. The intent file is the transaction's
+    *     unique claim token: a rename consumes its source, so between
+    *     this rename and a concurrent recovery's rename to
+    *     `txn-<id>.rolling` EXACTLY ONE succeeds, and the surviving
+    *     marker names the outcome. Publishes (here or in recovery)
+    *     happen only under a `.committing` marker; batch deletion only
+    *     under `.rolling` — the two can never interleave on one txn.
+    *
+    * This closes the round-11 TOCTOU (an exists-check on the intent
+    * could pass while a recovery was mid-rollback): the outcome is now
+    * decided by one atomic rename, not inferred from which files
+    * happen to exist. A coordinator that stalls past the stale window
+    * and loses the claim aborts loudly — unless a recovery claimed
+    * COMMIT on its behalf (crash window between record and claim),
+    * which it joins by falling through to the idempotent publishes.
     */
   private[graft] def decideMulti(spark: SparkSession, txnDir: String,
       id: String, staged: Seq[StagedWrite]): Unit = {
     val tf = fs(spark, txnDir)
+    val sp = new Path(txnDir, s"txn-$id.staged")
     val cp = new Path(txnDir, s"txn-$id.commit")
-    val out = tf.create(cp, false)
-    try {
-      out.write(txnBody(staged).getBytes("UTF-8"))
-      out.close()
-    } catch { case e: Throwable =>
-      try out.close() catch { case _: Throwable => () }
-      try tf.delete(cp, false) catch { case _: Throwable => () }
-      staged.foreach { s =>
-        try fs(spark, s.tableDir)
-          .delete(new Path(s"${s.tableDir}/${s.batch}"), true)
-        catch { case _: Throwable => () }
-      }
-      try tf.delete(new Path(txnDir, s"txn-$id.staged"), false)
-      catch { case _: Throwable => () }
-      throw e
-    }
-    // The intent vanished while we stalled: a recovery either rolled
-    // our decision FORWARD (it read the .commit we just wrote — the
-    // batches are published, then sp and cp deleted) or rolled the
-    // stage BACK (it started before our decision landed — batches
-    // deleted). Consult the actual state: deleting batches here on the
-    // forward path would orphan freshly-written manifests (the exact
-    // bricked-table failure this protocol exists to prevent). Rollback
-    // is recognizable because rollBack removes batch dirs BEFORE the
-    // intent file — intent gone + an unpublished batch gone = rolled
-    // back; batches intact or published = forward, fall through to the
-    // idempotent publishes.
-    if (!tf.exists(new Path(txnDir, s"txn-$id.staged"))) {
-      val rolledBack = staged.exists(s =>
-        publishedVersion(spark, s).isEmpty &&
-          !fs(spark, s.tableDir).exists(new Path(s"${s.tableDir}/${s.batch}")))
-      if (rolledBack) {
+    val cm = new Path(txnDir, s"txn-$id.committing")
+    // cheap pre-check: a recovery that already rolled us back erased
+    // the intent — abort before writing a record that would linger
+    if (!tf.exists(sp) && !tf.exists(cm))
+      throw new IllegalStateException(
+        s"txn-$id aborted: its intent was claimed and rolled back by " +
+          "a concurrent recovery (the stage outlived the stale window)")
+    if (!tf.exists(cp)) {
+      val out = tf.create(cp, false)
+      try {
+        out.write(txnBody(staged).getBytes("UTF-8"))
+        out.close()
+      } catch { case e: Throwable =>
+        try out.close() catch { case _: Throwable => () }
         try tf.delete(cp, false) catch { case _: Throwable => () }
-        throw new IllegalStateException(
-          s"txn-$id aborted: its intent was claimed and rolled back by " +
-            "a concurrent recovery (the stage outlived the stale window)")
+        staged.foreach { s =>
+          try fs(spark, s.tableDir)
+            .delete(new Path(s"${s.tableDir}/${s.batch}"), true)
+          catch { case _: Throwable => () }
+        }
+        try tf.delete(sp, false) catch { case _: Throwable => () }
+        throw e
       }
-      return
     }
-    // intent superseded by the decision; best-effort (recovery treats
-    // staged-with-commit as committed)
-    try tf.delete(new Path(txnDir, s"txn-$id.staged"), false)
-    catch { case _: Throwable => () }
+    if (tf.rename(sp, cm)) return // claim won: decision is COMMIT
+    if (tf.exists(cm)) return // a recovery claimed commit on our behalf
+    // claim lost. Either a recovery rolled us back (rolling marker or
+    // already-finished rollback), or one rolled us fully FORWARD
+    // (published everything and forgot the txn). Consult actual state:
+    // every write visible = committed, join it; otherwise abort.
+    if (staged.forall(s => publishedVersion(spark, s).isDefined)) return
+    try tf.delete(cp, false) catch { case _: Throwable => () }
+    throw new IllegalStateException(
+      s"txn-$id aborted: its intent was claimed and rolled back by " +
+        "a concurrent recovery (the stage outlived the stale window)")
   }
 
   /** The version (after the staged base) at which this staged write is
@@ -3136,13 +3183,29 @@ object TxLog {
     * not read that as a definite never-published.
     */
   private def publishedVersionH(spark: SparkSession, s: StagedWrite)
-      : (Option[Long], Boolean) = {
+      : (Option[Long], Boolean) =
+    publishedVersionScan(spark, s, s.baseV + 1L,
+      latestVersion(spark, s.tableDir), priorHoles = false)
+
+  /** The scan behind [[publishedVersionH]], restartable: probes
+    * manifests `[fromV, toV]` only, carrying hole-knowledge from prior
+    * rounds — [[publishStaged]]'s optimistic retry loop resumes from
+    * its last probed version instead of rescanning from the staged
+    * base, so losing R rounds to concurrent writers costs O(new
+    * versions), not O(R × versions-behind).
+    */
+  private def publishedVersionScan(spark: SparkSession, s: StagedWrite,
+      fromV: Long, toV: Long, priorHoles: Boolean): (Option[Long], Boolean) = {
     val f = fs(spark, s.tableDir)
-    val latest = latestVersion(spark, s.tableDir)
-    var holes = false
-    val found = ((s.baseV + 1L) to latest).find { v =>
+    var holes = priorHoles
+    // a HOLE is strictly a vacuumed-away manifest (FileNotFoundException)
+    // — keepRefs' discipline. Any other IOException is a transient read
+    // failure and must propagate: swallowing it here would let recovery
+    // misclassify a genuinely torn decided txn as published-then-
+    // superseded and silently forget the write.
+    val found = (fromV to toV).find { v =>
       try readManifestF(f, s.tableDir, v).exists(l => parseLine(l)._1 == s.batch)
-      catch { case _: java.io.IOException => holes = true; false }
+      catch { case _: java.io.FileNotFoundException => holes = true; false }
     }.orElse {
       // checkpoint history consult ONLY when the scan had vacuumed-away
       // holes — the happy path (base == latest, nothing missing) never
@@ -3151,7 +3214,7 @@ object TxLog {
       else {
         val statuses =
           try f.listStatus(logDir(s.tableDir)).toSeq
-          catch { case _: java.io.IOException => Seq.empty }
+          catch { case _: java.io.FileNotFoundException => Seq.empty }
         latestCkptFrom(f, s.tableDir, statuses)
           .flatMap(_.runs.find(_._1 == s.batch).map(_._3))
           .filter(_ > s.baseV)
@@ -3170,9 +3233,18 @@ object TxLog {
       maxRetries: Int = 20): Long = {
     val f = fs(spark, s.tableDir)
     var attempt = 0
+    // resume point: versions (s.baseV, probedTo] were already scanned
+    // and do not contain the batch; each retry probes only what landed
+    // since (round-11 advice — O(new versions), not O(retries × lag))
+    var probedTo = s.baseV
+    var seenHoles = false
     while (attempt < maxRetries) {
       val base = latestVersion(spark, s.tableDir)
-      publishedVersion(spark, s) match {
+      val (pub, holes) =
+        publishedVersionScan(spark, s, probedTo + 1L, base, seenHoles)
+      seenHoles = holes
+      probedTo = math.max(probedTo, base)
+      pub match {
         case Some(v) => return v
         case None =>
           // never publish a manifest naming a reclaimed dir — a vacuum
@@ -3205,16 +3277,26 @@ object TxLog {
     val (id, staged) = stageMulti(spark, txnDir, writes, collectStats)
     decideMulti(spark, txnDir, id, staged)
     val versions = staged.map(s => s.tableDir -> publishStaged(spark, s)).toMap
-    try fs(spark, txnDir).delete(new Path(txnDir, s"txn-$id.commit"), false)
+    // forget: record first, then the claim marker — the intermediate
+    // crash state (marker without record) reads as "publishes complete,
+    // sweep the marker" in recovery
+    val tf = fs(spark, txnDir)
+    try tf.delete(new Path(txnDir, s"txn-$id.commit"), false)
+    catch { case _: Throwable => () }
+    try tf.delete(new Path(txnDir, s"txn-$id.committing"), false)
     catch { case _: Throwable => () }
     versions
   }
 
   /** Finish (or erase) every transaction a crashed coordinator left in
-    * `txnDir`: readable `.commit` → roll FORWARD (publish the staged
-    * writes, idempotently); `.staged` without a decision → roll BACK
-    * (delete the never-visible batch dirs). A txn id whose files are
-    * all unreadable/truncated is damaged — fail loud, never guess.
+    * `txnDir`: a CLAIMED decision (`.commit` record + `.committing`
+    * marker) → roll FORWARD (publish the staged writes, idempotently);
+    * an undecided stale `.staged` intent → roll BACK by first CLAIMING
+    * the abort (rename the intent to `.rolling` — the rename consumes
+    * the unique claim token, so a racing [[decideMulti]] and this
+    * rollback can never both win) and only then deleting the
+    * never-visible batch dirs. A txn id whose files are unreadable in
+    * an unreachable combination is damaged — fail loud, never guess.
     * Run at job start, before trusting cross-table invariants.
     *
     * Liveness fencing: an undecided `.staged` younger than
@@ -3222,9 +3304,10 @@ object TxLog {
     * between its stage and decide steps, and is left alone — rolling
     * it back under a running transaction would delete the batches its
     * decision is about to publish. A coordinator that stalls past the
-    * window and then resumes aborts at its decision point
-    * ([[decideMulti]] re-checks the intent survived) instead of
-    * publishing over reclaimed dirs.
+    * window loses the claim rename and aborts at its decision point
+    * instead of publishing over reclaimed dirs; one that recorded its
+    * decision but crashed before claiming is finished by recovery
+    * (claim then publish), so "decided" still means durable.
     *
     * Roll-forward honesty: a decided transaction whose unpublished
     * batches were reclaimed (a vacuum outlived [[InFlightGraceMs]])
@@ -3238,86 +3321,186 @@ object TxLog {
     val tf = fs(spark, txnDir)
     val dir = new Path(txnDir)
     if (!tf.exists(dir)) return MultiRecovery(Nil, Nil)
-    val ids = tf.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("txn-") &&
-        (n.endsWith(".staged") || n.endsWith(".commit")))
-      .map(_.stripPrefix("txn-").stripSuffix(".staged").stripSuffix(".commit"))
+    val names = tf.listStatus(dir).toSeq.map(_.getPath.getName)
+    // sweep tmps from crashed atomic txn-file writes — age-gated, a
+    // live writer's tmp is about to be renamed into place
+    names.filter(n => n.startsWith("txn-") && n.contains(".tmp-")).foreach { n =>
+      val p = new Path(txnDir, n)
+      val age = try System.currentTimeMillis() -
+        tf.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+      if (age >= staleAfterMs)
+        try tf.delete(p, false) catch { case _: Throwable => () }
+    }
+    val ids = names
+      .filterNot(_.contains(".tmp-"))
+      .filter(n => n.startsWith("txn-") && (n.endsWith(".staged") ||
+        n.endsWith(".committing") || n.endsWith(".commit") ||
+        n.endsWith(".rolling")))
+      .map(_.stripPrefix("txn-").stripSuffix(".staged")
+        .stripSuffix(".committing").stripSuffix(".commit")
+        .stripSuffix(".rolling"))
       .distinct.sorted
     val fwd = scala.collection.mutable.ListBuffer.empty[String]
     val back = scala.collection.mutable.ListBuffer.empty[String]
-    def rollBack(id: String, staged: Seq[StagedWrite], cp: Path, sp: Path): Unit = {
+
+    def ageOf(p: Path): Long =
+      try System.currentTimeMillis() - tf.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+
+    def damaged(id: String): Nothing = throw new IllegalStateException(
+      s"damaged transaction record txn-$id in $txnDir — present but " +
+        "unreadable; repair or remove it explicitly")
+
+    // under an ABORT claim (the rolling marker): no publish can ever
+    // happen for this txn (publish requires the committing marker, whose
+    // claim token this rename consumed), so batch deletion is safe
+    def eraseRolledBack(id: String, staged: Seq[StagedWrite],
+        cp: Path, rl: Path): Unit = {
       staged.foreach { s =>
         try fs(spark, s.tableDir)
           .delete(new Path(s"${s.tableDir}/${s.batch}"), true)
         catch { case _: Throwable => () }
       }
+      // a late coordinator's record write may have landed after our
+      // claim — erase it so the decision cannot be read back
       try tf.delete(cp, false) catch { case _: Throwable => () }
-      tf.delete(sp, false)
+      tf.delete(rl, false)
       back += id
     }
+
+    // under the COMMIT claim: classify each write — published
+    // (provable), publishable (batch intact), provably-never-published-
+    // and-gone, or AMBIGUOUS (batch gone, manifests vacuumed, no
+    // checkpoint evidence — it may have published and been superseded)
+    def rollForward(id: String, staged: Seq[StagedWrite],
+        cp: Path, sp: Path, cm: Path): Unit = {
+      val cls = staged.map { s =>
+        val (pub, holes) = publishedVersionH(spark, s)
+        val exists = pub.isDefined || fs(spark, s.tableDir)
+          .exists(new Path(s"${s.tableDir}/${s.batch}"))
+        (s, pub, exists, holes)
+      }
+      val goneProven = cls.filter { case (_, p, ex, h) =>
+        p.isEmpty && !ex && !h }
+      val ambiguous = cls.filter { case (_, p, ex, h) =>
+        p.isEmpty && !ex && h }
+      if (goneProven.nonEmpty && cls.exists(_._2.isDefined))
+        throw new IllegalStateException(
+          s"txn-$id is torn beyond repair: " +
+            s"${cls.count(_._2.isDefined)} write(s) are visible but " +
+            s"batch(es) ${goneProven.map(_._1.batch).mkString(", ")} " +
+            "were reclaimed before ever publishing (vacuum outlived " +
+            "the in-flight grace) — resolve manually, then delete " +
+            "the txn files")
+      if (goneProven.nonEmpty) {
+        // decided but never-visible and batches reclaimed: honoring the
+        // decision is impossible; all-or-nothing is preserved by rolling
+        // the WHOLE txn back
+        staged.foreach { s =>
+          try fs(spark, s.tableDir)
+            .delete(new Path(s"${s.tableDir}/${s.batch}"), true)
+          catch { case _: Throwable => () }
+        }
+        try tf.delete(sp, false) catch { case _: Throwable => () }
+        try tf.delete(cp, false) catch { case _: Throwable => () }
+        try tf.delete(cm, false) catch { case _: Throwable => () }
+        back += id
+      } else {
+        // writes with vacuumed evidence are superseded history (a
+        // vacuum ran past them: nothing can replay there) — named,
+        // never silently guessed wrong in the torn direction
+        ambiguous.foreach { case (s, _, _, _) =>
+          System.err.println(s"[txn] txn-$id: ${s.tableDir}/" +
+            s"${s.batch} has vacuumed-away evidence; treating as " +
+            "published-then-superseded") }
+        // publish only what needs publishing — the classification
+        // above already paid the scan for the rest
+        cls.foreach { case (s, pub, ex, _) =>
+          if (pub.isEmpty && ex) publishStaged(spark, s) }
+        try tf.delete(sp, false) catch { case _: Throwable => () }
+        tf.delete(cp, false)
+        try tf.delete(cm, false) catch { case _: Throwable => () }
+        fwd += id
+      }
+    }
+
     ids.foreach { id =>
-      val cp = new Path(txnDir, s"txn-$id.commit")
       val sp = new Path(txnDir, s"txn-$id.staged")
-      readTxnFile(tf, cp) match {
-        case Some(staged) =>
-          // classify each write: published (provable), publishable
-          // (batch intact), provably-never-published-and-gone, or
-          // AMBIGUOUS (batch gone, manifests vacuumed, no checkpoint
-          // evidence — it may have published and been superseded)
-          val cls = staged.map { s =>
-            val (pub, holes) = publishedVersionH(spark, s)
-            val exists = pub.isDefined || fs(spark, s.tableDir)
-              .exists(new Path(s"${s.tableDir}/${s.batch}"))
-            (s, pub, exists, holes)
-          }
-          val goneProven = cls.filter { case (_, p, ex, h) =>
-            p.isEmpty && !ex && !h }
-          val ambiguous = cls.filter { case (_, p, ex, h) =>
-            p.isEmpty && !ex && h }
-          if (goneProven.nonEmpty && cls.exists(_._2.isDefined))
-            throw new IllegalStateException(
-              s"txn-$id is torn beyond repair: " +
-                s"${cls.count(_._2.isDefined)} write(s) are visible but " +
-                s"batch(es) ${goneProven.map(_._1.batch).mkString(", ")} " +
-                "were reclaimed before ever publishing (vacuum outlived " +
-                "the in-flight grace) — resolve manually, then delete " +
-                "the txn files")
-          if (goneProven.nonEmpty) rollBack(id, staged, cp, sp)
-          else {
-            // writes with vacuumed evidence are superseded history (a
-            // vacuum ran past them: nothing can replay there) — named,
-            // never silently guessed wrong in the torn direction
-            ambiguous.foreach { case (s, _, _, _) =>
-              System.err.println(s"[txn] txn-$id: ${s.tableDir}/" +
-                s"${s.batch} has vacuumed-away evidence; treating as " +
-                "published-then-superseded") }
-            // publish only what needs publishing — the classification
-            // above already paid the scan for the rest
-            cls.foreach { case (s, pub, ex, _) =>
-              if (pub.isEmpty && ex) publishStaged(spark, s) }
-            try tf.delete(sp, false) catch { case _: Throwable => () }
-            tf.delete(cp, false)
-            fwd += id
-          }
-        case None =>
-          readTxnFile(tf, sp) match {
-            case Some(staged) =>
-              val age = try System.currentTimeMillis() -
-                tf.getFileStatus(sp).getModificationTime
-              catch { case _: java.io.IOException => Long.MaxValue }
-              // young intent = live coordinator mid-transaction: leave it
-              if (age >= staleAfterMs) rollBack(id, staged, cp, sp)
-            case None =>
-              // a LIVE coordinator can complete (and forget) the txn
-              // between our directory listing and this read — absent
-              // files are a healthy completion, only a PRESENT file
-              // that won't parse is damage
-              if (tf.exists(cp) || tf.exists(sp))
-                throw new IllegalStateException(
-                  s"damaged transaction record txn-$id in $txnDir — " +
-                    "present but unreadable; repair or remove it " +
-                    "explicitly")
-          }
+      val cp = new Path(txnDir, s"txn-$id.commit")
+      val cm = new Path(txnDir, s"txn-$id.committing")
+      val rl = new Path(txnDir, s"txn-$id.rolling")
+      // 1. an abort claim owns the txn whatever else exists: resume it
+      readTxnFile(tf, rl) match {
+        case Some(staged) => eraseRolledBack(id, staged, cp, rl)
+        case None if tf.exists(rl) =>
+          // the rolling marker is a renamed intent — unparsable means
+          // tampering, never a protocol state
+          damaged(id)
+        case None => readTxnFile(tf, cp) match {
+          case Some(staged) =>
+            if (tf.exists(cm)) rollForward(id, staged, cp, sp, cm)
+            else if (tf.exists(sp)) {
+              // coordinator crashed between recording the decision and
+              // claiming it. Finish the decide ourselves — but only for
+              // a STALE intent (a live coordinator is about to claim);
+              // the claim rename arbitrates if it races us
+              if (ageOf(sp) >= staleAfterMs && tf.rename(sp, cm))
+                rollForward(id, staged, cp, sp, cm)
+              // lost/withheld claim: the owner finishes; re-examine next run
+            } else {
+              // record present, claim token consumed, no marker: either
+              // a completed claim whose marker was swept, or an abort
+              // that raced a late record write. The classification
+              // resolves it from actual state — all-gone-unpublished
+              // rolls back (erasing the stray record), anything visible
+              // or intact rolls forward
+              rollForward(id, staged, cp, sp, cm)
+            }
+          case None if tf.exists(cp) =>
+            // present-but-truncated record: a crash mid-decide, BEFORE
+            // the claim — not a decision. Roll back from the intent
+            // (claim-first); a live coordinator mid-write is protected
+            // by the staleness gate on its intent
+            readTxnFile(tf, sp) match {
+              case Some(staged) =>
+                if (ageOf(sp) >= staleAfterMs && tf.rename(sp, rl))
+                  eraseRolledBack(id, staged, cp, rl)
+              case None =>
+                // truncated record with no readable intent and no
+                // marker is not a reachable protocol state — damage
+                damaged(id)
+            }
+          case None =>
+            if (tf.exists(cm)) {
+              // cleanup crash tail: record already forgotten, publishes
+              // done — sweep the marker
+              try tf.delete(cm, false) catch { case _: Throwable => () }
+            } else readTxnFile(tf, sp) match {
+              case Some(staged) =>
+                // undecided intent. Young = live coordinator between
+                // its stage and decide steps: leave it alone. Stale =
+                // crashed coordinator: claim the abort atomically FIRST
+                // (rename consumes the intent — the round-11 TOCTOU is
+                // gone: decide and rollback can no longer both win)
+                if (ageOf(sp) >= staleAfterMs && tf.rename(sp, rl))
+                  eraseRolledBack(id, staged, cp, rl)
+              case None if tf.exists(sp) => damaged(id)
+              case None =>
+                // absent-absent: a live coordinator can decide OR
+                // complete between our listing and these reads — re-read
+                // the record before declaring anything (round-11 advice:
+                // a healthy decided txn must not abort the recovery run)
+                readTxnFile(tf, cp) match {
+                  case Some(staged) =>
+                    if (tf.exists(cm)) rollForward(id, staged, cp, sp, cm)
+                  // else: mid-decide, the live coordinator finishes
+                  case None =>
+                    if (tf.exists(cp) || tf.exists(sp)) damaged(id)
+                  // else: completed and forgotten concurrently — healthy
+                }
+            }
+        }
       }
     }
     MultiRecovery(fwd.toSeq, back.toSeq)
@@ -3388,6 +3571,147 @@ object TxLog {
     }.toMap
   }
 
+  // ---- named cross-table snapshots: TAGS (round-12 verdict ask) -----
+  // `readConsistent` computes a cross-table cut at call time; a
+  // training run needs to NAME that cut and read exactly it later —
+  // "run X trained on tag Y of (corpus, index, totals)" is the
+  // reproducibility contract (the public analogues are Iceberg table
+  // tags / Delta version-pinned reads, here spanning tables). A tag is
+  //   - one pin file per table (`_log/tag-<name>`, the version) that
+  //     [[vacuum]] respects exactly like a consumer ack, and
+  //   - one cross-table manifest (`txnDir/tag-<name>`, tableDir →
+  //     version), created EXCLUSIVELY, which is the tag's commit
+  //     point.
+  // Pins land first: a crash mid-tag leaves conservative litter
+  // (versions over-protected, tag unreadable — dropTag cleans), never
+  // a readable tag whose versions vacuum could reclaim.
+
+  private def tagBody(cut: Map[String, Long]): String =
+    ("tagv1" +: cut.toSeq.sortBy(_._1).map { case (t, v) =>
+      s"${enc(t)}\t$v" } :+ "end").mkString("\n")
+
+  private def parseTag(txt: String): Option[Map[String, Long]] = {
+    val lines = txt.split('\n').toSeq.filter(_.nonEmpty)
+    if (!lines.headOption.contains("tagv1") || lines.lastOption != Some("end"))
+      None
+    else scala.util.Try {
+      lines.tail.init.map { l =>
+        val a = l.split('\t'); (dec(a(0)), a(1).toLong)
+      }.toMap
+    }.toOption
+  }
+
+  /** Persist the CURRENT [[consistentVersions]] cut of `tables` under
+    * `name`. Tags are immutable — re-tagging a live name fails;
+    * [[dropTag]] first. Returns the pinned cut.
+    */
+  def tag(spark: SparkSession, txnDir: String, name: String,
+      tables: Seq[String]): Map[String, Long] = {
+    require(name.matches("[A-Za-z0-9._-]+") && !name.endsWith(".tmp"),
+      s"bad tag name '$name'")
+    require(tables.nonEmpty, "empty tag")
+    val cut = consistentVersions(spark, txnDir, tables)
+    cut.foreach { case (t, v) =>
+      require(v >= 1L, s"table $t has no consistent visible version to tag") }
+    val tf = fs(spark, txnDir)
+    tf.mkdirs(new Path(txnDir))
+    val mp = new Path(txnDir, s"tag-$name")
+    if (tf.exists(mp)) throw new IllegalStateException(
+      s"tag '$name' already exists in $txnDir — tags are immutable; " +
+        "dropTag it first")
+    // 1. per-table pins: vacuum starts respecting the cut NOW
+    cut.foreach { case (t, v) =>
+      writeTxnFileAtomic(fs(spark, t), new Path(logDir(t), s"tag-$name"),
+        v.toString)
+    }
+    // 2. the manifest — the tag's commit point (create-exclusive; a
+    // racing tagger of the same name loses here, after writing pins
+    // that dropTag can reclaim)
+    val out = tf.create(mp, false)
+    try out.write(tagBody(cut).getBytes("UTF-8")) finally out.close()
+    cut
+  }
+
+  /** The pinned cut of a tag; fails loud on a missing or damaged tag. */
+  def tagVersions(spark: SparkSession, txnDir: String,
+      name: String): Map[String, Long] = {
+    val tf = fs(spark, txnDir)
+    val mp = new Path(txnDir, s"tag-$name")
+    val txt = try {
+      val in = tf.open(mp)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    } catch { case _: java.io.FileNotFoundException =>
+      throw new IllegalStateException(s"no tag '$name' in $txnDir")
+    }
+    parseTag(txt).getOrElse(throw new IllegalStateException(
+      s"damaged tag manifest tag-$name in $txnDir — repair or dropTag it"))
+  }
+
+  /** [[read]] every table of the tag at exactly its pinned version —
+    * immune to every commit, compaction or overwrite since the tag.
+    */
+  def readTag(spark: SparkSession, txnDir: String,
+      name: String): Map[String, DataFrame] =
+    tagVersions(spark, txnDir, name).map { case (t, v) =>
+      t -> read(spark, t, asOf = Some(v)) }
+
+  /** Live tags in `txnDir` (manifest present = committed). */
+  def tags(spark: SparkSession, txnDir: String): Seq[String] = {
+    val tf = fs(spark, txnDir)
+    if (!tf.exists(new Path(txnDir))) return Nil
+    tf.listStatus(new Path(txnDir)).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("tag-") && !n.contains(".tmp-"))
+      .map(_.stripPrefix("tag-")).sorted
+  }
+
+  /** Delete a tag: manifest FIRST (readers stop resolving it), then
+    * the per-table pins (vacuum stops protecting it). Crash between
+    * the two leaves only over-protection — re-run to finish.
+    */
+  def dropTag(spark: SparkSession, txnDir: String, name: String,
+      tables: Seq[String] = Nil): Unit = {
+    val tf = fs(spark, txnDir)
+    val pinned = // prefer the manifest's own table list; fall back to the caller's
+      try tagVersions(spark, txnDir, name).keys.toSeq
+      catch { case _: IllegalStateException => tables }
+    tf.delete(new Path(txnDir, s"tag-$name"), false)
+    pinned.foreach { t =>
+      try fs(spark, t).delete(new Path(logDir(t), s"tag-$name"), false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Tag pins of one table (name → pinned version), for the vacuum
+    * gate. Damaged pins fail loud — the gate depends on them.
+    */
+  private def tablePins(f: FileSystem, tableDir: String): Map[String, Long] = {
+    val dir = logDir(tableDir)
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("tag-") && !n.contains(".tmp-"))
+      .map { n =>
+        val p = new Path(dir, n)
+        val in = f.open(p)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        n.stripPrefix("tag-") -> txt.toLongOption.getOrElse(
+          throw new IllegalStateException(
+            s"unparsable tag pin $p ('$txt') — repair or delete it " +
+              "(dropTag) explicitly"))
+      }.toMap
+  }
+
+  private def requireNoTaggedReclaim(spark: SparkSession,
+      tableDir: String, retainFrom: Long): Unit = {
+    val pinned = tablePins(fs(spark, tableDir), tableDir)
+      .filter(_._2 < retainFrom)
+    if (pinned.nonEmpty) throw new IllegalStateException(
+      s"vacuum $tableDir retainFrom=$retainFrom would reclaim version(s) " +
+        s"pinned by tag(s) ${pinned.toSeq.sorted
+          .map { case (n, v) => s"$n@v$v" }.mkString(", ")}; dropTag " +
+        "them, or pass force=true to break those snapshots knowingly")
+  }
+
   /** CDC consumer registry (round-10): an incremental consumer records
     * the last source version it has folded, and [[vacuum]] refuses to
     * reclaim the replay window a registered consumer still needs — its
@@ -3420,12 +3744,22 @@ object TxLog {
       // absence-with-tmp-present = a publish crashed between the old
       // pin's delete and the new pin's rename (ackConsumer only deletes
       // after the tmp is fully written and synced, so the tmp IS the
-      // committed ack). Recover it — and best-effort finish the crashed
-      // publish so the registry listing sees the primary again.
+      // committed ack). Recover it by COPY, never by renaming the tmp:
+      // stealing a LIVE acker's tmp would fail its rename, and its
+      // delete-primary-then-retry path could erase the very pin we just
+      // repaired into place (round-11 advice — the transiently-unpinned
+      // window a concurrent vacuum could slip through). The tmp stays;
+      // its owner renames or a later ack overwrites it.
       val tmp = new Path(logDir(tableDir), s"consumer-$name.tmp")
-      // re-probe the primary last: a concurrent acker may have renamed
-      // tmp→primary between our two reads
-      readAt(tmp).map { v => f.rename(tmp, p); v }.orElse(readAt(p))
+      readAt(tmp).map { v =>
+        try {
+          // create-exclusive: never clobber a primary a concurrent
+          // acker published between our two reads
+          val out = f.create(p, false)
+          try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        } catch { case _: java.io.IOException => () }
+        v
+      }.orElse(readAt(p))
     }
   }
 
@@ -3461,6 +3795,10 @@ object TxLog {
     // no-primary window to delete→rename (which readConsumerAck /
     // consumerAcks recover from via the surviving tmp)
     if (!f.rename(tmp, p)) {
+      // re-probe BEFORE deleting the primary: a reader's crash-repair
+      // may have copied our own tmp's value into place — deleting it
+      // would transiently erase the pin a concurrent vacuum depends on
+      if (readConsumerAck(f, tableDir, name).exists(_ >= version)) return
       f.delete(p, false)
       if (!f.rename(tmp, p)) {
         // a concurrent reader may have REPAIRED our tmp into place
@@ -3519,8 +3857,12 @@ object TxLog {
     val latest = latestVersion(spark, tableDir)
     require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
     // registered consumers pin retention: reclaiming past the slowest
-    // ack would break its next changeFeed(acked, latest) fold
-    if (!force) requireNoLaggingConsumers(spark, tableDir, retainFrom)
+    // ack would break its next changeFeed(acked, latest) fold — and
+    // tag pins protect named snapshots the same way (round-12)
+    if (!force) {
+      requireNoLaggingConsumers(spark, tableDir, retainFrom)
+      requireNoTaggedReclaim(spark, tableDir, retainFrom)
+    }
     val statuses = f.listStatus(logDir(tableDir)).toSeq
     // deletion-vector files referenced by any retained manifest survive
     // with their snapshots; superseded/purged vectors go with vacuum.

@@ -448,8 +448,13 @@ class TxCdfSpec extends AnyFunSuite {
     assert(TxLog.consumerAcks(spark, t) == Map("dash" -> 3L))
     // …and the vacuum gate still sees the pin (the silent-unpin failure)
     intercept[IllegalStateException](TxLog.vacuum(spark, t, retainFrom = 4L))
-    // the read best-effort-finished the crashed publish
+    // the read best-effort-finished the crashed publish — by COPY, so
+    // a LIVE acker's tmp is never stolen out from under its rename
+    // (round-11 advice: a stolen tmp made the acker's delete-then-retry
+    // path erase the reader's freshly repaired pin)
     assert(fs.exists(p), "recovery should republish the primary ack")
+    assert(fs.exists(tmp),
+      "repair must copy, not steal — the tmp belongs to its acker")
     // monotonicity against the recovered value: a stale re-ack no-ops
     TxLog.ackConsumer(spark, t, "dash", 2L)
     assert(TxLog.consumerAcks(spark, t) == Map("dash" -> 3L))

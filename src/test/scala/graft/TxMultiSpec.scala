@@ -324,6 +324,71 @@ class TxMultiSpec extends AnyFunSuite {
     assert(TxLog.latestVersion(spark, t) == 1L)
   }
 
+  test("rollback's abort claim is atomic: a crashed claim resumes from the rolling marker") {
+    val (t, x) = (fresh("rc_t"), fresh("rc_x"))
+    TxLog.commit(spark, t, data(0L, 10L))
+    val (id, staged) = TxLog.stageMulti(spark, x, Seq(
+      TxLog.MultiWrite(t, data(10L, 20L), append = true)))
+    // a recovery claims the abort (rename .staged → .rolling — the
+    // round-12 fix for the decide-vs-rollback TOCTOU: the rename
+    // consumes the unique claim token) and crashes mid-rollback
+    assert(fs.rename(new Path(x, s"txn-$id.staged"),
+      new Path(x, s"txn-$id.rolling")))
+    // the claim alone already defeats a resumed coordinator — even
+    // though the batch dirs are still fully intact
+    val e = intercept[IllegalStateException](
+      TxLog.decideMulti(spark, x, id, staged))
+    assert(e.getMessage.contains("aborted"))
+    // a later recovery RESUMES the rollback from the marker
+    val rec = TxLog.recoverMulti(spark, x)
+    assert(rec.rolledBack == Seq(id) && rec.rolledForward.isEmpty)
+    staged.foreach(s =>
+      assert(!fs.exists(new Path(s"${s.tableDir}/${s.batch}"))))
+    assert(txnFiles(x).isEmpty)
+    assert(TxLog.latestVersion(spark, t) == 1L)
+  }
+
+  test("a recorded-but-unclaimed decision: young is left to the coordinator, stale is finished by recovery") {
+    val (t, m, x) = (fresh("uc_t"), fresh("uc_m"), fresh("uc_x"))
+    TxLog.commit(spark, t, data(0L, 10L))
+    TxLog.commit(spark, m, meta(10L))
+    val (id, staged) = TxLog.stageMulti(spark, x, Seq(
+      TxLog.MultiWrite(t, data(10L, 20L), append = true),
+      TxLog.MultiWrite(m, meta(10L), append = true)))
+    TxLog.decideMulti(spark, x, id, staged)
+    // reconstruct the crash window BETWEEN record and claim: the
+    // .committing marker is the renamed intent, so renaming it back
+    // restores the exact pre-claim state (record present, unclaimed)
+    assert(fs.rename(new Path(x, s"txn-$id.committing"),
+      new Path(x, s"txn-$id.staged")))
+    // young intent: the live coordinator is about to claim — recovery
+    // must neither publish nor roll back
+    val recYoung = TxLog.recoverMulti(spark, x)
+    assert(recYoung.rolledForward.isEmpty && recYoung.rolledBack.isEmpty)
+    assert(TxLog.latestVersion(spark, t) == 1L, "nothing published yet")
+    // stale: the coordinator is dead — recovery claims the commit and
+    // finishes the publish, so a recorded decision stays durable
+    val rec = TxLog.recoverMulti(spark, x, staleAfterMs = 0L)
+    assert(rec.rolledForward == Seq(id) && rec.rolledBack.isEmpty)
+    assert(TxLog.read(spark, t).count() == 20L)
+    assert(TxLog.read(spark, m).agg(sum(col("n_pairs"))).head().getLong(0) == 20L)
+    assert(txnFiles(x).isEmpty)
+  }
+
+  test("crashed txn-file tmp writes are swept age-gated, never young ones") {
+    val (t, x) = (fresh("tw_t"), fresh("tw_x"))
+    TxLog.commit(spark, t, data(0L, 5L))
+    fs.mkdirs(new Path(x))
+    val tmp = new Path(x, "txn-deadbeef.staged.tmp-ab12cd34")
+    val out = fs.create(tmp, true)
+    try out.write("mtxnv1\ntrunca".getBytes("UTF-8")) finally out.close()
+    TxLog.recoverMulti(spark, x) // young tmp: a live writer owns it
+    assert(fs.exists(tmp), "a young tmp must survive recovery")
+    TxLog.recoverMulti(spark, x, staleAfterMs = 0L)
+    assert(!fs.exists(tmp), "a stale tmp is a crashed write — swept")
+    assert(txnFiles(x).isEmpty)
+  }
+
   test("validation failures abort zero-trace, before any sibling lands") {
     val (t, m, x) = (fresh("zt_t"), fresh("zt_m"), fresh("zt_x"))
     TxLog.commit(spark, t, data(0L, 10L))
