@@ -47,15 +47,29 @@ object CalculateTimes {
     */
   def stateOf(id: Column): Column = substring(id, 8, 2)
 
+  /** `failpoint` is a crash-injection seam for specs: it fires after
+    * each tree publish inside the atomic commit; a throw reproduces the
+    * coordinator dying between table publishes — the exact window
+    * [[graft.sources.TreeTxn.recover]] closes.
+    */
   def run(
       spark: SparkSession,
       origins: Dataset[RawPoint],
       dests: Dataset[RawPoint],
       snapper: Snapper,
       router: Router,
-      cfg: Config): Result = {
+      cfg: Config,
+      failpoint: String => Unit = _ => ()): Result = {
     import spark.implicits._
     val t0 = System.nanoTime()
+
+    // job-start recovery (round-11 verdict): a crashed previous run's
+    // half-published trio is finished (or erased) BEFORE this run reads
+    // or republishes anything — the pair-conservation audit
+    // (calc_n_pairs = |times| + |missing_pairs|) is only trustworthy
+    // when all three tables come from the same completed transaction
+    val txnDir = s"${cfg.outDir}/_txn"
+    graft.sources.TreeTxn.recover(spark, txnDir)
 
     // 1. snap (process boundary #1 in the reference; batched per partition)
     val oSnap = Snap(spark, origins, snapper).cache()
@@ -87,17 +101,30 @@ object CalculateTimes {
     // sets — never the routed payload) anti-joined against the published
     // (origin_id, destination_id) pairs, a 2-string-column pruned scan.
     // Null-duration rows never leave the routing operator as stored data.
+    //
+    // ALL FOUR trees land in ONE atomic transaction (round-12): staged
+    // invisibly under outDir/_txn, published together by TreeTxn — a
+    // crash between table publishes can no longer falsify the
+    // pair-count audit (the reference's own window, utils/times.py:
+    // 100-107). The derived reads below (missing from written times,
+    // metadata counts from the written trees) read the STAGED trees:
+    // same bytes the publish will expose, same single-route guarantee.
     val timesDir = s"${cfg.outDir}/times"
     val missingDir = s"${cfg.outDir}/missing_pairs"
+    val pointsDir = s"${cfg.outDir}/points"
+    val metadataDir = s"${cfg.outDir}/metadata"
+    val tx = graft.sources.TreeTxn.begin(spark, txnDir, Seq(
+      "times" -> timesDir, "missing_pairs" -> missingDir,
+      "points" -> pointsDir, "metadata" -> metadataDir))
     // destination_id bloom filter: the table is origin-sorted, so
     // destination-only consumer probes can't use row-group min/max —
     // the bloom closes that access path (IoSpec measures the skip)
     TableIO.writePartitioned(
       partCols(times.filter(col("duration_sec").isNotNull)),
-      timesDir, Seq("origin_id", "destination_id"),
+      tx.staged("times"), Seq("origin_id", "destination_id"),
       bloomCols = Seq("destination_id" -> 100000L))
 
-    val writtenPairs = spark.read.parquet(timesDir)
+    val writtenPairs = spark.read.parquet(tx.staged("times"))
       .select(col("origin_id"), col("destination_id"))
     val allPairs = oSnap.select(col("id").as("origin_id"))
       .crossJoin(dSnap.select(col("id").as("destination_id")))
@@ -105,10 +132,9 @@ object CalculateTimes {
       partCols(allPairs.join(writtenPairs, Seq("origin_id", "destination_id"), "left_anti"))
         .select("version", "mode", "year", "geography", "state", "centroid_type",
           "origin_id", "destination_id"),
-      missingDir, Seq("origin_id", "destination_id"))
+      tx.staged("missing_pairs"), Seq("origin_id", "destination_id"))
 
     // 4. points table (point_type as 7th partition level — times.py:168-172)
-    val pointsDir = s"${cfg.outDir}/points"
     val points = Snap.pointsTable(oSnap, dSnap)
       .withColumn("state", stateOf(col("id")))
     TableIO.writePartitioned(
@@ -118,7 +144,7 @@ object CalculateTimes {
         .withColumn("year", lit(cfg.year))
         .withColumn("geography", lit(cfg.geography))
         .withColumn("centroid_type", lit(cfg.centroidType)),
-      pointsDir, Seq("id"),
+      tx.staged("points"), Seq("id"),
       partitionKeys = TableIO.PartitionKeys :+ "point_type")
 
     // 5. metadata audit row (calculate_times.py:96-133 / FIXTURES §B8).
@@ -126,8 +152,7 @@ object CalculateTimes {
     // NOT from re-evaluating the matrix.
     val nO = oSnap.count()
     val nD = dSnap.count()
-    val nMissing = nO * nD - spark.read.parquet(timesDir).count()
-    val metadataDir = s"${cfg.outDir}/metadata"
+    val nMissing = nO * nD - spark.read.parquet(tx.staged("times")).count()
     def md5Of(p: Option[String]): String =
       p.map(graft.sources.TableIO.fileMd5(spark, _)).getOrElse("")
     // one run covers the whole OD space, so the chunk span is the full
@@ -163,7 +188,17 @@ object CalculateTimes {
       .write.mode("overwrite")
       .option("compression", "zstd")
       .partitionBy(TableIO.PartitionKeys.filterNot(_ == "state"): _*)
-      .parquet(metadataDir)
+      .parquet(tx.staged("metadata"))
+
+    // 6. THE publish: all four trees become visible atomically (or,
+    // after a crash anywhere in here, atomically on the next run's
+    // recover) — consumers never observe times without the metadata
+    // row that audits it
+    tx.commit(failpoint)
+    // the staged writes invalidated their STAGING paths; the publish is
+    // what actually moves the final trees under any registered view
+    Seq(timesDir, missingDir, pointsDir, metadataDir)
+      .foreach(graft.plans.MvCatalog.invalidateByPath)
 
     oSnap.unpersist(); dSnap.unpersist()
     Result(timesDir, pointsDir, missingDir, metadataDir)

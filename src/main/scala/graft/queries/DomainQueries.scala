@@ -496,6 +496,75 @@ object DomainQueries extends QueryPack {
               |  true AS param_use_snapped""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q239: the FLAGSHIP JOB's atomic trio publish (round-12) — the
+    // reference writes times + missing_pairs + metadata as three
+    // separate sinks (utils/times.py:100-107; calculate_times.py:69-133
+    // computes the calc_n_pairs audit a torn publish falsifies). Here
+    // the REAL CalculateTimes pipeline runs with a crash injected
+    // right after its first tree publish, the torn state is proven
+    // torn, TreeTxn.recover completes the transaction, and the query
+    // returns per-state routed/missing counts PLUS the audit total —
+    // the oracle recomputes all of it from first principles, so the
+    // hash compare certifies crashed-then-recovered ≡ never-crashed.
+    QueryDef(
+      "q239_atomic_trio_publish",
+      (s, dir) => {
+        import s.implicits._
+        val sfName = dir.replaceAll(".*/", "")
+        val out = s"${graft.GraftSession.scratchBase}/graft_mtc_$sfName"
+        val outP = new org.apache.hadoop.fs.Path(out)
+        val f = outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        f.delete(outP, true)
+        val router = new SyntheticRouter(
+          speedMps = 30.0,
+          originIsland = p => p.id.toLong % 37 == 0,
+          destIsland = p => (p.id.toLong - 500000) % 41 == 0)
+        val died =
+          try {
+            CalculateTimes.run(s,
+              originsDf(s, dir).as[RawPoint], destsDf(s, dir).as[RawPoint],
+              new GridSnapper(noSnapAboveLat = 43.0), router,
+              CalculateTimes.Config(oSplit = 512, dSplit = 64, maxDepth = 12,
+                outDir = out),
+              failpoint = {
+                case "published:times" =>
+                  throw new RuntimeException("injected-crash")
+                case _ => ()
+              })
+            false
+          } catch {
+            case e: RuntimeException if e.getMessage == "injected-crash" => true
+          }
+        require(died, "q239: the injected crash must fire")
+        require(f.exists(new org.apache.hadoop.fs.Path(s"$out/times")) &&
+          !f.exists(new org.apache.hadoop.fs.Path(s"$out/metadata")),
+          "q239: the crash state must be torn (times visible, audit not)")
+        val rec = graft.sources.TreeTxn.recover(s, s"$out/_txn")
+        require(rec.rolledForward.size == 1 && rec.rolledBack.isEmpty,
+          s"q239: recovery must finish the claimed publish, got $rec")
+        val times = s.read.parquet(s"$out/times")
+        val missing = s.read.parquet(s"$out/missing_pairs")
+        val audit = s.read.parquet(s"$out/metadata")
+          .select($"calc_n_pairs", $"calc_n_missing_pairs").head
+        require(times.count() + missing.count() == audit.getLong(0) &&
+          missing.count() == audit.getLong(1),
+          "q239: pair conservation must hold after recovery — the " +
+            "invariant the atomic trio publish exists to keep")
+        times.groupBy($"state")
+          .agg(count(lit(1)).as("n_routed"))
+          .join(missing.groupBy($"state")
+            .agg(count(lit(1)).as("n_missing")), Seq("state"), "outer")
+          .na.fill(0L, Seq("n_routed", "n_missing"))
+          .withColumn("n_pairs_audited", lit(audit.getLong(0)))
+      },
+      Some(s"""$snappedTimesSql
+              |SELECT substr(origin_id, 8, 2) AS state,
+              |  count(CASE WHEN duration_sec IS NOT NULL THEN 1 END) AS n_routed,
+              |  count(CASE WHEN duration_sec IS NULL THEN 1 END) AS n_missing,
+              |  (SELECT count(*) FROM stimes) AS n_pairs_audited
+              |FROM stimes GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q86: band (range) join — a join type absent from both the reference
     // and Spark's builtins, composed from existing ops (SURVEY §7.3
     // preference order (a)): pairs within ±0.25° on both axes. The naive

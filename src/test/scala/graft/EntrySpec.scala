@@ -25,9 +25,9 @@ class EntrySpec extends AnyFunSuite {
   // is a red test, not a quietly smaller CORRECTNESS file. Bump BOTH
   // literals when adding queries.
   test("declared query surface is exact (no silent shrink)") {
-    assert(SparkEntry.queries.size == 237,
+    assert(SparkEntry.queries.size == 239,
       s"query count changed: ${SparkEntry.queries.size} (update the literal ONLY for intentional adds/removals)")
-    assert(SparkEntry.oracleSql.size == 237,
+    assert(SparkEntry.oracleSql.size == 239,
       s"oracle count changed: ${SparkEntry.oracleSql.size}; missing oracles for: " +
         SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).toSeq.sorted.mkString(", "))
   }

@@ -107,6 +107,53 @@ class JobSpec extends AnyFunSuite {
     val leaked = s.sparkContext.getPersistentRDDs.keySet.diff(before)
     assert(leaked.isEmpty, s"job left cached RDDs: $leaked")
   }
+
+  test("a crash between table publishes is recovered atomically: pair conservation survives (r12)") {
+    val s = spark
+    import s.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val out = "/tmp/graft_job_crash"
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val origins = (0 until 24).map(i => RawPoint(f"${i}%07d23", 120.0 + (i % 9) * 0.25, 28.0 + (i % 7) * 0.25))
+    val dests = (0 until 8).map(i => RawPoint(f"${i + 500000}%07d41", 121.0 + (i % 5) * 0.25, 29.0 + (i % 11) * 0.25))
+    val router = new SyntheticRouter(30.0,
+      originIsland = p => p.id.startsWith("000001"), destIsland = _ => false)
+    def job(fp: String => Unit) = CalculateTimes.run(
+      s, origins.toDS(), dests.toDS(),
+      new GridSnapper(noSnapAboveLat = 44.0), router,
+      CalculateTimes.Config(oSplit = 16, dSplit = 8, maxDepth = 10, outDir = out),
+      failpoint = fp)
+    // the coordinator dies right after publishing `times` — the exact
+    // window where the reference's trio goes inconsistent
+    // (calc_n_pairs audited by a metadata row that never landed)
+    val e = intercept[RuntimeException](job {
+      case "published:times" => throw new RuntimeException("injected-crash")
+      case _ => ()
+    })
+    assert(e.getMessage == "injected-crash")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/times")),
+      "times published before the crash")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/metadata")),
+      "metadata must NOT be visible — the crash state is torn")
+    // next job start recovers BEFORE trusting anything (CalculateTimes
+    // invokes this itself; driven directly here to assert the result)
+    val rec = graft.sources.TreeTxn.recover(s, s"$out/_txn")
+    assert(rec.rolledForward.size == 1 && rec.rolledBack.isEmpty)
+    // the trio invariant the transaction exists to keep
+    val times = TableIO.readPartitioned(s, s"$out/times")
+    val missing = TableIO.readPartitioned(s, s"$out/missing_pairs")
+    val meta = s.read.parquet(s"$out/metadata").head
+    assert(times.count() + missing.count() == meta.getAs[Long]("calc_n_pairs"))
+    assert(meta.getAs[Long]("calc_n_pairs") == 24L * 8L)
+    assert(missing.count() == meta.getAs[Long]("calc_n_missing_pairs"))
+    // a full re-run OVERWRITES the recovered publish atomically (its
+    // own job-start recovery finds a clean txn dir)
+    job(_ => ())
+    val times2 = TableIO.readPartitioned(s, s"$out/times")
+    val meta2 = s.read.parquet(s"$out/metadata").head
+    assert(times2.count() + TableIO.readPartitioned(s, s"$out/missing_pairs").count() ==
+      meta2.getAs[Long]("calc_n_pairs"))
+  }
 }
 
 /** JVM-local router call counter (tests run local[*], one JVM). */
