@@ -76,6 +76,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_consumers"),
       new ExpressionInfo(graft.plans.TxTableFunctions.getClass.getName, "graft_consumers"),
       (exprs: Seq[Expression]) => graft.plans.TxTableFunctions.consumers(exprs)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_consistent"),
+      new ExpressionInfo(graft.plans.TxTableFunctions.getClass.getName, "graft_consistent"),
+      (exprs: Seq[Expression]) => graft.plans.TxTableFunctions.consistent(exprs)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_tag"),
+      new ExpressionInfo(graft.plans.TxTableFunctions.getClass.getName, "graft_tag"),
+      (exprs: Seq[Expression]) => graft.plans.TxTableFunctions.tagRead(exprs)))
   }
 
   private def intLit(e: Expression, fn: String): Int = e match {

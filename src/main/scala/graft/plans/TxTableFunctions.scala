@@ -101,4 +101,40 @@ object TxTableFunctions {
       .toDF("consumer", "acked_version", "lag")
       .queryExecution.analyzed
   }
+
+  /** `graft_consistent(txnDir, dir)`: one table of the cross-table
+    * consistent cut — [[graft.sources.TxLog.readConsistent]] for SQL
+    * consumers. A pending multi-table transaction that is only
+    * partially published is invisible through this read on EVERY
+    * participating table, so joins across the cut never see the torn
+    * middle.
+    */
+  def consistent(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 2,
+      s"graft_consistent(txnDir, dir) got ${exprs.size} args")
+    val spark = SparkSession.active
+    val txnDir = str(exprs.head, "graft_consistent")
+    val dir = str(exprs(1), "graft_consistent")
+    graft.sources.TxLog.readConsistent(spark, txnDir, Seq(dir))(dir)
+      .queryExecution.analyzed
+  }
+
+  /** `graft_tag(txnDir, tag, dir)`: one table of a NAMED cross-table
+    * snapshot at exactly its pinned version — the SQL face of
+    * [[graft.sources.TxLog.readTag]], for "reproduce what run X read"
+    * audits without the Scala API.
+    */
+  def tagRead(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 3,
+      s"graft_tag(txnDir, tag, dir) got ${exprs.size} args")
+    val spark = SparkSession.active
+    val txnDir = str(exprs.head, "graft_tag")
+    val name = str(exprs(1), "graft_tag")
+    val dir = str(exprs(2), "graft_tag")
+    val cut = graft.sources.TxLog.tagVersions(spark, txnDir, name)
+    val v = cut.getOrElse(dir, throw new IllegalArgumentException(
+      s"tag '$name' does not pin $dir (it pins: ${cut.keys.toSeq.sorted.mkString(", ")})"))
+    graft.sources.TxLog.read(spark, dir, asOf = Some(v))
+      .queryExecution.analyzed
+  }
 }

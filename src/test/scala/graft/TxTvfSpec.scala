@@ -110,6 +110,40 @@ class TxTvfSpec extends AnyFunSuite {
     assert(broken == Seq("etl"))
   }
 
+  test("graft_consistent and graft_tag: cut and named-snapshot reads from pure SQL (r12)") {
+    val root = fresh("cut")
+    val (t, m, x) = (s"$root/t", s"$root/m", s"$root/x")
+    TxLog.commitMulti(spark, x, Seq(
+      TxLog.MultiWrite(t, data(0L, 40L)), TxLog.MultiWrite(m, data(40L, 50L))))
+    TxLog.tag(spark, x, "run-1", Seq(t, m))
+    // a second multi-table txn, decided and HALF-published (torn)
+    val (id, staged) = TxLog.stageMulti(spark, x, Seq(
+      TxLog.MultiWrite(t, data(50L, 80L), append = true),
+      TxLog.MultiWrite(m, data(80L, 90L), append = true)))
+    TxLog.decideMulti(spark, x, id, staged)
+    TxLog.publishStaged(spark, staged.head)
+    // the plain latest read sees the tear; the consistent TVF hides it
+    assert(TxLog.read(spark, t).count() == 70L)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_consistent('$x', '$t')")
+      .head().getLong(0) == 40L)
+    assert(sameBag(
+      spark.sql(s"SELECT * FROM graft_consistent('$x', '$m')"),
+      TxLog.readConsistent(spark, x, Seq(m))(m)))
+    // the tag TVF reads exactly the pinned cut, after recovery too
+    TxLog.recoverMulti(spark, x)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_tag('$x', 'run-1', '$t')")
+      .head().getLong(0) == 40L)
+    assert(sameBag(
+      spark.sql(s"SELECT * FROM graft_tag('$x', 'run-1', '$m')"),
+      TxLog.readTag(spark, x, "run-1")(m)))
+    // a table the tag does not pin fails loud, naming what it does pin
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_tag('$x', 'run-1', '$root/nope')").collect())
+    assert(e.getMessage.contains("does not pin"))
+  }
+
   test("non-literal or malformed arguments fail loud at analysis") {
     val t = fresh("bad")
     TxLog.commit(spark, t, data(0L, 10L))
