@@ -74,6 +74,7 @@ object CalculateTimes {
     // 1. snap (process boundary #1 in the reference; batched per partition)
     val oSnap = Snap(spark, origins, snapper).cache()
     val dSnap = Snap(spark, dests, snapper).cache()
+    try {
 
     // 2. route on snapped coords (times.py routes the snapped frame when
     // use_snapped; P6 already coalesced failures back to raw coords)
@@ -193,14 +194,15 @@ object CalculateTimes {
     // 6. THE publish: all four trees become visible atomically (or,
     // after a crash anywhere in here, atomically on the next run's
     // recover) — consumers never observe times without the metadata
-    // row that audits it
+    // row that audits it. The publish itself invalidates any registered
+    // views over the final trees (the staged writes only ever touched
+    // their invisible staging paths).
     tx.commit(failpoint)
-    // the staged writes invalidated their STAGING paths; the publish is
-    // what actually moves the final trees under any registered view
-    Seq(timesDir, missingDir, pointsDir, metadataDir)
-      .foreach(graft.plans.MvCatalog.invalidateByPath)
 
-    oSnap.unpersist(); dSnap.unpersist()
     Result(timesDir, pointsDir, missingDir, metadataDir)
+    // a crashed run (including the injected-crash spec paths, which
+    // throw from inside commit by design) must not leave two cached
+    // DataFrames pinned in a long-lived session's storage memory
+    } finally { oSnap.unpersist(); dSnap.unpersist() }
   }
 }

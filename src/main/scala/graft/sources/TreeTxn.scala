@@ -58,8 +58,13 @@ object TreeTxn {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+  // one atomic-txn-file idiom for the whole sources package: the
+  // tmp-infix naming, the sweep filters and the write protocol must
+  // never diverge between TxLog and TreeTxn
+  private def enc(s: String) = TxLog.enc(s)
+  private def dec(s: String) = TxLog.dec(s)
+  private def writeAtomic(f: FileSystem, target: Path, txt: String): Unit =
+    TxLog.writeTxnFileAtomic(f, target, txt)
 
   private def body(writes: Seq[(String, String)]): String =
     ("treetxnv1" +: writes.map { case (n, d) => s"${enc(n)}\t${enc(d)}" }
@@ -83,17 +88,6 @@ object TreeTxn {
         finally in.close()
       parse(txt)
     } catch { case _: java.io.FileNotFoundException => None }
-
-  private def writeAtomic(f: FileSystem, target: Path, txt: String): Unit = {
-    val tmp = new Path(target.getParent,
-      target.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    val out = f.create(tmp, false)
-    try out.write(txt.getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, target)) {
-      try f.delete(tmp, false) catch { case _: Throwable => () }
-      throw new java.io.IOException(s"could not publish txn file $target")
-    }
-  }
 
   private def markerIdOf(f: FileSystem, treeDir: Path): Option[String] =
     try {
@@ -153,16 +147,33 @@ object TreeTxn {
       // RECORD the decision...
       val out = f.create(cp, false)
       try out.write(body(writes).getBytes("UTF-8")) finally out.close()
+      failpoint("recorded")
       // ...and CLAIM it: the rename consumes the unique intent, so a
       // racing rollback (stale-intent recovery) and this decide can
       // never both win — same arbitration as TxLog.decideMulti
-      if (!f.rename(sp, cm)) {
-        if (!f.exists(cm)) {
-          try f.delete(cp, false) catch { case _: Throwable => () }
-          throw new IllegalStateException(
-            s"txn-$id aborted: its intent was claimed and rolled back " +
-              "by a concurrent recovery")
+      if (!TxLog.renameClaim(f, sp, cm) && !f.exists(cm)) {
+        // claim gone, no committing marker: either a recovery rolled the
+        // stale intent BACK, or it claimed COMMIT on our behalf and
+        // already finished (forget erases the marker). Consult the
+        // published state before reporting abort — misreporting a
+        // committed transaction as rolled back fails the job and skips
+        // its post-commit hooks even though every tree is live
+        // (same resolution as TxLog.decideMulti)
+        val allPublished = writes.forall { case (_, d) =>
+          markerIdOf(f, new Path(d)).contains(id) }
+        try f.delete(cp, false) catch { case _: Throwable => () }
+        if (allPublished) {
+          invalidateViews(writes)
+          return
         }
+        // caveat: trees carry no version history, so a commit that a
+        // recovery finished AND a later transaction then overwrote is
+        // indistinguishable from a rollback here — the markers are the
+        // newer txn's. Acceptable: by then the coordinator has been
+        // superseded and its caller must re-derive from live state.
+        throw new IllegalStateException(
+          s"txn-$id aborted: its intent was claimed and rolled back " +
+            "by a concurrent recovery")
       }
       failpoint("claimed")
       publishAll(spark, txnDir, id, writes, failpoint)
@@ -176,46 +187,102 @@ object TreeTxn {
   private def publishAll(spark: SparkSession, txnDir: String, id: String,
       writes: Seq[(String, String)], failpoint: String => Unit): Unit = {
     val f = fs(spark, txnDir)
+    // Two publishers of the SAME claimed transaction can legitimately
+    // run concurrently: the coordinator, and a recovery rolling its
+    // stalled claim forward (or two recoveries racing each other). Every
+    // step below is therefore written to be safe against a racer that is
+    // also publishing this id: destructive ops re-probe the marker after
+    // a failed rename (never delete a tree that turned out to be the
+    // published one), and a set-aside that captured a racer's freshly
+    // published tree (the marker travels with the rename) is repaired by
+    // renaming it straight back. Residual: a crash INSIDE one of these
+    // repair windows can still leave the published tree under old-<id>
+    // with the txn record already forgotten by the racer — the forget
+    // below shrinks that window by verifying every marker first.
     writes.foreach { case (n, finalDir) =>
       val dst = new Path(finalDir)
       val st = new Path(s"$txnDir/stage-$id/$n")
-      if (markerIdOf(f, dst).contains(id)) {
-        // already published by us (or a recovery on our behalf)
-        try f.delete(st, true) catch { case _: Throwable => () }
-      } else {
-        if (!f.exists(st))
-          throw new IllegalStateException(
-            s"txn-$id: staged tree for '$n' is gone and $finalDir does " +
-              "not carry its marker — cannot publish; resolve manually")
-        if (f.exists(dst)) {
-          // set the previous content aside (overwrite semantics — the
-          // reference republishes into the same tree); a crashed earlier
-          // attempt may already hold the set-aside, in which case the
-          // re-created destination is this txn's own partial state
-          val old = new Path(s"$txnDir/old-$id/$n")
-          f.mkdirs(old.getParent)
-          if (!f.rename(dst, old)) {
-            if (f.exists(old)) f.delete(dst, true)
-            else throw new java.io.IOException(
+      val old = new Path(s"$txnDir/old-$id/$n")
+      def published = markerIdOf(f, dst).contains(id)
+      if (!published) {
+        if (!f.exists(st)) {
+          // staged tree consumed: a racing roll-forward just published
+          // it (re-probe), or a racing set-aside captured the published
+          // tree into old-<id> (restore it); only when neither holds is
+          // the state unresolvable
+          if (!published && markerIdOf(f, old).contains(id) &&
+              !TxLog.renameClaim(f, old, dst) && !published)
+            throw new java.io.IOException(
+              s"txn-$id: could not restore $dst from set-aside $old")
+          if (!published)
+            throw new IllegalStateException(
+              s"txn-$id: staged tree for '$n' is gone and $finalDir does " +
+                "not carry its marker — cannot publish; resolve manually")
+        } else {
+          if (f.exists(dst)) {
+            // set the previous content aside (overwrite semantics — the
+            // reference republishes into the same tree)
+            f.mkdirs(old.getParent)
+            if (TxLog.renameClaim(f, dst, old)) {
+              // if that captured a tree a concurrent roll-forward had
+              // already published, put it straight back
+              if (markerIdOf(f, old).contains(id) &&
+                  !TxLog.renameClaim(f, old, dst) && !published)
+                throw new java.io.IOException(
+                  s"txn-$id: lost $dst to a racing publish; restore from $old")
+            } else if (published) {
+              // a racing roll-forward published dst between the probe
+              // and the set-aside — nothing left to set aside
+            } else if (f.exists(old)) {
+              // an earlier attempt of this txn already holds the
+              // set-aside; the re-created destination is this txn's own
+              // partial state (a published tree would carry the marker)
+              f.delete(dst, true)
+            } else throw new java.io.IOException(
               s"txn-$id: could not set aside $dst")
           }
+          if (!published) {
+            f.mkdirs(dst.getParent)
+            if (!TxLog.renameClaim(f, st, dst) && !published)
+              throw new java.io.IOException(s"txn-$id: could not publish $dst")
+          }
         }
-        f.mkdirs(dst.getParent)
-        if (!f.rename(st, dst) && !markerIdOf(f, dst).contains(id))
-          throw new java.io.IOException(s"txn-$id: could not publish $dst")
       }
+      if (published && f.exists(st))
+        try f.delete(st, true) catch { case _: Throwable => () }
       failpoint(s"published:$n")
     }
-    // forget — each step idempotent, any crash point re-enters forward
-    try f.delete(new Path(s"$txnDir/old-$id"), true)
-    catch { case _: Throwable => () }
-    try f.delete(new Path(s"$txnDir/stage-$id"), true)
-    catch { case _: Throwable => () }
-    try f.delete(new Path(txnDir, s"txn-$id.commit"), false)
-    catch { case _: Throwable => () }
-    try f.delete(new Path(txnDir, s"txn-$id.committing"), false)
-    catch { case _: Throwable => () }
+    // forget — each step idempotent, any crash point re-enters forward.
+    // Deleting old-<id> is the one step that could destroy a published
+    // tree a racing set-aside captured there, so verify every final dir
+    // still carries the marker FIRST; if any does not, leave the whole
+    // txn record in place — the next recover resolves it (monotone: an
+    // unforgotten committed txn only costs a future idempotent replay)
+    val allMarked = writes.forall { case (_, d) =>
+      markerIdOf(f, new Path(d)).contains(id) }
+    if (allMarked) {
+      try f.delete(new Path(s"$txnDir/old-$id"), true)
+      catch { case _: Throwable => () }
+      try f.delete(new Path(s"$txnDir/stage-$id"), true)
+      catch { case _: Throwable => () }
+      try f.delete(new Path(txnDir, s"txn-$id.commit"), false)
+      catch { case _: Throwable => () }
+      try f.delete(new Path(txnDir, s"txn-$id.committing"), false)
+      catch { case _: Throwable => () }
+    }
+    // the publish moved NEW content under the final locations —
+    // materialized views registered over them must stop serving the
+    // pre-publish materialization (the staged writes only ever
+    // invalidated their invisible staging paths). This covers the
+    // coordinator AND the recovery roll-forward path.
+    invalidateViews(writes)
   }
+
+  private def invalidateViews(writes: Seq[(String, String)]): Unit =
+    writes.foreach { case (_, d) =>
+      try graft.plans.MvCatalog.invalidateByPath(d)
+      catch { case _: Throwable => () }
+    }
 
   /** Finish (or erase) every transaction a crashed job left in
     * `txnDir` — run at job start, before trusting the published trees'
@@ -280,7 +347,7 @@ object TreeTxn {
           } else if (f.exists(sp)) {
             // crash between record and claim: finish the decide for a
             // STALE intent; the claim rename arbitrates any race
-            if (ageOf(f, sp) >= staleAfterMs && f.rename(sp, cm)) {
+            if (ageOf(f, sp) >= staleAfterMs && TxLog.renameClaim(f, sp, cm)) {
               publishAll(spark, txnDir, id, writes, _ => ()); fwd += id
             }
           } else {
@@ -308,7 +375,7 @@ object TreeTxn {
           // decision; roll back from the intent, claim-first
           readFile(f, sp) match {
             case Some(_) =>
-              if (ageOf(f, sp) >= staleAfterMs && f.rename(sp, rl))
+              if (ageOf(f, sp) >= staleAfterMs && TxLog.renameClaim(f, sp, rl))
                 eraseRolledBack(id, rl)
             case None => damaged(id)
           }
@@ -317,7 +384,7 @@ object TreeTxn {
             try f.delete(cm, false) catch { case _: Throwable => () }
           } else readFile(f, sp) match {
             case Some(_) =>
-              if (ageOf(f, sp) >= staleAfterMs && f.rename(sp, rl))
+              if (ageOf(f, sp) >= staleAfterMs && TxLog.renameClaim(f, sp, rl))
                 eraseRolledBack(id, rl)
             case None if f.exists(sp) => damaged(id)
             case None =>

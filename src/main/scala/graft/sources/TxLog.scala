@@ -174,8 +174,8 @@ object TxLog {
   // URL-encoded so arbitrary string bounds can't smuggle separators or
   // newlines into the manifest. A line without the tab is a legacy /
   // stats-less batch — readable forever, just never pruned.
-  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+  private[sources] def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private[sources] def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
   private val FieldSep = "\u0001"
   private val EntrySep = "\u0002"
@@ -3038,7 +3038,18 @@ object TxLog {
     * not exclusivity (the exclusivity primitive is the CLAIM rename of
     * the `.staged` file itself, see [[decideMulti]]/[[recoverMulti]]).
     */
-  private def writeTxnFileAtomic(f: FileSystem, target: Path,
+  /** Rename for claim arbitration: a racing claimant may consume the
+    * source at any moment, and HDFS reports that as `false` — but
+    * RawLocalFileSystem falls into its cross-fs COPY fallback and
+    * throws FileNotFoundException instead. One helper so every claim
+    * site treats "source vanished" uniformly as a lost race.
+    */
+  private[sources] def renameClaim(f: FileSystem, src: Path,
+      dst: Path): Boolean =
+    try f.rename(src, dst)
+    catch { case _: java.io.FileNotFoundException => false }
+
+  private[sources] def writeTxnFileAtomic(f: FileSystem, target: Path,
       body: String): Unit = {
     val tmp = new Path(target.getParent,
       target.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
@@ -3150,7 +3161,7 @@ object TxLog {
         throw e
       }
     }
-    if (tf.rename(sp, cm)) return // claim won: decision is COMMIT
+    if (renameClaim(tf, sp, cm)) return // claim won: decision is COMMIT
     if (tf.exists(cm)) return // a recovery claimed commit on our behalf
     // claim lost. Either a recovery rolled us back (rolling marker or
     // already-finished rollback), or one rolled us fully FORWARD
@@ -3322,14 +3333,16 @@ object TxLog {
     val dir = new Path(txnDir)
     if (!tf.exists(dir)) return MultiRecovery(Nil, Nil)
     val names = tf.listStatus(dir).toSeq.map(_.getPath.getName)
+    def ageOf(p: Path): Long =
+      try System.currentTimeMillis() - tf.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
     // sweep tmps from crashed atomic txn-file writes — age-gated, a
     // live writer's tmp is about to be renamed into place
     names.filter(n => n.startsWith("txn-") && n.contains(".tmp-")).foreach { n =>
       val p = new Path(txnDir, n)
-      val age = try System.currentTimeMillis() -
-        tf.getFileStatus(p).getModificationTime
-      catch { case _: java.io.FileNotFoundException => -1L }
-      if (age >= staleAfterMs)
+      // ageOf reports a vanished file as infinitely stale; the delete of
+      // an already-gone tmp is a no-op, so one sentinel serves both uses
+      if (ageOf(p) >= staleAfterMs)
         try tf.delete(p, false) catch { case _: Throwable => () }
     }
     val ids = names
@@ -3343,10 +3356,6 @@ object TxLog {
       .distinct.sorted
     val fwd = scala.collection.mutable.ListBuffer.empty[String]
     val back = scala.collection.mutable.ListBuffer.empty[String]
-
-    def ageOf(p: Path): Long =
-      try System.currentTimeMillis() - tf.getFileStatus(p).getModificationTime
-      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
 
     def damaged(id: String): Nothing = throw new IllegalStateException(
       s"damaged transaction record txn-$id in $txnDir — present but " +
@@ -3445,7 +3454,7 @@ object TxLog {
               // claiming it. Finish the decide ourselves — but only for
               // a STALE intent (a live coordinator is about to claim);
               // the claim rename arbitrates if it races us
-              if (ageOf(sp) >= staleAfterMs && tf.rename(sp, cm))
+              if (ageOf(sp) >= staleAfterMs && renameClaim(tf, sp, cm))
                 rollForward(id, staged, cp, sp, cm)
               // lost/withheld claim: the owner finishes; re-examine next run
             } else {
@@ -3464,7 +3473,7 @@ object TxLog {
             // by the staleness gate on its intent
             readTxnFile(tf, sp) match {
               case Some(staged) =>
-                if (ageOf(sp) >= staleAfterMs && tf.rename(sp, rl))
+                if (ageOf(sp) >= staleAfterMs && renameClaim(tf, sp, rl))
                   eraseRolledBack(id, staged, cp, rl)
               case None =>
                 // truncated record with no readable intent and no
@@ -3483,7 +3492,7 @@ object TxLog {
                 // crashed coordinator: claim the abort atomically FIRST
                 // (rename consumes the intent — the round-11 TOCTOU is
                 // gone: decide and rollback can no longer both win)
-                if (ageOf(sp) >= staleAfterMs && tf.rename(sp, rl))
+                if (ageOf(sp) >= staleAfterMs && renameClaim(tf, sp, rl))
                   eraseRolledBack(id, staged, cp, rl)
               case None if tf.exists(sp) => damaged(id)
               case None =>
@@ -3607,7 +3616,12 @@ object TxLog {
     */
   def tag(spark: SparkSession, txnDir: String, name: String,
       tables: Seq[String]): Map[String, Long] = {
-    require(name.matches("[A-Za-z0-9._-]+") && !name.endsWith(".tmp"),
+    // ".tmp" is banned ANYWHERE in the name, not just as a suffix: the
+    // listing/pin sweeps filter out the atomic-write tmp infix
+    // (".tmp-"), so a legal-looking name containing it would produce a
+    // tag that commits fine but is invisible to the vacuum gate — the
+    // silent-unpin failure the gate exists to prevent
+    require(name.matches("[A-Za-z0-9._-]+") && !name.contains(".tmp"),
       s"bad tag name '$name'")
     require(tables.nonEmpty, "empty tag")
     val cut = consistentVersions(spark, txnDir, tables)
@@ -3619,16 +3633,73 @@ object TxLog {
     if (tf.exists(mp)) throw new IllegalStateException(
       s"tag '$name' already exists in $txnDir — tags are immutable; " +
         "dropTag it first")
-    // 1. per-table pins: vacuum starts respecting the cut NOW
+    // 1. per-table pins: vacuum starts respecting the cut NOW. With the
+    // manifest absent (just checked), an existing pin of this name is a
+    // crashed earlier tagger's litter — clear it so the rewrite cannot
+    // fail on rename-no-overwrite stores
     cut.foreach { case (t, v) =>
-      writeTxnFileAtomic(fs(spark, t), new Path(logDir(t), s"tag-$name"),
-        v.toString)
+      val f = fs(spark, t)
+      val pin = new Path(logDir(t), s"tag-$name")
+      try f.delete(pin, false) catch { case _: Throwable => () }
+      writeTxnFileAtomic(f, pin, v.toString)
+    }
+    // 1b. re-verify the cut is still live: a vacuum that passed the gate
+    // BEFORE the pins landed may have reclaimed a pinned version in the
+    // window — committing the tag anyway would produce a readable tag
+    // whose read fails. Fail loud (retryable) and take the pins back.
+    // Residual: a vacuum between this check and the manifest create can
+    // still win the race; the gate-before-delete on the vacuum side
+    // keeps that window at two metadata ops.
+    val vacuumed = cut.filter { case (t, v) =>
+      !fs(spark, t).exists(new Path(logDir(t), s"v$v")) }
+    if (vacuumed.nonEmpty) {
+      cut.keys.foreach { t =>
+        try fs(spark, t).delete(new Path(logDir(t), s"tag-$name"), false)
+        catch { case _: Throwable => () }
+      }
+      throw new IllegalStateException(
+        s"tag '$name' lost a race with vacuum: version(s) ${vacuumed.toSeq
+          .sorted.map { case (t, v) => s"$t@v$v" }.mkString(", ")} were " +
+          "reclaimed before the pins landed — retry the tag")
     }
     // 2. the manifest — the tag's commit point (create-exclusive; a
     // racing tagger of the same name loses here, after writing pins
     // that dropTag can reclaim)
-    val out = tf.create(mp, false)
-    try out.write(tagBody(cut).getBytes("UTF-8")) finally out.close()
+    try {
+      val out = tf.create(mp, false)
+      try out.write(tagBody(cut).getBytes("UTF-8")) finally out.close()
+    } catch { case e: java.io.IOException =>
+      // a transient create failure (no manifest landed) is NOT a lost
+      // race — surface it as what it is, pins still in place for a retry
+      if (!tf.exists(mp)) throw e
+      // lost the commit race: the winner's manifest is the truth — our
+      // pin writes may have clobbered the winner's values, so repair
+      // them to the manifest before failing (never delete: that would
+      // unpin the winner)
+      parseTag(try {
+        val in = tf.open(mp)
+        try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      } catch { case _: java.io.IOException => "" }).foreach { won =>
+        won.foreach { case (t, v) =>
+          val f = fs(spark, t)
+          val pin = new Path(logDir(t), s"tag-$name")
+          val current = try {
+            val in = f.open(pin)
+            Some(try scala.io.Source.fromInputStream(in).mkString.trim
+              finally in.close())
+          } catch { case _: java.io.IOException => None }
+          // rewrite only a WRONG pin (delete+rewrite is a transient
+          // unpin window — never open it when the value already agrees)
+          if (!current.contains(v.toString)) try {
+            f.delete(pin, false)
+            writeTxnFileAtomic(f, pin, v.toString)
+          } catch { case _: Throwable => () }
+        }
+      }
+      throw new IllegalStateException(
+        s"tag '$name' already exists in $txnDir — tags are immutable; " +
+          "dropTag it first", e)
+    }
     cut
   }
 
@@ -3667,13 +3738,25 @@ object TxLog {
   /** Delete a tag: manifest FIRST (readers stop resolving it), then
     * the per-table pins (vacuum stops protecting it). Crash between
     * the two leaves only over-protection — re-run to finish.
+    *
+    * A crashed half-tag (pins written, manifest never committed) has no
+    * manifest to enumerate its pins from, so cleaning one REQUIRES the
+    * caller to pass `tables` — silently deleting nothing would leave
+    * orphaned pins blocking vacuum forever through the very API the
+    * vacuum error message directs operators to.
     */
   def dropTag(spark: SparkSession, txnDir: String, name: String,
       tables: Seq[String] = Nil): Unit = {
     val tf = fs(spark, txnDir)
     val pinned = // prefer the manifest's own table list; fall back to the caller's
       try tagVersions(spark, txnDir, name).keys.toSeq
-      catch { case _: IllegalStateException => tables }
+      catch {
+        case _: IllegalStateException if tables.nonEmpty => tables
+        case e: IllegalStateException => throw new IllegalStateException(
+          s"tag '$name' has no readable manifest in $txnDir (a crashed " +
+            "half-tag leaves only per-table pins) — pass the tables whose " +
+            "pins should be swept: dropTag(spark, txnDir, name, tables)", e)
+      }
     tf.delete(new Path(txnDir, s"tag-$name"), false)
     pinned.foreach { t =>
       try fs(spark, t).delete(new Path(logDir(t), s"tag-$name"), false)

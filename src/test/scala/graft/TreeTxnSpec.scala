@@ -150,6 +150,56 @@ class TreeTxnSpec extends AnyFunSuite {
     assert(txnFiles(x).isEmpty)
   }
 
+  test("commit joins a recovery that finished the publish on its behalf (r12 review)") {
+    val root = fresh("join")
+    val (a, b) = (s"$root/out/a", s"$root/out/b")
+    val x = s"$root/_txn"
+    val tx = TreeTxn.begin(spark, x, Seq("a" -> a, "b" -> b))
+    data(0L, 12L).write.parquet(tx.staged("a"))
+    data(12L, 16L).write.parquet(tx.staged("b"))
+    // the coordinator stalls between RECORDING the decision and CLAIMING
+    // it; a recovery finds the stale intent + readable record, claims
+    // commit on the coordinator's behalf, publishes everything and
+    // forgets. The resumed coordinator must report SUCCESS (the trees
+    // are live), not a spurious "rolled back" abort.
+    tx.commit {
+      case "recorded" =>
+        val rec = TreeTxn.recover(spark, x, staleAfterMs = 0L)
+        assert(rec.rolledForward == Seq(tx.id), s"recovery must claim-commit, got $rec")
+      case _ => ()
+    }
+    assert(rows(a) == 12L && rows(b) == 4L)
+    assert(txnFiles(x).isEmpty, "joined commit leaves no litter")
+  }
+
+  test("a published tree captured into the set-aside is restored, never lost (r12 review)") {
+    val root = fresh("cap")
+    val (a, b) = (s"$root/out/a", s"$root/out/b")
+    val x = s"$root/_txn"
+    val tx = TreeTxn.begin(spark, x, Seq("a" -> a, "b" -> b))
+    data(0L, 8L).write.parquet(tx.staged("a"))
+    data(8L, 11L).write.parquet(tx.staged("b"))
+    intercept[RuntimeException](tx.commit {
+      case "published:a" => throw new RuntimeException("die")
+      case _ => ()
+    })
+    // simulate the racing-publisher interleave the review named: a
+    // concurrent set-aside renames the freshly PUBLISHED tree `a` into
+    // old-<id> (the marker travels with it); dst is left empty and the
+    // staged tree is already consumed. A naive roll-forward sees
+    // "staged gone, no marker at dst" and gives up — worse, the old
+    // forget would then delete the only copy.
+    val old = new Path(s"$x/old-${tx.id}/a")
+    fs.mkdirs(old.getParent)
+    assert(fs.rename(new Path(a), old), "capture the published tree")
+    assert(rows(a) == -1L, "dst gone — the torn middle")
+    val rec = TreeTxn.recover(spark, x)
+    assert(rec.rolledForward == Seq(tx.id))
+    assert(rows(a) == 8L && rows(b) == 3L,
+      "recovery restores the captured tree from the set-aside")
+    assert(txnFiles(x).isEmpty)
+  }
+
   test("commit on a never-staged tree aborts before anything becomes visible") {
     val root = fresh("ns")
     val (a, b) = (s"$root/out/a", s"$root/out/b")

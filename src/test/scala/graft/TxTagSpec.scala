@@ -108,6 +108,47 @@ class TxTagSpec extends AnyFunSuite {
       TxLog.readTag(spark, x, "doomed")(t2).count())
   }
 
+  test("tag names that the sweep filters would hide are rejected up front (r12 review)") {
+    val root = fresh("tmp")
+    val (t, x) = (s"$root/t", s"$root/x")
+    TxLog.commitMulti(spark, x, Seq(TxLog.MultiWrite(t, data(0L, 5L))))
+    // '.tmp-' anywhere in a name makes the pin invisible to tags() and
+    // the vacuum gate (the atomic-write tmp infix filter) — a tag that
+    // commits but silently never pins. Reject it before anything lands.
+    val e = intercept[IllegalArgumentException](
+      TxLog.tag(spark, x, "run.tmp-1", Seq(t)))
+    assert(e.getMessage.contains("bad tag name"))
+    assert(TxLog.tags(spark, x).isEmpty)
+    assert(!fs.exists(new Path(s"$t/_log/tag-run.tmp-1")), "no pin litter")
+  }
+
+  test("dropTag on a crashed half-tag: loud without the tables, sweeps with them (r12 review)") {
+    val root = fresh("half")
+    val (t, x) = (s"$root/t", s"$root/x")
+    TxLog.commitMulti(spark, x, Seq(TxLog.MultiWrite(t, data(0L, 10L))))
+    TxLog.commit(spark, t, data(0L, 2L))
+    // a crashed tag(): pin landed, manifest never committed
+    val pin = new Path(s"$t/_log/tag-ghost")
+    val out = fs.create(pin, true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    val ev = intercept[IllegalStateException](
+      TxLog.vacuum(spark, t, retainFrom = 2L))
+    assert(ev.getMessage.contains("ghost"), "the orphan pin still guards vacuum")
+    // the documented cleanup path must not silently delete NOTHING: with
+    // no manifest to enumerate pins from, dropTag demands the tables
+    val ed = intercept[IllegalStateException](
+      TxLog.dropTag(spark, x, "ghost"))
+    assert(ed.getMessage.contains("pass the tables"))
+    assert(fs.exists(pin), "a refused drop must not half-clean")
+    TxLog.dropTag(spark, x, "ghost", tables = Seq(t))
+    assert(!fs.exists(pin))
+    TxLog.vacuum(spark, t, retainFrom = 2L) // now free
+    // and a re-tag of the same name now succeeds from scratch
+    TxLog.commit(spark, t, data(0L, 7L), append = true)
+    TxLog.tag(spark, x, "ghost", Seq(t))
+    assert(TxLog.tags(spark, x) == Seq("ghost"))
+  }
+
   test("a damaged tag pin is a loud vacuum error, never a silent unpin") {
     val root = fresh("dmg")
     val (t, x) = (s"$root/t", s"$root/x")
