@@ -33,9 +33,11 @@ import org.apache.spark.sql.SparkSession
   *  - PUBLISH (idempotent, per tree): each staged tree carries a
   *    `_GRAFT_TXN` marker file (the txn id; underscore-prefixed, so
   *    Spark/parquet readers ignore it). Publish renames any previous
-  *    content aside to `txnDir/old-<id>/<name>`, then renames the
-  *    staged tree into place — a tree whose marker already equals the
-  *    id is recognized as published and never re-published.
+  *    content aside to `txnDir/old-<id>/<name>-aside-<uuid>` (unique —
+  *    Hadoop rename NESTS into an existing directory instead of
+  *    failing, so aside targets must never pre-exist), then renames
+  *    the staged tree into place — a tree whose marker already equals
+  *    the id is recognized as published and never re-published.
   *  - FORGET: delete the set-aside dir, the stage dir, the record, the
   *    marker — in that order, so every crash point re-enters an
   *    idempotent roll-forward.
@@ -104,6 +106,8 @@ object TreeTxn {
     require(writes.nonEmpty, "empty transaction")
     require(writes.map(_._1).distinct.size == writes.size,
       "one tree per name per transaction")
+    require(writes.forall(w => !w._1.contains("-aside-")),
+      "tree names must not contain '-aside-' (reserved for set-asides)")
     require(writes.map(_._2).distinct.size == writes.size,
       "one tree per destination per transaction")
     val f = fs(spark, txnDir)
@@ -180,6 +184,23 @@ object TreeTxn {
     }
   }
 
+  /** Rename `src` onto `dst` expecting `dst` absent. Hadoop rename does
+    * NOT fail when the destination is an existing directory — HDFS and
+    * RawLocalFileSystem's copy fallback both NEST `src` inside it — so
+    * a publish racing another publisher could bury its tree inside the
+    * racer's. Detect the nest by the marker (the top of `dst` would
+    * carry ours after a clean move) and pull the tree back out; the
+    * caller re-probes the outcome.
+    */
+  private def renameInto(f: FileSystem, src: Path, dst: Path,
+      id: String): Unit =
+    if (TxLog.renameClaim(f, src, dst) &&
+        !markerIdOf(f, dst).contains(id)) {
+      val nested = new Path(dst, src.getName)
+      if (markerIdOf(f, nested).contains(id))
+        TxLog.renameClaim(f, nested, src)
+    }
+
   /** Publish every tree of a CLAIMED transaction, idempotently, then
     * forget the txn files. Shared verbatim by commit and recovery so
     * the two can never disagree about what publishing means.
@@ -189,66 +210,59 @@ object TreeTxn {
     val f = fs(spark, txnDir)
     // Two publishers of the SAME claimed transaction can legitimately
     // run concurrently: the coordinator, and a recovery rolling its
-    // stalled claim forward (or two recoveries racing each other). Every
-    // step below is therefore written to be safe against a racer that is
-    // also publishing this id: destructive ops re-probe the marker after
-    // a failed rename (never delete a tree that turned out to be the
-    // published one), and a set-aside that captured a racer's freshly
-    // published tree (the marker travels with the rename) is repaired by
-    // renaming it straight back. Residual: a crash INSIDE one of these
-    // repair windows can still leave the published tree under old-<id>
-    // with the txn record already forgotten by the racer — the forget
-    // below shrinks that window by verifying every marker first.
+    // stalled claim forward (or two recoveries racing each other). Each
+    // tree is therefore driven to its published state by a small retry
+    // loop of individually safe moves instead of one fragile sequence:
+    // set-asides go to UNIQUE names (a rename whose target exists would
+    // nest, not fail — see renameInto), publish/restore renames verify
+    // the marker afterward and undo an accidental nest, and a captured
+    // published tree (a racer's set-aside moved it under old-<id>; the
+    // marker travels with it) is restored on the next pass. Residual
+    // (documented, leases would be needed to close it): a coordinator
+    // wedged PAST the point where a recovery resolved its txn and a
+    // newer transaction overwrote the destination would re-publish old
+    // content on resume — the job-start recovery ordering (recover
+    // before begin) makes that require a wedge spanning two full runs.
     writes.foreach { case (n, finalDir) =>
       val dst = new Path(finalDir)
       val st = new Path(s"$txnDir/stage-$id/$n")
-      val old = new Path(s"$txnDir/old-$id/$n")
+      val oldDir = new Path(s"$txnDir/old-$id")
       def published = markerIdOf(f, dst).contains(id)
-      if (!published) {
-        if (!f.exists(st)) {
-          // staged tree consumed: a racing roll-forward just published
-          // it (re-probe), or a racing set-aside captured the published
-          // tree into old-<id> (restore it); only when neither holds is
-          // the state unresolvable
-          if (!published && markerIdOf(f, old).contains(id) &&
-              !TxLog.renameClaim(f, old, dst) && !published)
-            throw new java.io.IOException(
-              s"txn-$id: could not restore $dst from set-aside $old")
-          if (!published)
-            throw new IllegalStateException(
-              s"txn-$id: staged tree for '$n' is gone and $finalDir does " +
-                "not carry its marker — cannot publish; resolve manually")
-        } else {
+      def asideMarked: Option[Path] =
+        (try f.listStatus(oldDir).toSeq.map(_.getPath)
+         catch { case _: java.io.FileNotFoundException => Nil })
+          .filter(p => p.getName == n || p.getName.startsWith(s"$n-aside-"))
+          .find(p => markerIdOf(f, p).contains(id))
+      var attempts = 0
+      while (!published && attempts < 4) {
+        attempts += 1
+        if (f.exists(st)) {
           if (f.exists(dst)) {
             // set the previous content aside (overwrite semantics — the
-            // reference republishes into the same tree)
-            f.mkdirs(old.getParent)
-            if (TxLog.renameClaim(f, dst, old)) {
-              // if that captured a tree a concurrent roll-forward had
-              // already published, put it straight back
-              if (markerIdOf(f, old).contains(id) &&
-                  !TxLog.renameClaim(f, old, dst) && !published)
-                throw new java.io.IOException(
-                  s"txn-$id: lost $dst to a racing publish; restore from $old")
-            } else if (published) {
-              // a racing roll-forward published dst between the probe
-              // and the set-aside — nothing left to set aside
-            } else if (f.exists(old)) {
-              // an earlier attempt of this txn already holds the
-              // set-aside; the re-created destination is this txn's own
-              // partial state (a published tree would carry the marker)
-              f.delete(dst, true)
-            } else throw new java.io.IOException(
-              s"txn-$id: could not set aside $dst")
-          }
-          if (!published) {
-            f.mkdirs(dst.getParent)
-            if (!TxLog.renameClaim(f, st, dst) && !published)
-              throw new java.io.IOException(s"txn-$id: could not publish $dst")
-          }
+            // reference republishes into the same tree) under a unique
+            // name; a capture of a racer's freshly published tree is
+            // detected by its marker and restored on the next pass
+            f.mkdirs(oldDir)
+            TxLog.renameClaim(f, dst, new Path(oldDir, s"$n-aside-" +
+              java.util.UUID.randomUUID().toString.take(8)))
+          } else renameInto(f, st, dst, id)
+        } else asideMarked match {
+          // staged tree consumed (a racer published it) and the
+          // published tree was then captured into old-<id>: restore it
+          case Some(entry) if !f.exists(dst) => renameInto(f, entry, dst, id)
+          case _ => ()
         }
       }
-      if (published && f.exists(st))
+      if (!published) {
+        if (!f.exists(st) && asideMarked.isEmpty)
+          throw new IllegalStateException(
+            s"txn-$id: staged tree for '$n' is gone and $finalDir does " +
+              "not carry its marker — cannot publish; resolve manually")
+        throw new java.io.IOException(
+          s"txn-$id: could not drive $dst to its published state after " +
+            s"$attempts attempts (racing publisher churn) — re-run recovery")
+      }
+      if (f.exists(st))
         try f.delete(st, true) catch { case _: Throwable => () }
       failpoint(s"published:$n")
     }
@@ -256,8 +270,8 @@ object TreeTxn {
     // Deleting old-<id> is the one step that could destroy a published
     // tree a racing set-aside captured there, so verify every final dir
     // still carries the marker FIRST; if any does not, leave the whole
-    // txn record in place — the next recover resolves it (monotone: an
-    // unforgotten committed txn only costs a future idempotent replay)
+    // txn record in place — the next recover resolves it (an
+    // unforgotten published txn only costs a future idempotent replay)
     val allMarked = writes.forall { case (_, d) =>
       markerIdOf(f, new Path(d)).contains(id) }
     if (allMarked) {
@@ -352,11 +366,19 @@ object TreeTxn {
             }
           } else {
             // record present, claim token consumed, no marker: resolve
-            // from actual state — every tree published (marker == id)
-            // closes forward; none published and none staged erases the
-            // stray record; anything else is torn and fails loud
+            // from actual state — every tree published (marker == id) OR
+            // restorable from a marker-carrying set-aside capture closes
+            // forward; none published, none staged, none captured erases
+            // the stray record; anything else is torn and fails loud
+            val oldDir = new Path(s"$txnDir/old-$id")
+            def captured(n: String): Boolean =
+              (try f.listStatus(oldDir).toSeq.map(_.getPath)
+               catch { case _: java.io.FileNotFoundException => Nil })
+                .filter(p => p.getName == n ||
+                  p.getName.startsWith(s"$n-aside-"))
+                .exists(p => markerIdOf(f, p).contains(id))
             val st = writes.map { case (n, d) =>
-              (n, markerIdOf(f, new Path(d)).contains(id),
+              (n, markerIdOf(f, new Path(d)).contains(id) || captured(n),
                 f.exists(new Path(s"$txnDir/stage-$id/$n")))
             }
             if (st.forall(_._2)) {

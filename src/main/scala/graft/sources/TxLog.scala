@@ -3031,13 +3031,6 @@ object TxLog {
       parseTxn(txt)
     } catch { case _: java.io.FileNotFoundException => None }
 
-  /** Write a COMPLETE txn file via tmp + rename, so a crash can
-    * truncate only the tmp (swept age-gated by [[recoverMulti]]), never
-    * the published file. Only the staging coordinator writes this
-    * target, so no arbitration is needed — this is about completeness,
-    * not exclusivity (the exclusivity primitive is the CLAIM rename of
-    * the `.staged` file itself, see [[decideMulti]]/[[recoverMulti]]).
-    */
   /** Rename for claim arbitration: a racing claimant may consume the
     * source at any moment, and HDFS reports that as `false` — but
     * RawLocalFileSystem falls into its cross-fs COPY fallback and
@@ -3049,6 +3042,13 @@ object TxLog {
     try f.rename(src, dst)
     catch { case _: java.io.FileNotFoundException => false }
 
+  /** Write a COMPLETE txn file via tmp + rename, so a crash can
+    * truncate only the tmp (swept age-gated by [[recoverMulti]]), never
+    * the published file. Only the staging coordinator writes this
+    * target, so no arbitration is needed — this is about completeness,
+    * not exclusivity (the exclusivity primitive is the CLAIM rename of
+    * the `.staged` file itself, see [[decideMulti]]/[[recoverMulti]]).
+    */
   private[sources] def writeTxnFileAtomic(f: FileSystem, target: Path,
       body: String): Unit = {
     val tmp = new Path(target.getParent,
@@ -3621,7 +3621,8 @@ object TxLog {
     // (".tmp-"), so a legal-looking name containing it would produce a
     // tag that commits fine but is invisible to the vacuum gate — the
     // silent-unpin failure the gate exists to prevent
-    require(name.matches("[A-Za-z0-9._-]+") && !name.contains(".tmp"),
+    require(name.matches("[A-Za-z0-9._-]+") && !name.contains(".tmp") &&
+      !name.endsWith(".dropping"),
       s"bad tag name '$name'")
     require(tables.nonEmpty, "empty tag")
     val cut = consistentVersions(spark, txnDir, tables)
@@ -3643,39 +3644,11 @@ object TxLog {
       try f.delete(pin, false) catch { case _: Throwable => () }
       writeTxnFileAtomic(f, pin, v.toString)
     }
-    // 1b. re-verify the cut is still live: a vacuum that passed the gate
-    // BEFORE the pins landed may have reclaimed a pinned version in the
-    // window — committing the tag anyway would produce a readable tag
-    // whose read fails. Fail loud (retryable) and take the pins back.
-    // Residual: a vacuum between this check and the manifest create can
-    // still win the race; the gate-before-delete on the vacuum side
-    // keeps that window at two metadata ops.
-    val vacuumed = cut.filter { case (t, v) =>
-      !fs(spark, t).exists(new Path(logDir(t), s"v$v")) }
-    if (vacuumed.nonEmpty) {
-      cut.keys.foreach { t =>
-        try fs(spark, t).delete(new Path(logDir(t), s"tag-$name"), false)
-        catch { case _: Throwable => () }
-      }
-      throw new IllegalStateException(
-        s"tag '$name' lost a race with vacuum: version(s) ${vacuumed.toSeq
-          .sorted.map { case (t, v) => s"$t@v$v" }.mkString(", ")} were " +
-          "reclaimed before the pins landed — retry the tag")
-    }
-    // 2. the manifest — the tag's commit point (create-exclusive; a
-    // racing tagger of the same name loses here, after writing pins
-    // that dropTag can reclaim)
-    try {
-      val out = tf.create(mp, false)
-      try out.write(tagBody(cut).getBytes("UTF-8")) finally out.close()
-    } catch { case e: java.io.IOException =>
-      // a transient create failure (no manifest landed) is NOT a lost
-      // race — surface it as what it is, pins still in place for a retry
-      if (!tf.exists(mp)) throw e
-      // lost the commit race: the winner's manifest is the truth — our
-      // pin writes may have clobbered the winner's values, so repair
-      // them to the manifest before failing (never delete: that would
-      // unpin the winner)
+    // lost the commit race: the winner's manifest is the truth — our
+    // pin writes may have clobbered the winner's values, so repair
+    // them to the manifest before failing (never delete: that would
+    // unpin the winner)
+    def loseToWinner(cause: Throwable): Nothing = {
       parseTag(try {
         val in = tf.open(mp)
         try scala.io.Source.fromInputStream(in).mkString finally in.close()
@@ -3698,7 +3671,46 @@ object TxLog {
       }
       throw new IllegalStateException(
         s"tag '$name' already exists in $txnDir — tags are immutable; " +
-          "dropTag it first", e)
+          "dropTag it first", cause)
+    }
+    // 1b. re-verify the cut is still live: a vacuum that passed the gate
+    // BEFORE the pins landed may have reclaimed a pinned version in the
+    // window — committing the tag anyway would produce a readable tag
+    // whose read fails. Fail loud (retryable) and take the pins back —
+    // UNLESS a racing same-name tagger committed a manifest meanwhile,
+    // in which case the pins now guard the WINNER and deleting them
+    // would silently unpin a live tag. Residual: a vacuum between this
+    // check and the manifest create can still win the race; the
+    // gate-before-delete on the vacuum side keeps that window at two
+    // metadata ops.
+    val vacuumed = cut.filter { case (t, v) =>
+      !fs(spark, t).exists(new Path(logDir(t), s"v$v")) }
+    if (vacuumed.nonEmpty) {
+      if (tf.exists(mp)) loseToWinner(null)
+      cut.keys.foreach { t =>
+        try fs(spark, t).delete(new Path(logDir(t), s"tag-$name"), false)
+        catch { case _: Throwable => () }
+      }
+      throw new IllegalStateException(
+        s"tag '$name' lost a race with vacuum: version(s) ${vacuumed.toSeq
+          .sorted.map { case (t, v) => s"$t@v$v" }.mkString(", ")} were " +
+          "reclaimed before the pins landed — retry the tag")
+    }
+    // 2. the manifest — the tag's commit point (create-exclusive; a
+    // racing tagger of the same name loses here, after writing pins
+    // that dropTag can reclaim). Only the CREATE distinguishes a lost
+    // race; a failure of our own write-after-create leaves a manifest
+    // WE own, which must not sit there looking committed — delete it
+    // and surface the real error.
+    val out = try tf.create(mp, false) catch {
+      case e: java.io.IOException =>
+        if (tf.exists(mp)) loseToWinner(e) else throw e
+    }
+    try {
+      try out.write(tagBody(cut).getBytes("UTF-8")) finally out.close()
+    } catch { case e: Throwable =>
+      try tf.delete(mp, false) catch { case _: Throwable => () }
+      throw e
     }
     cut
   }
@@ -3731,7 +3743,8 @@ object TxLog {
     val tf = fs(spark, txnDir)
     if (!tf.exists(new Path(txnDir))) return Nil
     tf.listStatus(new Path(txnDir)).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("tag-") && !n.contains(".tmp-"))
+      .filter(n => n.startsWith("tag-") && !n.contains(".tmp-") &&
+        !n.endsWith(".dropping"))
       .map(_.stripPrefix("tag-")).sorted
   }
 
@@ -3748,20 +3761,36 @@ object TxLog {
   def dropTag(spark: SparkSession, txnDir: String, name: String,
       tables: Seq[String] = Nil): Unit = {
     val tf = fs(spark, txnDir)
-    val pinned = // prefer the manifest's own table list; fall back to the caller's
-      try tagVersions(spark, txnDir, name).keys.toSeq
-      catch {
-        case _: IllegalStateException if tables.nonEmpty => tables
-        case e: IllegalStateException => throw new IllegalStateException(
-          s"tag '$name' has no readable manifest in $txnDir (a crashed " +
-            "half-tag leaves only per-table pins) — pass the tables whose " +
-            "pins should be swept: dropTag(spark, txnDir, name, tables)", e)
-      }
+    // the tombstone records the pinned-table list BEFORE the manifest
+    // goes, so a crash between the manifest delete and the pin sweep is
+    // re-runnable with no arguments (the "re-run to finish" contract —
+    // the manifest was the only other record of which tables to sweep)
+    val tomb = new Path(txnDir, s"tag-$name.dropping")
+    def readTomb: Option[Seq[String]] = try {
+      val in = tf.open(tomb)
+      val txt = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      Some(txt.split('\n').toSeq.filter(_.nonEmpty).map(dec))
+    } catch { case _: java.io.FileNotFoundException => None }
+    val fromManifest = // prefer the manifest's own table list
+      try Some(tagVersions(spark, txnDir, name).keys.toSeq)
+      catch { case _: IllegalStateException => None }
+    val pinned = fromManifest.orElse(readTomb).getOrElse {
+      if (tables.nonEmpty) tables
+      else throw new IllegalStateException(
+        s"tag '$name' has no manifest and no drop tombstone in $txnDir — " +
+          "either it was already dropped, or a crashed tag() left only " +
+          "per-table pins; in the latter case pass the tables whose pins " +
+          "should be swept: dropTag(spark, txnDir, name, tables)")
+    }
+    if (fromManifest.isDefined)
+      writeTxnFileAtomic(tf, tomb, pinned.map(enc).mkString("\n"))
     tf.delete(new Path(txnDir, s"tag-$name"), false)
     pinned.foreach { t =>
       try fs(spark, t).delete(new Path(logDir(t), s"tag-$name"), false)
       catch { case _: java.io.IOException => () }
     }
+    try tf.delete(tomb, false) catch { case _: Throwable => () }
   }
 
   /** Tag pins of one table (name → pinned version), for the vacuum

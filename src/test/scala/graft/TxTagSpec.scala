@@ -149,6 +149,29 @@ class TxTagSpec extends AnyFunSuite {
     assert(TxLog.tags(spark, x) == Seq("ghost"))
   }
 
+  test("dropTag crashed between manifest and pins: a bare re-run finishes via the tombstone (r12 review)") {
+    val root = fresh("tomb")
+    val (t, x) = (s"$root/t", s"$root/x")
+    TxLog.commitMulti(spark, x, Seq(TxLog.MultiWrite(t, data(0L, 10L))))
+    TxLog.tag(spark, x, "keepish", Seq(t))
+    TxLog.commit(spark, t, data(0L, 2L))
+    // simulate the crash window: tombstone written, manifest deleted,
+    // pin sweep never ran (exactly dropTag's state between its two
+    // destructive steps)
+    val enc = java.net.URLEncoder.encode(t, "UTF-8")
+    val tomb = new Path(s"$x/tag-keepish.dropping")
+    val out = fs.create(tomb, true)
+    try out.write(enc.getBytes("UTF-8")) finally out.close()
+    fs.delete(new Path(s"$x/tag-keepish"), false)
+    assert(fs.exists(new Path(s"$t/_log/tag-keepish")), "pin survived the crash")
+    assert(TxLog.tags(spark, x).isEmpty, "a .dropping tombstone is not a live tag")
+    // the documented contract: re-run with NO arguments finishes
+    TxLog.dropTag(spark, x, "keepish")
+    assert(!fs.exists(new Path(s"$t/_log/tag-keepish")), "pin swept")
+    assert(!fs.exists(tomb), "tombstone cleaned")
+    TxLog.vacuum(spark, t, retainFrom = 2L) // nothing pins it anymore
+  }
+
   test("a damaged tag pin is a loud vacuum error, never a silent unpin") {
     val root = fresh("dmg")
     val (t, x) = (s"$root/t", s"$root/x")
