@@ -84,6 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tag"),
       new ExpressionInfo(graft.plans.TxTableFunctions.getClass.getName, "graft_tag"),
       (exprs: Seq[Expression]) => graft.plans.TxTableFunctions.tagRead(exprs)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_tags"),
+      new ExpressionInfo(graft.plans.TxTableFunctions.getClass.getName, "graft_tags"),
+      (exprs: Seq[Expression]) => graft.plans.TxTableFunctions.tagsList(exprs)))
   }
 
   private def intLit(e: Expression, fn: String): Int = e match {

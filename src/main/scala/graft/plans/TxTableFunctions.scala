@@ -119,6 +119,24 @@ object TxTableFunctions {
       .queryExecution.analyzed
   }
 
+  /** `graft_tags(txnDir)`: every live tag and its pinned cut, one row
+    * per (tag, table) — the audit listing behind "which snapshots exist
+    * and what exactly do they pin", pure SQL.
+    */
+  def tagsList(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1, s"graft_tags(txnDir) got ${exprs.size} args")
+    val spark = SparkSession.active
+    val txnDir = str(exprs.head, "graft_tags")
+    import spark.implicits._
+    graft.sources.TxLog.tags(spark, txnDir)
+      .flatMap { name =>
+        graft.sources.TxLog.tagVersions(spark, txnDir, name)
+          .toSeq.sortBy(_._1).map { case (t, v) => (name, t, v) }
+      }
+      .toDF("tag", "table_dir", "version")
+      .queryExecution.analyzed
+  }
+
   /** `graft_tag(txnDir, tag, dir)`: one table of a NAMED cross-table
     * snapshot at exactly its pinned version — the SQL face of
     * [[graft.sources.TxLog.readTag]], for "reproduce what run X read"

@@ -142,6 +142,10 @@ class TxTvfSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM graft_tag('$x', 'run-1', '$root/nope')").collect())
     assert(e.getMessage.contains("does not pin"))
+    // the audit listing: one row per (tag, table) with the pinned cut
+    val listed = spark.sql(s"SELECT * FROM graft_tags('$x') ORDER BY table_dir")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(listed == Seq(("run-1", m, 1L), ("run-1", t, 1L)), s"got $listed")
   }
 
   test("non-literal or malformed arguments fail loud at analysis") {
