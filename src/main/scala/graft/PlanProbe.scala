@@ -11,8 +11,10 @@ object PlanProbe {
     val spark = GraftSession.local("graft-probe")
     val build = SparkEntry.queries(name)
     build(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
-    val df = build(spark, sfDir)
+    // time build + action together, exactly like Bench.run — eager
+    // pins inside a builder are part of the query's cost
     val t0 = System.nanoTime()
+    val df = build(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()
     println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     println(df.queryExecution.executedPlan.toString.take(12000))

@@ -291,6 +291,11 @@ object Dedup {
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val bySize = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
     // vocabulary-scaled side, never broadcast when big (minhashPairs' note)
+    // NOT pinned (r12 measured): localCheckpointing the small-regime
+    // `pre` re-ran q133 at 1.34× the baseline min — the pin's job
+    // barrier + storage round-trip costs more than re-evaluating the
+    // dfreq+window chain on a small corpus, and in the big regime the
+    // merge pin already collapses both sides to one ReusedExchange.
     val pre = toks.join(mp(dfreq), "tok")
       .withColumn("rn", row_number().over(bySize))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
@@ -483,11 +488,17 @@ object Dedup {
     val g = dfCapped(shingles(docs, n), maxDf)
     // shingle → 32-bit murmur (Spark hash), lifted non-negative
     val gh = g.withColumn("gh", hash(col("gram")).cast("long") + 2147483648L)
+
     val sigs = bandSignatures(gh, nHashes, nBands)
 
     // size-gated pins (see pinLarge): the shingle frame estimate comes
     // from one narrow text agg; the signature table is docs × nHashes
-    // fixed-width rows
+    // fixed-width rows. NOT localCheckpointed (r12 measured): eager
+    // pins of sigs + a candidate-pruned shingle frame re-ran q41 at
+    // 1.48× the baseline min — each pin is a job barrier + storage
+    // round-trip that outweighs re-deriving these frames, and in the
+    // big regime the merge hints below make both self-join sides
+    // canonicalize to ONE exchange (ReusedExchange) anyway.
     val (chars, nDocs) = textStats(docs)
     def mpG(df: DataFrame): DataFrame =
       if (pinLarge(chars * (n + 6L))) df.hint("merge") else df
@@ -590,7 +601,14 @@ object Dedup {
     val touched = newDocs.select(col("doc_id"), col("text"))
       .unionByName(oldDocs.select(col("doc_id"), col("text")))
       .join(candIds, Seq("doc_id"), "left_semi")
-    val g = shingles(touched, n)
+    // The candidate-doc shingle frame feeds FOUR consumers (both verify
+    // sides and, via sizes, both size joins) on different plan branches;
+    // left lazy each one re-runs the corpus semi-join + reshingle (the
+    // r12 baseline plan repeated that subtree 6×, 40 parquet scans of
+    // the documents table in one query). It is bounded by the CANDIDATE
+    // set — the frame this operator exists to keep small — so pin it
+    // like the signature/candidate frames above.
+    val g = pin(shingles(touched, n), "_ckpt_shingles")
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(g.select(col("doc_id").as("id_a"), col("gram")), Seq("id_a"))

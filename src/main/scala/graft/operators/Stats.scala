@@ -44,8 +44,15 @@ object Stats {
 
     val v = col(valueCol).cast("double")
     val base = df.select(col(grpCol).as("grp"), v.as("v")).filter($"v".isNotNull)
+    // stats is G rows but feeds FOUR consumers on different plan branches
+    // (flat, the binned broadcast, targets' n-join, and — transitively —
+    // every re-evaluation of binned); left lazy, each consumer re-runs
+    // the full pass-1 scan+aggregate. Measured on the r12 baseline plan:
+    // 18 parquet scans of the input where the 3-pass algorithm needs 3.
+    // Pin the tiny frame once (same rationale as the bm25Pruned pins).
     val stats = base.groupBy($"grp")
       .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
+      .localCheckpoint()
 
     val qdf = qs.toDF("q")
 
@@ -65,12 +72,16 @@ object Stats {
       .withColumn("cum_lo", $"cum_hi" - $"cnt")
 
     // For each (grp, q): the bin whose cumulative range covers rank ceil(q·n).
+    // Pinned: targets is G×|qs| rows, but deriving it re-runs the whole
+    // pass-2 histogram (a full input scan) — and it has two consumers
+    // (candidateBins and the final rank join).
     val targets = cum.join(broadcast(varying.select($"grp", $"n")), Seq("grp"))
       .crossJoin(broadcast(qdf))
       .withColumn("rk", ceil($"q" * $"n").cast("long"))
       .filter($"cum_lo" < $"rk" && $"rk" <= $"cum_hi")
       .select($"grp".as("t_grp"), $"q", $"bin".as("t_bin"),
         ($"rk" - $"cum_lo").as("rk_in_bin"))
+      .localCheckpoint()
 
     val candidateBins = targets
       .select($"t_grp".as("grp"), $"t_bin".as("bin")).distinct()

@@ -127,9 +127,39 @@ object TextRetrieval {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     require(k > 0, s"bad k $k")
     val st = corpusStats(docs)
+    // The baseline plan ran FOUR full corpus tokenizations — posts, df,
+    // dl, totals each re-derived tf on its own branch — and the full-
+    // vocabulary df aggregate paid a vocabulary-wide shuffle + merge
+    // join for the handful of query terms that matter. Restructured to
+    // TWO corpus passes and a query-scaled df:
+    //  - dl (one narrow (doc_id, dl) long pair per doc) is the ONE
+    //    pinned frame: it fundamentally needs a full pass (doc length
+    //    counts every token) and feeds two consumers (scoring join +
+    //    totals), so the pin collapses passes 3 and 4 into one; its
+    //    payload is docs × 16 B — never the text, never tf.
+    //  - df comes from the QUERY-FILTERED tf: tf has one row per
+    //    (doc, tok), so count(*) over a tok window of the filtered
+    //    postings equals the corpus-wide df of every query term — the
+    //    full-vocabulary aggregate and its shuffle disappear, and posts
+    //    + df ride ONE tokenization pass.
+    // Corpus-scaled tf is deliberately NOT pinned (r12 measured: eager
+    // tf pins re-ran q210 at 1.32× the baseline min — a corpus-payload
+    // checkpoint costs more than the pass it saves).
+    val dlP = st.dl.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val tot = dlP.agg(sum(col("dl")).as("t_total"), count(lit(1)).as("n_docs"))
     val qTerms = queries.select(col("query_id"), col("tok")).distinct()
-    val posts = st.tf.join(broadcast(qTerms), "tok")
-    topK(exactScores(posts, st), k)
+    val qToks = qTerms.select(col("tok")).distinct()
+    val postsWithDf = st.tf.join(broadcast(qToks), "tok")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .join(broadcast(qTerms), "tok")
+    val scores = postsWithDf
+      .join(dlP.hint("merge"), "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("c", expr(ContribSql))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_pm"))
+    topK(scores, k)
   }
 
   /** Max-score-pruned BM25 top-k — Turtle & Flood's max-score with
@@ -436,12 +466,19 @@ object TextRetrieval {
       asOf: Option[Long] = None): DataFrame = {
     import graft.sources.TxLog
     require(k > 0, s"bad k $k")
-    val qTerms = queries.select(col("query_id"), col("tok")).distinct()
-    // the query side is driver-bounded by the operator's contract (the
-    // same contract that lets bm25TopK broadcast it)
-    val toks = qTerms.select(col("tok")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (toks.isEmpty) return emptyTopK(spark) // empty in, empty out
+    // The query side is driver-bounded by the operator's contract (the
+    // same contract that lets bm25TopK broadcast it) and it ALREADY gets
+    // collected here for the manifest-pruned reads — so collect the full
+    // (query_id, tok) pairs once and rebuild the scoring join side from
+    // the collected rows. Before this, the caller's query frame (a
+    // corpus-scan derivation in q223) was evaluated twice: once for the
+    // vocabulary collect and again for the scoring broadcast.
+    val qSel = queries.select(col("query_id"), col("tok")).distinct()
+    val qRows = qSel.collect()
+    if (qRows.isEmpty) return emptyTopK(spark) // empty in, empty out
+    val qTerms = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSel.schema)
+    val toks = qRows.map(_.getString(1)).distinct.toSeq
     graft.plans.TxStatsRule.register(dlDir(indexDir))
     graft.plans.TxStatsRule.register(postingsDir(indexDir))
     // INDEX TIME TRAVEL: build and every maintenance call bump each of

@@ -234,8 +234,20 @@ object TrainingPrep {
   def prefixSum(df: DataFrame, orderCol: Column, valueCol: Column,
       outCol: String): DataFrame = {
     val spark = df.sparkSession
+    // Pinned: `parts` has TWO consumers (the per-partition window and the
+    // totals collect), and left lazy each one re-evaluates the ENTIRE
+    // upstream chain — in q115 that chain is decontaminate → mixture →
+    // tokenize, so the baseline plan scanned the corpus 6× where the
+    // algorithm needs 3. The pin also freezes the range boundaries:
+    // correctness of the __pid → offset match relied on two separate
+    // repartitionByRange evaluations sampling identical boundaries,
+    // which the checkpoint now guarantees by construction. The pinned
+    // rows are the caller's narrow projection ((doc_id, ntok) longs in
+    // packSequences), never the text payload.
     val parts = df.repartitionByRange(orderCol)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val withLocal = parts.withColumn("__local",
       sum(valueCol).over(Window.partitionBy(col("__pid")).orderBy(orderCol)))
     val totals = parts.groupBy(col("__pid"))

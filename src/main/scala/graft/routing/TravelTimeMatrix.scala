@@ -92,12 +92,19 @@ object TravelTimeMatrix {
     // dominate the whole operator. Ids are converted ONCE per block and
     // reused across the block's cross product.
     val rowRdd = blocks.rdd.mapPartitions { iter =>
+      // ONE mutable output row per task, updated in place: the scan's
+      // UnsafeProjection copies every field before the next row is
+      // requested (standard operator-iterator contract), and at matrix
+      // volume a fresh GenericInternalRow + values array per pair is
+      // pure GC pressure (~15M allocations at sf0.1, ~140B at
+      // reference scale).
+      val out = new GenericInternalRow(3)
       iter.flatMap { case (osSeq, dsSeq) =>
         val os = osSeq.toIndexedSeq
         val ds = dsSeq.toIndexedSeq
         val oIds = Array.tabulate(os.length)(i => UTF8String.fromString(os(i).id))
         val dIds = Array.tabulate(ds.length)(j => UTF8String.fromString(ds(j).id))
-        routeRows(router, os, ds, 0, os.length, 0, ds.length, 0, maxDepth, oIds, dIds)
+        routeRows(router, os, ds, 0, os.length, 0, ds.length, 0, maxDepth, oIds, dIds, out)
       }
     }
     SqlBridge.internalCreateDataFrame(spark, rowRdd, TimeRecordSchema).as[TimeRecord]
@@ -117,15 +124,25 @@ object TravelTimeMatrix {
     override def length: Int = hi - lo
   }
 
-  private def row(o: UTF8String, d: UTF8String, v: Any): InternalRow =
-    new GenericInternalRow(Array[Any](o, d, v))
+  /** Fill the SHARED output row in place — see the mapPartitions note in
+    * [[run]]: consumers copy each row before requesting the next, so one
+    * mutable row per task serves the whole matrix.
+    */
+  private def setRow(out: GenericInternalRow,
+      o: UTF8String, d: UTF8String, v: Any): InternalRow = {
+    out.update(0, o)
+    out.update(1, d)
+    out.update(2, v)
+    out
+  }
 
   /** R1/R2/R3 core: route one index-range block, quadtree-splitting on
     * failure. Mirrors the reference's `_binary_search`
     * (/root/reference/data/src/utils/times.py:485-586): quadrants are the
     * half-splits of each axis; a 1×1 block that still fails — or any block
     * at max depth — yields NULL-duration rows for its full cross product.
-    * Rows are built from the caller's cached UTF8String ids.
+    * Rows are built from the caller's cached UTF8String ids into the
+    * caller's shared `out` row.
     */
   private[graft] def routeRows(
       router: Router,
@@ -135,14 +152,15 @@ object TravelTimeMatrix {
       depth: Int,
       maxDepth: Int,
       oIds: Array[UTF8String],
-      dIds: Array[UTF8String]): Iterator[InternalRow] = {
+      dIds: Array[UTF8String],
+      out: GenericInternalRow): Iterator[InternalRow] = {
     val nO = oHi - oLo
     val nD = dHi - dLo
     if (nO <= 0 || nD <= 0) Iterator.empty
     else if (nO == 1 && nD == 1 && os(oLo).id == ds(dLo).id) {
       // R2: identical single origin/destination → zero duration
       // (times.py:414-432)
-      Iterator.single(row(oIds(oLo), dIds(dLo), 0.0))
+      Iterator.single(setRow(out, oIds(oLo), dIds(dLo), 0.0))
     } else {
       try {
         val m = router.table(new Span(os, oLo, oHi), new Span(ds, dLo, dHi))
@@ -157,7 +175,7 @@ object TravelTimeMatrix {
           override def hasNext: Boolean = i < nO
           override def next(): InternalRow = {
             val v = m(i)(j)
-            val r = row(oIds(oLo + i), dIds(dLo + j),
+            val r = setRow(out, oIds(oLo + i), dIds(dLo + j),
               if (java.lang.Double.isNaN(v)) null else v)
             j += 1
             if (j == nD) { j = 0; i += 1 }
@@ -174,7 +192,7 @@ object TravelTimeMatrix {
               private[this] var j = 0
               override def hasNext: Boolean = i < nO
               override def next(): InternalRow = {
-                val r = row(oIds(oLo + i), dIds(dLo + j), null)
+                val r = setRow(out, oIds(oLo + i), dIds(dLo + j), null)
                 j += 1
                 if (j == nD) { j = 0; i += 1 }
                 r
@@ -183,10 +201,10 @@ object TravelTimeMatrix {
           } else {
             val oMid = oLo + nO / 2
             val dMid = dLo + nD / 2
-            routeRows(router, os, ds, oLo, oMid, dLo, dMid, depth + 1, maxDepth, oIds, dIds) ++
-              routeRows(router, os, ds, oLo, oMid, dMid, dHi, depth + 1, maxDepth, oIds, dIds) ++
-              routeRows(router, os, ds, oMid, oHi, dLo, dMid, depth + 1, maxDepth, oIds, dIds) ++
-              routeRows(router, os, ds, oMid, oHi, dMid, dHi, depth + 1, maxDepth, oIds, dIds)
+            routeRows(router, os, ds, oLo, oMid, dLo, dMid, depth + 1, maxDepth, oIds, dIds, out) ++
+              routeRows(router, os, ds, oLo, oMid, dMid, dHi, depth + 1, maxDepth, oIds, dIds, out) ++
+              routeRows(router, os, ds, oMid, oHi, dLo, dMid, depth + 1, maxDepth, oIds, dIds, out) ++
+              routeRows(router, os, ds, oMid, oHi, dMid, dHi, depth + 1, maxDepth, oIds, dIds, out)
           }
       }
     }
@@ -203,7 +221,10 @@ object TravelTimeMatrix {
       maxDepth: Int): Iterator[TimeRecord] = {
     val oIds = Array.tabulate(os.length)(i => UTF8String.fromString(os(i).id))
     val dIds = Array.tabulate(ds.length)(j => UTF8String.fromString(ds(j).id))
-    routeRows(router, os, ds, 0, os.length, 0, ds.length, depth, maxDepth, oIds, dIds)
+    // the map below copies each row's fields out immediately, so the
+    // shared-row contract holds here too
+    val out = new GenericInternalRow(3)
+    routeRows(router, os, ds, 0, os.length, 0, ds.length, depth, maxDepth, oIds, dIds, out)
       .map { r =>
         TimeRecord(r.getUTF8String(0).toString, r.getUTF8String(1).toString,
           if (r.isNullAt(2)) None else Some(r.getDouble(2)))

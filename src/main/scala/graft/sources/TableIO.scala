@@ -24,6 +24,27 @@ object TableIO {
   val PartitionKeys: Seq[String] =
     Seq("version", "mode", "year", "geography", "state", "centroid_type")
 
+  /** Partition keys whose value is provably one constant for the whole
+    * write: the optimized plan's top projection aliases them to a
+    * literal (constant folding has already run, so `lit("car")` and any
+    * expression folding to one value both qualify). Detection is
+    * best-effort — a non-Project top or a computed key simply yields
+    * the empty map and [[writePartitioned]] keeps its general path.
+    */
+  private def constantKeys(
+      df: DataFrame,
+      partitionKeys: Seq[String]): Map[String, org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    df.queryExecution.optimizedPlan match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.collect {
+          case Alias(l: Literal, name) if partitionKeys.contains(name) =>
+            name -> org.apache.spark.sql.graftbridge.SqlBridge.column(l)
+        }.toMap
+      case _ => Map.empty
+    }
+  }
+
   /** Ordered, partitioned, zstd write. `orderCols` become the row-group
     * pruning index of the table (O3). `bloomCols` (column → expected
     * NDV) add parquet bloom filters for SECONDARY-key point lookups:
@@ -62,6 +83,20 @@ object TableIO {
       mode: String = "overwrite",
       targetSliceBytes: Long = 64L << 20): Unit = {
     val spark = df.sparkSession
+    // Shuffle fewer bytes (optimization guide §2.3): partition keys that
+    // are provably CONSTANT for this write (a foldable literal in the
+    // optimized plan — version/mode/year/geography/centroid_type are
+    // literals in every publish; only state varies) are dropped BEFORE
+    // the rebalance exchange and re-attached above the sort. At matrix
+    // volume the constants were most of the shuffled width (6 short
+    // strings per row vs 2 ids + 1 double), and the sort comparator paid
+    // 4-5 equal-string compares per row pair before reaching a
+    // distinguishing key. Row order, file bytes and the published tree
+    // are unchanged: the re-attached literals sit above the sort, and
+    // partitionBy reads them by name.
+    val constKeys = constantKeys(df, partitionKeys)
+    val varKeys = partitionKeys.filterNot(constKeys.contains)
+    val slim = if (constKeys.isEmpty) df else df.drop(constKeys.keys.toSeq: _*)
     // AQE sizes rebalance slices by the session's advisory partition
     // bytes; scope the override to this action (single-threaded session
     // use — Verify/Bench run queries sequentially)
@@ -69,8 +104,11 @@ object TableIO {
     val prev = spark.conf.getOption(advisoryKey)
     spark.conf.set(advisoryKey, targetSliceBytes.toString)
     try {
-      val w = df.hint("rebalance", partitionKeys.map(col): _*)
-        .sortWithinPartitions((partitionKeys ++ orderCols).map(col): _*)
+      val shaped = slim.hint("rebalance", varKeys.map(col): _*)
+        .sortWithinPartitions((varKeys ++ orderCols).map(col): _*)
+      val w = constKeys.foldLeft(shaped) {
+          case (d, (k, c)) => d.withColumn(k, c)
+        }
         .write
         .mode(mode)
         .option("compression", "zstd")
