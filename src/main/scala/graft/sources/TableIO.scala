@@ -31,7 +31,7 @@ object TableIO {
     * best-effort — a non-Project top or a computed key simply yields
     * the empty map and [[writePartitioned]] keeps its general path.
     */
-  private def constantKeys(
+  private[graft] def constantKeys(
       df: DataFrame,
       partitionKeys: Seq[String]): Map[String, org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}

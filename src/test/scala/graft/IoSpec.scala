@@ -74,6 +74,46 @@ class IoSpec extends AnyFunSuite {
     dir
   }
 
+  test("constant partition keys are detected for the slim publish shuffle") {
+    val s = spark
+    import s.implicits._
+    // range-backed (not a local Seq): ConvertToLocalRelation would fold
+    // a Project over a LocalRelation away entirely; the real publish
+    // input is an RDD/scan-backed frame whose top Project survives,
+    // which is the shape the detector reads
+    val df = s.range(1)
+      .select(
+        lpad($"id".cast("string"), 9, "0").as("origin_id"),
+        lit("000500001").as("destination_id"),
+        lit(12.5).as("duration_sec"),
+        lpad(($"id" + 1).cast("string"), 2, "0").as("state"))
+      .withColumn("version", lit("0.0.1"))
+      .withColumn("mode", lit("car"))
+      .withColumn("year", lit("2024"))
+      .withColumn("geography", lit("county"))
+      .withColumn("centroid_type", lit("weighted"))
+    val consts = TableIO.constantKeys(df, TableIO.PartitionKeys)
+    // the 5 literal keys slim out of the rebalance+sort; state (data-
+    // derived) must stay a shuffle/sort key
+    assert(consts.keySet ==
+      Set("version", "mode", "year", "geography", "centroid_type"))
+    // a frame whose keys are all data-derived keeps the general path
+    val noConst = df.select(col("origin_id"), col("state"),
+      col("state").as("version"))
+    assert(TableIO.constantKeys(noConst, Seq("version", "state")).isEmpty ||
+      !TableIO.constantKeys(noConst, Seq("version", "state")).contains("state"))
+    // detection is value-faithful: re-attaching the detected literal
+    // reproduces the dropped column exactly
+    val reattached = df.drop(consts.keys.toSeq: _*)
+    val restored = consts.foldLeft(reattached) {
+      case (d, (k, c)) => d.withColumn(k, c) }
+    val want = df.select("version", "mode", "year", "geography",
+      "centroid_type").head()
+    val got = restored.select("version", "mode", "year", "geography",
+      "centroid_type").head()
+    assert(got == want)
+  }
+
   test("partition keys survive as strings with leading zeros") {
     val back = TableIO.readPartitioned(spark, outDir)
     val schema = back.schema

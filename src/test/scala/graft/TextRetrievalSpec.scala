@@ -50,15 +50,21 @@ class TextRetrievalSpec extends AnyFunSuite {
     assert(TextRetrieval.bm25TopK(docs, q).count() == 0L)
   }
 
-  test("plan shape: query side broadcast, vocabulary/corpus sides sort-merge") {
+  test("plan shape: query side broadcast, dl sort-merge, df from the filtered postings") {
     val q = Seq((1L, "apple"), (1L, "cherry")).toDF("query_id", "tok")
     val plan = TextRetrieval.bm25TopK(docs, q)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       "bounded query-term set must broadcast")
-    assert("SortMergeJoin".r.findAllIn(plan).size >= 2,
-      "df and dl joins must stay sort-merge (never broadcast a " +
-        "vocabulary- or corpus-scaled side)")
+    assert("SortMergeJoin".r.findAllIn(plan).size >= 1,
+      "the dl join must stay sort-merge (never broadcast a " +
+        "corpus-scaled side)")
+    // r12: df no longer joins a full-vocabulary aggregate — it rides the
+    // query-filtered postings as a tok-keyed window (tf is unique per
+    // (doc, tok), so the window count IS the corpus-wide df)
+    assert(plan.contains("windowspecdefinition(tok"),
+      "df must come from the tok window over the filtered postings:\n" +
+        plan.take(1500))
     assert(!plan.contains("CartesianProduct"))
   }
 
