@@ -32,6 +32,16 @@ object GraftSession {
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // AQE sort-merge → shuffled-hash rewrite (guide §3.1): decided at
+      // runtime from REAL map-output sizes (never estimates), so the
+      // no-broadcast guarantees of the merge-pinned joins survive while
+      // the per-partition sorts disappear when every partition fits a
+      // local hash map. Parameterised because the safe value is a
+      // per-task memory bound: ≤ executor heap / cores / ~3 (hash-map
+      // expansion). Local default 0 (off) keeps the bench comparable;
+      // see OPTIMIZATION_r12.md for the measured decision.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "0"))
       .config("spark.ui.enabled", "false")
     if (master.nonEmpty) b.master(master) else b
   }

@@ -112,6 +112,8 @@ object TableIO {
         .write
         .mode(mode)
         .option("compression", "zstd")
+        .option("parquet.compression.codec.zstd.level",
+          sys.env.getOrElse("SPARK_GRAFT_ZSTD_LEVEL", "3"))
         .option("maxRecordsPerFile", maxRecordsPerFile)
       val wb = bloomCols.foldLeft(w) { case (acc, (c, ndv)) =>
         acc.option(s"parquet.bloom.filter.enabled#$c", "true")
