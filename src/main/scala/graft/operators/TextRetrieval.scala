@@ -67,20 +67,6 @@ object TextRetrieval {
     CorpusStats(tf, dl, dfreq, tot)
   }
 
-  /** Exact BM25 scores for the given postings frame (query_id, doc_id,
-    * tok, tf). The df and dl joins are pinned to sort-merge
-    * (vocabulary- and corpus-scaled sides must never be broadcast —
-    * the 100× probe's driver-OOM lesson).
-    */
-  private def exactScores(posts: DataFrame, st: CorpusStats): DataFrame =
-    posts
-      .join(st.dfreq.hint("merge"), "tok")
-      .join(st.dl.hint("merge"), "doc_id")
-      .crossJoin(broadcast(st.tot))
-      .withColumn("c", expr(ContribSql))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("c")).as("score_pm"))
-
   private def topK(scores: DataFrame, k: Int): DataFrame = {
     val byScore = Window.partitionBy(col("query_id"))
       .orderBy(col("score_pm").desc, col("doc_id"))
@@ -454,7 +440,7 @@ object TextRetrieval {
     * identical stored aggregates ⇒ scores are bit-for-bit
     * [[bm25TopK]]'s (q221 hash-pins it against q210's oracle SQL).
     *
-    * No hand join pins here (contrast [[exactScores]]'s `hint("merge")`
+    * No hand join pins here (contrast [[bm25TopK]]'s dl `hint("merge")`
     * — forced because Catalyst sizes in-flight frames from the
     * compressed text scan): the index tables are REGISTERED TxLog scans
     * whose manifest-exact row counts reach the planner via

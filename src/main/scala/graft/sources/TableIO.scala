@@ -104,8 +104,12 @@ object TableIO {
     val prev = spark.conf.getOption(advisoryKey)
     spark.conf.set(advisoryKey, targetSliceBytes.toString)
     try {
+      // an orderCol that IS a constant partition key was a no-op sort
+      // before the slim path and must stay one (the column no longer
+      // exists in `slim`)
+      val effOrder = orderCols.filterNot(constKeys.contains)
       val shaped = slim.hint("rebalance", varKeys.map(col): _*)
-        .sortWithinPartitions((varKeys ++ orderCols).map(col): _*)
+        .sortWithinPartitions((varKeys ++ effOrder).map(col): _*)
       val w = constKeys.foldLeft(shaped) {
           case (d, (k, c)) => d.withColumn(k, c)
         }

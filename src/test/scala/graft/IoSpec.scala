@@ -97,11 +97,15 @@ class IoSpec extends AnyFunSuite {
     // derived) must stay a shuffle/sort key
     assert(consts.keySet ==
       Set("version", "mode", "year", "geography", "centroid_type"))
-    // a frame whose keys are all data-derived keeps the general path
+    // a frame whose keys are all data-derived keeps the general path:
+    // neither the attribute key nor the attribute-aliased key may be
+    // classified constant (a false 'version' constant would stamp one
+    // row's state onto every row's version partition)
     val noConst = df.select(col("origin_id"), col("state"),
       col("state").as("version"))
-    assert(TableIO.constantKeys(noConst, Seq("version", "state")).isEmpty ||
-      !TableIO.constantKeys(noConst, Seq("version", "state")).contains("state"))
+    val ncMap = TableIO.constantKeys(noConst, Seq("version", "state"))
+    assert(!ncMap.contains("version") && !ncMap.contains("state"),
+      s"data-derived keys wrongly classified constant: ${ncMap.keySet}")
     // detection is value-faithful: re-attaching the detected literal
     // reproduces the dropped column exactly
     val reattached = df.drop(consts.keys.toSeq: _*)

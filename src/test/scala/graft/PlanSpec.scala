@@ -210,11 +210,13 @@ class PlanSpec extends AnyFunSuite {
     // consumers — the window pass and the totals collect — otherwise
     // re-ran the whole upstream chain, and the pin freezes the range
     // boundaries the __pid↔offset match relies on), so the final plan
-    // reads the checkpoint RDD; the rangepartitioning exchange lives in
-    // the pinned build
-    assert(p.contains("rangepartitioning(doc_id") ||
-      p.contains("Scan ExistingRDD"),
-      "prefix sum input is neither range-partitioned in-plan nor pinned:\n" +
+    // reads the checkpoint RDD — assert the pin is present. The
+    // range-partitioning itself is no longer visible in this plan (it
+    // lives in the pinned build); its SEMANTICS are guarded by the
+    // q114/q115 oracle hashes, which are order-sensitive through the
+    // cumulative sum and would fail on any non-range repartition.
+    assert(p.contains("Scan ExistingRDD"),
+      "prefix sum input is not pinned (checkpoint scan missing):\n" +
         p.take(1500))
   }
 
