@@ -227,10 +227,17 @@ object Bench {
 
     // headline passes 2..N with whatever budget remains — queries the
     // budget cuts keep their pass-1 number (min == max == median marks
-    // the short sample) instead of skipping outright
-    targets.foreach { q =>
-      if (!budget.exhausted && results.get(q.name).exists(_._1 >= 0))
-        measure(q, Passes - 1)
+    // the short sample) instead of skipping outright. ROUND-ROBIN
+    // (round-12 verdict ask #2): one pass for EVERY query, then the
+    // next, so budget death degrades each query's sample evenly instead
+    // of leaving the tail queries with single cold passes (r12's q210/
+    // q223 carried pass-1-only numbers and manufactured a phantom 2×
+    // regression). Per-pass timing and the JSON line are unchanged.
+    (2 to Passes).foreach { _ =>
+      targets.foreach { q =>
+        if (!budget.exhausted && results.get(q.name).exists(_._1 >= 0))
+          measure(q, 1)
+      }
     }
 
     // Belt-and-braces for log-scraping harnesses: the same line on

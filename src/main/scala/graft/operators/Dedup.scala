@@ -248,13 +248,13 @@ object Dedup {
     // expansion is corpus-scaled, and a (long, string) row stored as
     // Java objects costs ~4× its serialized bytes — at the 100× probe
     // that difference alone is task-OOM vs fits
-    val toks = (
+    val toks = Pins.pin(
       if (n <= 1)
         docs.select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
-      else shingles(docs, n).withColumnRenamed("gram", "tok")
-      ).localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else shingles(docs, n).withColumnRenamed("gram", "tok"),
+      "pj_toks",
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // the eager checkpoint makes an EXACT size measurement nearly free
     // (one agg over cached blocks): gate every corpus-scaled pin on it
     // — pin when big (the 100× task-OOM fix), let Catalyst broadcast
@@ -301,6 +301,16 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("doc_id"), col("tok"), col("rn"), col("sz"))
+    // r13 measured negative (the VERDICT ask-3 restructure): a tok-keyed
+    // `.repartition(col("tok"))` on `pre` — meant to make both self-join
+    // sides share ONE exchange in the broadcast regime the way the merge
+    // regime's ReusedExchange already does — re-probed q133 at 4.4-4.9 s
+    // vs 3.8-4.1 s on the same tree (+15%). Same mechanism as the r12
+    // pin loss: the explicit exchange is a stage barrier, while the
+    // duplicated lazy `pre` branches run CONCURRENTLY on an
+    // underutilized local[32] and are near-free wall-clock. The big
+    // regime never needed it (merge hints collapse both sides to one
+    // exchange), so the duplicate stays.
     // Candidate generation with the SSJoin family's two EXACT pruning
     // filters (both are upper bounds on the pair's best possible
     // Jaccard, so neither can drop a qualifying pair):
@@ -579,12 +589,9 @@ object Dedup {
     // squat on executor storage for the session; the store-side copy is
     // recomputable-from-disk, survives executor churn, and lands next to
     // the state the rolling ingest already maintains.
-    def pin(df: DataFrame, name: String): DataFrame = checkpointDir match {
-      case None => df.localCheckpoint()
-      case Some(dir) =>
-        df.write.mode("overwrite").parquet(s"$dir/$name")
-        df.sparkSession.read.parquet(s"$dir/$name")
-    }
+    def pin(df: DataFrame, name: String): DataFrame =
+      Pins.pin(df, name,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK, checkpointDir)
     val newSigs = pin(minhashSignatures(newDocs, n, nHashes, nBands), "_ckpt_sigs")
     val allSigs = oldSigs.select(col("doc_id"), col("band"), col("bucket"))
       .unionByName(newSigs)
@@ -673,12 +680,10 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIters: Int = 25): DataFrame = {
-    val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint()
-    var labels = e.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
-      .localCheckpoint()
+    val e = Pins.pin(pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst"))), "cc_edges")
+    var labels = Pins.pin(e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")), "cc_labels")
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -690,12 +695,12 @@ object Dedup {
         .select(col("id"), col("cluster"),
           least(col("cluster"), coalesce(col("mc"), col("cluster"))).as("pcluster"))
       // pointer jump: follow the label's own label one hop
-      val next = propagated
+      val next = Pins.pin(propagated
         .join(labels.select(col("id").as("pcluster"), col("cluster").as("gc")),
           Seq("pcluster"), "left")
         .select(col("id"), col("cluster"),
-          least(col("pcluster"), coalesce(col("gc"), col("pcluster"))).as("ncluster"))
-        .localCheckpoint()
+          least(col("pcluster"), coalesce(col("gc"), col("pcluster"))).as("ncluster")),
+        "cc_round")
       changed = next.filter(col("ncluster") =!= col("cluster")).count()
       labels = next.select(col("id"), col("ncluster").as("cluster"))
       i += 1

@@ -50,9 +50,13 @@ object Stats {
     // the full pass-1 scan+aggregate. Measured on the r12 baseline plan:
     // 18 parquet scans of the input where the 3-pass algorithm needs 3.
     // Pin the tiny frame once (same rationale as the bm25Pruned pins).
-    val stats = base.groupBy($"grp")
-      .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
-      .localCheckpoint()
+    // Pins.pin = localCheckpoint locally, reliable parquet round-trip
+    // when the session sets a checkpoint dir (cluster operability —
+    // executor loss degrades to recompute-from-disk, round-12 verdict
+    // ask #5).
+    val stats = Pins.pin(base.groupBy($"grp")
+      .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi")),
+      "stats_quantile_stats")
 
     val qdf = qs.toDF("q")
 
@@ -75,13 +79,14 @@ object Stats {
     // Pinned: targets is G×|qs| rows, but deriving it re-runs the whole
     // pass-2 histogram (a full input scan) — and it has two consumers
     // (candidateBins and the final rank join).
-    val targets = cum.join(broadcast(varying.select($"grp", $"n")), Seq("grp"))
-      .crossJoin(broadcast(qdf))
-      .withColumn("rk", ceil($"q" * $"n").cast("long"))
-      .filter($"cum_lo" < $"rk" && $"rk" <= $"cum_hi")
-      .select($"grp".as("t_grp"), $"q", $"bin".as("t_bin"),
-        ($"rk" - $"cum_lo").as("rk_in_bin"))
-      .localCheckpoint()
+    val targets = Pins.pin(
+      cum.join(broadcast(varying.select($"grp", $"n")), Seq("grp"))
+        .crossJoin(broadcast(qdf))
+        .withColumn("rk", ceil($"q" * $"n").cast("long"))
+        .filter($"cum_lo" < $"rk" && $"rk" <= $"cum_hi")
+        .select($"grp".as("t_grp"), $"q", $"bin".as("t_bin"),
+          ($"rk" - $"cum_lo").as("rk_in_bin")),
+      "stats_quantile_targets")
 
     val candidateBins = targets
       .select($"t_grp".as("grp"), $"t_bin".as("bin")).distinct()

@@ -131,9 +131,19 @@ object TextRetrieval {
     // Corpus-scaled tf is deliberately NOT pinned (r12 measured: eager
     // tf pins re-ran q210 at 1.32× the baseline min — a corpus-payload
     // checkpoint costs more than the pass it saves).
-    val dlP = st.dl.localCheckpoint(true,
+    val dlP = Pins.pin(st.dl, "bm25_dl",
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val tot = dlP.agg(sum(col("dl")).as("t_total"), count(lit(1)).as("n_docs"))
+    // qTerms feeds TWO broadcast builds (the qToks tf-filter and the
+    // query_id scoring join), so a corpus-derived `queries` frame (the
+    // q210 fixture) tokenizes the corpus once per build. NOT pinned
+    // (r13 measured): a query-bounded Pins.pin re-probed q210 at
+    // 3.1-3.7 s vs 2.7-3.1 s on the same tree — the pin's job barrier
+    // outweighs the duplicate scan of a page-cached fixture, the same
+    // mechanism as every rejected r12 pin. Callers whose query set is
+    // expensive to derive should pin it THEMSELVES before calling (the
+    // operator cannot know; a forced pin would tax the common
+    // tiny-literal-queries case with a pointless barrier job).
     val qTerms = queries.select(col("query_id"), col("tok")).distinct()
     val qToks = qTerms.select(col("tok")).distinct()
     val postsWithDf = st.tf.join(broadcast(qToks), "tok")
@@ -200,12 +210,12 @@ object TextRetrieval {
     // one corpus-scaled frame; pinned eagerly (serialized) because the
     // term stats, the seed pass and the scoring pass all consume it,
     // and re-deriving re-runs the corpus tokenization+tf shuffle
-    val ptf = st.tf.join(broadcast(qToks), "tok").localCheckpoint(true,
+    val ptf = Pins.pin(st.tf.join(broadcast(qToks), "tok"), "bm25_ptf",
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // dl is consumed twice (the global extremes and the scoring join):
     // pin the narrow (doc, dl) longs too, or each consumer re-runs the
     // corpus tokenization+tf shuffle — measured as the dominant cost
-    val dlP = st.dl.localCheckpoint(true,
+    val dlP = Pins.pin(st.dl, "bm25_dl",
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // one corpus agg row: totals + dl extremes together
     val glob = dlP.agg(sum(col("dl")).as("t_total"),
@@ -274,9 +284,8 @@ object TextRetrieval {
     // non-essential (stopword) posting lists never expand here. The set
     // is pinned and MEASURED so the scoring semi-joins can broadcast
     // when provably safe and fall back to sort-merge when not.
-    val cand = ptf.join(broadcast(ess), "tok")
-      .select(col("query_id"), col("doc_id")).distinct()
-      .localCheckpoint(true)
+    val cand = Pins.pin(ptf.join(broadcast(ess), "tok")
+      .select(col("query_id"), col("doc_id")).distinct(), "bm25_cand")
     val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
     val candN = cand.count()
     val candDocs = cand.select(col("doc_id")).distinct()
@@ -361,7 +370,7 @@ object TextRetrieval {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.delete(new org.apache.hadoop.fs.Path(indexDir), true)
     val st = corpusStats(docs)
-    val tfP = st.tf.localCheckpoint(true,
+    val tfP = Pins.pin(st.tf, "bm25_build_tf",
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     TxLog.commitClustered(spark, postingsDir(indexDir), tfP,
       Seq("tok", "doc_id"), batches)
@@ -402,7 +411,7 @@ object TextRetrieval {
       indexDir: String, newDocs: DataFrame, batches: Int = 8): Unit = {
     import graft.sources.TxLog
     val st = corpusStats(newDocs)
-    val tfP = st.tf.localCheckpoint(true,
+    val tfP = Pins.pin(st.tf, "bm25_append_tf",
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     if (tfP.isEmpty) { tfP.unpersist(); return }
     TxLog.commitClustered(spark, postingsDir(indexDir), tfP,
@@ -627,8 +636,8 @@ object TextRetrieval {
   def removeFromIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, docIds: DataFrame): Unit = {
     import graft.sources.TxLog
-    val ids = docIds.select(col("doc_id")).distinct()
-      .localCheckpoint(true) // consumed by two merges; bounded by contract
+    val ids = Pins.pin(docIds.select(col("doc_id")).distinct(),
+      "bm25_remove_ids") // consumed by two merges; bounded by contract
     // an empty delete set must be a FULL no-op: mergeVectored
     // early-returns without committing on an empty source, so letting
     // df/totals recommit below would break the four-table version
@@ -738,9 +747,10 @@ object TextRetrieval {
     // seed pass and the scoring pass all consume it — here the re-read
     // would only re-scan the pruned batches, but the pin also keeps
     // the three consumers' inputs byte-identical
-    val ptf = TxLog.readWhereIn(spark, postingsDir(indexDir), "tok", toks)
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val ptf = Pins.pin(
+      TxLog.readWhereIn(spark, postingsDir(indexDir), "tok", toks),
+      "bm25_idx_ptf",
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val dlP = TxLog.read(spark, dlDir(indexDir))
     val glob = TxLog.read(spark, totalsDir(indexDir))
     prunedCore(ptf, dlP, glob, qTerms, k)

@@ -231,6 +231,14 @@ object TrainingPrep {
     * totals (bounded like [[Similarity]]'s IVF sample). The result is
     * independent of where the range boundaries land.
     */
+  /** The pre-pin build of [[prefixSum]]'s range-partitioned frame —
+    * exposed for plan-shape tests: the pinned final plan shows only a
+    * checkpoint scan, hiding the rangepartitioning the q114/q115 plan
+    * guard asserts at the unit level (r12 ADVICE).
+    */
+  private[graft] def prefixSumParts(df: DataFrame, orderCol: Column): DataFrame =
+    df.repartitionByRange(orderCol).withColumn("__pid", spark_partition_id())
+
   def prefixSum(df: DataFrame, orderCol: Column, valueCol: Column,
       outCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -244,10 +252,10 @@ object TrainingPrep {
     // which the checkpoint now guarantees by construction. The pinned
     // rows are the caller's narrow projection ((doc_id, ntok) longs in
     // packSequences), never the text payload.
-    val parts = df.repartitionByRange(orderCol)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // Pins.pin: localCheckpoint locally, reliable under the session
+    // checkpoint-dir gate (round-12 verdict ask #5).
+    val parts = Pins.pin(prefixSumParts(df, orderCol), "prefix_sum_parts",
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val withLocal = parts.withColumn("__local",
       sum(valueCol).over(Window.partitionBy(col("__pid")).orderBy(orderCol)))
     val totals = parts.groupBy(col("__pid"))

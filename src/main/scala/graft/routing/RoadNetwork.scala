@@ -640,10 +640,11 @@ object RoadNetwork {
     * @return (source, node, dist_sec) for every reachable (source, node)
     */
   def sssp(edgeDf: DataFrame, sources: DataFrame, maxIters: Int = 50): DataFrame = {
-    val e = edgeDf.select(col("src").as("node"), col("dst"), col("sec"))
-      .localCheckpoint()
-    var dist = sources.select(col("id").as("source"), col("id").as("node"),
-      lit(0.0).as("dist_sec")).localCheckpoint()
+    val e = graft.operators.Pins.pin(
+      edgeDf.select(col("src").as("node"), col("dst"), col("sec")), "sssp_edges")
+    var dist = graft.operators.Pins.pin(
+      sources.select(col("id").as("source"), col("id").as("node"),
+        lit(0.0).as("dist_sec")), "sssp_dist0")
     var frontier = dist
     var i = 0
     var active = frontier.count()
@@ -654,17 +655,16 @@ object RoadNetwork {
         .groupBy("source", "node")
         .agg(min("cand_sec").as("cand_sec"))
       val joined = cand.join(dist, Seq("source", "node"), "left")
-      val improved = joined
+      val improved = graft.operators.Pins.pin(joined
         .filter(col("dist_sec").isNull || col("cand_sec") < col("dist_sec"))
-        .select(col("source"), col("node"), col("cand_sec").as("dist_sec"))
-        .localCheckpoint()
+        .select(col("source"), col("node"), col("cand_sec").as("dist_sec")),
+        "sssp_improved")
       active = improved.count()
       if (active > 0) {
         // min-merge: one narrow shuffle, map-side partial agg
-        dist = dist.unionByName(improved)
+        dist = graft.operators.Pins.pin(dist.unionByName(improved)
           .groupBy("source", "node")
-          .agg(min("dist_sec").as("dist_sec"))
-          .localCheckpoint()
+          .agg(min("dist_sec").as("dist_sec")), "sssp_dist")
         frontier = improved
       }
       i += 1
@@ -1144,9 +1144,8 @@ object RoadNetwork {
       maxRounds: Int = 12): DataFrame = {
     val cols = Seq("src", "dst", "src_lon", "src_lat", "dst_lon", "dst_lat",
       "highway", "meters", "sec")
-    val e0 = edgeDf.select(cols.map(col): _*)
-      .filter(col("src") =!= col("dst"))
-      .localCheckpoint()
+    val e0 = graft.operators.Pins.pin(edgeDf.select(cols.map(col): _*)
+      .filter(col("src") =!= col("dst")), "contract_e0")
     // contractible = exactly two distinct undirected neighbors, minus keeps
     val deg2 = e0.select(col("src").as("id"), col("dst").as("nbr"))
       .union(e0.select(col("dst").as("id"), col("src").as("nbr")))
@@ -1154,9 +1153,9 @@ object RoadNetwork {
       .groupBy("id").agg(count(lit(1)).as("deg"))
       .filter(col("deg") === 2)
       .select(col("id"))
-    val contractible = keep.fold(deg2)(k =>
-        deg2.join(k.select(col(k.columns.head).as("id")), Seq("id"), "left_anti"))
-      .localCheckpoint()
+    val contractible = graft.operators.Pins.pin(keep.fold(deg2)(k =>
+        deg2.join(k.select(col(k.columns.head).as("id")), Seq("id"), "left_anti")),
+      "contract_nodes")
     // a legitimate endpoint→endpoint span visits each contractible node
     // at most once → hops ≤ nContractible + 1; anything longer wrapped a
     // pure ring and is dead weight from then on
@@ -1186,7 +1185,8 @@ object RoadNetwork {
             (col("sec") + col("c_s")).as("sec"),
             (col("__hops") + col("c_h")).as("__hops"))
           .filter(col("__hops") <= maxHops)
-        spans = stopped.unionByName(extended).localCheckpoint()
+        spans = graft.operators.Pins.pin(
+          stopped.unionByName(extended), "contract_spans")
       }
       round += 1
     }

@@ -143,6 +143,16 @@ object TravelTimeMatrix {
     * at max depth — yields NULL-duration rows for its full cross product.
     * Rows are built from the caller's cached UTF8String ids into the
     * caller's shared `out` row.
+    *
+    * NO-BUFFERING CONTRACT: every returned InternalRow is the SAME
+    * mutable `out` instance, valid only until the next `next()` call. A
+    * consumer must copy each row's fields (or call `row.copy()`) before
+    * advancing — the scan's UnsafeProjection and [[routeBlock]]'s
+    * TimeRecord map both do. Buffering the iterator (toArray/toList
+    * without copy) silently yields the last row's values duplicated.
+    * Note the quadtree arm's eager `++` chain constructs sub-iterators
+    * up front — safe only because construction emits no rows; keep any
+    * new consumer strictly one-row-at-a-time.
     */
   private[graft] def routeRows(
       router: Router,

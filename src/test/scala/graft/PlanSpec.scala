@@ -218,6 +218,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"),
       "prefix sum input is not pinned (checkpoint scan missing):\n" +
         p.take(1500))
+    // r12 ADVICE: "Scan ExistingRDD" alone is satisfied by ANY
+    // localCheckpoint — keep a fast unit-level guard on the PINNED
+    // BUILD's shape too: the pre-pin frame must range-partition by the
+    // order key (a non-range repartition would only be caught by the
+    // slower oracle-hash gates).
+    val spark2 = spark
+    import spark2.implicits._
+    val build = graft.operators.TrainingPrep.prefixSumParts(
+      Seq((1L, 2L), (3L, 4L)).toDF("doc_id", "ntok"),
+      org.apache.spark.sql.functions.col("doc_id"))
+    val bp = build.queryExecution.sparkPlan.toString
+    assert(bp.contains("rangepartitioning(doc_id"),
+      "prefix sum's pinned build is not range-partitioned by the order key:\n" +
+        bp.take(1500))
   }
 
   test("q133/q134: similarity and interval joins never plan a nested loop") {

@@ -54,12 +54,39 @@ object PublishProfile {
     timed("route + partitioned zstd write") {
       TableIO.writePartitioned(ptimes, out, Seq("origin_id", "destination_id"))
     }
-    timed("read back + agg") {
+    // finer decomposition (r13): where inside publish+readback the time
+    // goes — exchange+sort alone, the parquet encode+commit, the
+    // read-back scan alone, then the full chunk_id+agg consumer
+    timed("route + rebalance exchange + sort (noop, no parquet)") {
+      ptimes.drop("version", "mode", "year", "geography", "centroid_type")
+        .hint("rebalance", col("state"))
+        .sortWithinPartitions(col("state"), col("origin_id"), col("destination_id"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("route + partitioned zstd write (2nd)") {
+      TableIO.writePartitioned(ptimes, out, Seq("origin_id", "destination_id"))
+    }
+    timed("read back scan only (all cols, noop)") {
+      TableIO.readPartitioned(s, out)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("read back duration_sec only (noop)") {
+      TableIO.readPartitioned(s, out).select($"state", $"duration_sec")
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("read back + chunk_id + agg (q36 consumer)") {
       TableIO.withChunkId(TableIO.readPartitioned(s, out))
         .groupBy($"state")
         .agg(count(lit(1)).as("n_rows"),
           count(when($"duration_sec".isNull, 1)).as("n_missing"),
           countDistinct($"chunk_id").as("n_files"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("read back + agg WITHOUT chunk_id (regex cost probe)") {
+      TableIO.readPartitioned(s, out)
+        .groupBy($"state")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when($"duration_sec".isNull, 1)).as("n_missing"))
         .write.format("noop").mode("overwrite").save()
     }
     s.stop()
