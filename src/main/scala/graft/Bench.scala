@@ -89,6 +89,11 @@ object Bench {
     val qDrift = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val reran = scala.collection.mutable.ListBuffer.empty[String]
     val skippedQ = scala.collection.mutable.ListBuffer.empty[String]
+    // queries that missed at least one dispersion cycle to budget
+    // death (r12 verdict ask #2's explicit starved-list: a degraded
+    // sample is named instead of min==max silently posing as
+    // stability)
+    val starvedQ = scala.collection.mutable.ListBuffer.empty[String]
     var probeJson = "" // "" = section absent so far
     var abJson = ""
 
@@ -111,12 +116,14 @@ object Bench {
       val minTotal = results.values.map(_._2).filter(_ >= 0).sum
       val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
       val skippedJson = skippedQ.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val starvedJson = starvedQ.map("\"" + _ + "\"").mkString("[", ",", "]")
       val sections = new StringBuilder
       if (probeJson.nonEmpty) sections ++= s""","scale_probe":$probeJson"""
       if (abJson.nonEmpty) sections ++= s""","ab":$abJson"""
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,""" +
         f""""queries":$qs,"dispersion":$disp,"drift":$drift,"passes":$Passes,""" +
         f""""reran_on_dispersion":$reranJson,"skipped_queries":$skippedJson,""" +
+        f""""starved":$starvedJson,""" +
         f""""budget_sec":${budget.limitSec}%.0f,"elapsed_sec":${budget.elapsed}%.1f,""" +
         f""""complete":$complete,${sent.json}$sections,"sf":"$sfDir"}"""
     }
@@ -145,10 +152,16 @@ object Bench {
     // One sentinel-bracketed measurement window of `n` passes for one
     // query, merged into the incremental artifact state. Drift keeps the
     // WORST window factor seen for the query (a reader discounting a
-    // number needs the pessimistic bound).
-    def measure(q: QueryDef, n: Int): Unit = {
+    // number needs the pessimistic bound). `warmFirst` runs one UNTIMED
+    // same-query pass inside the window right before the timed ones, so
+    // a round-robin single-pass window measures the same warm-repeat
+    // state a consecutive multi-pass window's later passes did. It must
+    // sit INSIDE the sentinel bracket: the sentinel's own 16M-row probe
+    // between the warm and timed runs measurably spoils the adjacency.
+    def measure(q: QueryDef, n: Int, warmFirst: Boolean = false): Unit = {
       var times = Seq.empty[Double]
       val (_, drift) = sent.guardDrift(q.name) {
+        if (warmFirst) run(q.build)
         times = Seq.fill(n)(run(q.build))
         times.filter(_ >= 0).sum
       }
@@ -225,32 +238,32 @@ object Bench {
       flush()
     }
 
-    // headline passes 2..N with whatever budget remains — queries the
-    // budget cuts keep their pass-1 number (min == max == median marks
-    // the short sample) instead of skipping outright. ROUND-ROBIN
-    // (round-12 verdict ask #2): one pass for EVERY query, then the
-    // next, so budget death degrades each query's sample evenly instead
-    // of leaving the tail queries with single cold passes (r12's q210/
-    // q223 carried pass-1-only numbers and manufactured a phantom 2×
-    // regression).
+    // headline passes 2..N, ROUND-ROBIN (round-12 verdict ask #2): one
+    // warm-paired pass for EVERY query, then the next cycle, so budget
+    // death degrades each query's sample evenly instead of leaving the
+    // tail queries with single cold passes (r12's q210/q223 carried
+    // pass-1-only numbers and manufactured a phantom 2x regression).
+    // Queries the budget cuts keep their pass-1 number and are NAMED
+    // in `"starved"` (the ask's explicit-starved-list criterion).
     //
-    // WARM-PAIRED: each timed pass is preceded by one UNTIMED run of
-    // the same query. The consecutive shape this replaces timed passes
-    // 2..N back-to-back, so its minima measured the warm-repeat
-    // steady state the bench's warmup pass is documented to target;
-    // naive 1-pass round-robin windows put ~21 other queries between a
-    // query's passes and were MEASURED (r13, bench_r13_final.json's
-    // first window) to inflate every min 1.2-3x — untouched queries
-    // included — which would manufacture a phantom round-over-round
-    // regression on the whole board. The warm touch restores the
-    // same-warmth measurement (per-pass timing itself unchanged:
-    // build + noop action), at the cost of one extra untimed run per
-    // window, inside the same budget accounting.
+    // Why warm-paired, with the r13 measurement history (all artifacts
+    // committed): NAIVE 1-pass round-robin windows inflate every
+    // query's min 1.2-3x (bench_r13_roundrobin_cold.json) because the
+    // consecutive shape's minima measured warm back-to-back repeats
+    // and ~21 other queries land between a query's passes. With the
+    // warm touch inside the bracket, round-robin is measurement-
+    // equivalent to the consecutive shape it replaces: same-day
+    // quiet-window runs landed 25.39-25.69 (warm-paired variants,
+    // bench_r13_warmpair_v{1,2}.json) vs 25.47 (consecutive control,
+    // bench_r13_consecutive_control.json) — identical within window
+    // noise, so round-over-round minima stay comparable while budget
+    // starvation spreads evenly.
     (2 to Passes).foreach { _ =>
       targets.foreach { q =>
-        if (!budget.exhausted && results.get(q.name).exists(_._1 >= 0)) {
-          run(q.build) // untimed warm touch (see above)
-          measure(q, 1)
+        if (results.get(q.name).exists(_._1 >= 0)) {
+          if (budget.exhausted) {
+            if (!starvedQ.contains(q.name)) { starvedQ += q.name; flush() }
+          } else measure(q, 1, warmFirst = true)
         }
       }
     }
